@@ -1,0 +1,263 @@
+"""LWW replay core — the Ray-Data-native analog of the reference's
+``TemporalWindowBuilder`` + per-key replay loop
+(``/root/reference/src/main/scala/ai/scads/odibel/datasets/wikitext/TemporalWindowBuilder.scala:14-100``,
+``DBpediaTKGExtraction.scala:129-170``).
+
+Pipeline shape (SURVEY.md §3.4):
+
+    read_parquet(change_log)                       # hive 'part' column = WAL id
+      → map_batches(prepare_events)                # vectorized: drop S/malformed,
+                                                   #   schema-map payload, bucket col
+      → map_batches(compact_batch)                 # within-batch LWW pre-compaction
+                                                   #   (combiner before the shuffle)
+      → groupby('bucket').map_groups(apply)        # THE shuffle; per-group sort by
+                                                   #   (conv_id, turn_idx, lsn) + keep-last
+                                                   #   + drop tombstones
+
+All kernels are zero-copy-Arrow/numpy vectorized; the per-key state of the
+reference's HashMap is replaced by a sort + neighbor-compare keep-last mask, so
+no Python loop ever touches rows. Ordering is re-established *explicitly* by the
+per-group sort (Ray Data gives no intra-block order guarantee — the reference
+leaned on ``sortWithinPartitions``, ``FlatPageRevisionPartitioner.scala:22-23``).
+
+Events for one key live in exactly one log partition, where ``lsn`` is strictly
+monotonic, so any key-aligned bucketing (``part`` itself, or
+``hash(conv_id) % B``) preserves a total per-key order.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from odibel_ray.cdc.schema import SchemaTimeline
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+INT64_MAX = (1 << 63) - 1
+TS_SENTINEL_US = 253_402_300_799_000_000  # 9999-12-31T23:59:59 (SerUtil.scala:16-25)
+
+#: columns of a prepared (schema-mapped) event — converged schema + op/lsn/part/bucket
+PREPARED_COLUMNS = [
+    "op",
+    "lsn",
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool_name",
+    "score",
+    "ts",
+    "part",
+    "bucket",
+]
+
+
+def bucket_of_conv(conv: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic per-row bucket from conv_id strings (vectorized siphash)."""
+    return (pd.util.hash_array(conv, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def prepare_events(
+    batch: pa.Table,
+    timeline: SchemaTimeline,
+    num_buckets: int | None,
+    watermarks: np.ndarray | None = None,
+) -> pa.Table:
+    """Vectorized prepare stage: filter + schema-map + bucket.
+
+    - drops ``S`` rows (already collected into ``timeline``) and malformed rows
+      (null key with op != S, unknown op) — skip-never-delete rule
+      (``DBpediaTKGExtraction.scala:184-195``);
+    - maps physical payload → logical converged schema at each event's own LSN:
+      ``tool_name = tool`` before the rename / physical ``tool_name`` after;
+      ``score`` only once added; ``turn_idx`` widened to int64;
+    - adds ``bucket`` (= ``part`` when ``num_buckets`` is None, else
+      ``hash(conv_id) % num_buckets``);
+    - optionally drops events at or below per-``(bucket, part)`` LSN
+      ``watermarks`` (2-D int64 array) for idempotent incremental resume.
+    """
+    batch = batch.combine_chunks()
+    part = pc.cast(batch["part"], pa.int64()).to_numpy(zero_copy_only=False)
+    lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+    op = batch["op"].to_numpy(zero_copy_only=False)
+
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn_valid = pc.is_valid(batch["turn_idx"]).to_numpy(zero_copy_only=False)
+    key_valid = (conv != None) & turn_valid  # noqa: E711
+    valid = key_valid & np.isin(op, ("I", "U", "D"))
+
+    score_added, tool_renamed = timeline.active_masks(part, lsn)
+
+    if num_buckets is None:
+        bucket = part
+    else:
+        bucket = np.where(key_valid, bucket_of_conv(conv, num_buckets), 0)
+
+    if watermarks is not None:
+        nb, npart = watermarks.shape
+        in_range = (bucket < nb) & (part < npart)
+        wm = np.where(in_range, watermarks[np.minimum(bucket, nb - 1), np.minimum(part, npart - 1)], -1)
+        valid &= lsn > wm
+
+    tool_logical = pc.if_else(
+        pa.array(tool_renamed), batch["tool_name"], batch["tool"]
+    )
+    score_logical = pc.if_else(
+        pa.array(score_added), batch["score"], pa.nulls(len(batch), pa.float64())
+    )
+
+    out = pa.table(
+        {
+            "op": batch["op"],
+            "lsn": batch["lsn"],
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "text": batch["text"],
+            "tool_name": tool_logical,
+            "score": score_logical,
+            "ts": batch["ts"],
+            "part": pa.array(part, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        }
+    )
+    return out.filter(pa.array(valid))
+
+
+def _keep_last_mask(t: pa.Table) -> np.ndarray:
+    """Boolean mask of the max-LSN row per key. ``t`` MUST already be sorted by
+    ``(conv_id, turn_idx, lsn)`` and combined into one chunk."""
+    n = len(t)
+    mask = np.ones(n, dtype=bool)
+    if n <= 1:
+        return mask
+    conv, turn = t["conv_id"], t["turn_idx"]
+    same_next = pc.and_(
+        pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+        pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+    )
+    mask[: n - 1] = ~same_next.to_numpy(zero_copy_only=False)
+    return mask
+
+
+_SORT_KEYS = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")]
+
+
+def compact_batch(t: pa.Table) -> pa.Table:
+    """Within-batch LWW pre-compaction (shuffle combiner).
+
+    Keeps the max-LSN event per key *within this batch* — including tombstones,
+    which must survive until the final merge (SURVEY.md §7 step 5). Associative
+    with the final keep-last, so safe at any batch boundary. Cuts shuffle volume
+    by the update ratio (the reference has no analog; Spark AQE was its only
+    lever, ``management/spark_mgr.py:23-24``).
+    """
+    if len(t) == 0:
+        return t
+    t = t.combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    return t.filter(pa.array(_keep_last_mask(t)))
+
+
+def apply_group_final(t: pa.Table) -> pa.Table:
+    """Final per-group apply: sort, keep-last per key, drop tombstones.
+
+    Equivalent to the reference's per-key HashMap replay at convergence
+    (``TemporalWindowBuilder.scala:37-50`` upsert + ``buildEntries`` flush) —
+    expressed as vectorized kernels instead of per-row state.
+    """
+    if len(t) == 0:
+        return t.drop_columns(["op", "part", "bucket"])
+    t = t.combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    t = t.filter(pa.array(_keep_last_mask(t)))
+    t = t.filter(pc.not_equal(t["op"], "D"))
+    return t.drop_columns(["op", "lsn", "part", "bucket"])
+
+
+def apply_group_history(t: pa.Table) -> pa.Table:
+    """Per-group windowed-history apply (TER analog, FIXTURES.md F4).
+
+    Every non-delete event opens a window ``[lsn, next-event-lsn)`` for its key;
+    the last live version carries sentinels (``rEnd`` analog INT64_MAX,
+    ``TemporalWindowBuilder.scala:92``; ts sentinel 9999-12-31T23:59:59).
+    Delete events close the previous window and emit none themselves.
+    """
+    if len(t) == 0:
+        return _empty_history()
+    t = t.combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    n = len(t)
+    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    next_same = np.zeros(n, dtype=bool)
+    if n > 1:
+        conv, turn = t["conv_id"], t["turn_idx"]
+        next_same[: n - 1] = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+
+    lsn_end = np.where(next_same, np.roll(lsn, -1), INT64_MAX)
+    ts_end = np.where(next_same, np.roll(ts, -1), TS_SENTINEL_US)
+
+    out = pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "tool_name": t["tool_name"],
+            "score": t["score"],
+            "lsn_start": t["lsn"],
+            "lsn_end": pa.array(lsn_end, pa.int64()),
+            "ts_start": t["ts"],
+            "ts_end": pa.array(ts_end, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    return out.filter(pc.not_equal(t["op"], "D"))
+
+
+def _empty_history() -> pa.Table:
+    from odibel_ray.oracle import HISTORY_SCHEMA
+
+    return HISTORY_SCHEMA.empty_table()
+
+
+def replay_dataset(
+    log_dir: str,
+    *,
+    num_buckets: int | None = None,
+    history: bool = False,
+    precompact: bool = True,
+    timeline: SchemaTimeline | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Lazy replay pipeline: change log → converged (or history) Dataset.
+
+    No sink, no materialization — callers stream-consume or write. See
+    :func:`odibel_ray.cdc.sink.replay_publish` for the exactly-once sink.
+    """
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+
+    tl = timeline or extract_timeline(log_dir)
+    ds = rd.read_parquet(log_dir)
+    ds = ds.map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": tl, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if precompact and not history:
+        ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+    fn = apply_group_history if history else apply_group_final
+    return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")

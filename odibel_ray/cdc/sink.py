@@ -1,0 +1,356 @@
+"""Exactly-once Parquet sink: write → audit → publish, with per-bucket commit
+manifests, per-(bucket, partition) LSN watermarks, and incremental resume.
+
+The reference's sink is an all-or-nothing directory overwrite
+(``/root/reference/src/main/scala/ai/scads/odibel/datasets/wikitext/DBpediaTKGExtractionSpark.scala:44``)
+plus a row-count audit in its converters (``transform/CSVToParquet.scala:25-30``).
+We generalize both (SURVEY.md §4):
+
+- **write**: each group task writes its bucket to a *deterministic* staging path
+  (``_staging/<run_id>/part-<bucket>.parquet``) — a retried task overwrites its
+  own output, never duplicates it (no wall-clock ids; the reference's
+  ``System.nanoTime()`` bnode ids at ``transform/CSVToRDFReification.scala:98``
+  are the anti-pattern we avoid);
+- **audit**: the driver checks the staged file's Parquet row count against the
+  manifest row the task emitted;
+- **publish**: atomic ``os.replace`` of the data file into place, then atomic
+  write of ``_manifests/bucket-<k>.json``. Readers trust only manifested files,
+  so a kill at any point leaves either a fully-published bucket or an invisible
+  partial — never a torn read.
+
+Published files carry system columns ``_lsn``/``_part``/``_bucket`` so an
+incremental run can LWW-merge new events onto the base (same-key comparisons are
+within one WAL partition, where LSN is totally ordered). Manifests record
+``watermarks = {part: max_lsn}``; events at or below the watermark are
+idempotently ignored on resume (SURVEY.md §2.9).
+
+Scale notes: manifests are metadata (one tiny JSON per bucket); the driver's
+publish loop streams them via ``iter_rows`` as groups finish — no data rows ever
+reach the driver. Buckets are the resume/parallelism unit: size ``num_buckets``
+so one bucket's converged rows fit a worker (at 100 TB: tens of thousands).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from odibel_ray.cdc.apply import (
+    _keep_last_mask,
+    _SORT_KEYS,
+    compact_batch,
+    prepare_events,
+)
+from odibel_ray.cdc.schema import SchemaTimeline, extract_timeline
+
+MANIFEST_DIR = "_manifests"
+STAGING_DIR = "_staging"
+TABLE_MANIFEST = "_TABLE_MANIFEST.json"
+
+LOGICAL_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool_name", "score", "ts"]
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _bucket_watermarks(t: pa.Table) -> dict[str, int]:
+    """max LSN per WAL partition among this group's events (vectorized)."""
+    part = t["part"].to_numpy(zero_copy_only=False)
+    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    out: dict[str, int] = {}
+    for p in np.unique(part):
+        out[str(int(p))] = int(lsn[part == p].max())
+    return out
+
+
+def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
+    """Final apply + deterministic staged write; returns ONE manifest row."""
+    delay = float(os.environ.get("ODIBEL_TEST_APPLY_DELAY", "0"))
+    if delay:  # test hook: lets the kill-resume test catch the run mid-publish
+        import time
+
+        time.sleep(delay)
+    t = t.combine_chunks()
+    bucket = int(t["bucket"][0].as_py())
+    n_events = len(t)
+    wms = _bucket_watermarks(t)
+
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    t = t.filter(pa.array(_keep_last_mask(t)))
+    t = t.filter(pc.not_equal(t["op"], "D"))
+
+    out = pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "tool_name": t["tool_name"],
+            "score": t["score"],
+            "ts": t["ts"],
+            "_lsn": t["lsn"],
+            "_part": t["part"],
+            "_bucket": t["bucket"],
+        }
+    )
+    fname = f"part-{bucket:06d}.parquet"
+    staged = os.path.join(staging, fname)
+    pq.write_table(out, staged)
+
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows_out": pa.array([len(out)], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "staged": pa.array([staged], pa.string()),
+            "watermarks": pa.array([json.dumps(wms)], pa.string()),
+            "run_id": pa.array([run_id], pa.string()),
+        }
+    )
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    got: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return got
+    for fn in os.listdir(mdir):
+        if fn.startswith("bucket-") and fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            # trust only manifests whose data file exists with matching rows
+            fpath = os.path.join(out_dir, m["file"])
+            if os.path.exists(fpath) and pq.read_metadata(fpath).num_rows == m["rows_out"]:
+                got[int(m["bucket"])] = m
+    return got
+
+
+def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> list[dict]:
+    """Stream manifest rows as groups finish; audit + atomically publish each."""
+    published = []
+    for row in manifest_ds.iter_rows():
+        staged = row["staged"]
+        meta_rows = pq.read_metadata(staged).num_rows
+        if meta_rows != row["rows_out"]:  # audit (CSVToParquet.scala:25-30 analog)
+            raise RuntimeError(
+                f"audit failed for bucket {row['bucket']}: staged {meta_rows} != manifest {row['rows_out']}"
+            )
+        final_path = os.path.join(out_dir, row["file"])
+        os.replace(staged, final_path)
+        manifest = {
+            "bucket": int(row["bucket"]),
+            "rows_out": int(row["rows_out"]),
+            "n_events": int(row["n_events"]),
+            "file": row["file"],
+            "watermarks": json.loads(row["watermarks"]),
+            "run_id": row["run_id"],
+            **(extra or {}),
+        }
+        _atomic_write_json(
+            os.path.join(out_dir, MANIFEST_DIR, f"bucket-{manifest['bucket']:06d}.json"), manifest
+        )
+        published.append(manifest)
+    return published
+
+
+def replay_publish(
+    log_dir: str,
+    out_dir: str,
+    *,
+    num_buckets: int | None = None,
+    run_id: str = "run-0",
+    precompact: bool = True,
+    batch_size: int = 65536,
+) -> dict:
+    """Full replay with the exactly-once sink. Resumable: already-published
+    buckets (valid manifest + audited file) are filtered out *before* the
+    shuffle, so a killed run re-does only unpublished buckets."""
+    import ray.data as rd
+
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    staging = os.path.join(out_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+
+    timeline = extract_timeline(log_dir)
+    done = load_manifests(out_dir)
+
+    ds = rd.read_parquet(log_dir)
+    ds = ds.map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": timeline, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def _drop_done(t: pa.Table) -> pa.Table:
+            keep = ~np.isin(t["bucket"].to_numpy(zero_copy_only=False), done_arr)
+            return t.filter(pa.array(keep))
+
+        ds = ds.map_batches(_drop_done, batch_format="pyarrow", batch_size=batch_size)
+    if precompact:
+        ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    manifest_ds = ds.groupby("bucket").map_groups(
+        partial(_apply_write_group, staging=staging, run_id=run_id), batch_format="pyarrow"
+    )
+    published = _publish_stream(manifest_ds, out_dir)
+
+    all_manifests = load_manifests(out_dir)
+    table_manifest = {
+        "num_buckets": num_buckets,
+        "buckets": sorted(all_manifests),
+        "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+        "timeline": timeline.to_json(),
+        "schema_version": len(timeline.changes),
+        "last_run_id": run_id,
+    }
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), table_manifest)
+    return {
+        "published_now": len(published),
+        "published_total": len(all_manifests),
+        "rows_total": table_manifest["rows_total"],
+        "out_dir": out_dir,
+    }
+
+
+def read_published(out_dir: str, *, system: bool = False, parallelism: int = -1):
+    """Dataset over manifested files only (readers never see unpublished data)."""
+    import ray.data as rd
+
+    manifests = load_manifests(out_dir)
+    paths = [os.path.join(out_dir, m["file"]) for _, m in sorted(manifests.items())]
+    if not paths:
+        raise FileNotFoundError(f"no published buckets under {out_dir}")
+    ds = rd.read_parquet(paths)
+    if not system:
+        ds = ds.select_columns(LOGICAL_COLUMNS)
+    return ds
+
+
+def _watermark_matrix(manifests: dict[int, dict]) -> np.ndarray:
+    nb = max(manifests) + 1 if manifests else 0
+    nparts = 0
+    for m in manifests.values():
+        for p in m["watermarks"]:
+            nparts = max(nparts, int(p) + 1)
+    wm = np.full((max(nb, 1), max(nparts, 1)), -1, dtype=np.int64)
+    for b, m in manifests.items():
+        for p, l in m["watermarks"].items():
+            wm[b, int(p)] = int(l)
+    return wm
+
+
+def incremental_apply(
+    log_dir: str,
+    out_dir: str,
+    *,
+    run_id: str = "run-inc",
+    batch_size: int = 65536,
+) -> dict:
+    """Apply new change-log events (``lsn`` beyond each bucket's per-partition
+    watermark) onto the published base table; untouched buckets are left as-is.
+
+    Convergence argument: a base row was produced by some event with
+    ``_lsn <= watermark`` in the key's WAL partition; any *new* event for that
+    key has a larger LSN in the same partition, so replaying
+    ``base-as-insert(lsn=_lsn) ∪ new-events`` under keep-last-per-key yields
+    exactly the state of a from-scratch replay. Kill-resume of the incremental
+    run itself is idempotent because publish is per-bucket atomic and the
+    watermark filter drops already-applied events.
+    """
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    num_buckets = tman["num_buckets"]
+    manifests = load_manifests(out_dir)
+    old_tl = SchemaTimeline.from_json(tman["timeline"])
+    wm = _watermark_matrix(manifests)
+
+    # global per-part applied watermark (min over buckets would over-apply S
+    # events; S events are partition-global, applied once: use max — an S event
+    # below a part's max has been folded into the stored timeline already)
+    per_part_max = {p: int(wm[:, p].max()) for p in range(wm.shape[1])}
+    new_tl = extract_timeline(log_dir, min_lsn_by_part=per_part_max)
+    timeline = old_tl.merged_with(new_tl)
+
+    new_ev = rd.read_parquet(log_dir).map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": timeline, "num_buckets": num_buckets, "watermarks": wm},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    # which buckets actually have new events (tiny aggregate — bucket ids only;
+    # one extra streaming pass over the delta, never over the base)
+    touched_vals = new_ev.select_columns(["bucket"]).unique("bucket") or []
+    touched = np.array(sorted(int(b) for b in touched_vals), dtype=np.int64)
+    if len(touched) == 0:
+        return {"published_now": 0, "published_total": len(manifests), "touched": 0,
+                "rows_total": tman["rows_total"], "out_dir": out_dir}
+
+    base = read_published(out_dir, system=True)
+
+    def _base_as_events(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["_bucket"].to_numpy(zero_copy_only=False), touched)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "op": pa.array(["I"] * len(t), pa.string()),
+                "lsn": t["_lsn"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+                "tool_name": t["tool_name"],
+                "score": t["score"],
+                "ts": t["ts"],
+                "part": t["_part"],
+                "bucket": t["_bucket"],
+            }
+        )
+
+    base_ev = base.map_batches(_base_as_events, batch_format="pyarrow", batch_size=batch_size)
+    merged = new_ev.union(base_ev)
+    merged = merged.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    staging = os.path.join(out_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+    manifest_ds = merged.groupby("bucket").map_groups(
+        partial(_apply_write_group, staging=staging, run_id=run_id), batch_format="pyarrow"
+    )
+    published = _publish_stream(manifest_ds, out_dir)
+
+    all_manifests = load_manifests(out_dir)
+    tman.update(
+        {
+            "buckets": sorted(all_manifests),
+            "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+            "timeline": timeline.to_json(),
+            "schema_version": len(timeline.changes),
+            "last_run_id": run_id,
+        }
+    )
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    return {
+        "published_now": len(published),
+        "published_total": len(all_manifests),
+        "touched": int(len(touched)),
+        "rows_total": tman["rows_total"],
+        "out_dir": out_dir,
+    }

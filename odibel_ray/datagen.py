@@ -1,0 +1,291 @@
+"""Deterministic synthetic transcript change-log generator (FIXTURES.md F1/F2).
+
+Produces a partitioned Parquet CDC log over a multi-turn conversation
+transcript table keyed by ``(conv_id, turn_idx)``:
+
+- directory layout ``<out>/change_log/part=<k>/log-<i>.parquet`` — ``part`` is a
+  hive partition column, the per-partition WAL id (analog of the reference's
+  ``repartition(parts, pid)`` sharding,
+  ``/root/reference/src/main/scala/ai/scads/odibel/datasets/wikitext/utils/FlatPageRevisionPartitioner.scala:22-23``);
+- ``lsn`` is strictly monotonic within each partition (globally monotonic too,
+  which implies per-partition monotonic — analog of revision id ``rId``,
+  ``.../data/PageRevision.scala:8``);
+- ops: ``I`` insert, ``U`` update (full-row payload, LWW), ``D`` delete,
+  ``S`` schema change. Malformed events (null key, op != S) must be skipped by
+  the engine, never applied as deletes (the reference's failed-revision rule,
+  ``.../DBpediaTKGExtraction.scala:184-195``).
+
+Schema evolution (three ``S`` events, one copy per partition so each partition
+applies them at its own LSN position):
+
+1. ``add_column``  {"name": "score", "type": "double"} — payload values written
+   to ``score`` *before* this event's LSN did not exist logically and must be
+   dropped (the generator emits some early ``score`` values on purpose).
+2. ``rename_column`` {"from": "tool", "to": "tool_name"} — values carry over
+   (ALTER TABLE RENAME semantics). Events after the rename write the physical
+   ``tool_name`` column; a small fraction of "stale producer" events after the
+   rename still write ``tool`` (their tool value is logically lost).
+3. ``widen_type`` {"column": "turn_idx", "from": "int32", "to": "int64"} —
+   output type widening.
+
+The physical log schema is fixed (Parquet needs one schema per file); the
+*logical* schema at a given LSN is what the ``S`` timeline defines. Physical
+columns ``tool_name``/``score`` exist from the start as nullable payload slots.
+
+Fully vectorized (numpy) so bench-scale logs (millions of events) generate in
+seconds. Deterministic for a given parameter set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# physical schema of every log file (FIXTURES.md F2 + the two evolution payload slots)
+LOG_SCHEMA = pa.schema(
+    [
+        ("op", pa.string()),
+        ("lsn", pa.int64()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("tool_name", pa.string()),
+        ("score", pa.float64()),
+        ("ts", pa.timestamp("us")),
+        ("schema_change", pa.string()),
+    ]
+)
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["", "search", "python", "browser", "calculator", "editor"])
+
+BASE_EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, fixed
+TS_STEP_US = 1_000_000  # 1s per LSN → ts monotonic with lsn
+
+
+def _hash_conv_index(idx: np.ndarray, num_parts: int) -> np.ndarray:
+    """Deterministic partition for conv index (Knuth multiplicative hash)."""
+    return ((idx.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(
+        num_parts
+    )
+
+
+def generate_change_log(
+    out_dir: str,
+    *,
+    n_convs: int = 200,
+    max_turns: int = 50,
+    seed: int = 42,
+    num_parts: int = 4,
+    update_factor: float = 0.4,
+    delete_frac: float = 0.05,
+    malformed_frac: float = 0.01,
+    files_per_part: int = 2,
+    overwrite: bool = True,
+) -> dict:
+    """Write ``<out_dir>/change_log/part=<k>/log-<i>.parquet``; return a summary dict."""
+    rng = np.random.default_rng(seed)
+
+    # ---- base table keys -------------------------------------------------
+    nturns = rng.integers(1, max_turns + 1, size=n_convs)
+    conv_idx = np.repeat(np.arange(n_convs), nturns)  # per base row
+    turn_idx = np.concatenate([np.arange(n) for n in nturns]).astype(np.int64)
+    n_base = len(conv_idx)
+
+    conv_names = np.array([f"conv_{i:08d}" for i in range(n_convs)])
+    conv_part = _hash_conv_index(np.arange(n_convs), num_parts).astype(np.int64)
+
+    # Zipf-ish weight per base row (hot conversations get most updates)
+    conv_rank = rng.permutation(n_convs)  # rank 0 = hottest
+    row_w = 1.0 / (conv_rank[conv_idx] + 1.0)
+    row_w /= row_w.sum()
+
+    # ---- event stream (data events only, positions 0..n_ev-1) -----------
+    n_upd = int(update_factor * n_base * 2)  # several updates per hot key
+    n_del = int(delete_frac * n_base)
+    n_reins = n_del // 2
+
+    ins_order = rng.permutation(n_base)
+    upd_rows = rng.choice(n_base, size=n_upd, replace=True, p=row_w)
+    del_rows = rng.choice(n_base, size=n_del, replace=False)
+    reins_rows = del_rows[:n_reins]
+
+    # tail = shuffled updates+deletes; re-inserts appended at the end (a U after
+    # a D legally re-creates the row under full-row LWW upsert semantics).
+    tail_rows = np.concatenate([upd_rows, del_rows])
+    tail_ops = np.concatenate([np.full(n_upd, "U"), np.full(n_del, "D")])
+    perm = rng.permutation(len(tail_rows))
+    tail_rows, tail_ops = tail_rows[perm], tail_ops[perm]
+    tail_rows = np.concatenate([tail_rows, reins_rows])
+    tail_ops = np.concatenate([tail_ops, np.full(n_reins, "I")])
+
+    rows = np.concatenate([ins_order, tail_rows])
+    ops = np.concatenate([np.full(n_base, "I"), tail_ops]).astype(object)
+    n_ev = len(rows)
+
+    # schema events at fixed fractions of the data-event sequence
+    schema_pos = np.array([int(0.35 * n_ev), int(0.55 * n_ev), int(0.75 * n_ev)])
+    schema_json = [
+        json.dumps({"kind": "add_column", "name": "score", "type": "double"}),
+        json.dumps({"kind": "rename_column", "from": "tool", "to": "tool_name"}),
+        json.dumps({"kind": "widen_type", "column": "turn_idx", "from": "int32", "to": "int64"}),
+    ]
+
+    # ---- payload columns (vectorized) ------------------------------------
+    ev_conv_i = conv_idx[rows]
+    ev_turn = turn_idx[rows]
+    ev_part = conv_part[ev_conv_i]
+    ev_role = ROLES[(ev_conv_i + ev_turn) % len(ROLES)]
+    version = np.arange(n_ev)
+    ev_text = np.char.add(
+        np.char.add("text-", np.char.add(conv_names[ev_conv_i], "-")),
+        np.char.add(np.char.add(ev_turn.astype("U"), "-v"), version.astype("U")),
+    )
+    tool_val = TOOLS[(ev_conv_i * 7 + ev_turn * 3 + version) % len(TOOLS)]
+
+    is_del = ops == "D"
+    after_rename = np.arange(n_ev) >= schema_pos[1]
+    stale = rng.random(n_ev) < 0.02  # post-rename writers still using old column
+    write_tool_name = after_rename & ~stale
+    has_score = rng.random(n_ev) < 0.5
+    score_val = np.round(rng.random(n_ev), 6)
+
+    conv_col = conv_names[ev_conv_i].astype(object)
+    turn_col = ev_turn.astype(object)
+    part_col = ev_part.copy()
+
+    # malformed: null key on random non-insert positions, op forced to 'U'
+    n_bad = int(malformed_frac * n_ev)
+    if n_bad and n_ev > n_base:
+        bad_pos = rng.choice(np.arange(n_base, n_ev), size=min(n_bad, n_ev - n_base), replace=False)
+        conv_col[bad_pos] = None
+        turn_col[bad_pos] = None
+        ops[bad_pos] = "U"
+    else:
+        bad_pos = np.array([], dtype=np.int64)
+
+    # ---- LSN assignment (vectorized splice of schema events) -------------
+    # data event at position i has `k = #schema positions <= i` schema batches
+    # before it; each schema batch occupies `num_parts` LSNs.
+    k_before = np.searchsorted(schema_pos, np.arange(n_ev), side="right")
+    data_lsn = np.arange(n_ev) + k_before * num_parts
+    # k-th schema event batch starts at lsn schema_pos[k] + k*num_parts
+    schema_base_lsn = schema_pos + np.arange(3) * num_parts
+    part_col[conv_col == None] = data_lsn[conv_col == None] % num_parts  # noqa: E711
+
+    # ---- assemble full table ---------------------------------------------
+    null_payload = lambda col: np.where(is_del, None, col.astype(object))  # noqa: E731
+
+    data = {
+        "op": ops,
+        "lsn": data_lsn,
+        "conv_id": conv_col,
+        "turn_idx": turn_col,
+        "role": null_payload(ev_role),
+        "text": null_payload(ev_text),
+        "tool": np.where(is_del | write_tool_name, None, tool_val.astype(object)),
+        "tool_name": np.where(is_del | ~write_tool_name, None, tool_val.astype(object)),
+        "score": np.where(is_del | ~has_score, None, score_val.astype(object)),
+        "schema_change": np.full(n_ev, None, dtype=object),
+        "part": part_col,
+    }
+
+    srows = {
+        "op": np.full(3 * num_parts, "S", dtype=object),
+        "lsn": (schema_base_lsn[:, None] + np.arange(num_parts)[None, :]).ravel(),
+        "conv_id": np.full(3 * num_parts, None, dtype=object),
+        "turn_idx": np.full(3 * num_parts, None, dtype=object),
+        "role": np.full(3 * num_parts, None, dtype=object),
+        "text": np.full(3 * num_parts, None, dtype=object),
+        "tool": np.full(3 * num_parts, None, dtype=object),
+        "tool_name": np.full(3 * num_parts, None, dtype=object),
+        "score": np.full(3 * num_parts, None, dtype=object),
+        "schema_change": np.repeat(np.array(schema_json, dtype=object), num_parts),
+        "part": np.tile(np.arange(num_parts), 3),
+    }
+
+    full = {k: np.concatenate([data[k], srows[k]]) for k in data}
+    lsn_all = full["lsn"].astype(np.int64)
+    ts_all = BASE_EPOCH_US + lsn_all * TS_STEP_US
+
+    tbl = pa.table(
+        {
+            "op": pa.array(full["op"], pa.string()),
+            "lsn": pa.array(lsn_all, pa.int64()),
+            "conv_id": pa.array(full["conv_id"], pa.string()),
+            "turn_idx": pa.array(full["turn_idx"], pa.int32()),
+            "role": pa.array(full["role"], pa.string()),
+            "text": pa.array(full["text"], pa.string()),
+            "tool": pa.array(full["tool"], pa.string()),
+            "tool_name": pa.array(full["tool_name"], pa.string()),
+            "score": pa.array(full["score"], pa.float64()),
+            "ts": pa.array(ts_all, pa.timestamp("us")),
+            "schema_change": pa.array(full["schema_change"], pa.string()),
+            "part": pa.array(full["part"].astype(np.int64), pa.int64()),
+        }
+    )
+
+    # ---- write hive-partitioned, files sorted by lsn within partition ----
+    log_dir = os.path.join(out_dir, "change_log")
+    if overwrite and os.path.exists(log_dir):
+        shutil.rmtree(log_dir)
+
+    for p in range(num_parts):
+        part_tbl = tbl.filter(pc.equal(tbl["part"], p)).sort_by("lsn").drop(["part"])
+        pdir = os.path.join(log_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        n = len(part_tbl)
+        splits = np.linspace(0, n, files_per_part + 1).astype(int)
+        for f in range(files_per_part):
+            chunk = part_tbl.slice(splits[f], splits[f + 1] - splits[f])
+            pq.write_table(chunk, os.path.join(pdir, f"log-{f:05d}.parquet"))
+
+    return {
+        "log_dir": log_dir,
+        "n_events": int(len(tbl)),
+        "max_lsn": int(lsn_all.max()),
+        "n_base_rows": int(n_base),
+        "n_convs": int(n_convs),
+        "num_parts": int(num_parts),
+        "n_malformed": int(len(bad_pos)),
+        "schema_event_kinds": ["add_column", "rename_column", "widen_type"],
+    }
+
+
+def split_log(log_dir: str, out_prefix_dir: str, frac: float = 0.7, *, overwrite: bool = True) -> int:
+    """Split an existing change log at a global LSN cutoff into a *prefix* log
+    (events with ``lsn <= cutoff``) written under ``out_prefix_dir/change_log``.
+
+    Used by incremental-apply tests: publish the prefix, then incrementally
+    apply the full log — the result must equal a from-scratch replay. Returns
+    the cutoff LSN.
+    """
+    import pyarrow.dataset as pads
+
+    src = pads.dataset(log_dir, format="parquet", partitioning="hive")
+    tbl = src.to_table()
+    lsns = np.sort(tbl["lsn"].to_numpy(zero_copy_only=False))
+    cutoff = int(lsns[int(frac * (len(lsns) - 1))])
+
+    prefix_dir = os.path.join(out_prefix_dir, "change_log")
+    if overwrite and os.path.exists(prefix_dir):
+        shutil.rmtree(prefix_dir)
+    parts = np.unique(pc.cast(tbl["part"], pa.int64()).to_numpy(zero_copy_only=False))
+    for p in parts:
+        mask = pc.and_(
+            pc.equal(pc.cast(tbl["part"], pa.int64()), int(p)),
+            pc.less_equal(tbl["lsn"], cutoff),
+        )
+        chunk = tbl.filter(mask).sort_by("lsn").drop(["part"])
+        pdir = os.path.join(prefix_dir, f"part={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(chunk, os.path.join(pdir, "log-00000.parquet"))
+    return cutoff

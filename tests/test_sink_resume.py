@@ -1,0 +1,108 @@
+"""Exactly-once sink: publish, audit, resume, kill-resume, incremental apply."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from odibel_ray.cdc import incremental_apply, read_published, replay_publish
+from odibel_ray.cdc.sink import MANIFEST_DIR, TABLE_MANIFEST, load_manifests
+from odibel_ray.datagen import split_log
+from odibel_ray.oracle import replay_oracle
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _published_table(out_dir):
+    return collect_sorted(read_published(out_dir), KEYS)
+
+
+def test_publish_matches_oracle_and_is_audited(ray_session, small_log, oracle_final, tmp_path):
+    out = str(tmp_path / "tbl")
+    res = replay_publish(small_log["log_dir"], out, num_buckets=8, run_id="r1")
+    assert res["published_now"] == 8
+    assert _published_table(out).equals(oracle_final)
+    # manifests carry per-partition watermarks + counts (north-rule lineage)
+    manifests = load_manifests(out)
+    assert len(manifests) == 8
+    for m in manifests.values():
+        assert m["rows_out"] >= 0 and m["n_events"] >= m["rows_out"]
+        assert all(int(l) >= 0 for l in m["watermarks"].values())
+    tman = json.load(open(os.path.join(out, TABLE_MANIFEST)))
+    assert tman["rows_total"] == oracle_final.num_rows
+    assert tman["schema_version"] == len(json.loads(tman["timeline"]))
+
+
+def test_second_run_is_noop(ray_session, small_log, tmp_path):
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], out, num_buckets=4, run_id="r1")
+    res2 = replay_publish(small_log["log_dir"], out, num_buckets=4, run_id="r2")
+    assert res2["published_now"] == 0
+    assert res2["published_total"] == 4
+
+
+def test_incremental_apply_converges(ray_session, small_log, oracle_final, tmp_path):
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    out = str(tmp_path / "tbl")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=8, run_id="r1")
+    res = incremental_apply(small_log["log_dir"], out, run_id="r2")
+    assert res["touched"] > 0
+    assert _published_table(out).equals(oracle_final)
+    # re-running the incremental is idempotent (watermarks filter everything)
+    res2 = incremental_apply(small_log["log_dir"], out, run_id="r3")
+    assert res2["touched"] == 0
+    assert _published_table(out).equals(oracle_final)
+
+
+KILL_SCRIPT = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from odibel_ray.cdc import replay_publish
+replay_publish(sys.argv[1], sys.argv[2], num_buckets=8, run_id="victim")
+"""
+
+
+def test_kill_resume_exactly_once(ray_session, small_log, oracle_final, tmp_path):
+    """SIGKILL a publishing run mid-stream; resume must converge to the oracle
+    and republish only the missing buckets (SURVEY.md §5 item 4)."""
+    out = str(tmp_path / "tbl")
+    env = dict(os.environ, ODIBEL_TEST_APPLY_DELAY="1.0", RAY_ADDRESS="local",
+               PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", KILL_SCRIPT, small_log["log_dir"], out],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    mdir = os.path.join(out, MANIFEST_DIR)
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if os.path.isdir(mdir) and len(load_manifests(out)) >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is None, "victim finished before we could kill it"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    done_before = set(load_manifests(out))
+    assert 1 <= len(done_before) < 8, f"expected a partial publish, got {len(done_before)}"
+    before_mtimes = {
+        b: os.path.getmtime(os.path.join(mdir, f"bucket-{b:06d}.json")) for b in done_before
+    }
+
+    res = replay_publish(small_log["log_dir"], out, num_buckets=8, run_id="resume")
+    assert res["published_now"] == 8 - len(done_before)
+    assert _published_table(out).equals(oracle_final)
+    # previously published buckets were reused, not rewritten
+    for b, mt in before_mtimes.items():
+        assert os.path.getmtime(os.path.join(mdir, f"bucket-{b:06d}.json")) == mt
