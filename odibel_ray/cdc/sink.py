@@ -141,7 +141,12 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
 def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> list[dict]:
     """Stream manifest rows as groups finish; audit + atomically publish each."""
     published = []
+    publish_delay = float(os.environ.get("ODIBEL_TEST_PUBLISH_DELAY", "0"))
     for row in manifest_ds.iter_rows():
+        if publish_delay:  # test hook: lets the kill-resume test land mid-publish
+            import time
+
+            time.sleep(publish_delay)
         staged = row["staged"]
         meta_rows = pq.read_metadata(staged).num_rows
         if meta_rows != row["rows_out"]:  # audit (CSVToParquet.scala:25-30 analog)

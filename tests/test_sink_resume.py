@@ -74,7 +74,8 @@ def test_kill_resume_exactly_once(ray_session, small_log, oracle_final, tmp_path
     """SIGKILL a publishing run mid-stream; resume must converge to the oracle
     and republish only the missing buckets (SURVEY.md §5 item 4)."""
     out = str(tmp_path / "tbl")
-    env = dict(os.environ, ODIBEL_TEST_APPLY_DELAY="1.0", RAY_ADDRESS="local",
+    env = dict(os.environ, ODIBEL_TEST_APPLY_DELAY="1.0",
+               ODIBEL_TEST_PUBLISH_DELAY="1.5", RAY_ADDRESS="local",
                PYTHONPATH="/root/repo")
     proc = subprocess.Popen(
         [sys.executable, "-c", KILL_SCRIPT, small_log["log_dir"], out],
