@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing here
+(or in ``odibel_ray``) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline: full CDC replay of the deterministic
+  transcript change log sized for sf0.001 (synthesised under /tmp on first
+  call), returning the converged transcript table as a ``ray.data.Dataset``.
+- ``queries()`` — one named callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory + the training-data ops: dedup, ANN, text analysis).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for each SQL-expressible query at
+  sf=0.01 (the driver's comparison scale). Transcript-CDC oracles read the
+  same /tmp Parquet change log via ``read_parquet`` with full schema-evolution
+  semantics in SQL; non-SQL-expressible ops (MinHash/SimHash near-dup,
+  language ID, IVF ANN) are omitted → rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +20,26 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_DRIVER_SF = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from odibel_ray.pipelines.queries import q_transcript_replay
+
+    return q_transcript_replay("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from odibel_ray.pipelines.queries import QUERIES, ensure_transcript_log
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the transcript log must exist before the driver runs the matching oracle
+    # SQL (which reads it from /tmp); generation is cheap and idempotent.
+    ensure_transcript_log(_DRIVER_SF)
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from odibel_ray.pipelines.queries import ORACLES, ensure_transcript_log
+
+    ensure_transcript_log(_DRIVER_SF)
+    return ORACLES(_DRIVER_SF)

@@ -1,0 +1,241 @@
+"""Key-generic LWW replay kernels — the transcript-agnostic core of the engine.
+
+The transcript pipeline (:mod:`odibel_ray.cdc.apply`) binds these semantics to
+the ``(conv_id, turn_idx)`` key and the schema-evolution timeline; this module
+exposes the same per-key last-writer-wins machinery for *any* key columns and
+LSN column, so any ordered change stream (e.g. the ``events`` test table
+re-interpreted as a binlog) replays through the identical code path.
+
+Reference semantics being reproduced (see SURVEY.md §2.3):
+
+- per-key upsert state + keep-latest — ``TemporalWindowBuilder.scala:37-50``
+  (the HashMap ``put`` overwrite is our sort + neighbor-compare keep-last mask);
+- delete closes the key — tombstone rows dropped at convergence;
+- validity windows ``[lsn, next_lsn)`` with ``INT64_MAX`` open-window sentinel —
+  ``TemporalWindowBuilder.scala:89-99`` / ``data/TemporalExtractionResult.scala:13``;
+- snapshot-at-T containment filter — ``eval/EvalFunctions.scala:66-84``;
+- full-outer-join diff classification — ``eval/SnapshotEval.scala:132-160``.
+
+Everything is vectorized Arrow/numpy; no per-row Python in any hot path. The
+shuffle key is ``hash(key columns) % num_buckets`` — all events of one key land
+in one group, so group-local sort gives a total per-key order (Ray Data gives
+no intra-block order guarantee; SURVEY.md §7 "hard parts" (a)).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+INT64_MAX = (1 << 63) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix for key combining
+
+
+def bucket_of_keys(t: pa.Table, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    """Deterministic per-row bucket from one or more key columns (vectorized)."""
+    h = np.zeros(len(t), dtype=np.uint64)
+    for k in keys:
+        col = t[k].to_numpy(zero_copy_only=False)
+        h = h * _MIX + pd.util.hash_array(col, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _same_next_key_mask(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """``same[i]`` = row i and i+1 share the key (t sorted by keys, 1 chunk)."""
+    n = len(t)
+    same = np.ones(max(n - 1, 0), dtype=bool)
+    for k in keys:
+        col = t[k]
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    return same
+
+
+def keep_last_per_key(t: pa.Table, keys: Sequence[str], lsn_col: str = "lsn") -> pa.Table:
+    """Sort by (keys, lsn) and keep the max-LSN row per key. Vectorized LWW."""
+    if len(t) <= 1:
+        return t
+    t = t.combine_chunks()
+    sort_keys = [(k, "ascending") for k in (*keys, lsn_col)]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    n = len(t)
+    mask = np.ones(n, dtype=bool)
+    mask[: n - 1] = ~_same_next_key_mask(t, keys)
+    return t.filter(pa.array(mask))
+
+
+def lww_latest(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "D",
+    num_buckets: int = 32,
+    precompact: bool = True,
+    batch_size: int = 65536,
+    drop_op: bool = True,
+) -> "ray.data.Dataset":
+    """Converged LWW state of a change stream: latest row per key, tombstones
+    dropped. ``ds`` must carry ``keys``, ``lsn_col`` and ``op_col`` columns.
+
+    ``precompact`` runs the within-batch combiner before the shuffle (keeps
+    tombstones — they must survive to the final merge), cutting shuffle volume
+    by the update ratio.
+    """
+    keys = list(keys)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def compact(t: pa.Table) -> pa.Table:
+        return keep_last_per_key(t, keys, lsn_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = keep_last_per_key(t, keys, lsn_col)
+        t = t.filter(pc.not_equal(t[op_col], delete_op))
+        drop = ["bucket"] + ([op_col] if drop_op else [])
+        return t.drop_columns(drop)
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    if precompact:
+        ds = ds.map_batches(compact, batch_format="pyarrow", batch_size=batch_size)
+    return ds.groupby("bucket").map_groups(finish, batch_format="pyarrow")
+
+
+def snapshot_at(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    at_lsn: int,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Converged state as of ``lsn <= at_lsn`` (time-travel read of the stream;
+    snapshot filter analog of ``eval/EvalFunctions.scala:66-84``)."""
+    lsn_col = kwargs.get("lsn_col", "lsn")
+    ds = ds.filter(expr=f"{lsn_col} <= {int(at_lsn)}")
+    return lww_latest(ds, keys, **kwargs)
+
+
+def change_windows(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "D",
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Version-history windows: every non-delete event opens ``[lsn, next_lsn)``
+    for its key; the live version carries ``lsn_end = INT64_MAX`` (open-window
+    sentinel, ``TemporalWindowBuilder.scala:92``). Deletes close the previous
+    window and emit no row."""
+    keys = list(keys)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sort_keys = [(k, "ascending") for k in (*keys, lsn_col)]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = len(t)
+        lsn = t[lsn_col].to_numpy(zero_copy_only=False)
+        next_same = np.zeros(n, dtype=bool)
+        if n > 1:
+            next_same[: n - 1] = _same_next_key_mask(t, keys)
+        lsn_end = np.where(next_same, np.roll(lsn, -1), INT64_MAX)
+        out = t.rename_columns(
+            [c if c != lsn_col else "lsn_start" for c in t.column_names]
+        ).append_column("lsn_end", pa.array(lsn_end, pa.int64()))
+        out = out.filter(pc.not_equal(out[op_col], delete_op))
+        return out.drop_columns(["bucket", op_col])
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return ds.groupby("bucket").map_groups(windows, batch_format="pyarrow")
+
+
+def outer_diff(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    keys: Sequence[str],
+    compare: Sequence[str],
+    *,
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Full-outer-join diff of two keyed tables → one row per differing key with
+    ``diff ∈ {'added', 'deleted', 'changed'}`` (``SnapshotEval.calculateDiffDF``
+    analog, ``eval/SnapshotEval.scala:132-160``; used as the conformance check
+    between an engine table and an oracle table).
+
+    Implemented without a join operator: tag each side (+1/-1), union, shuffle
+    once on the key hash, and classify per group — one all-to-all instead of a
+    join's two.
+    """
+    keys, compare = list(keys), list(compare)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks().select(keys + compare)
+            t = t.append_column("_side", pa.array(np.full(len(t), side, np.int64)))
+            b = bucket_of_keys(t, keys, num_buckets)
+            return t.append_column("bucket", pa.array(b, pa.int64()))
+
+        return f
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sort_keys = [(k, "ascending") for k in keys] + [("_side", "ascending")]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = len(t)
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[: n - 1] = _same_next_key_mask(t, keys)
+        same_prev = np.roll(same_next, 1)
+        same_prev[0] = False
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        # paired keys: rows where both sides present (same key as neighbor)
+        paired = same_next | same_prev
+        only_left = (~paired) & (side == -1)
+        only_right = (~paired) & (side == 1)
+        # changed: paired and any compare column differs from the neighbor row
+        differs = np.zeros(n, dtype=bool)
+        if n > 1:
+            d = np.zeros(n - 1, dtype=bool)
+            for c in compare:
+                col = t[c]
+                eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+                # null == null counts as equal for diff purposes
+                both_null = pc.and_(
+                    pc.is_null(col.slice(1)), pc.is_null(col.slice(0, n - 1))
+                )
+                eqv = pc.or_(pc.fill_null(eq, False), both_null).to_numpy(
+                    zero_copy_only=False
+                )
+                d |= ~eqv
+            differs[: n - 1] = d & same_next[: n - 1]
+        changed_first = differs & same_next & (side == -1)
+        label = np.full(n, "", dtype=object)
+        label[only_left] = "deleted"
+        label[only_right] = "added"
+        label[changed_first] = "changed"
+        keep = only_left | only_right | changed_first
+        out = t.select(keys).append_column("diff", pa.array(label, pa.string()))
+        return out.filter(pa.array(keep))
+
+    tagged = left.map_batches(tag(-1), batch_format="pyarrow", batch_size=batch_size).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=batch_size)
+    )
+    return tagged.groupby("bucket").map_groups(classify, batch_format="pyarrow")

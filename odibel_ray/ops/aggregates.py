@@ -1,0 +1,163 @@
+"""Aggregation pipelines (SURVEY.md §2.5) — time buckets, distinct counts,
+two-level groupbys, per-group stats with exact quantiles, ±1 change streams.
+
+All group-bys pre-aggregate inside ``map_batches`` where the combiner is
+associative (counts, sums, min/max) so the shuffle moves partial rows, not
+events — the reference relied on Spark's own partial aggregation; Ray Data's
+``groupby().aggregate`` does hash-partial too, but the explicit derive-column
+step (time bucket, degree) happens vectorized before it.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def with_time_bucket(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    unit: str = "day",
+    out_col: str = "bucket_ts",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Add a truncated-time string column (``from_unixtime``/``year``/``date_format``
+    analogs, ``eval/EvalFunctions.scala:89,111,174``). ``unit`` ∈ {year, month,
+    day, hour}. String output so it hash-compares exactly against SQL
+    ``strftime`` — no float/tz ambiguity."""
+    fmt = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d", "hour": "%Y-%m-%d %H"}[unit]
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column(out_col, pc.strftime(t[ts_col], format=fmt))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def group_count(ds: "ray.data.Dataset", keys: Sequence[str], out: str = "n"):
+    """``groupby(keys).count()`` with a stable output column name."""
+    keys = list(keys)
+    g = ds.groupby(keys[0] if len(keys) == 1 else keys).count()
+    return g.rename_columns({"count()": out})
+
+
+def count_distinct(ds: "ray.data.Dataset", cols: Sequence[str], out: str = "n"):
+    """Global distinct count of a column combination → 1-row Dataset
+    (``countAllUniqueWindows`` analog, ``eval/EvalFunctions.scala:17-20``).
+
+    Shuffle-safe: per-batch local dedup (combiner) → hash-shuffle dedup →
+    count per group → tiny final sum.
+    """
+    from odibel_ray.ops.relational import exact_dedup
+
+    cols = list(cols)
+    deduped = exact_dedup(ds.select_columns(cols), cols)
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({out: pa.array([len(t)], pa.int64())})
+
+    partial = deduped.map_batches(count_rows, batch_format="pyarrow")
+    return _sum_one(partial, out)
+
+
+def _sum_one(ds, col: str):
+    """Sum a single int64 column of a tiny Dataset into a 1-row Dataset."""
+    import ray.data as rd
+
+    total = ds.sum(col) or 0
+    return rd.from_arrow(pa.table({col: pa.array([int(total)], pa.int64())}))
+
+
+def two_level_degree(
+    ds: "ray.data.Dataset",
+    entity_col: str,
+    bucket_col: str,
+    *,
+    degree_out: str = "degree",
+    freq_out: str = "n_entities",
+):
+    """Degree-frequency distribution (A7, ``eval/EvalFunctions.scala:170-233``):
+    level 1 — events per (bucket, entity) → ``degree``; level 2 — entities per
+    (bucket, degree) → frequency. Two chained groupbys; the first is the wide
+    one, the second runs over its (much smaller) output."""
+    lvl1 = group_count(ds, [bucket_col, entity_col], out=degree_out)
+    return group_count(lvl1, [bucket_col, degree_out], out=freq_out)
+
+
+def group_stats(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+):
+    """Per-group avg/min/max/std + exact quantiles (A7/A8 ``percentile_approx``
+    analog — exact numpy within ``map_groups``; at 100 TB swap the group kernel
+    for a mergeable t-digest inside a custom ``AggregateFnV2``).
+
+    Floats are rounded to ``round_to`` decimals so results hash-compare stably
+    against an SQL oracle.
+    """
+    keys = list(keys)
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        qs = np.quantile(v, quantiles) if len(v) else [np.nan] * len(quantiles)
+        out = {k: t[k].slice(0, 1) for k in keys}
+        out.update(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "avg": pa.array([round(float(v.mean()), round_to) if len(v) else None]),
+                "min": pa.array([round(float(v.min()), round_to) if len(v) else None]),
+                "max": pa.array([round(float(v.max()), round_to) if len(v) else None]),
+            }
+        )
+        for q, val in zip(quantiles, qs):
+            out[f"q{int(q * 100)}"] = pa.array(
+                [round(float(val), round_to) if len(v) else None]
+            )
+        return pa.table(out)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        stats, batch_format="pyarrow"
+    )
+
+
+def change_stream_counts(
+    ds: "ray.data.Dataset",
+    start_col: str,
+    end_col: str,
+    *,
+    end_sentinel: int | None = None,
+    out_bucket: str = "at",
+    out_count: str = "net",
+    batch_size: int = 65536,
+):
+    """±1 change stream (A6, ``countChangesOverTime``,
+    ``eval/EvalFunctions.scala:129-151``): project (+1 at start) ∪ (−1 at end,
+    skipping open-window sentinels) → groupby position → net count."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t[start_col].to_numpy(zero_copy_only=False)
+        e = t[end_col].to_numpy(zero_copy_only=False)
+        if end_sentinel is not None:
+            e = e[e != end_sentinel]
+        pos = np.concatenate([s, e])
+        sign = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        return pa.table({out_bucket: pa.array(pos), "_sign": pa.array(sign)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+    agg = exploded.groupby(out_bucket).sum("_sign")
+    return agg.rename_columns({"sum(_sign)": out_count})

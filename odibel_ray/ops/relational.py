@@ -1,0 +1,284 @@
+"""Joins, dedup, sampling, top-k — Ray-Data-native (SURVEY.md §2.4, §2.6, §2.7).
+
+Join strategy: the reference's joins are Spark shuffle joins
+(``/root/reference/src/pyodibel/operations/rdf/rdf2.py:105-156``, hash-join
+build/probe at ``src/pyodibel/operations/base/entity_ops.py:89-140``). At 100 TB
+the small side of almost every join here (dimension tables, distinct key sets)
+fits in memory, so we **broadcast**: materialize the small side once, ``ray.put``
+it into the object store, and probe inside ``map_batches`` with zero-copy Arrow
+kernels — no all-to-all shuffle at all. Each worker reads the broadcast object
+from its node's object store (one copy per node, not per task).
+
+Large-large joins (both sides >> memory) go through :func:`odibel_ray.cdc.lww.outer_diff`'s
+tag-union-shuffle pattern or Ray Data's native ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_KNUTH = np.uint64(2654435761)
+
+
+def load_table(sf_dir: str, name: str, columns: Sequence[str] | None = None):
+    """``read_parquet`` one test table with column pruning at the read
+    (SURVEY.md "prune at the read")."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return rd.read_parquet(path, columns=list(columns) if columns else None)
+
+
+def _small_table(obj) -> pa.Table:
+    """Materialize a small side to one Arrow table (Dataset | Table)."""
+    if isinstance(obj, pa.Table):
+        return obj.combine_chunks()
+    import ray
+
+    tables = [ray.get(r) for r in obj.to_arrow_refs()]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def _broadcast(obj):
+    """``ray.put`` once; returns the ObjectRef (read per-node, not per-task)."""
+    import ray
+
+    return ray.put(obj)
+
+
+def _deref(obj):
+    """Resolve a broadcast ObjectRef inside a UDF — ``ray.get`` on a local
+    object is zero-copy for Arrow buffers; ``map_batches`` ``fn_args`` are not
+    auto-dereferenced."""
+    import ray
+
+    return ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+
+
+def broadcast_semi_join(
+    ds: "ray.data.Dataset",
+    small,
+    on: Sequence[str] | str,
+    *,
+    anti: bool = False,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Semi-join (``anti=False``) or anti-join (``anti=True``) of ``ds`` against
+    the key set of ``small`` — the reference's ``filter_triples_by_s_type``
+    semi-join (``rdf2.py:105-137``) and ``left_anti`` sampling exclusion
+    (``rdf2.py:347-352``), via a broadcast key set + ``pc.is_in`` mask."""
+    on = [on] if isinstance(on, str) else list(on)
+    small_t = _small_table(small).select(on)
+    if len(on) == 1:
+        key_set = pc.unique(small_t[on[0]])
+    else:
+        # composite key: combine to a single hash column on both sides
+        key_set = pc.unique(pa.array(_combined_hash(small_t, on)))
+    ref = _broadcast(key_set)
+
+    def probe(t: pa.Table, keys) -> pa.Table:
+        keys = _deref(keys)
+        t = t.combine_chunks()
+        if len(on) == 1:
+            mask = pc.is_in(t[on[0]], value_set=keys)
+        else:
+            mask = pc.is_in(pa.array(_combined_hash(t, on)), value_set=keys)
+        if anti:
+            mask = pc.invert(pc.fill_null(mask, False))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(
+        probe, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def broadcast_anti_join(ds, small, on, **kw):
+    return broadcast_semi_join(ds, small, on, anti=True, **kw)
+
+
+def _combined_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    h = np.zeros(len(t), dtype=np.uint64)
+    for c in cols:
+        arr = t[c].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr, categorize=False)
+    return h.astype(np.int64)
+
+
+def broadcast_hash_join(
+    ds: "ray.data.Dataset",
+    small,
+    on: Sequence[str] | str,
+    *,
+    how: str = "inner",
+    suffix: str = "_r",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Join ``ds`` (probe, streaming) with a small build side, broadcast once.
+
+    The per-batch probe is ``pyarrow.Table.join`` (vectorized hash join inside
+    Arrow). ``how`` ∈ {'inner', 'left'} — the two modes of the reference's
+    ``JoinOperation`` (``entity_ops.py:89-140``).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    small_t = _small_table(small)
+    ref = _broadcast(small_t)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def probe(t: pa.Table, build: pa.Table) -> pa.Table:
+        build = _deref(build)
+        return t.combine_chunks().join(
+            build, keys=on, join_type=join_type, right_suffix=suffix
+        )
+
+    return ds.map_batches(
+        probe, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    *,
+    tie_break: str | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact dedup: one representative row per distinct ``keys`` value —
+    hash-shuffle then per-group first (``distinct``/``dropDuplicates`` analog,
+    SURVEY.md §2.7 D3). ``tie_break`` picks the min of that column as the
+    representative (deterministic); default is min over all non-key columns'
+    sort order.
+
+    Pre-compaction: each batch first dedups locally (combiner), so the shuffle
+    moves one row per (batch, key) instead of every row.
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    keys = list(keys)
+
+    def local(t: pa.Table) -> pa.Table:
+        t = _first_per_key(t.combine_chunks(), keys, tie_break)
+        b = bucket_of_keys(t, keys, 64)
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        return _first_per_key(t.combine_chunks(), keys, tie_break).drop_columns(["_bucket"])
+
+    ds = ds.map_batches(local, batch_format="pyarrow", batch_size=batch_size)
+    return ds.groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
+def _first_per_key(t: pa.Table, keys: Sequence[str], tie_break: str | None) -> pa.Table:
+    if len(t) <= 1:
+        return t
+    sort_cols = keys + ([tie_break] if tie_break and tie_break not in keys else [])
+    t = t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in sort_cols]))
+    n = len(t)
+    same_prev = np.ones(n, dtype=bool)
+    same_prev[0] = False
+    for k in keys:
+        eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
+        same_prev[1:] &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(~same_prev))
+
+
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    pct: int,
+    *,
+    modulus: int = 100,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Deterministic pseudo-random sample: keep rows where
+    ``(key * 2654435761) mod 2^32 mod modulus < pct``. Replaces the reference's
+    non-reproducible ``orderBy(rand(seed)).limit(n)`` (``rdf2.py:413-414``) with
+    a seedable arithmetic filter that an SQL oracle can replicate exactly and
+    that is stable under retries/repartitioning (SURVEY.md §2.6 O5)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ((k * _KNUTH) % np.uint64(2**32)) % np.uint64(modulus) < pct
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def topk(
+    ds: "ray.data.Dataset",
+    key: str,
+    k: int,
+    *,
+    descending: bool = True,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Global top-k by ``key`` (``orderBy(desc).limit(k)`` analog, §2.6 O2).
+
+    Each batch keeps its local top-k (combiner) before the global sort+limit, so
+    the sort sees ≤ k rows per batch, not the full table.
+    """
+    order = "descending" if descending else "ascending"
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if len(t) <= k:
+            return t
+        idx = pc.select_k_unstable(t, k, sort_keys=[(key, order)])
+        return t.take(idx)
+
+    ds = ds.map_batches(local, batch_format="pyarrow", batch_size=batch_size)
+    return ds.sort(key, descending=descending).limit(k)
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    group_keys: Sequence[str],
+    order_key: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_break: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """Per-group top-k (window ``row_number() <= k`` analog, ``rdf2.py:370-380``).
+    Deterministic: ties broken by ``tie_break`` columns ascending."""
+    group_keys = list(group_keys)
+    order = "descending" if descending else "ascending"
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sort_keys = (
+            [(g, "ascending") for g in group_keys]
+            + [(order_key, order)]
+            + [(c, "ascending") for c in tie_break]
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = len(t)
+        rank = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same_prev = np.ones(n - 1, dtype=bool)
+            for g in group_keys:
+                eq = pc.equal(t[g].slice(1), t[g].slice(0, n - 1))
+                same_prev &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            # rank[i] = rank[i-1]+1 where same group else 0: segmented cumsum
+            idx = np.arange(n)
+            seg_start = np.concatenate(([0], idx[1:][~same_prev]))
+            starts = np.zeros(n, dtype=np.int64)
+            starts[seg_start] = seg_start
+            starts = np.maximum.accumulate(starts)
+            rank = idx - starts
+        return t.filter(pa.array(rank < k))
+
+    return ds.groupby(group_keys[0] if len(group_keys) == 1 else group_keys).map_groups(
+        pick, batch_format="pyarrow"
+    )

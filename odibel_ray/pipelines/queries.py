@@ -1,0 +1,796 @@
+"""Driver-facing query registry: every implemented operator/pipeline from
+SURVEY.md §2 as a named callable ``fn(sf_dir) -> Dataset | pa.Table``, with a
+DuckDB oracle SQL string where the semantics are SQL-expressible.
+
+Column-naming contract: every computed column is named identically in the Ray
+pipeline and the SQL (the driver hash-compares after sorting columns by name).
+Float aggregates are rounded on BOTH sides (6 decimals; money 2) so value
+hashes are stable against summation-order differences.
+
+The transcript-CDC queries run over a deterministic synthetic change log
+(:func:`ensure_transcript_log`) generated under ``/tmp/odibel_cache/<sf>`` —
+scale-factor-sized, seed-fixed — and their oracles are full-semantics DuckDB
+SQL over the same Parquet files (schema-evolution thresholds included), the
+TKGTestSuite golden-rows pattern done in SQL.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+INT64_MAX = (1 << 63) - 1
+CACHE_ROOT = "/tmp/odibel_cache"
+
+# ---------------------------------------------------------------------------
+# transcript change-log cache (deterministic per sf)
+# ---------------------------------------------------------------------------
+
+_LOG_PARAMS = dict(max_turns=30, seed=7, num_parts=8, files_per_part=2)
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _n_convs(sf_dir: str) -> int:
+    try:
+        sf = float(_sf_name(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(60, int(20000 * sf))
+
+
+def ensure_transcript_log(sf_dir: str) -> str:
+    """Generate (once) the deterministic transcript change log sized for this
+    scale factor; return the ``change_log`` directory path."""
+    import json
+
+    from odibel_ray.datagen import generate_change_log
+
+    name = _sf_name(sf_dir)
+    out = os.path.join(CACHE_ROOT, name)
+    log_dir = os.path.join(out, "change_log")
+    marker = os.path.join(out, "_params.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir)}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return log_dir
+    generate_change_log(out, **params)
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return log_dir
+
+
+def _log_glob(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, _sf_name(sf_dir), "change_log", "part=*", "*.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPT_EV_CTE = """
+WITH log AS (
+  SELECT * FROM read_parquet('{glob}', hive_partitioning=1)
+),
+thr AS (
+  SELECT part,
+    coalesce(min(CASE WHEN json_extract_string(schema_change, '$.kind') = 'add_column' THEN lsn END), 9223372036854775807) AS add_lsn,
+    coalesce(min(CASE WHEN json_extract_string(schema_change, '$.kind') = 'rename_column' THEN lsn END), 9223372036854775807) AS ren_lsn
+  FROM log WHERE op = 'S' GROUP BY part
+),
+ev AS (
+  SELECT l.conv_id, CAST(l.turn_idx AS BIGINT) AS turn_idx, l.role, l.text,
+         CASE WHEN l.lsn >= t.ren_lsn THEN l.tool_name ELSE l.tool END AS tool_name,
+         CASE WHEN l.lsn >= t.add_lsn THEN l.score END AS score,
+         l.ts, l.lsn, l.op
+  FROM log l LEFT JOIN thr t ON CAST(l.part AS BIGINT) = t.part
+  WHERE l.op IN ('I','U','D') AND l.conv_id IS NOT NULL AND l.turn_idx IS NOT NULL
+)
+"""
+
+_TRANSCRIPT_FINAL_SQL = (
+    _TRANSCRIPT_EV_CTE
+    + """
+SELECT conv_id, turn_idx, role, text, tool_name, score, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ev)
+WHERE rn = 1 AND op <> 'D'
+"""
+)
+
+_EVENTS_CDC_CTE = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, round(value, 6) AS value, ts,
+         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _events_as_changes(sf_dir: str):
+    """events table re-interpreted as a binlog: key (user_id, event_type),
+    lsn = event_id, delete when event_id % 17 == 0 (arithmetic rule so the SQL
+    oracle derives the identical stream)."""
+    from odibel_ray.ops.relational import load_table
+
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        op = np.where(eid % 17 == 0, "D", "U")
+        t = t.set_column(
+            t.schema.get_field_index("value"), "value", pc.round(t["value"], 6)
+        )
+        return t.append_column("op", pa.array(op, pa.string()))
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        for c, nd in cols.items():
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.round(pc.cast(t[c], pa.float64()), nd)
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _events_max_lsn(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+    return int(pc.max(t["event_id"]).as_py())
+
+
+# ===========================================================================
+# query implementations
+# ===========================================================================
+
+
+def q_transcript_replay(sf_dir: str):
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    return replay_dataset(log)
+
+
+def q_transcript_replay_bucketed(sf_dir: str):
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    return replay_dataset(log, num_buckets=32)
+
+
+def q_transcript_history(sf_dir: str):
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    return replay_dataset(log, history=True)
+
+
+def q_transcript_publish_read(sf_dir: str):
+    """Exactly-once sink round-trip: replay → write-audit-publish → read back
+    manifested files (fresh output dir per call)."""
+    import shutil
+
+    from odibel_ray.cdc.sink import read_published, replay_publish
+
+    log = ensure_transcript_log(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_published")
+    shutil.rmtree(out, ignore_errors=True)
+    replay_publish(log, out, num_buckets=16, run_id="query")
+    return read_published(out)
+
+
+def q_transcript_incremental(sf_dir: str):
+    """Publish a 60% LSN prefix, then incrementally apply the full log; the
+    result must equal a from-scratch replay (same SQL oracle)."""
+    import shutil
+
+    from odibel_ray.cdc.sink import incremental_apply, read_published, replay_publish
+    from odibel_ray.datagen import split_log
+
+    log = ensure_transcript_log(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inc")
+    shutil.rmtree(base, ignore_errors=True)
+    prefix = os.path.join(base, "prefix")
+    split_log(log, prefix, frac=0.6)
+    out = os.path.join(base, "table")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=16, run_id="r1")
+    incremental_apply(log, out, run_id="r2")
+    return read_published(out)
+
+
+def q_cdc_events_lww(sf_dir: str):
+    from odibel_ray.cdc.lww import lww_latest
+
+    return lww_latest(_events_as_changes(sf_dir), ["user_id", "event_type"], lsn_col="event_id")
+
+
+def q_cdc_events_snapshot(sf_dir: str):
+    from odibel_ray.cdc.lww import snapshot_at
+
+    at = math.floor(0.6 * _events_max_lsn(sf_dir))
+    return snapshot_at(
+        _events_as_changes(sf_dir), ["user_id", "event_type"], at, lsn_col="event_id"
+    )
+
+
+def q_cdc_events_windows(sf_dir: str):
+    from odibel_ray.cdc.lww import change_windows
+
+    return change_windows(
+        _events_as_changes(sf_dir).select_columns(
+            ["op", "event_id", "user_id", "event_type", "value"]
+        ),
+        ["user_id", "event_type"],
+        lsn_col="event_id",
+    )
+
+
+def q_cdc_events_diff(sf_dir: str):
+    from odibel_ray.cdc.lww import lww_latest, outer_diff, snapshot_at
+
+    at = math.floor(0.6 * _events_max_lsn(sf_dir))
+    ev = _events_as_changes(sf_dir)
+    snap = snapshot_at(ev, ["user_id", "event_type"], at, lsn_col="event_id")
+    final = lww_latest(ev, ["user_id", "event_type"], lsn_col="event_id")
+    return outer_diff(snap, final, ["user_id", "event_type"], ["value"])
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style groupby aggregate over lineitem (§2.5 A-family)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from odibel_ray.ops.relational import load_table
+
+    li = load_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    g = (
+        li.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(g, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6})
+
+
+def q_orders_per_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via broadcast hash joins (§2.4 J-family)."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.relational import broadcast_hash_join, load_table
+
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = load_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j1 = broadcast_hash_join(
+        orders, cust.rename_columns({"c_custkey": "o_custkey"}), "o_custkey"
+    )
+    j2 = broadcast_hash_join(
+        j1, nation.rename_columns({"n_nationkey": "c_nationkey"}), "c_nationkey"
+    )
+    g = j2.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    return _round_cols(g, {"total_price": 2})
+
+
+def q_customers_with_orders(sf_dir: str):
+    from odibel_ray.ops.relational import broadcast_semi_join, load_table
+
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    orders = load_table(sf_dir, "orders", ["o_custkey"])
+    return broadcast_semi_join(
+        cust.rename_columns({"c_custkey": "custkey"}),
+        orders.rename_columns({"o_custkey": "custkey"}),
+        "custkey",
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no pending ('P') orders (§2.4 left_anti)."""
+    from odibel_ray.ops.relational import broadcast_anti_join, load_table
+
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'P'"
+    )
+    return broadcast_anti_join(
+        cust.rename_columns({"c_custkey": "custkey"}),
+        orders.rename_columns({"o_custkey": "custkey"}),
+        "custkey",
+    )
+
+
+def q_distinct_order_profiles(sf_dir: str):
+    """Exact dedup with deterministic representative (§2.7 D3)."""
+    from odibel_ray.ops.relational import exact_dedup, load_table
+
+    orders = load_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    return exact_dedup(
+        orders, ["o_orderstatus", "o_orderpriority"], tie_break="o_orderkey"
+    )
+
+
+def q_sample_lineitem(sf_dir: str):
+    from odibel_ray.ops.relational import deterministic_sample, load_table
+
+    li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return deterministic_sample(li, "l_orderkey", 10)
+
+
+def q_top_lineitems(sf_dir: str):
+    from odibel_ray.ops.relational import load_table, topk
+
+    li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return topk(li, "l_extendedprice", 5)
+
+
+def q_top_lineitems_per_flag(sf_dir: str):
+    from odibel_ray.ops.relational import load_table, topk_per_group
+
+    li = load_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return topk_per_group(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        3,
+        tie_break=["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_events_per_type_day(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.aggregates import with_time_bucket
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["ts", "event_type", "value"])
+    g = (
+        with_time_bucket(ev, "ts", "day", out_col="day")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    )
+    return _round_cols(g, {"total_value": 2})
+
+
+def q_distinct_users(sf_dir: str):
+    from odibel_ray.ops.aggregates import count_distinct
+    from odibel_ray.ops.relational import load_table
+
+    return count_distinct(load_table(sf_dir, "events", ["user_id"]), ["user_id"])
+
+
+def q_user_activity_distribution(sf_dir: str):
+    from odibel_ray.ops.aggregates import two_level_degree, with_time_bucket
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["ts", "user_id"])
+    return two_level_degree(
+        with_time_bucket(ev, "ts", "day", out_col="day"), "user_id", "day"
+    )
+
+
+def q_event_value_stats(sf_dir: str):
+    from odibel_ray.ops.aggregates import group_stats
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["event_type", "value"])
+    return group_stats(ev, ["event_type"], "value")
+
+
+def q_doc_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import add_token_count
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    g = (
+        add_token_count(docs)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("tokens", alias_name="total_tokens"),
+            Mean("tokens", alias_name="avg_tokens"),
+        )
+    )
+    return _round_cols(g, {"avg_tokens": 6})
+
+
+def q_doc_prefix_dedup(sf_dir: str):
+    """Dedup documents by their first-5-token prefix (exact dedup on a derived
+    key; SQL-checkable analog of fingerprint dedup)."""
+    from odibel_ray.ops.relational import exact_dedup, load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        first5 = pc.list_slice(toks, 0, 5)
+        key = pc.binary_join(first5, " ")
+        return pa.table({"doc_id": t["doc_id"], "prefix_key": key})
+
+    keyed = docs.map_batches(derive, batch_format="pyarrow")
+    return exact_dedup(keyed, ["prefix_key"], tie_break="doc_id")
+
+
+def q_doc_quality(sf_dir: str):
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import add_token_count
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        tokens = t["tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nchars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cpt = np.round(
+            np.divide(nchars, tokens, out=np.zeros_like(tokens), where=tokens > 0), 6
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": t["tokens"],
+                "chars_per_token": pa.array(cpt),
+            }
+        )
+
+    return add_token_count(docs).map_batches(derive, batch_format="pyarrow")
+
+
+def q_doc_lang_id(sf_dir: str):
+    """Language ID via per-language byte-histogram profiles learned on a
+    deterministic sample (rows-only check; accuracy asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import fit_language_profiles, language_id
+
+    sample = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    sample = sample.filter(pc.less(pc.bit_wise_and(t := sample["doc_id"], 7), 2))
+    profiles = fit_language_profiles(sample)
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return language_id(docs, profiles)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from odibel_ray.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    return verify_pairs_jaccard(pairs, docs, threshold=0.4)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from odibel_ray.dedup import simhash_pairs
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=8)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from odibel_ray.dedup import embedding_near_dups
+    from odibel_ray.ops.relational import load_table
+
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 127), 0))
+    return q.rename_columns(["query_id", "embedding"])
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import cosine_topk
+
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_topk(emb, _query_vectors(sf_dir), k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import fit_centroids, ivf_topk
+
+    sample = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cent = fit_centroids(sample, n_lists=16)
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(emb, _query_vectors(sf_dir), k=10, centroids=cent, n_probe=4)
+
+
+def q_embedding_label_centroids(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    from odibel_ray.ops.relational import load_table
+
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def first_component(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        c0 = pc.list_element(t["embedding"], 0)
+        return pa.table(
+            {"label": pc.cast(t["label"], pa.int64()), "c0": pc.cast(c0, pa.float64())}
+        )
+
+    g = (
+        emb.map_batches(first_component, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Mean("c0", alias_name="avg_c0"))
+    )
+    return _round_cols(g, {"avg_c0": 6})
+
+
+# ===========================================================================
+# registry + oracles
+# ===========================================================================
+
+QUERIES: dict[str, Callable] = {
+    "transcript_replay": q_transcript_replay,
+    "transcript_replay_bucketed": q_transcript_replay_bucketed,
+    "transcript_history": q_transcript_history,
+    "transcript_publish_read": q_transcript_publish_read,
+    "transcript_incremental": q_transcript_incremental,
+    "cdc_events_lww": q_cdc_events_lww,
+    "cdc_events_snapshot": q_cdc_events_snapshot,
+    "cdc_events_windows": q_cdc_events_windows,
+    "cdc_events_diff": q_cdc_events_diff,
+    "pricing_summary": q_pricing_summary,
+    "orders_per_nation": q_orders_per_nation,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "distinct_order_profiles": q_distinct_order_profiles,
+    "sample_lineitem": q_sample_lineitem,
+    "top_lineitems": q_top_lineitems,
+    "top_lineitems_per_flag": q_top_lineitems_per_flag,
+    "events_per_type_day": q_events_per_type_day,
+    "distinct_users": q_distinct_users,
+    "user_activity_distribution": q_user_activity_distribution,
+    "event_value_stats": q_event_value_stats,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_prefix_dedup": q_doc_prefix_dedup,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_label_centroids": q_embedding_label_centroids,
+}
+
+
+def _oracles_for(sf_dir: str) -> dict[str, str]:
+    glob = _log_glob(sf_dir)
+    t_final = _TRANSCRIPT_FINAL_SQL.format(glob=glob)
+    t_hist = (
+        _TRANSCRIPT_EV_CTE.format(glob=glob)
+        + """
+, win AS (
+  SELECT conv_id, turn_idx, role, text, tool_name, score, op,
+         lsn AS lsn_start,
+         coalesce(lead(lsn) OVER w, 9223372036854775807) AS lsn_end,
+         ts AS ts_start,
+         coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 23:59:59') AS ts_end
+  FROM ev WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+)
+SELECT conv_id, turn_idx, role, text, tool_name, score, lsn_start, lsn_end, ts_start, ts_end
+FROM win WHERE op <> 'D'
+"""
+    )
+    ev_lww = (
+        _EVENTS_CDC_CTE
+        + """
+SELECT user_id, event_type, event_id, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn FROM ev)
+WHERE rn = 1 AND op <> 'D'
+"""
+    )
+    ev_snap = (
+        _EVENTS_CDC_CTE
+        + """
+SELECT user_id, event_type, event_id, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM ev WHERE event_id <= (SELECT FLOOR(0.6 * max(event_id)) FROM events))
+WHERE rn = 1 AND op <> 'D'
+"""
+    )
+    ev_win = (
+        _EVENTS_CDC_CTE
+        + """
+SELECT user_id, event_type, value, event_id AS lsn_start,
+       coalesce(lead(event_id) OVER (PARTITION BY user_id, event_type ORDER BY event_id), 9223372036854775807) AS lsn_end
+FROM ev QUALIFY op <> 'D'
+"""
+    )
+    ev_diff = (
+        _EVENTS_CDC_CTE
+        + """
+, snap AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_id <= (SELECT FLOOR(0.6 * max(event_id)) FROM events))
+  WHERE rn = 1 AND op <> 'D'
+), fin AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn FROM ev)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s.user_id, f.user_id) AS user_id,
+       coalesce(s.event_type, f.event_type) AS event_type,
+       CASE WHEN s.user_id IS NULL THEN 'added'
+            WHEN f.user_id IS NULL THEN 'deleted'
+            ELSE 'changed' END AS diff
+FROM snap s FULL OUTER JOIN fin f
+  ON s.user_id = f.user_id AND s.event_type = f.event_type
+WHERE s.user_id IS NULL OR f.user_id IS NULL
+   OR (s.value IS DISTINCT FROM f.value)
+"""
+    )
+    return {
+        "transcript_replay": t_final,
+        "transcript_replay_bucketed": t_final,
+        "transcript_publish_read": t_final,
+        "transcript_incremental": t_final,
+        "transcript_history": t_hist,
+        "cdc_events_lww": ev_lww,
+        "cdc_events_snapshot": ev_snap,
+        "cdc_events_windows": ev_win,
+        "cdc_events_diff": ev_diff,
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "orders_per_nation": """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "customers_with_orders": """
+SELECT c_custkey AS custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+        "customers_without_orders": """
+SELECT c_custkey AS custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""",
+        "distinct_order_profiles": """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+""",
+        "sample_lineitem": """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE (CAST(l_orderkey AS UBIGINT) * 2654435761) % 4294967296 % 100 < 10
+""",
+        "top_lineitems": """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC LIMIT 5
+""",
+        "top_lineitems_per_flag": """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn <= 3
+""",
+        "events_per_type_day": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "distinct_users": "SELECT count(DISTINCT user_id) AS n FROM events",
+        "user_activity_distribution": """
+SELECT day, degree, count(*) AS n_entities
+FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS degree
+      FROM events GROUP BY 1, 2)
+GROUP BY day, degree
+""",
+        "event_value_stats": """
+SELECT event_type, count(value) AS n,
+       round(avg(value), 6) AS avg, round(min(value), 6) AS min, round(max(value), 6) AS max,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75
+FROM events GROUP BY event_type
+""",
+        "doc_token_stats": """
+SELECT lang, count(*) AS n_docs,
+       sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+       round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+        "doc_prefix_dedup": """
+SELECT doc_id, prefix_key
+FROM (SELECT doc_id,
+             array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS prefix_key,
+             row_number() OVER (PARTITION BY array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ')
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+""",
+        "doc_quality": """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS tokens,
+       round(CAST(n_chars AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS chars_per_token
+FROM documents
+""",
+        "embedding_label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
+FROM embeddings GROUP BY label
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) - 1 AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+WHERE rank < 10
+""",
+    }
+
+
+def ray_queries() -> dict[str, Callable]:
+    return dict(QUERIES)
+
+
+ORACLES = _oracles_for  # callable: sf_dir -> {name: sql}

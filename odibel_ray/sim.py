@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: the query matrix is broadcast
+  once (``ray.put``), every batch does one numpy matmul against it, and
+  per-batch local top-k rows are reduced by a final global per-query top-k
+  (same combiner-then-small-shuffle shape as :func:`odibel_ray.ops.relational.topk`).
+- :func:`ivf_topk` — IVF scale path: k-means-lite centroids (sampled, driver
+  fits once), vectors are bucketed by nearest centroid (one shuffle), and each
+  query probes only its ``n_probe`` nearest buckets.
+
+At 100 TB the brute-force variant stays viable per batch (matmul is
+compute-bound, queries are broadcast) but scans everything; IVF cuts the scan
+by ``n_lists / n_probe``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.stack(t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def cosine_topk(
+    ds: "ray.data.Dataset",
+    queries,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k per query. ``queries``: small Dataset/Table with
+    ``(query_id, embedding)``. Returns ``(query_id, vec_id, rank)`` with
+    deterministic tie-break (higher cosine first, then smaller vec_id).
+
+    Self-matches (``vec_id == query_id``) are excluded so a table can be
+    queried against itself.
+    """
+    q_t = _small_table(queries)
+    q_ids = q_t[query_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_emb_matrix(q_t, emb_col))
+    ref = _broadcast((q_ids, q_mat))
+
+    def local_topk(t: pa.Table, q) -> pa.Table:
+        q_ids, q_mat = _deref(q)
+        t = t.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        sims = q_mat @ emb.T  # (n_q, n_batch)
+        sims[q_ids[:, None] == ids[None, :]] = -np.inf  # exclude self
+        kk = min(k, sims.shape[1])
+        # top-k per query within this batch (argpartition then exact sort)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.reshape(-1)
+        s = sims[np.repeat(np.arange(len(q_ids)), kk), cols]
+        keep = s > -np.inf
+        return pa.table(
+            {
+                query_id_col: pa.array(rows[keep]),
+                id_col: pa.array(ids[cols[keep]]),
+                "cosine": pa.array(s[keep]),
+            }
+        )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sims = t["cosine"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        order = order[np.argsort(-sims[order], kind="stable")]
+        out = t.take(pa.array(order))
+        return out.append_column("rank", pa.array(np.arange(len(order), dtype=np.int64)))
+
+    local = ds.map_batches(
+        local_topk, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
+    )
+    res = local.groupby(query_id_col).map_groups(final_topk, batch_format="pyarrow")
+    return res.drop_columns(["cosine"])
+
+
+def fit_centroids(sample: pa.Table, n_lists: int, *, iters: int = 10, seed: int = 11,
+                  emb_col: str = "embedding") -> np.ndarray:
+    """Driver-side k-means on a small sample (Lloyd, fixed iters, seeded)."""
+    x = _normalize(_emb_matrix(sample, emb_col))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries,
+    k: int = 10,
+    *,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: vectors bucketed by nearest centroid (one
+    shuffle); each query scans only its ``n_probe`` nearest lists."""
+    q_t = _small_table(queries)
+    q_ids = q_t[query_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_emb_matrix(q_t, emb_col))
+    q_lists = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    # list -> queries probing it
+    probing: dict[int, list[int]] = {}
+    for qi, lists in enumerate(q_lists):
+        for l in lists:
+            probing.setdefault(int(l), []).append(qi)
+    ref = _broadcast((q_ids, q_mat, {l: np.array(v) for l, v in probing.items()}))
+    cent_ref = _broadcast(centroids)
+
+    def assign(t: pa.Table, c) -> pa.Table:
+        c = _deref(c)
+        t = t.combine_chunks()
+        emb = _normalize(_emb_matrix(t, emb_col))
+        lists = (emb @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], emb_col: t[emb_col], "ivf_list": pa.array(lists)}
+        )
+
+    def scan(t: pa.Table, q) -> pa.Table:
+        q_ids, q_mat, probing = _deref(q)
+        lst = int(t["ivf_list"][0].as_py())
+        probe_q = probing.get(lst)
+        empty = pa.table(
+            {query_id_col: pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if probe_q is None:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        sub_q = q_mat[probe_q]
+        sims = sub_q @ emb.T
+        sims[q_ids[probe_q][:, None] == ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids[probe_q], kk)
+        cols = part.reshape(-1)
+        s = sims[np.repeat(np.arange(len(probe_q)), kk), cols]
+        keep = s > -np.inf
+        return pa.table(
+            {
+                query_id_col: pa.array(rows[keep]),
+                id_col: pa.array(ids[cols[keep]]),
+                "cosine": pa.array(s[keep]),
+            }
+        )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sims = t["cosine"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        order = order[np.argsort(-sims[order], kind="stable")]
+        out = t.take(pa.array(order))
+        return out.append_column("rank", pa.array(np.arange(len(order), dtype=np.int64)))
+
+    assigned = ds.map_batches(
+        assign, fn_args=[cent_ref], batch_format="pyarrow", batch_size=batch_size
+    )
+    scanned = assigned.groupby("ivf_list").map_groups(
+        lambda t: scan(t, ref), batch_format="pyarrow"
+    )
+    res = scanned.groupby(query_id_col).map_groups(final_topk, batch_format="pyarrow")
+    return res.drop_columns(["cosine"])

@@ -1,0 +1,197 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+table (``doc_id, text, lang, source, n_chars``). The reference has per-record
+text parsing (wikitext template extraction, ``utils/WikiTextParser.scala:12-62``)
+run inside worker-held state (SURVEY.md §2.2 M11); here the per-worker state
+(compiled patterns, language profiles) lives in a callable-class ``__init__``
+(actor-pool pattern) where it is non-trivial, and in module constants where it
+is cheap.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace tokens, SQL-oracle-matchable
+# ---------------------------------------------------------------------------
+
+
+def add_token_count(
+    ds: "ray.data.Dataset", text_col: str = "text", out: str = "tokens", batch_size: int = 65536
+):
+    """Whitespace token count per row: ``#spaces + 1`` on single-space-joined
+    text (matches SQL ``length(t) - length(replace(t,' ','')) + 1``)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        total = pc.utf8_length(t[text_col])
+        nospace = pc.utf8_length(pc.replace_substring(t[text_col], pattern=" ", replacement=""))
+        tokens = pc.add(pc.subtract(total, nospace), 1)
+        return t.append_column(out, pc.cast(tokens, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that".split()
+)
+
+
+class QualityScorer:
+    """Actor-pool stage: per-doc quality features (length, mean word length,
+    stopword ratio, alpha ratio). State (stopword set as an Arrow value set for
+    ``pc.is_in``) is built once per actor in ``__init__``."""
+
+    def __init__(self, stopwords=None):
+        self.stop_set = pa.array(stopwords or _STOPWORDS, pa.string())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        words = pc.split_pattern(t[text_col := "text"], pattern=" ")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        flat = pc.list_flatten(words)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(zero_copy_only=False)
+        # per-row stopword counts via segmented sum over list offsets
+        offsets = np.asarray(words.combine_chunks().offsets)
+        stops = np.add.reduceat(
+            np.append(is_stop.astype(np.int64), 0), offsets[:-1]
+        ) * (np.diff(offsets) > 0)
+        nchars = pc.utf8_length(t[text_col]).cast(pa.float64())
+        nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+        stop_ratio = np.round(np.divide(stops, nw, out=np.zeros_like(nw), where=nw > 0), 6)
+        mean_wlen = np.round(
+            np.divide(
+                nchars.to_numpy(zero_copy_only=False) - (nw - 1),
+                nw,
+                out=np.zeros_like(nw),
+                where=nw > 0,
+            ),
+            6,
+        )
+        return t.select(["doc_id"]).append_column(
+            "tokens", n_words
+        ).append_column("stop_ratio", pa.array(stop_ratio)).append_column(
+            "mean_word_len", pa.array(mean_wlen)
+        )
+
+
+def quality_scores(ds: "ray.data.Dataset", *, concurrency: int = 4, batch_size: int = 8192):
+    """Quality features via an actor pool (stateful-stage shape, SURVEY.md §2.3 T4)."""
+    return ds.map_batches(
+        QualityScorer, concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-frequency heuristic
+# ---------------------------------------------------------------------------
+
+
+class LanguageID:
+    """N-gram-free language heuristic: cosine similarity of a doc's character
+    histogram against per-language profiles learned from a labeled sample.
+    Profiles are built once per actor (``__init__``), classification is one
+    numpy matmul per batch."""
+
+    def __init__(self, profiles: dict[str, np.ndarray] | None = None):
+        if profiles is None:
+            profiles = _DEFAULT_PROFILES
+        self.langs = sorted(profiles)
+        mat = np.stack([profiles[l] for l in self.langs]).astype(np.float64)
+        self.mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    @staticmethod
+    def char_histogram(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """(n_docs, 256) byte-bigram-free histogram over latin-1-foldable bytes."""
+        arr = texts.to_pylist()
+        out = np.zeros((len(arr), 256), dtype=np.float64)
+        for i, s in enumerate(arr):
+            if not s:
+                continue
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            out[i] = np.bincount(b, minlength=256)
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = self.char_histogram(t["text"])
+        h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+        sims = h @ self.mat.T
+        pred = np.asarray(self.langs, dtype=object)[sims.argmax(axis=1)]
+        return t.select(["doc_id"]).append_column("pred_lang", pa.array(pred, pa.string()))
+
+
+def _profile_from(texts: list[str]) -> np.ndarray:
+    h = np.zeros(256, dtype=np.float64)
+    for s in texts:
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        h += np.bincount(b, minlength=256)
+    return h
+
+
+def fit_language_profiles(sample: pa.Table, lang_col: str = "lang") -> dict[str, np.ndarray]:
+    """Learn per-language byte histograms from a labeled sample (driver-side,
+    sample is small; broadcast into the LanguageID actor pool)."""
+    profiles: dict[str, np.ndarray] = {}
+    langs = sample[lang_col].to_pylist()
+    texts = sample["text"].to_pylist()
+    for lang in set(langs):
+        profiles[lang] = _profile_from([t for t, l in zip(texts, langs) if l == lang])
+    return profiles
+
+
+_DEFAULT_PROFILES: dict[str, np.ndarray] = {}
+
+
+def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int = 4, batch_size: int = 8192):
+    return ds.map_batches(
+        LanguageID,
+        fn_constructor_kwargs={"profiles": profiles},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — 64-bit content hash (rolling polynomial)
+# ---------------------------------------------------------------------------
+
+
+def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text", out: str = "fp"):
+    """Deterministic 64-bit content fingerprint per doc (change-detection
+    short-circuit analog of the reference's MD5 template hashing,
+    ``utils/WikiUtil.scala:13-30``). Polynomial rolling hash over utf-8 bytes,
+    vectorized per batch."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t[text_col].to_pylist()
+        fps = np.empty(len(texts), dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        for i, s in enumerate(texts):
+            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            h = np.uint64(14695981039346656037)
+            # vectorized Horner via precomputed powers
+            n = len(b)
+            if n:
+                pows = np.power(P, np.arange(n - 1, -1, -1, dtype=np.uint64))
+                h = np.uint64(h * np.uint64(P) ** np.uint64(n) + (b * pows).sum())
+            fps[i] = h
+        return t.append_column(out, pa.array(fps.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
