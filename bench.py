@@ -1,0 +1,206 @@
+"""Benchmark harness: headline CDC replay throughput (change-events/sec
+applied, replay-to-converged) + per-query wall times over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_replay_wall_sec", "value": <sec>, "unit": "sec",
+   "events_per_sec": <float>, "queries": {name: sec, ...}, "sf": "...",
+   "num_cpus": N}
+
+--scaling: runs the headline replay in TWO fresh processes (num_cpus=8 and
+num_cpus=32 by default) on the same input and reports both throughputs plus
+scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo) — the sandbox
+stand-in for the north rule's N vs 4N cluster-size criterion.
+
+The bench change log is bigger than the correctness log (so the replay runs
+tens of seconds at 32 CPUs): sized by the scale factor, generated once and
+cached under /tmp/odibel_bench/<sf>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_CACHE = "/tmp/odibel_bench"
+
+BENCH_LOG_PARAMS = dict(max_turns=24, seed=11, num_parts=32, files_per_part=4,
+                        update_factor=0.5, delete_frac=0.05, malformed_frac=0.01)
+
+# queries that are too slow/stateful to time every round at bench scale
+SKIP_QUERY_TIMINGS: set[str] = set()
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _bench_n_convs(sf_dir: str) -> int:
+    try:
+        sf = float(_sf_name(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(2000, int(3_000_000 * sf))
+
+
+def ensure_bench_log(sf_dir: str, *, mult: int = 1, num_parts: int | None = None) -> tuple[str, int]:
+    """Generate (once) the bench-scale change log; returns (log_dir, n_events).
+
+    ``mult`` scales the conversation count (the --scaling run uses a larger log
+    so per-shard compute dominates fixed scheduling costs, as it would at
+    cluster scale)."""
+    sys.path.insert(0, REPO)
+    from odibel_ray.datagen import generate_change_log
+
+    name = _sf_name(sf_dir) + (f"_x{mult}" if mult != 1 else "")
+    out = os.path.join(BENCH_CACHE, name)
+    marker = os.path.join(out, "_params.json")
+    params = {**BENCH_LOG_PARAMS, "n_convs": _bench_n_convs(sf_dir) * mult}
+    if num_parts:
+        params["num_parts"] = num_parts
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("params") == params:
+            return os.path.join(out, "change_log"), meta["n_events"]
+    info = generate_change_log(out, **params)
+    with open(marker, "w") as f:
+        json.dump({"params": params, "n_events": info["n_events"]}, f)
+    return info["log_dir"], info["n_events"]
+
+
+def _warm_batch(t):
+    import numpy as np  # noqa: F401
+    import pandas as pd  # noqa: F401
+
+    return t
+
+
+def run_headline(sf_dir: str, num_cpus: int, *, mult: int = 1,
+                 num_parts: int | None = None) -> dict:
+    """Replay the bench log through the exactly-once sink; wall + events/s."""
+    import ray
+
+    log_dir, n_events = ensure_bench_log(sf_dir, mult=mult, num_parts=num_parts)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, REPO)
+    import shutil
+
+    from odibel_ray.cdc.sink import replay_publish
+
+    # warmup: spin up the worker pool (python + numpy/pandas imports happen
+    # once per worker) on a cheap full pass so the timed run measures
+    # steady-state throughput, not process startup.
+    import ray.data as rd
+
+    rd.read_parquet(log_dir).map_batches(_warm_batch, batch_format="pyarrow").count()
+
+    out_dir = os.path.join(BENCH_CACHE, _sf_name(sf_dir) + f"_out_{num_cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = replay_publish(log_dir, out_dir, partitioned=True, run_id="bench")
+    wall = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "wall_sec": round(wall, 3),
+        "n_events": n_events,
+        "rows_out": res["rows_total"],
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, REPO)
+    import pyarrow as pa
+
+    from odibel_ray.pipelines.queries import QUERIES, ensure_transcript_log
+
+    ensure_transcript_log(sf_dir)
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP_QUERY_TIMINGS:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            if not isinstance(res, pa.Table):
+                res.count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover - bench robustness
+            times[name] = -1.0
+            print(f"# query {name} failed: {e}", file=sys.stderr)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-mult", type=int, default=12)
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--mult", type=int, default=1)
+    ap.add_argument("--parts", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        # N vs 4N CPUs in fresh processes on the same (larger) input — the
+        # sandbox stand-in for the north rule's two-cluster-size criterion.
+        mult, parts = args.scaling_mult, 128
+        ensure_bench_log(sf_dir, mult=mult, num_parts=parts)  # generate once
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only",
+                 "--cpus", str(cpus), "--mult", str(mult), "--parts", str(parts)],
+                capture_output=True, text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        thr_lo, thr_hi = results[8]["events_per_sec"], results[32]["events_per_sec"]
+        eff = (thr_hi / thr_lo) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "thr_8cpu": thr_lo,
+            "thr_32cpu": thr_hi,
+            "wall_8cpu": results[8]["value"],
+            "wall_32cpu": results[32]["value"],
+            "n_events": results[32]["n_events"],
+            "sf": _sf_name(sf_dir),
+        }))
+        return
+
+    import ray
+
+    headline = run_headline(sf_dir, num_cpus, mult=args.mult, num_parts=args.parts)
+    queries = {} if args.headline_only else run_queries(sf_dir)
+    print(json.dumps({
+        "metric": "headline_replay_wall_sec",
+        "value": headline["wall_sec"],
+        "unit": "sec",
+        "events_per_sec": headline["events_per_sec"],
+        "n_events": headline["n_events"],
+        "rows_out": headline["rows_out"],
+        "queries": queries,
+        "sf": _sf_name(sf_dir),
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

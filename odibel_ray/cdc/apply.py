@@ -27,6 +27,7 @@ monotonic, so any key-aligned bucketing (``part`` itself, or
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -261,3 +262,112 @@ def replay_dataset(
         ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
     fn = apply_group_history if history else apply_group_final
     return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")
+
+
+class UpsertApplier:
+    """Stateful actor-pool upsert stage (SURVEY.md §2.3 T4/T5): used as the
+    ``map_groups`` UDF with ``concurrency=k``, so each actor is constructed
+    once, holds the broadcast schema timeline (client-per-worker pattern of
+    ``RCDiefServer``, ``DBpediaTKGExtraction.scala:131``) and accumulates
+    heartbeat-style metrics (``HeartbeatMonitor.scala:11-71`` analog) across
+    all groups it applies. Correctness still comes from group-locality —
+    every key's events arrive in exactly one ``__call__``."""
+
+    def __init__(self, history: bool = False):
+        self.history = history
+        self.groups_applied = 0
+        self.rows_in = 0
+        self.rows_out = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = apply_group_history(t) if self.history else apply_group_final(t)
+        self.groups_applied += 1
+        self.rows_in += len(t)
+        self.rows_out += len(out)
+        return out
+
+
+def replay_dataset_actor(
+    log_dir: str,
+    *,
+    num_buckets: int | None = None,
+    concurrency: int = 4,
+    timeline: SchemaTimeline | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Replay with the stateful actor-pool applier variant of the merge stage."""
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+
+    tl = timeline or extract_timeline(log_dir)
+    ds = rd.read_parquet(log_dir)
+    ds = ds.map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": tl, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+    return ds.groupby("bucket").map_groups(
+        UpsertApplier, concurrency=concurrency, batch_format="pyarrow"
+    )
+
+
+def _replay_shard(batch: pa.Table, *, timeline: SchemaTimeline, history: bool,
+                  columns: list[str] | None = None) -> pa.Table:
+    """Replay one WAL partition end-to-end inside a single task: ordered read
+    of the shard's files → prepare → apply. The reference's per-shard
+    ``mapPartitions`` replay (``DBpediaTKGExtractionSpark.scala:34-43`` over
+    ``IOUtil.readFilesSequentially``), Ray-Data-shaped."""
+    import pyarrow.parquet as pq
+
+    outs = []
+    for row in batch.to_pylist():
+        part = int(row["part"])
+        tables = [pq.read_table(f) for f in row["files"]]
+        t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+        t = t.append_column("part", pa.array(np.full(len(t), part, np.int64)))
+        ev = prepare_events(t, timeline, num_buckets=None)
+        outs.append(apply_group_history(ev) if history else apply_group_final(ev))
+    return pa.concat_tables(outs, promote_options="default")
+
+
+def replay_partitioned(
+    log_dir: str,
+    *,
+    history: bool = False,
+    timeline: SchemaTimeline | None = None,
+) -> "ray.data.Dataset":
+    """Shuffle-free replay: the change log is already hash-partitioned by key
+    (a binlog's defining property — every key's events live in exactly one
+    ``part=`` directory with monotonic LSN), so each partition replays
+    independently — a Dataset of shard descriptors fanned out over tasks, no
+    all-to-all exchange at any point.
+
+    This is the throughput path; :func:`replay_dataset` (groupby shuffle) is
+    the general path for re-bucketing (num_buckets != WAL partitioning) or
+    non-key-aligned logs. Scale knob: WAL partition count — one partition's
+    converged state must fit a worker (at 100 TB: tens of thousands of
+    partitions, exactly like the sink's buckets).
+    """
+    import glob as _glob
+
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+
+    tl = timeline or extract_timeline(log_dir)
+    items = []
+    for pdir in sorted(_glob.glob(os.path.join(log_dir, "part=*"))):
+        part = int(os.path.basename(pdir).split("=", 1)[1])
+        files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        items.append({"part": part, "files": files})
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    from functools import partial
+
+    return ds.map_batches(
+        partial(_replay_shard, timeline=tl, history=history),
+        batch_format="pyarrow",
+        batch_size=1,
+    )

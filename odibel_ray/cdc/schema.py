@@ -86,14 +86,24 @@ class SchemaTimeline:
 
 
 def extract_timeline(log_dir: str, min_lsn_by_part: dict[int, int] | None = None) -> SchemaTimeline:
-    """Scan only ``S`` events out of the log (predicate pushdown; metadata-scale).
+    """Build the schema timeline from the ``_schema_events.parquet`` sidecar
+    (the schema-registry channel, O(#schema events)); falls back to a filtered
+    scan of the data log for sidecar-less logs.
 
     ``min_lsn_by_part`` restricts to not-yet-applied events (incremental runs).
     """
-    dset = pads.dataset(log_dir, format="parquet", partitioning="hive")
-    t = dset.to_table(
-        filter=pc.field("op") == "S", columns=["lsn", "schema_change", "part"]
-    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    sidecar = os.path.join(log_dir, "_schema_events.parquet")
+    if os.path.exists(sidecar):
+        t = pq.read_table(sidecar)
+    else:
+        dset = pads.dataset(log_dir, format="parquet", partitioning="hive")
+        t = dset.to_table(
+            filter=pc.field("op") == "S", columns=["lsn", "schema_change", "part"]
+        )
     tl = SchemaTimeline()
     parts = t["part"].to_pylist()
     lsns = t["lsn"].to_pylist()

@@ -171,6 +171,34 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
     return published
 
 
+def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: str,
+                       run_id: str, done: frozenset[int]) -> pa.Table:
+    """Shuffle-free sink path: one task per WAL partition — ordered read of the
+    shard's files → prepare → LWW apply → staged write + manifest row. Valid
+    because the log is key-aligned (bucket == part); see
+    :func:`odibel_ray.cdc.apply.replay_partitioned`."""
+    import pyarrow.parquet as pq_
+
+    from odibel_ray.cdc.apply import prepare_events as _prep
+
+    outs = []
+    for row in batch.to_pylist():
+        part = int(row["part"])
+        if part in done:
+            continue
+        tables = [pq_.read_table(f) for f in row["files"]]
+        t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+        t = t.append_column("part", pa.array(np.full(len(t), part, np.int64)))
+        ev = _prep(t, timeline, num_buckets=None)
+        outs.append(_apply_write_group(ev, staging=staging, run_id=run_id))
+    if not outs:
+        return pa.table({c: pa.array([], t) for c, t in [
+            ("bucket", pa.int64()), ("rows_out", pa.int64()), ("n_events", pa.int64()),
+            ("file", pa.string()), ("staged", pa.string()), ("watermarks", pa.string()),
+            ("run_id", pa.string())]})
+    return pa.concat_tables(outs)
+
+
 def replay_publish(
     log_dir: str,
     out_dir: str,
@@ -179,10 +207,15 @@ def replay_publish(
     run_id: str = "run-0",
     precompact: bool = True,
     batch_size: int = 65536,
+    partitioned: bool = False,
 ) -> dict:
     """Full replay with the exactly-once sink. Resumable: already-published
     buckets (valid manifest + audited file) are filtered out *before* the
-    shuffle, so a killed run re-does only unpublished buckets."""
+    shuffle, so a killed run re-does only unpublished buckets.
+
+    ``partitioned=True`` (requires ``num_buckets is None``): shuffle-free shard
+    path — one task per WAL partition applies and stages its own bucket; the
+    groupby path remains for re-bucketing."""
     import ray.data as rd
 
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
@@ -191,6 +224,41 @@ def replay_publish(
 
     timeline = extract_timeline(log_dir)
     done = load_manifests(out_dir)
+
+    if partitioned:
+        if num_buckets is not None:
+            raise ValueError("partitioned sink requires num_buckets=None (bucket == WAL part)")
+        import glob as _glob
+
+        items = []
+        for pdir in sorted(_glob.glob(os.path.join(log_dir, "part=*"))):
+            part = int(os.path.basename(pdir).split("=", 1)[1])
+            files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+            items.append({"part": part, "files": files})
+        shard_ds = rd.from_items(items, override_num_blocks=len(items))
+        manifest_ds = shard_ds.map_batches(
+            partial(_shard_apply_write, timeline=timeline, staging=staging,
+                    run_id=run_id, done=frozenset(done)),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        published = _publish_stream(manifest_ds, out_dir)
+        all_manifests = load_manifests(out_dir)
+        table_manifest = {
+            "num_buckets": None,
+            "buckets": sorted(all_manifests),
+            "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+            "timeline": timeline.to_json(),
+            "schema_version": len(timeline.changes),
+            "last_run_id": run_id,
+        }
+        _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), table_manifest)
+        return {
+            "published_now": len(published),
+            "published_total": len(all_manifests),
+            "rows_total": table_manifest["rows_total"],
+            "out_dir": out_dir,
+        }
 
     ds = rd.read_parquet(log_dir)
     ds = ds.map_batches(

@@ -139,17 +139,23 @@ def generate_change_log(
         json.dumps({"kind": "widen_type", "column": "turn_idx", "from": "int32", "to": "int64"}),
     ]
 
-    # ---- payload columns (vectorized) ------------------------------------
+    # ---- payload columns (vectorized, Arrow kernels for the wide strings) -
     ev_conv_i = conv_idx[rows]
     ev_turn = turn_idx[rows]
     ev_part = conv_part[ev_conv_i]
     ev_role = ROLES[(ev_conv_i + ev_turn) % len(ROLES)]
     version = np.arange(n_ev)
-    ev_text = np.char.add(
-        np.char.add("text-", np.char.add(conv_names[ev_conv_i], "-")),
-        np.char.add(np.char.add(ev_turn.astype("U"), "-v"), version.astype("U")),
+    conv_pa = pa.array(conv_names[ev_conv_i])
+    ev_text = pc.binary_join_element_wise(
+        "text-",
+        conv_pa,
+        "-",
+        pc.cast(pa.array(ev_turn, pa.int64()), pa.string()),
+        "-v",
+        pc.cast(pa.array(version, pa.int64()), pa.string()),
+        "",
     )
-    tool_val = TOOLS[(ev_conv_i * 7 + ev_turn * 3 + version) % len(TOOLS)]
+    tool_val = pa.array(TOOLS[(ev_conv_i * 7 + ev_turn * 3 + version) % len(TOOLS)])
 
     is_del = ops == "D"
     after_rename = np.arange(n_ev) >= schema_pos[1]
@@ -158,16 +164,14 @@ def generate_change_log(
     has_score = rng.random(n_ev) < 0.5
     score_val = np.round(rng.random(n_ev), 6)
 
-    conv_col = conv_names[ev_conv_i].astype(object)
-    turn_col = ev_turn.astype(object)
     part_col = ev_part.copy()
 
     # malformed: null key on random non-insert positions, op forced to 'U'
     n_bad = int(malformed_frac * n_ev)
+    bad_mask = np.zeros(n_ev, dtype=bool)
     if n_bad and n_ev > n_base:
         bad_pos = rng.choice(np.arange(n_base, n_ev), size=min(n_bad, n_ev - n_base), replace=False)
-        conv_col[bad_pos] = None
-        turn_col[bad_pos] = None
+        bad_mask[bad_pos] = True
         ops[bad_pos] = "U"
     else:
         bad_pos = np.array([], dtype=np.int64)
@@ -179,67 +183,80 @@ def generate_change_log(
     data_lsn = np.arange(n_ev) + k_before * num_parts
     # k-th schema event batch starts at lsn schema_pos[k] + k*num_parts
     schema_base_lsn = schema_pos + np.arange(3) * num_parts
-    part_col[conv_col == None] = data_lsn[conv_col == None] % num_parts  # noqa: E711
+    part_col[bad_mask] = data_lsn[bad_mask] % num_parts
 
-    # ---- assemble full table ---------------------------------------------
-    null_payload = lambda col: np.where(is_del, None, col.astype(object))  # noqa: E731
+    # ---- assemble data table (Arrow if_else instead of object arrays) ----
+    bad_pa = pa.array(bad_mask)
+    del_pa = pa.array(is_del)
+    null_str = pa.nulls(n_ev, pa.string())
 
-    data = {
-        "op": ops,
-        "lsn": data_lsn,
-        "conv_id": conv_col,
-        "turn_idx": turn_col,
-        "role": null_payload(ev_role),
-        "text": null_payload(ev_text),
-        "tool": np.where(is_del | write_tool_name, None, tool_val.astype(object)),
-        "tool_name": np.where(is_del | ~write_tool_name, None, tool_val.astype(object)),
-        "score": np.where(is_del | ~has_score, None, score_val.astype(object)),
-        "schema_change": np.full(n_ev, None, dtype=object),
-        "part": part_col,
-    }
+    def masked(col, mask_pa):
+        return pc.if_else(mask_pa, pa.nulls(n_ev, col.type), col)
 
-    srows = {
-        "op": np.full(3 * num_parts, "S", dtype=object),
-        "lsn": (schema_base_lsn[:, None] + np.arange(num_parts)[None, :]).ravel(),
-        "conv_id": np.full(3 * num_parts, None, dtype=object),
-        "turn_idx": np.full(3 * num_parts, None, dtype=object),
-        "role": np.full(3 * num_parts, None, dtype=object),
-        "text": np.full(3 * num_parts, None, dtype=object),
-        "tool": np.full(3 * num_parts, None, dtype=object),
-        "tool_name": np.full(3 * num_parts, None, dtype=object),
-        "score": np.full(3 * num_parts, None, dtype=object),
-        "schema_change": np.repeat(np.array(schema_json, dtype=object), num_parts),
-        "part": np.tile(np.arange(num_parts), 3),
-    }
-
-    full = {k: np.concatenate([data[k], srows[k]]) for k in data}
-    lsn_all = full["lsn"].astype(np.int64)
-    ts_all = BASE_EPOCH_US + lsn_all * TS_STEP_US
-
-    tbl = pa.table(
+    data_tbl = pa.table(
         {
-            "op": pa.array(full["op"], pa.string()),
-            "lsn": pa.array(lsn_all, pa.int64()),
-            "conv_id": pa.array(full["conv_id"], pa.string()),
-            "turn_idx": pa.array(full["turn_idx"], pa.int32()),
-            "role": pa.array(full["role"], pa.string()),
-            "text": pa.array(full["text"], pa.string()),
-            "tool": pa.array(full["tool"], pa.string()),
-            "tool_name": pa.array(full["tool_name"], pa.string()),
-            "score": pa.array(full["score"], pa.float64()),
-            "ts": pa.array(ts_all, pa.timestamp("us")),
-            "schema_change": pa.array(full["schema_change"], pa.string()),
-            "part": pa.array(full["part"].astype(np.int64), pa.int64()),
+            "op": pa.array(ops.astype("U1")),
+            "lsn": pa.array(data_lsn, pa.int64()),
+            "conv_id": masked(conv_pa, bad_pa),
+            "turn_idx": masked(pa.array(ev_turn, pa.int32()), bad_pa),
+            "role": masked(pa.array(ev_role), del_pa),
+            "text": masked(ev_text, del_pa),
+            "tool": pc.if_else(pc.or_(del_pa, pa.array(write_tool_name)), null_str, tool_val),
+            "tool_name": pc.if_else(
+                pc.or_(del_pa, pa.array(~write_tool_name)), null_str, tool_val
+            ),
+            "score": pc.if_else(
+                pc.or_(del_pa, pa.array(~has_score)),
+                pa.nulls(n_ev, pa.float64()),
+                pa.array(score_val, pa.float64()),
+            ),
+            "schema_change": null_str,
+            "part": pa.array(part_col.astype(np.int64), pa.int64()),
         }
+    )
+    # turn_idx nulling for bad rows only (key null => malformed)
+    ns = 3 * num_parts
+    srows_tbl = pa.table(
+        {
+            "op": pa.array(["S"] * ns),
+            "lsn": pa.array(
+                (schema_base_lsn[:, None] + np.arange(num_parts)[None, :]).ravel(), pa.int64()
+            ),
+            "conv_id": pa.nulls(ns, pa.string()),
+            "turn_idx": pa.nulls(ns, pa.int32()),
+            "role": pa.nulls(ns, pa.string()),
+            "text": pa.nulls(ns, pa.string()),
+            "tool": pa.nulls(ns, pa.string()),
+            "tool_name": pa.nulls(ns, pa.string()),
+            "score": pa.nulls(ns, pa.float64()),
+            "schema_change": pa.array(np.repeat(np.array(schema_json, dtype=object), num_parts)),
+            "part": pa.array(np.tile(np.arange(num_parts), 3), pa.int64()),
+        }
+    )
+    tbl = pa.concat_tables([data_tbl, srows_tbl]).combine_chunks()
+    lsn_all = tbl["lsn"].to_numpy(zero_copy_only=False)
+    ts_all = BASE_EPOCH_US + lsn_all * TS_STEP_US
+    tbl = tbl.add_column(
+        tbl.schema.get_field_index("schema_change"),
+        "ts",
+        pa.array(ts_all, pa.timestamp("us")),
     )
 
     # ---- write hive-partitioned, files sorted by lsn within partition ----
+    # single global lexsort by (part, lsn), then contiguous slices per part —
+    # O(n log n) once instead of num_parts full-table filters.
     log_dir = os.path.join(out_dir, "change_log")
     if overwrite and os.path.exists(log_dir):
         shutil.rmtree(log_dir)
 
+    part_all = tbl["part"].to_numpy(zero_copy_only=False)
+    lsn_np = tbl["lsn"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lsn_np, part_all))
+    tbl = tbl.take(pa.array(order))
+    part_sorted = part_all[order]
+    bounds = np.searchsorted(part_sorted, np.arange(num_parts + 1))
     for p in range(num_parts):
-        part_tbl = tbl.filter(pc.equal(tbl["part"], p)).sort_by("lsn").drop(["part"])
+        part_tbl = tbl.slice(bounds[p], bounds[p + 1] - bounds[p]).drop(["part"])
         pdir = os.path.join(log_dir, f"part={p}")
         os.makedirs(pdir, exist_ok=True)
         n = len(part_tbl)
@@ -247,6 +264,15 @@ def generate_change_log(
         for f in range(files_per_part):
             chunk = part_tbl.slice(splits[f], splits[f + 1] - splits[f])
             pq.write_table(chunk, os.path.join(pdir, f"log-{f:05d}.parquet"))
+
+    # sidecar: schema (`S`) events only — the schema-registry channel. Readers
+    # use it to build the evolution timeline without scanning the data log
+    # (underscore prefix => ignored by parquet dataset discovery).
+    s_mask = pc.equal(tbl["op"], "S")
+    pq.write_table(
+        tbl.filter(s_mask).select(["lsn", "schema_change", "part"]),
+        os.path.join(log_dir, "_schema_events.parquet"),
+    )
 
     return {
         "log_dir": log_dir,
