@@ -240,11 +240,16 @@ def replay_dataset(
     precompact: bool = True,
     timeline: SchemaTimeline | None = None,
     batch_size: int = 65536,
+    salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Lazy replay pipeline: change log → converged (or history) Dataset.
 
     No sink, no materialization — callers stream-consume or write. See
     :func:`odibel_ray.cdc.sink.replay_publish` for the exactly-once sink.
+
+    ``salt`` (final-state only): hot-conversation sub-partitioning — stage-1
+    LWW compaction per ``(bucket, lsn % salt)`` keeping tombstones, stage-2
+    merge per bucket (associative keep-last; SURVEY.md §7 step 5).
     """
     import ray.data as rd
 
@@ -260,6 +265,19 @@ def replay_dataset(
     )
     if precompact and not history:
         ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+    if salt and not history:
+        def add_salt(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            s = t["lsn"].to_numpy(zero_copy_only=False) % salt
+            return t.append_column("salt", pa.array(s.astype(np.int64)))
+
+        def compact_group(t: pa.Table) -> pa.Table:
+            return compact_batch(t).drop_columns(["salt"])
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=batch_size)
+        ds = ds.groupby(["bucket", "salt"]).map_groups(
+            compact_group, batch_format="pyarrow"
+        )
     fn = apply_group_history if history else apply_group_final
     return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")
 

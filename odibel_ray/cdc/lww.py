@@ -82,6 +82,7 @@ def lww_latest(
     precompact: bool = True,
     batch_size: int = 65536,
     drop_op: bool = True,
+    salt: int | None = None,
 ) -> "ray.data.Dataset":
     """Converged LWW state of a change stream: latest row per key, tombstones
     dropped. ``ds`` must carry ``keys``, ``lsn_col`` and ``op_col`` columns.
@@ -89,16 +90,29 @@ def lww_latest(
     ``precompact`` runs the within-batch combiner before the shuffle (keeps
     tombstones — they must survive to the final merge), cutting shuffle volume
     by the update ratio.
+
+    ``salt``: hot-key sub-partitioning (SURVEY.md §4 "skew"). Stage 1 compacts
+    per ``(bucket, salt = lsn % salt)`` — a hot key's events split across
+    ``salt`` groups, each keeping its own max-LSN row *including tombstones* —
+    then stage 2 re-merges per bucket over the (≤ salt rows per key) residue.
+    LWW keep-last is associative in LSN order, so the result is identical.
     """
     keys = list(keys)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         b = bucket_of_keys(t, keys, num_buckets)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        t = t.append_column("bucket", pa.array(b, pa.int64()))
+        if salt:
+            s = t[lsn_col].to_numpy(zero_copy_only=False) % salt
+            t = t.append_column("salt", pa.array(s.astype(np.int64)))
+        return t
 
     def compact(t: pa.Table) -> pa.Table:
         return keep_last_per_key(t, keys, lsn_col)
+
+    def compact_drop_salt(t: pa.Table) -> pa.Table:
+        return keep_last_per_key(t, keys, lsn_col).drop_columns(["salt"])
 
     def finish(t: pa.Table) -> pa.Table:
         t = keep_last_per_key(t, keys, lsn_col)
@@ -109,6 +123,10 @@ def lww_latest(
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
     if precompact:
         ds = ds.map_batches(compact, batch_format="pyarrow", batch_size=batch_size)
+    if salt:
+        ds = ds.groupby(["bucket", "salt"]).map_groups(
+            compact_drop_salt, batch_format="pyarrow"
+        )
     return ds.groupby("bucket").map_groups(finish, batch_format="pyarrow")
 
 

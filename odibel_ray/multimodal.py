@@ -1,0 +1,156 @@
+"""Multimodal column plumbing: opaque binary media payloads with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are not available in this environment, so the
+*codec* is a deterministic fake — a self-describing header
+(``ODB1 | kind | width | height | channels | sample_rate``) followed by a raw
+uint8 buffer — decoded with numpy. Everything around the codec is real and
+tested: the Arrow ``binary`` column schema, small-batch sizing for large
+payloads, per-actor decoder state, and the feature/resize/frame-sample output
+layouts. Swapping ``FakeCodec`` for PIL/ffmpeg is a one-class change
+(clearly-marked ``NotImplementedError`` on real formats).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+_MAGIC = b"ODB1"
+
+
+def encode_fake_media(media_id: int, kind: str, rng: np.random.Generator) -> dict:
+    """One deterministic fake media row (image: H*W*C uint8; audio: 1-D int16)."""
+    if kind == "image":
+        w, h, c = int(rng.integers(8, 64)), int(rng.integers(8, 64)), 3
+        sr = 0
+        body = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    else:
+        w = h = c = 0
+        sr = 16000
+        n = int(rng.integers(400, 4000))
+        body = rng.integers(-(2**15), 2**15, size=n, dtype=np.int16).tobytes()
+    header = _MAGIC + struct.pack("<4siiii", kind.encode()[:4].ljust(4), w, h, c, sr)
+    return {
+        "media_id": media_id,
+        "kind": kind,
+        "payload": header + body,
+        "width": w,
+        "height": h,
+        "channels": c,
+        "sample_rate": sr,
+    }
+
+
+def generate_media_table(n: int = 200, seed: int = 23) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = [
+        encode_fake_media(i, "image" if i % 3 else "audio", rng) for i in range(n)
+    ]
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class FakeCodec:
+    """Deterministic stand-in for an image/audio codec."""
+
+    HEADER_LEN = 4 + 4 + 16
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(_MAGIC):
+            raise NotImplementedError(
+                "real media formats need PIL/ffmpeg (not available in this "
+                "environment); only the ODB1 fake container is decodable"
+            )
+        kind, w, h, c, sr = struct.unpack("<4siiii", payload[4 : self.HEADER_LEN])
+        body = payload[self.HEADER_LEN :]
+        if kind.rstrip(b"\x00") == b"imag":
+            return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+        return np.frombuffer(body, dtype=np.int16)
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode → per-channel stats features. Codec state is
+    constructed once per actor (``__init__``); batches are small because
+    payloads are large — size ``batch_size`` so batch × concurrency fits the
+    worker heap (SURVEY.md 'memory-aware')."""
+
+    def __init__(self):
+        self.codec = FakeCodec()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, kinds, means, stds, sizes = [], [], [], [], []
+        for row in t.to_pylist():
+            arr = self.codec.decode(row["payload"])
+            ids.append(row["media_id"])
+            kinds.append(row["kind"])
+            means.append(round(float(arr.mean()), 6))
+            stds.append(round(float(arr.std()), 6))
+            sizes.append(int(arr.size))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "mean": pa.array(means, pa.float64()),
+                "std": pa.array(stds, pa.float64()),
+                "n_samples": pa.array(sizes, pa.int64()),
+            }
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-encode to the
+    fake container. Audio rows pass through unchanged."""
+
+    def __init__(self, target: tuple[int, int] = (16, 16)):
+        self.codec = FakeCodec()
+        self.target = target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        tw, th = self.target
+        for row in t.to_pylist():
+            if row["kind"] != "image":
+                out.append(row)
+                continue
+            img = self.codec.decode(row["payload"])
+            h, w, c = img.shape
+            yi = (np.arange(th) * h // th)[:, None]
+            xi = (np.arange(tw) * w // tw)[None, :]
+            resized = img[yi, xi]
+            header = _MAGIC + struct.pack("<4siiii", b"imag", tw, th, c, 0)
+            row = {**row, "payload": header + resized.tobytes(), "width": tw, "height": th}
+            out.append(row)
+        return pa.Table.from_pylist(out, schema=MEDIA_SCHEMA)
+
+
+def media_features(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        MediaFeatures, concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def resize_images(ds: "ray.data.Dataset", target=(16, 16), *, concurrency: int = 2,
+                  batch_size: int = 64):
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"target": target},
+        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
+    )

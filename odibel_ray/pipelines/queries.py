@@ -177,6 +177,27 @@ def q_transcript_replay_bucketed(sf_dir: str):
     return replay_dataset(log, num_buckets=32)
 
 
+def q_transcript_replay_partitioned(sf_dir: str):
+    """Shuffle-free shard replay (log is key-aligned by construction)."""
+    from odibel_ray.cdc.apply import replay_partitioned
+
+    return replay_partitioned(ensure_transcript_log(sf_dir))
+
+
+def q_transcript_replay_actor(sf_dir: str):
+    """Stateful actor-pool applier variant of the merge stage."""
+    from odibel_ray.cdc.apply import replay_dataset_actor
+
+    return replay_dataset_actor(ensure_transcript_log(sf_dir), concurrency=2)
+
+
+def q_transcript_replay_salted(sf_dir: str):
+    """Hot-key salted two-stage apply (skew handling); same converged state."""
+    from odibel_ray.cdc.apply import replay_dataset
+
+    return replay_dataset(ensure_transcript_log(sf_dir), num_buckets=16, salt=4)
+
+
 def q_transcript_history(sf_dir: str):
     from odibel_ray.cdc.apply import replay_dataset
 
@@ -487,7 +508,7 @@ def q_doc_lang_id(sf_dir: str):
     sample = sample.filter(pc.less(pc.bit_wise_and(t := sample["doc_id"], 7), 2))
     profiles = fit_language_profiles(sample)
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return language_id(docs, profiles)
+    return language_id(docs, profiles, concurrency=2)
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -576,6 +597,9 @@ def q_embedding_label_centroids(sf_dir: str):
 QUERIES: dict[str, Callable] = {
     "transcript_replay": q_transcript_replay,
     "transcript_replay_bucketed": q_transcript_replay_bucketed,
+    "transcript_replay_partitioned": q_transcript_replay_partitioned,
+    "transcript_replay_actor": q_transcript_replay_actor,
+    "transcript_replay_salted": q_transcript_replay_salted,
     "transcript_history": q_transcript_history,
     "transcript_publish_read": q_transcript_publish_read,
     "transcript_incremental": q_transcript_incremental,
@@ -678,6 +702,9 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
     return {
         "transcript_replay": t_final,
         "transcript_replay_bucketed": t_final,
+        "transcript_replay_partitioned": t_final,
+        "transcript_replay_actor": t_final,
+        "transcript_replay_salted": t_final,
         "transcript_publish_read": t_final,
         "transcript_incremental": t_final,
         "transcript_history": t_hist,

@@ -1,0 +1,80 @@
+"""Multimodal plumbing (fake codec) + salted skew-handling equivalence."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.multimodal import generate_media_table, media_features
+
+    tbl = generate_media_table(n=60)
+    a = {r["media_id"]: (r["mean"], r["std"], r["n_samples"])
+         for r in media_features(rd.from_arrow(tbl)).take_all()}
+    b = {r["media_id"]: (r["mean"], r["std"], r["n_samples"])
+         for r in media_features(rd.from_arrow(tbl)).take_all()}
+    assert a == b and len(a) == 60
+    kinds = {r["media_id"]: r["kind"] for r in tbl.to_pylist()}
+    for mid, (_, _, n) in a.items():
+        assert n > 0, (mid, kinds[mid])
+
+
+def test_image_resize_roundtrip(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.multimodal import (
+        FakeCodec,
+        generate_media_table,
+        resize_images,
+    )
+
+    tbl = generate_media_table(n=30)
+    out = resize_images(rd.from_arrow(tbl), target=(8, 8)).take_all()
+    codec = FakeCodec()
+    for r in out:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (8, 8)
+            img = codec.decode(r["payload"])
+            assert img.shape == (8, 8, 3)
+
+
+def test_codec_rejects_real_formats():
+    from odibel_ray.multimodal import FakeCodec
+
+    with pytest.raises(NotImplementedError):
+        FakeCodec().decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_salted_replay_equivalence(ray_session, small_log, oracle_final):
+    from odibel_ray.cdc.apply import replay_dataset
+
+    salted = collect_sorted(
+        replay_dataset(small_log["log_dir"], num_buckets=16, salt=4), KEYS
+    )
+    assert salted.equals(oracle_final)
+
+
+def test_salted_lww_equivalence(ray_session):
+    from odibel_ray.cdc.lww import lww_latest
+    from odibel_ray.pipelines.queries import _events_as_changes
+
+    sf = "/root/testdata/sf0.001"
+    import pandas as pd
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    a = canon(lww_latest(_events_as_changes(sf), ["user_id", "event_type"], lsn_col="event_id"))
+    b = canon(
+        lww_latest(
+            _events_as_changes(sf), ["user_id", "event_type"], lsn_col="event_id", salt=5
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,42 @@
+"""Shuffle-free partitioned replay + actor-pool applier + partitioned sink."""
+
+import os
+
+from odibel_ray.cdc import read_published, replay_publish
+from odibel_ray.cdc.apply import replay_dataset_actor, replay_partitioned
+from odibel_ray.oracle import replay_oracle
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def test_partitioned_replay_matches_oracle(ray_session, small_log, oracle_final):
+    got = collect_sorted(replay_partitioned(small_log["log_dir"]), KEYS)
+    assert got.equals(oracle_final)
+
+
+def test_partitioned_history_matches_oracle(ray_session, small_log):
+    oracle_hist = replay_oracle(small_log["log_dir"], history=True)
+    got = collect_sorted(
+        replay_partitioned(small_log["log_dir"], history=True),
+        ["conv_id", "turn_idx", "lsn_start"],
+    )
+    assert got.equals(oracle_hist)
+
+
+def test_actor_pool_applier_matches_oracle(ray_session, small_log, oracle_final):
+    got = collect_sorted(
+        replay_dataset_actor(small_log["log_dir"], concurrency=2), KEYS
+    )
+    assert got.select(oracle_final.column_names).equals(oracle_final)
+
+
+def test_partitioned_publish_and_resume(ray_session, small_log, oracle_final, tmp_path):
+    out = str(tmp_path / "tbl")
+    res = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="p1")
+    assert res["published_now"] == small_log["num_parts"]
+    assert collect_sorted(read_published(out), KEYS).equals(oracle_final)
+    # second run is a no-op (all partitions manifested)
+    res2 = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="p2")
+    assert res2["published_now"] == 0
+    assert collect_sorted(read_published(out), KEYS).equals(oracle_final)

@@ -1,0 +1,108 @@
+"""Relational op library vs DuckDB on the TPC-H-ish test tables."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sql(q: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(q).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _match(ds, sql):
+    pd.testing.assert_frame_equal(
+        _canon(ds.to_pandas()), _canon(_sql(sql)), check_dtype=False, atol=1e-9, rtol=0
+    )
+
+
+def test_broadcast_hash_join_inner(ray_session):
+    from odibel_ray.ops import broadcast_hash_join, load_table
+
+    orders = load_table(SF, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(SF, "customer", ["c_custkey", "c_name"])
+    j = broadcast_hash_join(
+        orders, cust.rename_columns({"c_custkey": "o_custkey"}), "o_custkey"
+    )
+    _match(
+        j,
+        "SELECT o_custkey, o_totalprice, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
+    )
+
+
+def test_broadcast_hash_join_left(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from odibel_ray.ops import broadcast_hash_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    right = pa.table({"k": [1, 3], "y": ["a", "c"]})
+    rows = sorted(
+        broadcast_hash_join(left, right, "k", how="left").take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [r.get("y") for r in rows] == ["a", None, "c"]
+
+
+def test_semi_and_anti_partition(ray_session):
+    """semi ∪ anti == all rows, disjoint."""
+    from odibel_ray.ops import broadcast_anti_join, broadcast_semi_join, load_table
+
+    cust = load_table(SF, "customer", ["c_custkey"]).rename_columns({"c_custkey": "k"})
+    orders = load_table(SF, "orders", ["o_custkey"]).rename_columns({"o_custkey": "k"})
+    n_semi = broadcast_semi_join(cust, orders, "k").count()
+    n_anti = broadcast_anti_join(cust, orders, "k").count()
+    assert n_semi + n_anti == cust.count()
+
+
+def test_exact_dedup_representative(ray_session):
+    from odibel_ray.ops import exact_dedup, load_table
+
+    orders = load_table(SF, "orders", ["o_orderkey", "o_orderstatus"])
+    _match(
+        exact_dedup(orders, ["o_orderstatus"], tie_break="o_orderkey"),
+        """SELECT o_orderkey, o_orderstatus FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) rn
+             FROM orders) WHERE rn = 1""",
+    )
+
+
+def test_deterministic_sample_stable(ray_session):
+    from odibel_ray.ops import deterministic_sample, load_table
+
+    li = load_table(SF, "lineitem", ["l_orderkey", "l_linenumber"])
+    a = sorted(map(tuple, deterministic_sample(li, "l_orderkey", 7).to_pandas().values.tolist()))
+    b = sorted(map(tuple, deterministic_sample(li, "l_orderkey", 7).to_pandas().values.tolist()))
+    assert a == b and 0 < len(a) < li.count()
+
+
+def test_topk_and_per_group(ray_session):
+    from odibel_ray.ops import load_table, topk, topk_per_group
+
+    li = load_table(SF, "lineitem", ["l_returnflag", "l_orderkey", "l_extendedprice"])
+    top = topk(li, "l_extendedprice", 4).to_pandas()
+    assert len(top) == 4
+    assert list(top["l_extendedprice"]) == sorted(top["l_extendedprice"], reverse=True)
+
+    per = topk_per_group(
+        li, ["l_returnflag"], "l_extendedprice", 2, tie_break=["l_orderkey"]
+    ).to_pandas()
+    assert (per.groupby("l_returnflag").size() <= 2).all()
+
+
+def test_count_distinct(ray_session):
+    from odibel_ray.ops.aggregates import count_distinct
+    from odibel_ray.ops import load_table
+
+    orders = load_table(SF, "orders", ["o_custkey"])
+    got = count_distinct(orders, ["o_custkey"]).take_all()[0]["n"]
+    assert got == int(_sql("SELECT count(DISTINCT o_custkey) n FROM orders")["n"][0])
