@@ -241,6 +241,7 @@ def replay_dataset(
     timeline: SchemaTimeline | None = None,
     batch_size: int = 65536,
     salt: int | None = None,
+    max_lsn: int | None = None,
 ) -> "ray.data.Dataset":
     """Lazy replay pipeline: change log → converged (or history) Dataset.
 
@@ -250,13 +251,27 @@ def replay_dataset(
     ``salt`` (final-state only): hot-conversation sub-partitioning — stage-1
     LWW compaction per ``(bucket, lsn % salt)`` keeping tombstones, stage-2
     merge per bucket (associative keep-last; SURVEY.md §7 step 5).
+
+    ``max_lsn``: snapshot-at-LSN time travel — replays only events (data AND
+    schema) with ``lsn <= max_lsn`` (M15 snapshot filter,
+    ``eval/EvalFunctions.scala:66-84``).
     """
+    import json as _json
+
     import ray.data as rd
 
-    from odibel_ray.cdc.schema import extract_timeline
+    from odibel_ray.cdc.schema import SchemaTimeline, extract_timeline
 
     tl = timeline or extract_timeline(log_dir)
+    if max_lsn is not None:
+        clipped = SchemaTimeline()
+        for rec in tl.changes:
+            if rec["lsn"] <= max_lsn:
+                clipped.add_change(rec["part"], rec["lsn"], _json.dumps(rec))
+        tl = clipped
     ds = rd.read_parquet(log_dir)
+    if max_lsn is not None:
+        ds = ds.filter(expr=f"lsn <= {int(max_lsn)}")
     ds = ds.map_batches(
         prepare_events,
         fn_kwargs={"timeline": tl, "num_buckets": num_buckets},

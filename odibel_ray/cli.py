@@ -1,0 +1,153 @@
+"""CLI: pipeline composition surface (the reference's picocli/click subcommand
+trees, SURVEY.md §2.10 — ``odibel dbpedia-tkg split|extract|…`` /
+``pyodibel rdf run``).
+
+    python -m odibel_ray.cli datagen --out /tmp/log --n-convs 1000
+    python -m odibel_ray.cli replay  --log /tmp/log/change_log --out /tmp/out.parquet
+    python -m odibel_ray.cli publish --log ... --table /tmp/table [--resume]
+    python -m odibel_ray.cli incremental --log ... --table /tmp/table
+    python -m odibel_ray.cli query --name pricing_summary --sf-dir /root/testdata/sf0.01
+
+Owns the Ray session (guarded init) — library code never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="odibel_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("datagen", help="generate a deterministic transcript change log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-convs", type=int, default=1000)
+    g.add_argument("--max-turns", type=int, default=30)
+    g.add_argument("--num-parts", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("replay", help="replay a change log to the converged table")
+    r.add_argument("--log", required=True)
+    r.add_argument("--out", required=True, help="output parquet directory")
+    r.add_argument("--mode", choices=["partitioned", "shuffle", "actor"], default="partitioned")
+    r.add_argument("--num-buckets", type=int, default=None)
+    r.add_argument("--salt", type=int, default=None)
+    r.add_argument("--history", action="store_true")
+
+    p = sub.add_parser("publish", help="replay through the exactly-once sink")
+    p.add_argument("--log", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--num-buckets", type=int, default=None)
+    p.add_argument("--partitioned", action="store_true")
+    p.add_argument("--run-id", default="cli-run")
+
+    i = sub.add_parser("incremental", help="apply new log events onto a published table")
+    i.add_argument("--log", required=True)
+    i.add_argument("--table", required=True)
+    i.add_argument("--run-id", default="cli-inc")
+
+    q = sub.add_parser("query", help="run a named pipeline from the registry")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=10)
+
+    sub.add_parser("list-queries", help="list registry entries")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "datagen":
+        from odibel_ray.datagen import generate_change_log
+
+        info = generate_change_log(
+            args.out, n_convs=args.n_convs, max_turns=args.max_turns,
+            num_parts=args.num_parts, seed=args.seed,
+        )
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "list-queries":
+        from odibel_ray.pipelines.queries import QUERIES, _oracles_for
+
+        oracles = _oracles_for("/root/testdata/sf0.01")
+        for name in QUERIES:
+            kind = "sql-oracle" if name in oracles else "rows-only"
+            print(f"{name:34s} {kind}")
+        return 0
+
+    _ray_init(args.num_cpus)
+
+    if args.cmd == "replay":
+        from odibel_ray.cdc.apply import (
+            replay_dataset,
+            replay_dataset_actor,
+            replay_partitioned,
+        )
+
+        if args.mode == "partitioned":
+            ds = replay_partitioned(args.log, history=args.history)
+        elif args.mode == "actor":
+            ds = replay_dataset_actor(args.log, num_buckets=args.num_buckets)
+        else:
+            ds = replay_dataset(
+                args.log, num_buckets=args.num_buckets, salt=args.salt,
+                history=args.history,
+            )
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+
+    if args.cmd == "publish":
+        from odibel_ray.cdc.sink import replay_publish
+
+        res = replay_publish(
+            args.log, args.table, num_buckets=args.num_buckets,
+            partitioned=args.partitioned, run_id=args.run_id,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "incremental":
+        from odibel_ray.cdc.sink import incremental_apply
+
+        res = incremental_apply(args.log, args.table, run_id=args.run_id)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "query":
+        import pyarrow as pa
+
+        from odibel_ray.pipelines.queries import QUERIES
+
+        fn = QUERIES[args.name]
+        res = fn(args.sf_dir)
+        if isinstance(res, pa.Table):
+            rows = res.slice(0, args.limit).to_pylist()
+            n = res.num_rows
+        else:
+            rows = res.take(args.limit)
+            n = res.count()
+        print(json.dumps({"name": args.name, "rows": n, "head": rows}, default=str))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,7 +78,7 @@ def _log_glob(sf_dir: str) -> str:
 
 _TRANSCRIPT_EV_CTE = """
 WITH log AS (
-  SELECT * FROM read_parquet('{glob}', hive_partitioning=1)
+  SELECT * FROM read_parquet('{glob}', hive_partitioning=1) {where}
 ),
 thr AS (
   SELECT part,
@@ -96,14 +96,13 @@ ev AS (
 )
 """
 
-_TRANSCRIPT_FINAL_SQL = (
-    _TRANSCRIPT_EV_CTE
-    + """
+_TRANSCRIPT_FINAL_SELECT = """
 SELECT conv_id, turn_idx, role, text, tool_name, score, ts
 FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ev)
 WHERE rn = 1 AND op <> 'D'
 """
-)
+
+_TRANSCRIPT_FINAL_SQL = _TRANSCRIPT_EV_CTE + _TRANSCRIPT_FINAL_SELECT
 
 _EVENTS_CDC_CTE = """
 WITH ev AS (
@@ -236,6 +235,66 @@ def q_transcript_incremental(sf_dir: str):
     replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=16, run_id="r1")
     incremental_apply(log, out, run_id="r2")
     return read_published(out)
+
+
+def _transcript_max_lsn(sf_dir: str) -> int:
+    import pyarrow.dataset as pads
+
+    log = ensure_transcript_log(sf_dir)
+    t = pads.dataset(log, format="parquet", partitioning="hive").to_table(columns=["lsn"])
+    return int(pc.max(t["lsn"]).as_py())
+
+
+def q_transcript_snapshot(sf_dir: str):
+    """Snapshot-at-LSN time travel: converged state of the first half of the
+    log (schema events clipped at the same LSN)."""
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    cut = math.floor(0.5 * _transcript_max_lsn(sf_dir))
+    return replay_dataset(log, max_lsn=cut)
+
+
+def q_transcript_window_histogram(sf_dir: str):
+    """Version-lifetime histogram over closed history windows (A12 analog,
+    ``eval/OutputEval.scala:85-97``): floor(lsn duration / 16) → count."""
+    from ray.data.aggregate import Count
+
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    hist = replay_dataset(log, history=True)
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        end = t["lsn_end"].to_numpy(zero_copy_only=False)
+        start = t["lsn_start"].to_numpy(zero_copy_only=False)
+        closed = end != INT64_MAX
+        dur = ((end[closed] - start[closed]) // 16).astype(np.int64)
+        return pa.table({"duration_bucket": pa.array(dur)})
+
+    g = hist.map_batches(derive, batch_format="pyarrow").groupby(
+        "duration_bucket"
+    ).aggregate(Count(alias_name="n_windows"))
+    return g
+
+
+def q_events_change_stream(sf_dir: str):
+    """±1 change stream (A6, ``countChangesOverTime``): +1 at each window
+    start, −1 at each close, net count per LSN position."""
+    from odibel_ray.cdc.lww import change_windows
+    from odibel_ray.ops.aggregates import change_stream_counts
+
+    win = change_windows(
+        _events_as_changes(sf_dir).select_columns(
+            ["op", "event_id", "user_id", "event_type", "value"]
+        ),
+        ["user_id", "event_type"],
+        lsn_col="event_id",
+    )
+    return change_stream_counts(
+        win, "lsn_start", "lsn_end", end_sentinel=INT64_MAX, out_bucket="at", out_count="net"
+    )
 
 
 def q_cdc_events_lww(sf_dir: str):
@@ -601,6 +660,9 @@ QUERIES: dict[str, Callable] = {
     "transcript_replay_actor": q_transcript_replay_actor,
     "transcript_replay_salted": q_transcript_replay_salted,
     "transcript_history": q_transcript_history,
+    "transcript_snapshot": q_transcript_snapshot,
+    "transcript_window_histogram": q_transcript_window_histogram,
+    "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
     "transcript_incremental": q_transcript_incremental,
     "cdc_events_lww": q_cdc_events_lww,
@@ -634,9 +696,49 @@ QUERIES: dict[str, Callable] = {
 
 def _oracles_for(sf_dir: str) -> dict[str, str]:
     glob = _log_glob(sf_dir)
-    t_final = _TRANSCRIPT_FINAL_SQL.format(glob=glob)
+    t_final = _TRANSCRIPT_FINAL_SQL.format(glob=glob, where="")
+    snap_where = (
+        "WHERE lsn <= (SELECT CAST(FLOOR(0.5 * max(lsn)) AS BIGINT) "
+        f"FROM read_parquet('{glob}', hive_partitioning=1))"
+    )
+    t_snap = _TRANSCRIPT_FINAL_SQL.format(glob=glob, where=snap_where)
+    _hist_cte = """
+, win AS (
+  SELECT conv_id, turn_idx, role, text, tool_name, score, op,
+         lsn AS lsn_start,
+         coalesce(lead(lsn) OVER w, 9223372036854775807) AS lsn_end,
+         ts AS ts_start,
+         coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 23:59:59') AS ts_end
+  FROM ev WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+)
+"""
+    t_winhist = (
+        _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+        + _hist_cte
+        + """
+SELECT (lsn_end - lsn_start) // 16 AS duration_bucket, count(*) AS n_windows
+FROM win WHERE op <> 'D' AND lsn_end <> 9223372036854775807
+GROUP BY 1
+"""
+    )
+    ev_stream = (
+        _EVENTS_CDC_CTE
+        + """
+, win AS (
+  SELECT user_id, event_type, op, event_id AS lsn_start,
+         coalesce(lead(event_id) OVER (PARTITION BY user_id, event_type ORDER BY event_id),
+                  9223372036854775807) AS lsn_end
+  FROM ev
+), pos AS (
+  SELECT lsn_start AS at, 1 AS s FROM win WHERE op <> 'D'
+  UNION ALL
+  SELECT lsn_end, -1 FROM win WHERE op <> 'D' AND lsn_end <> 9223372036854775807
+)
+SELECT at, CAST(sum(s) AS BIGINT) AS net FROM pos GROUP BY at
+"""
+    )
     t_hist = (
-        _TRANSCRIPT_EV_CTE.format(glob=glob)
+        _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
         + """
 , win AS (
   SELECT conv_id, turn_idx, role, text, tool_name, score, op,
@@ -708,6 +810,9 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
         "transcript_publish_read": t_final,
         "transcript_incremental": t_final,
         "transcript_history": t_hist,
+        "transcript_snapshot": t_snap,
+        "transcript_window_histogram": t_winhist,
+        "events_change_stream": ev_stream,
         "cdc_events_lww": ev_lww,
         "cdc_events_snapshot": ev_snap,
         "cdc_events_windows": ev_win,
@@ -778,7 +883,7 @@ FROM events GROUP BY event_type
 """,
         "doc_token_stats": """
 SELECT lang, count(*) AS n_docs,
-       sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
        round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
 FROM documents GROUP BY lang
 """,
