@@ -145,15 +145,18 @@ def generate_change_log(
     ev_part = conv_part[ev_conv_i]
     ev_role = ROLES[(ev_conv_i + ev_turn) % len(ROLES)]
     version = np.arange(n_ev)
-    conv_pa = pa.array(conv_names[ev_conv_i])
+    # large_string: at bench scale (10^8+ events) the text column exceeds the
+    # 2 GiB int32-offset limit of `string`; per-partition parquet files read
+    # back as plain `string` chunks, so consumers are unaffected.
+    conv_pa = pc.cast(pa.array(conv_names[ev_conv_i]), pa.large_string())
     ev_text = pc.binary_join_element_wise(
-        "text-",
+        pa.scalar("text-", pa.large_string()),
         conv_pa,
-        "-",
-        pc.cast(pa.array(ev_turn, pa.int64()), pa.string()),
-        "-v",
-        pc.cast(pa.array(version, pa.int64()), pa.string()),
-        "",
+        pa.scalar("-", pa.large_string()),
+        pc.cast(pa.array(ev_turn, pa.int64()), pa.large_string()),
+        pa.scalar("-v", pa.large_string()),
+        pc.cast(pa.array(version, pa.int64()), pa.large_string()),
+        pa.scalar("", pa.large_string()),
     )
     tool_val = pa.array(TOOLS[(ev_conv_i * 7 + ev_turn * 3 + version) % len(TOOLS)])
 
@@ -222,10 +225,10 @@ def generate_change_log(
             "lsn": pa.array(
                 (schema_base_lsn[:, None] + np.arange(num_parts)[None, :]).ravel(), pa.int64()
             ),
-            "conv_id": pa.nulls(ns, pa.string()),
+            "conv_id": pa.nulls(ns, pa.large_string()),
             "turn_idx": pa.nulls(ns, pa.int32()),
             "role": pa.nulls(ns, pa.string()),
-            "text": pa.nulls(ns, pa.string()),
+            "text": pa.nulls(ns, pa.large_string()),
             "tool": pa.nulls(ns, pa.string()),
             "tool_name": pa.nulls(ns, pa.string()),
             "score": pa.nulls(ns, pa.float64()),
@@ -263,7 +266,12 @@ def generate_change_log(
         splits = np.linspace(0, n, files_per_part + 1).astype(int)
         for f in range(files_per_part):
             chunk = part_tbl.slice(splits[f], splits[f + 1] - splits[f])
-            pq.write_table(chunk, os.path.join(pdir, f"log-{f:05d}.parquet"))
+            # store_schema=False: don't embed the Arrow schema, so readers get
+            # plain `string` columns back (large_string is a generation-side
+            # detail for >2GiB offset headroom)
+            pq.write_table(
+                chunk, os.path.join(pdir, f"log-{f:05d}.parquet"), store_schema=False
+            )
 
     # sidecar: schema (`S`) events only — the schema-registry channel. Readers
     # use it to build the evolution timeline without scanning the data log

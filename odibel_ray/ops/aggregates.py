@@ -141,10 +141,16 @@ def change_stream_counts(
     out_bucket: str = "at",
     out_count: str = "net",
     batch_size: int = 65536,
+    num_buckets: int = 64,
 ):
     """±1 change stream (A6, ``countChangesOverTime``,
     ``eval/EvalFunctions.scala:129-151``): project (+1 at start) ∪ (−1 at end,
-    skipping open-window sentinels) → groupby position → net count."""
+    skipping open-window sentinels) → net count per position.
+
+    The position key is high-cardinality (≈ one per event), so a direct
+    ``groupby(position)`` would shuffle millions of groups; instead positions
+    hash into ``num_buckets`` shuffle groups and each group aggregates
+    vectorized (``np.unique`` + ``bincount``) — same result, 64-group shuffle."""
 
     def explode(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -152,12 +158,30 @@ def change_stream_counts(
         e = t[end_col].to_numpy(zero_copy_only=False)
         if end_sentinel is not None:
             e = e[e != end_sentinel]
-        pos = np.concatenate([s, e])
+        pos = np.concatenate([s, e]).astype(np.int64)
         sign = np.concatenate(
             [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
         )
-        return pa.table({out_bucket: pa.array(pos), "_sign": pa.array(sign)})
+        # local partial aggregation (combiner): collapse duplicate positions
+        # local partial aggregation (combiner): collapse duplicate positions.
+        # zero-net positions are kept — the oracle GROUP BY emits them too.
+        uniq, inv = np.unique(pos, return_inverse=True)
+        net = np.bincount(inv, weights=sign).astype(np.int64)
+        return pa.table(
+            {
+                out_bucket: pa.array(uniq),
+                "_net": pa.array(net),
+                "_b": pa.array((uniq % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def agg(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        pos = t[out_bucket].to_numpy(zero_copy_only=False)
+        sign = t["_net"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pos, return_inverse=True)
+        net = np.bincount(inv, weights=sign).astype(np.int64)
+        return pa.table({out_bucket: pa.array(uniq), out_count: pa.array(net)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
-    agg = exploded.groupby(out_bucket).sum("_sign")
-    return agg.rename_columns({"sum(_sign)": out_count})
+    return exploded.groupby("_b").map_groups(agg, batch_format="pyarrow")

@@ -31,6 +31,21 @@ def test_actor_pool_applier_matches_oracle(ray_session, small_log, oracle_final)
     assert got.select(oracle_final.column_names).equals(oracle_final)
 
 
+def test_incremental_on_partitioned_base(ray_session, small_log, oracle_final, tmp_path):
+    """Partitioned publish of a 60% LSN prefix, then watermark-filtered
+    incremental apply of the full log — must equal a from-scratch replay."""
+    from odibel_ray.cdc import incremental_apply
+    from odibel_ray.datagen import split_log
+
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    out = str(tmp_path / "tbl")
+    replay_publish(os.path.join(prefix, "change_log"), out, partitioned=True, run_id="r1")
+    res = incremental_apply(small_log["log_dir"], out, run_id="r2")
+    assert res["touched"] > 0
+    assert collect_sorted(read_published(out), KEYS).equals(oracle_final)
+
+
 def test_partitioned_publish_and_resume(ray_session, small_log, oracle_final, tmp_path):
     out = str(tmp_path / "tbl")
     res = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="p1")
