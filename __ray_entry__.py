@@ -30,16 +30,26 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from odibel_ray.pipelines.queries import QUERIES, ensure_transcript_log
+    from odibel_ray.pipelines.queries import (
+        QUERIES,
+        _ensure_rdf_corpus,
+        ensure_transcript_log,
+    )
 
-    # the transcript log must exist before the driver runs the matching oracle
-    # SQL (which reads it from /tmp); generation is cheap and idempotent.
+    # the synthetic inputs must exist before the driver runs the matching
+    # oracle SQL (which reads them from /tmp); generation is cheap + idempotent.
     ensure_transcript_log(_DRIVER_SF)
+    _ensure_rdf_corpus(_DRIVER_SF)
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from odibel_ray.pipelines.queries import ORACLES, ensure_transcript_log
+    from odibel_ray.pipelines.queries import (
+        ORACLES,
+        _ensure_rdf_corpus,
+        ensure_transcript_log,
+    )
 
     ensure_transcript_log(_DRIVER_SF)
+    _ensure_rdf_corpus(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

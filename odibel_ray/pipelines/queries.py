@@ -649,6 +649,66 @@ def q_embedding_label_centroids(sf_dir: str):
     return _round_cols(g, {"avg_c0": 6})
 
 
+# ---------------------------------------------------------------------------
+# RDF corpus (rDF2 operator surface) — deterministic .nt + parquet twin
+# ---------------------------------------------------------------------------
+
+
+def _ensure_rdf_corpus(sf_dir: str) -> dict:
+    import json as _json
+
+    from odibel_ray.rdf import generate_nt_corpus
+
+    name = _sf_name(sf_dir)
+    out = os.path.join(CACHE_ROOT, name + "_rdf")
+    marker = os.path.join(out, "_params.json")
+    n = max(300, int(50000 * float(name.replace("sf", "") or 0.001)))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = _json.load(f)
+        if meta.get("n") == n:
+            return meta
+    info = generate_nt_corpus(out, n_entities=n)
+    meta = {**info, "n": n}
+    with open(marker, "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def _rdf_pq(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_rdf", "triples.parquet")
+
+
+def q_rdf_parse(sf_dir: str):
+    from odibel_ray.rdf import read_ntriples
+
+    return read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"])
+
+
+def q_rdf_filter_by_type(sf_dir: str):
+    from odibel_ray.rdf import filter_by_subject_types, read_ntriples
+
+    ds = read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"])
+    return filter_by_subject_types(
+        ds, ["<http://ex.org/class/C0>", "<http://ex.org/class/C1>"]
+    )
+
+
+def q_rdf_clean_types(sf_dir: str):
+    from odibel_ray.rdf import clean_rdf_types, read_ntriples
+
+    ds = read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"])
+    return clean_rdf_types(
+        ds, [f"<http://ex.org/class/C{i}>" for i in range(3)]
+    )
+
+
+def q_rdf_schema_graph(sf_dir: str):
+    from odibel_ray.rdf import read_ntriples, schema_graph
+
+    return schema_graph(read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"]))
+
+
 # ===========================================================================
 # registry + oracles
 # ===========================================================================
@@ -691,6 +751,10 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "rdf_parse": q_rdf_parse,
+    "rdf_filter_by_type": q_rdf_filter_by_type,
+    "rdf_clean_types": q_rdf_clean_types,
+    "rdf_schema_graph": q_rdf_schema_graph,
 }
 
 
@@ -801,7 +865,35 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
    OR (s.value IS DISTINCT FROM f.value)
 """
     )
+    rdf_pq = _rdf_pq(sf_dir)
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rdf_sqls = {
+        "rdf_parse": f"SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')",
+        "rdf_filter_by_type": f"""
+SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')
+WHERE s IN (SELECT s FROM read_parquet('{rdf_pq}')
+            WHERE p = '{rdf_type}'
+              AND o IN ('<http://ex.org/class/C0>', '<http://ex.org/class/C1>'))
+""",
+        "rdf_clean_types": f"""
+SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')
+WHERE p <> '{rdf_type}'
+   OR o IN ('<http://ex.org/class/C0>', '<http://ex.org/class/C1>', '<http://ex.org/class/C2>')
+""",
+        "rdf_schema_graph": f"""
+WITH tr AS (SELECT * FROM read_parquet('{rdf_pq}')),
+ty AS (SELECT s, min(o) AS t FROM tr WHERE p = '{rdf_type}' GROUP BY s)
+SELECT coalesce(ts.t, 'Untyped') AS SourceType, d.p AS Relation,
+       CASE WHEN d.isLiteral THEN 'Literal' ELSE coalesce(tob.t, 'Untyped') END AS TargetType,
+       count(*) AS n
+FROM (SELECT * FROM tr WHERE p <> '{rdf_type}') d
+LEFT JOIN ty ts ON d.s = ts.s
+LEFT JOIN ty tob ON d.o = tob.s
+GROUP BY 1, 2, 3
+""",
+    }
     return {
+        **rdf_sqls,
         "transcript_replay": t_final,
         "transcript_replay_bucketed": t_final,
         "transcript_replay_partitioned": t_final,

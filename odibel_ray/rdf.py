@@ -1,0 +1,235 @@
+"""RDF triple-table operations — the reference's ``rDF2`` Python operator
+surface (``/root/reference/src/pyodibel/operations/rdf/rdf2.py``) rebuilt on
+Ray Data.
+
+Table model: fixed validated schema ``{s, p, o, isLiteral}``
+(``rdf2.py:30-43``); violation raises at pipeline boundaries. N-Triples
+parsing/serialization follows ``rdf2.py:46-67 / 93-102``: drop comments, blank
+and malformed lines; a literal object is anything that doesn't start with
+``<``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+RDF_SCHEMA = pa.schema(
+    [
+        ("s", pa.string()),
+        ("p", pa.string()),
+        ("o", pa.string()),
+        ("isLiteral", pa.bool_()),
+    ]
+)
+
+
+def validate_rdf(t: pa.Table) -> pa.Table:
+    """Schema gate (``rdf2._validate`` analog, ``rdf2.py:30-43``)."""
+    if set(t.column_names) != set(RDF_SCHEMA.names):
+        raise ValueError(f"not an rDF table: {t.column_names}")
+    return t.select(RDF_SCHEMA.names)
+
+
+def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
+    """One NT line → (s, p, o, isLiteral); comments/blank/malformed dropped
+    (``rdf2.py:46-67``). Vectorized: split on first two spaces, strip the
+    trailing `` .``."""
+    t = t.combine_chunks()
+    lines = pc.utf8_trim_whitespace(t[line_col])
+    ok = pc.and_(
+        pc.invert(pc.starts_with(lines, "#")),
+        pc.greater(pc.utf8_length(lines), 6),
+    )
+    lines = lines.filter(pc.fill_null(ok, False))
+    parts = pc.split_pattern(lines, pattern=" ", max_splits=2)
+    good = pc.equal(pc.list_value_length(parts), 3)
+    parts = parts.filter(good)
+    s = pc.list_element(parts, 0)
+    p = pc.list_element(parts, 1)
+    rest = pc.list_element(parts, 2)
+    # strip the trailing " ." terminator
+    o = pc.replace_substring_regex(rest, pattern=r"\s*\.\s*$", replacement="")
+    is_lit = pc.invert(pc.starts_with(o, "<"))
+    out = pa.table({"s": s, "p": p, "o": o, "isLiteral": is_lit})
+    # malformed: any null or empty component
+    mask = pc.and_(
+        pc.and_(pc.greater(pc.utf8_length(s), 0), pc.greater(pc.utf8_length(p), 0)),
+        pc.greater(pc.utf8_length(o), 0),
+    )
+    return validate_rdf(out.filter(pc.fill_null(mask, False)))
+
+
+def read_ntriples(path: str) -> "ray.data.Dataset":
+    """S9: ``read_text`` → vectorized parse."""
+    import ray.data as rd
+
+    return rd.read_text(path).map_batches(parse_ntriples_batch, batch_format="pyarrow")
+
+
+def serialize_ntriples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """S10: (s,p,o) → one NT line per row (``concat_ws`` analog)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = validate_rdf(t.combine_chunks())
+        line = pc.binary_join_element_wise(t["s"], t["p"], t["o"], pa.scalar(" ."), " ")
+        return pa.table({"line": line})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_by_subject_types(
+    ds: "ray.data.Dataset", type_iris: Sequence[str]
+) -> "ray.data.Dataset":
+    """J1 semi-join: keep all triples whose subject has one of the given rdf
+    types (``filter_triples_by_s_types``, ``rdf2.py:105-137``)."""
+    from odibel_ray.ops.relational import broadcast_semi_join
+
+    typed = ds.filter(expr=f"p == '{RDF_TYPE}'")
+
+    def keep_types(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.filter(pc.is_in(t["o"], value_set=pa.array(list(type_iris))))
+
+    subjects = typed.map_batches(keep_types, batch_format="pyarrow").select_columns(["s"])
+    return broadcast_semi_join(ds, subjects, "s")
+
+
+def keep_triples_with_object_subject(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """J2: keep literal triples, type edges, and triples whose object is
+    itself a known subject (``rdf2.py:139-156``)."""
+    from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+
+    subjects = _small_table(ds.select_columns(["s"]))
+    ref = _broadcast(pc.unique(subjects["s"]))
+
+    def f(t: pa.Table, subj) -> pa.Table:
+        subj = _deref(subj)
+        t = t.combine_chunks()
+        keep = pc.or_(
+            pc.or_(t["isLiteral"], pc.equal(t["p"], RDF_TYPE)),
+            pc.is_in(t["o"], value_set=subj),
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(f, fn_args=[ref], batch_format="pyarrow")
+
+
+def clean_rdf_types(ds: "ray.data.Dataset", allowlist: Sequence[str]) -> "ray.data.Dataset":
+    """M17: drop type edges not in the allowlist, keep all non-type triples
+    (two filters + union, ``rdf2.py:159-170``)."""
+    non_type = ds.filter(expr=f"p != '{RDF_TYPE}'")
+
+    def keep_allowed(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pc.and_(
+            pc.equal(t["p"], RDF_TYPE),
+            pc.is_in(t["o"], value_set=pa.array(list(allowlist))),
+        )
+        return t.filter(pc.fill_null(m, False))
+
+    allowed_types = ds.map_batches(keep_allowed, batch_format="pyarrow")
+    return non_type.union(allowed_types)
+
+
+def schema_graph(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A16 (``rdf2.py:548-600``): type data edges by subject and object type
+    (left joins + coalesce 'Untyped') → groupby (SourceType, Relation,
+    TargetType) count."""
+    from ray.data.aggregate import Count
+
+    from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+
+    types_t = _small_table(
+        ds.filter(expr=f"p == '{RDF_TYPE}'").select_columns(["s", "o"])
+    )
+    # subject -> first type (deterministic: lexicographically smallest)
+    t_sorted = types_t.take(
+        pc.sort_indices(types_t, sort_keys=[("s", "ascending"), ("o", "ascending")])
+    )
+    s_np = t_sorted["s"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(s_np), dtype=bool)
+    first[1:] = s_np[1:] != s_np[:-1]
+    lookup = dict(
+        zip(s_np[first].tolist(), t_sorted["o"].to_numpy(zero_copy_only=False)[first].tolist())
+    )
+    ref = _broadcast(lookup)
+
+    def tag(t: pa.Table, lut) -> pa.Table:
+        lut = _deref(lut)
+        t = t.combine_chunks()
+        t = t.filter(pc.not_equal(t["p"], RDF_TYPE))
+        s = t["s"].to_pylist()
+        o = t["o"].to_pylist()
+        lit = t["isLiteral"].to_numpy(zero_copy_only=False)
+        src = np.array([lut.get(x, "Untyped") for x in s], dtype=object)
+        tgt = np.array(
+            ["Literal" if l else lut.get(x, "Untyped") for x, l in zip(o, lit)],
+            dtype=object,
+        )
+        return pa.table(
+            {
+                "SourceType": pa.array(src, pa.string()),
+                "Relation": t["p"],
+                "TargetType": pa.array(tgt, pa.string()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, fn_args=[ref], batch_format="pyarrow")
+    return tagged.groupby(["SourceType", "Relation", "TargetType"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic NT corpus generator (writes BOTH .nt text and the equivalent
+# parquet triple table, so DuckDB can oracle the parsed result)
+# ---------------------------------------------------------------------------
+
+
+def generate_nt_corpus(out_dir: str, n_entities: int = 500, seed: int = 31) -> dict:
+    import os
+
+    rng = np.random.default_rng(seed)
+    types = [f"<http://ex.org/class/C{i}>" for i in range(6)]
+    rels = [f"<http://ex.org/rel/r{i}>" for i in range(8)]
+    rows = []
+    for e in range(n_entities):
+        s = f"<http://ex.org/e{e}>"
+        rows.append((s, RDF_TYPE, types[e % len(types)], False))
+        for k in range(int(rng.integers(1, 5))):
+            r = rels[int(rng.integers(len(rels)))]
+            if rng.random() < 0.4:
+                rows.append((s, r, f'"lit-{e}-{k}"', True))
+            else:
+                o = f"<http://ex.org/e{int(rng.integers(n_entities * 2))}>"
+                rows.append((s, r, o, False))
+    tbl = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows]),
+            "p": pa.array([r[1] for r in rows]),
+            "o": pa.array([r[2] for r in rows]),
+            "isLiteral": pa.array([r[3] for r in rows]),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    nt_path = os.path.join(out_dir, "triples.nt")
+    with open(nt_path, "w") as f:
+        f.write("# deterministic NT corpus\n")
+        for s, p, o, _ in rows:
+            f.write(f"{s} {p} {o} .\n")
+        f.write("\n")  # blank line: must be skipped by the parser
+        f.write("malformed_line_without_spaces\n")
+    import pyarrow.parquet as pq
+
+    pq_path = os.path.join(out_dir, "triples.parquet")
+    pq.write_table(tbl, pq_path)
+    return {"nt": nt_path, "parquet": pq_path, "n_triples": len(tbl)}

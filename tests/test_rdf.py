@@ -1,0 +1,54 @@
+"""rDF2 operator surface: NT parse/serialize roundtrip, semi-joins, schema graph."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from odibel_ray.rdf import generate_nt_corpus
+
+    return generate_nt_corpus(str(tmp_path_factory.mktemp("rdf")), n_entities=120)
+
+
+def test_parse_drops_malformed(ray_session, corpus):
+    from odibel_ray.rdf import read_ntriples
+
+    ds = read_ntriples(corpus["nt"])
+    assert ds.count() == corpus["n_triples"]  # comment/blank/malformed dropped
+
+
+def test_serialize_roundtrip(ray_session, corpus):
+    import ray
+
+    from odibel_ray.rdf import parse_ntriples_batch, read_ntriples, serialize_ntriples
+
+    ds = read_ntriples(corpus["nt"])
+    lines = serialize_ntriples(ds)
+    reparsed = lines.map_batches(
+        lambda t: parse_ntriples_batch(t, line_col="line"), batch_format="pyarrow"
+    )
+    a = sorted(tuple(r.values()) for r in ds.take_all())
+    b = sorted(tuple(r.values()) for r in reparsed.take_all())
+    assert a == b
+
+
+def test_object_subject_filter(ray_session, corpus):
+    from odibel_ray.rdf import RDF_TYPE, keep_triples_with_object_subject, read_ntriples
+
+    ds = read_ntriples(corpus["nt"])
+    kept = keep_triples_with_object_subject(ds)
+    rows = kept.take_all()
+    subjects = {r["s"] for r in ds.take_all()}
+    for r in rows:
+        assert r["isLiteral"] or r["p"] == RDF_TYPE or r["o"] in subjects
+    assert 0 < len(rows) <= ds.count()
+
+
+def test_schema_graph_totals(ray_session, corpus):
+    from odibel_ray.rdf import RDF_TYPE, read_ntriples, schema_graph
+
+    ds = read_ntriples(corpus["nt"])
+    sg = schema_graph(ds)
+    n_data = ds.filter(expr=f"p != '{RDF_TYPE}'").count()
+    assert sum(r["n"] for r in sg.take_all()) == n_data
