@@ -492,6 +492,33 @@ def q_event_value_stats(sf_dir: str):
     return group_stats(ev, ["event_type"], "value")
 
 
+def q_events_props_stats(sf_dir: str):
+    """JSON payload decode (§2.8 upickle analog): extract ``k`` from the
+    ``props`` JSON column (vectorized regex) → per-type stats."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    g = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Mean("k", alias_name="avg_k"),
+        )
+    )
+    return _round_cols(g, {"avg_k": 6})
+
+
 def q_doc_token_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean, Sum
 
@@ -741,6 +768,7 @@ QUERIES: dict[str, Callable] = {
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
     "event_value_stats": q_event_value_stats,
+    "events_props_stats": q_events_props_stats,
     "doc_token_stats": q_doc_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_quality": q_doc_quality,
@@ -971,6 +999,12 @@ SELECT event_type, count(value) AS n,
        round(quantile_cont(value, 0.25), 6) AS q25,
        round(quantile_cont(value, 0.5), 6) AS q50,
        round(quantile_cont(value, 0.75), 6) AS q75
+FROM events GROUP BY event_type
+""",
+        "events_props_stats": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events GROUP BY event_type
 """,
         "doc_token_stats": """

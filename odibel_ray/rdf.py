@@ -189,6 +189,37 @@ def schema_graph(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def history_to_quads(history: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M9 flat-map serializer (``SerUtil.buildQuads``, ``SerUtil.scala:27-40``):
+    one converged-history row → 3 quad lines (value, window-start, window-end)
+    in a deterministic named graph minted from the key hash — never from
+    wall-clock ids (the ``System.nanoTime()`` anti-pattern at
+    ``CSVToRDFReification.scala:98`` breaks idempotent retries)."""
+    import pandas as pd
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+        g = pd.util.hash_array(
+            np.char.add(conv.astype(str), turn.astype(str)).astype(object),
+            categorize=False,
+        )
+        n = len(t)
+        graph = np.array([f"<urn:g:{x:016x}>" for x in g], dtype=object)
+        subj = np.array([f"<urn:turn:{c}:{x}>" for c, x in zip(conv, turn)], dtype=object)
+        text = t["text"].to_numpy(zero_copy_only=False)
+        ls = t["lsn_start"].to_numpy(zero_copy_only=False)
+        le = t["lsn_end"].to_numpy(zero_copy_only=False)
+        lines = np.empty(3 * n, dtype=object)
+        lines[0::3] = [f'{s} <urn:p:text> "{v}" {gr} .' for s, v, gr in zip(subj, text, graph)]
+        lines[1::3] = [f"{s} <urn:p:from> {v} {gr} ." for s, v, gr in zip(subj, ls, graph)]
+        lines[2::3] = [f"{s} <urn:p:until> {v} {gr} ." for s, v, gr in zip(subj, le, graph)]
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    return history.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deterministic NT corpus generator (writes BOTH .nt text and the equivalent
 # parquet triple table, so DuckDB can oracle the parsed result)

@@ -52,3 +52,17 @@ def test_schema_graph_totals(ray_session, corpus):
     sg = schema_graph(ds)
     n_data = ds.filter(expr=f"p != '{RDF_TYPE}'").count()
     assert sum(r["n"] for r in sg.take_all()) == n_data
+
+
+def test_history_to_quads(ray_session, small_log):
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.rdf import history_to_quads
+
+    hist = replay_dataset(small_log["log_dir"], history=True)
+    n_hist = hist.count()
+    quads = history_to_quads(replay_dataset(small_log["log_dir"], history=True))
+    lines = quads.take_all()
+    assert len(lines) == 3 * n_hist
+    # deterministic graph ids: rerun produces the identical multiset
+    again = history_to_quads(replay_dataset(small_log["log_dir"], history=True)).take_all()
+    assert sorted(l["line"] for l in lines) == sorted(l["line"] for l in again)
