@@ -168,6 +168,88 @@ def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int = 4, batch
 
 
 # ---------------------------------------------------------------------------
+# template / tool-call extraction (M11 analog)
+# ---------------------------------------------------------------------------
+
+
+class TemplateExtractor:
+    """Actor-pool stage: extract ``{{name|arg|...}}`` template usages from a
+    text column (the reference's wikitext template parser,
+    ``utils/WikiTextParser.scala:12-62``, re-read as tool-call extraction from
+    transcript turns). The regex is compiled once per actor; nested braces are
+    handled by a brace-depth scan only on rows that contain ``{{`` at all
+    (cheap vectorized prefilter)."""
+
+    import re as _re
+
+    def __init__(self, prefix: str = ""):
+        import re
+
+        self.prefix = prefix
+        self.open_pat = re.compile(r"\{\{")
+
+    def _extract(self, s: str) -> list[str]:
+        out = []
+        i = 0
+        n = len(s)
+        while True:
+            start = s.find("{{", i)
+            if start < 0:
+                break
+            depth = 0
+            j = start
+            while j < n - 1:
+                if s[j] == "{" and s[j + 1] == "{":
+                    depth += 1
+                    j += 2
+                elif s[j] == "}" and s[j + 1] == "}":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            if depth != 0:
+                break
+            body = s[start + 2 : j - 2]
+            if body.startswith(self.prefix):
+                out.append(body)
+            i = j
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        has = pc.match_substring(t["text"], "{{").to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        ids, names, bodies = [], [], []
+        key = t.column_names[0]
+        keys = t[key].to_pylist()
+        for k, s, h in zip(keys, texts, has):
+            if not h or not s:
+                continue
+            for body in self._extract(s):
+                ids.append(k)
+                names.append(body.split("|", 1)[0].strip())
+                bodies.append(body)
+        return pa.table(
+            {
+                key: pa.array(ids),
+                "template_name": pa.array(names, pa.string()),
+                "template_body": pa.array(bodies, pa.string()),
+            }
+        )
+
+
+def extract_templates(ds: "ray.data.Dataset", prefix: str = "", *,
+                      concurrency: int = 2, batch_size: int = 8192):
+    """1 row → k template rows (``flat_map`` shape) via an actor pool."""
+    return ds.map_batches(
+        TemplateExtractor, fn_constructor_kwargs={"prefix": prefix},
+        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting — 64-bit content hash (rolling polynomial)
 # ---------------------------------------------------------------------------
 

@@ -193,3 +193,30 @@ def test_ivf_topk_recall(ray_session):
     approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf_topk(SF).take_all()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_template_extraction(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.text import extract_templates
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "call {{search|query=cats}} then {{python|print(1)}}",
+                "nested {{outer|{{inner|x}}|y}} here",
+                "no templates at all",
+                "unclosed {{broken|",
+            ],
+        }
+    )
+    rows = extract_templates(rd.from_arrow(tbl)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["template_name"])
+    assert by_doc[1] == ["search", "python"]
+    assert by_doc[2] == ["outer"]
+    assert 3 not in by_doc and 4 not in by_doc
+    pref = extract_templates(rd.from_arrow(tbl), prefix="sea").take_all()
+    assert [r["template_name"] for r in pref] == ["search"]
