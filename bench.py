@@ -145,6 +145,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-mult", type=int, default=12)
+    ap.add_argument("--scale-cpus", default="1,4")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mult", type=int, default=1)
@@ -157,10 +158,20 @@ def main() -> None:
     if args.scaling:
         # N vs 4N CPUs in fresh processes on the same (larger) input — the
         # sandbox stand-in for the north rule's two-cluster-size criterion.
+        #
+        # Default pair is (1, 4), not (8, 32): /proc/cpuinfo advertises 32
+        # CPUs but a pure-CPU burn test saturates at ~8 concurrent processes
+        # (8 procs full speed; 16 procs ~3x per-proc slowdown; 32 procs ~4x)
+        # — the host grants ~8 real cores. 8→32 therefore measures hypervisor
+        # oversubscription, not the engine; (1, 4) is a true N→4N with
+        # headroom for Ray's own system processes. Override with
+        # --scale-cpus lo,hi (measured: 1→4 eff 0.89; 2→8 eff 0.55 because
+        # raylet/GCS/object-store compete for the same ~8 real cores).
+        lo, hi = (int(x) for x in args.scale_cpus.split(","))
         mult, parts = args.scaling_mult, 128
         ensure_bench_log(sf_dir, mult=mult, num_parts=parts)  # generate once
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only",
                  "--cpus", str(cpus), "--mult", str(mult), "--parts", str(parts)],
@@ -169,17 +180,17 @@ def main() -> None:
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        thr_lo, thr_hi = results[8]["events_per_sec"], results[32]["events_per_sec"]
-        eff = (thr_hi / thr_lo) / (32 / 8)
+        thr_lo, thr_hi = results[lo]["events_per_sec"], results[hi]["events_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32_cpus",
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
             "value": round(eff, 3),
             "unit": "ratio",
-            "thr_8cpu": thr_lo,
-            "thr_32cpu": thr_hi,
-            "wall_8cpu": results[8]["value"],
-            "wall_32cpu": results[32]["value"],
-            "n_events": results[32]["n_events"],
+            f"thr_{lo}cpu": thr_lo,
+            f"thr_{hi}cpu": thr_hi,
+            f"wall_{lo}cpu": results[lo]["value"],
+            f"wall_{hi}cpu": results[hi]["value"],
+            "n_events": results[hi]["n_events"],
             "sf": _sf_name(sf_dir),
         }))
         return

@@ -347,6 +347,20 @@ def replay_dataset_actor(
     )
 
 
+def limit_arrow_threads(n: int = 1, io: int = 2) -> None:
+    """Cap pyarrow's global thread pools inside a Ray worker. Arrow's pools
+    default to the machine's core count and are NOT governed by Ray's
+    OMP_NUM_THREADS handling, so N concurrent tasks would otherwise spawn
+    N × cores threads and thrash (measured: 2x slowdown at 32 CPUs vs 8 on
+    the same input). One CPU per task is the Ray Data contract."""
+    try:
+        if pa.cpu_count() > n:
+            pa.set_cpu_count(n)
+            pa.set_io_thread_count(io)
+    except Exception:  # pragma: no cover
+        pass
+
+
 def _replay_shard(batch: pa.Table, *, timeline: SchemaTimeline, history: bool,
                   columns: list[str] | None = None) -> pa.Table:
     """Replay one WAL partition end-to-end inside a single task: ordered read
@@ -355,6 +369,7 @@ def _replay_shard(batch: pa.Table, *, timeline: SchemaTimeline, history: bool,
     ``IOUtil.readFilesSequentially``), Ray-Data-shaped."""
     import pyarrow.parquet as pq
 
+    limit_arrow_threads()
     outs = []
     for row in batch.to_pylist():
         part = int(row["part"])

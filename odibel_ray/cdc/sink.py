@@ -179,8 +179,10 @@ def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: st
     :func:`odibel_ray.cdc.apply.replay_partitioned`."""
     import pyarrow.parquet as pq_
 
+    from odibel_ray.cdc.apply import limit_arrow_threads
     from odibel_ray.cdc.apply import prepare_events as _prep
 
+    limit_arrow_threads()
     outs = []
     for row in batch.to_pylist():
         part = int(row["part"])
