@@ -106,8 +106,14 @@ def run_headline(sf_dir: str, num_cpus: int, *, mult: int = 1,
 
     out_dir = os.path.join(BENCH_CACHE, _sf_name(sf_dir) + f"_out_{num_cpus}")
     shutil.rmtree(out_dir, ignore_errors=True)
+    # size per-task cpus so concurrent shard tasks == real parallel capacity
+    # (the host advertises more logical CPUs than it can actually run; see
+    # BASELINE.md hardware note). On honest hardware this stays 1.
+    effective = int(os.environ.get("ODIBEL_EFFECTIVE_CORES", "8"))
+    task_cpus = max(1, num_cpus // effective)
     t0 = time.time()
-    res = replay_publish(log_dir, out_dir, partitioned=True, run_id="bench")
+    res = replay_publish(log_dir, out_dir, partitioned=True, run_id="bench",
+                         task_cpus=task_cpus)
     wall = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
     return {

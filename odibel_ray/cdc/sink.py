@@ -210,6 +210,7 @@ def replay_publish(
     precompact: bool = True,
     batch_size: int = 65536,
     partitioned: bool = False,
+    task_cpus: float = 1,
 ) -> dict:
     """Full replay with the exactly-once sink. Resumable: already-published
     buckets (valid manifest + audited file) are filtered out *before* the
@@ -238,11 +239,15 @@ def replay_publish(
             files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
             items.append({"part": part, "files": files})
         shard_ds = rd.from_items(items, override_num_blocks=len(items))
+        # task_cpus sizes per-stage concurrency (session cpus / task_cpus
+        # concurrent shard tasks) — raise it when logical CPUs exceed the
+        # node's real parallel capacity so tasks don't thrash.
         manifest_ds = shard_ds.map_batches(
             partial(_shard_apply_write, timeline=timeline, staging=staging,
                     run_id=run_id, done=frozenset(done)),
             batch_format="pyarrow",
             batch_size=1,
+            num_cpus=task_cpus,
         )
         published = _publish_stream(manifest_ds, out_dir)
         all_manifests = load_manifests(out_dir)
