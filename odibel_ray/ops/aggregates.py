@@ -132,6 +132,50 @@ def group_stats(
     )
 
 
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    *,
+    nbins: int = 8192,
+    batch_size: int = 65536,
+) -> dict[float, float]:
+    """Mergeable approximate quantiles (``percentile_approx`` analog, A7/A8)
+    via a fixed-width binned histogram sketch: pass 1 = streaming min/max
+    aggregate; pass 2 = one 8k-int histogram per block (vectorized
+    ``np.bincount``), merged on the driver (metadata-scale: #blocks × 64 KiB).
+    Error bound: (max − min) / nbins per quantile. Fully streaming — no
+    per-group materialization, unlike the exact ``group_stats`` kernel."""
+    import ray.data as rd  # noqa: F401
+
+    lo = ds.min(col)
+    hi = ds.max(col)
+    if lo is None or hi is None or hi <= lo:
+        return {q: float(lo if lo is not None else np.nan) for q in qs}
+    width = (hi - lo) / nbins
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+        h = np.bincount(bins, minlength=nbins).astype(np.int64)
+        return pa.table({"h": pa.array([h])})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow", batch_size=batch_size).take_all()
+    total = np.sum([np.asarray(p["h"]) for p in parts], axis=0)
+    cum = np.cumsum(total)
+    n = cum[-1]
+    out = {}
+    for q in qs:
+        target = q * n
+        idx = min(int(np.searchsorted(cum, target)), nbins - 1)
+        prev = cum[idx - 1] if idx > 0 else 0
+        in_bin = total[idx]
+        frac = (target - prev) / in_bin if in_bin > 0 else 0.5
+        out[q] = float(lo + (idx + min(max(frac, 0.0), 1.0)) * width)
+    return out
+
+
 def change_stream_counts(
     ds: "ray.data.Dataset",
     start_col: str,

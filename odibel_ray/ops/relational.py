@@ -215,6 +215,46 @@ def deterministic_sample(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def rarity_first_sample(
+    ds: "ray.data.Dataset",
+    type_col: str,
+    key_col: str,
+    per_type: int,
+    *,
+    max_types: int | None = None,
+) -> "ray.data.Dataset":
+    """O7 rarity-first iterative type-target sampling (``rdf2.py:259-392``):
+    iterate types by ascending frequency; for each, take up to ``per_type``
+    keys not already selected (anti-join against the selection), preferring
+    the deterministic smallest keys. Driver loop over the (small) type list;
+    each iteration is a Dataset filter + anti-join + top-k."""
+    import ray.data as rd
+
+    freq = sorted(
+        ((r[type_col], r["n"]) for r in _group_count(ds, type_col).take_all()),
+        key=lambda x: (x[1], str(x[0])),
+    )
+    if max_types:
+        freq = freq[:max_types]
+    selected: set = set()
+    picks = []
+    for tval, _ in freq:
+        cand = ds.filter(expr=f"{type_col} == {tval!r}")
+        rows = sorted(
+            (r[key_col] for r in cand.select_columns([key_col]).take_all()
+             if r[key_col] not in selected)
+        )[:per_type]
+        selected.update(rows)
+        picks.extend({type_col: tval, key_col: k} for k in rows)
+    return rd.from_items(picks) if picks else rd.from_items([])
+
+
+def _group_count(ds, key):
+    from ray.data.aggregate import Count
+
+    return ds.groupby(key).aggregate(Count(alias_name="n"))
+
+
 def topk(
     ds: "ray.data.Dataset",
     key: str,

@@ -106,3 +106,39 @@ def test_count_distinct(ray_session):
     orders = load_table(SF, "orders", ["o_custkey"])
     got = count_distinct(orders, ["o_custkey"]).take_all()[0]["n"]
     assert got == int(_sql("SELECT count(DISTINCT o_custkey) n FROM orders")["n"][0])
+
+
+def test_approx_quantiles_vs_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from odibel_ray.ops.aggregates import approx_quantiles
+    from odibel_ray.ops import load_table
+
+    ev = load_table(SF, "events", ["value"])
+    got = approx_quantiles(ev, "value", (0.25, 0.5, 0.75, 0.99), nbins=8192)
+    v = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    lo, hi = v.min(), v.max()
+    # duplicate-heavy data (2-decimal values) concentrates mass at bin
+    # edges; rank error stays <=1 bin but value error can span a few bins
+    tol = (hi - lo) / 8192 * 4
+    for q, est in got.items():
+        exact = np.quantile(v, q)
+        assert abs(est - exact) <= tol, (q, est, exact)
+
+
+def test_rarity_first_sample(ray_session):
+    from odibel_ray.ops import load_table
+    from odibel_ray.ops.relational import rarity_first_sample
+
+    docs = load_table(SF, "documents", ["doc_id", "lang"])
+    res = rarity_first_sample(docs, "lang", "doc_id", per_type=3).take_all()
+    by_lang = {}
+    for r in res:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by_lang.items() and by_lang.values())
+    ids = [r["doc_id"] for r in res]
+    assert len(ids) == len(set(ids))  # no key selected twice
+    # deterministic
+    res2 = rarity_first_sample(docs, "lang", "doc_id", per_type=3).take_all()
+    assert sorted(map(tuple, (r.values() for r in res))) == sorted(map(tuple, (r.values() for r in res2)))

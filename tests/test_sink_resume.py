@@ -107,3 +107,46 @@ def test_kill_resume_exactly_once(ray_session, small_log, oracle_final, tmp_path
     # previously published buckets were reused, not rewritten
     for b, mt in before_mtimes.items():
         assert os.path.getmtime(os.path.join(mdir, f"bucket-{b:06d}.json")) == mt
+
+
+KILL_SCRIPT_PARTITIONED = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from odibel_ray.cdc import replay_publish
+replay_publish(sys.argv[1], sys.argv[2], partitioned=True, run_id="victim")
+"""
+
+
+def test_kill_resume_partitioned_sink(ray_session, small_log, oracle_final, tmp_path):
+    """SIGKILL the shuffle-free partitioned publish mid-stream; resume must
+    converge and republish only missing partitions."""
+    out = str(tmp_path / "tbl")
+    env = dict(os.environ, ODIBEL_TEST_APPLY_DELAY="0.6",
+               ODIBEL_TEST_PUBLISH_DELAY="1.5", RAY_ADDRESS="local",
+               PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", KILL_SCRIPT_PARTITIONED, small_log["log_dir"], out],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    mdir = os.path.join(out, MANIFEST_DIR)
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if os.path.isdir(mdir) and len(load_manifests(out)) >= 1:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is None, "victim finished before we could kill it"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    done_before = set(load_manifests(out))
+    assert 1 <= len(done_before) < small_log["num_parts"], f"partial expected, got {len(done_before)}"
+
+    res = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="resume")
+    assert res["published_now"] == small_log["num_parts"] - len(done_before)
+    assert _published_table(out).equals(oracle_final)

@@ -220,3 +220,34 @@ def test_template_extraction(ray_session):
     assert 3 not in by_doc and 4 not in by_doc
     pref = extract_templates(rd.from_arrow(tbl), prefix="sea").take_all()
     assert [r["template_name"] for r in pref] == ["search"]
+
+
+def test_enrichment_retry_and_skip_semantics(ray_session):
+    """S12/T3 analog: transient failures recovered by retry; permanent
+    failures skipped (never deleted); deterministic across runs."""
+    import ray.data as rd
+
+    from odibel_ray.enrich import LocalExtractor, enrich_turns
+
+    n = 400
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 40}" for i in range(n)]),
+            "turn_idx": pa.array([i // 40 for i in range(n)], pa.int64()),
+            "text": pa.array([f"tok{i} a b c" for i in range(n)]),
+        }
+    )
+    # expected permanent-failure keys from the same deterministic bands
+    probe = LocalExtractor()
+    perm = {
+        i for i in range(n)
+        if probe._band(f"c{i % 40}:{i // 40}") == "permanent"
+    }
+    ds = rd.from_arrow(tbl)
+    out = enrich_turns(ds, concurrency=2, max_retries=3).take_all()
+    assert len(out) == n - len(perm) and len(perm) > 0
+    for r in out[:20]:
+        assert r["n_tokens"] == 4 and r["first_token"].startswith("tok")
+    # with max_retries=1, transient keys are also lost
+    out1 = enrich_turns(rd.from_arrow(tbl), concurrency=2, max_retries=1).take_all()
+    assert len(out1) < len(out)
