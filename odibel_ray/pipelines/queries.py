@@ -279,6 +279,55 @@ def q_transcript_window_histogram(sf_dir: str):
     return g
 
 
+def q_transcript_activity(sf_dir: str):
+    """A9 analog (``countPartsOfTriplesOverTime``): per LSN bucket — windows
+    opened, windows closed, total changes; two branch aggregations outer-merged
+    with zero-fill (the two branches are small aggregates, merged driver-side
+    as the reference's joins + ``coalesce(0)``)."""
+    from odibel_ray.cdc.apply import replay_dataset
+
+    log = ensure_transcript_log(sf_dir)
+    hist = replay_dataset(log, history=True)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["lsn_start"].to_numpy(zero_copy_only=False) // 64
+        e = t["lsn_end"].to_numpy(zero_copy_only=False)
+        e = (e[e != INT64_MAX] // 64)
+        su, sc = np.unique(s, return_counts=True)
+        eu, ec = np.unique(e, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([su, eu])),
+                "opened": pa.array(
+                    np.concatenate([sc, np.zeros(len(eu), np.int64)])
+                ),
+                "closed": pa.array(
+                    np.concatenate([np.zeros(len(su), np.int64), ec])
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        hist.map_batches(buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("opened", alias_name="opened"), Sum("closed", alias_name="closed"))
+    )
+
+    def changes(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ch = pc.add(t["opened"], t["closed"])
+        return t.append_column("changes", pc.cast(ch, pa.int64())).set_column(
+            t.schema.get_field_index("opened"), "opened", pc.cast(t["opened"], pa.int64())
+        ).set_column(
+            t.schema.get_field_index("closed"), "closed", pc.cast(t["closed"], pa.int64())
+        )
+
+    return g.map_batches(changes, batch_format="pyarrow")
+
+
 def q_events_change_stream(sf_dir: str):
     """±1 change stream (A6, ``countChangesOverTime``): +1 at each window
     start, −1 at each close, net count per LSN position."""
@@ -749,6 +798,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_history": q_transcript_history,
     "transcript_snapshot": q_transcript_snapshot,
     "transcript_window_histogram": q_transcript_window_histogram,
+    "transcript_activity": q_transcript_activity,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
     "transcript_incremental": q_transcript_incremental,
@@ -932,6 +982,23 @@ GROUP BY 1, 2, 3
         "transcript_history": t_hist,
         "transcript_snapshot": t_snap,
         "transcript_window_histogram": t_winhist,
+        "transcript_activity": (
+            _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+            + _hist_cte
+            + """
+, opened AS (
+  SELECT lsn_start // 64 AS bucket, count(*) AS opened FROM win WHERE op <> 'D' GROUP BY 1
+), closed AS (
+  SELECT lsn_end // 64 AS bucket, count(*) AS closed FROM win
+  WHERE op <> 'D' AND lsn_end <> 9223372036854775807 GROUP BY 1
+)
+SELECT coalesce(o.bucket, c.bucket) AS bucket,
+       CAST(coalesce(o.opened, 0) AS BIGINT) AS opened,
+       CAST(coalesce(c.closed, 0) AS BIGINT) AS closed,
+       CAST(coalesce(o.opened, 0) + coalesce(c.closed, 0) AS BIGINT) AS changes
+FROM opened o FULL OUTER JOIN closed c ON o.bucket = c.bucket
+"""
+        ),
         "events_change_stream": ev_stream,
         "cdc_events_lww": ev_lww,
         "cdc_events_snapshot": ev_snap,

@@ -1,0 +1,69 @@
+"""Format converters with row-count audit (SURVEY.md §2.1 S5/S6/S8).
+
+The reference's ``CSVToParquet`` audits row counts before/after conversion
+(``/root/reference/src/main/scala/ai/scads/odibel/transform/CSVToParquet.scala:25-30``)
+— generalized here: every converter counts input and output rows via streaming
+aggregates and raises on mismatch. Formats: csv | json(l) | parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+class AuditError(RuntimeError):
+    pass
+
+
+def _read(path: str, fmt: str):
+    import ray.data as rd
+
+    if fmt == "csv":
+        return rd.read_csv(path)
+    if fmt == "json":
+        return rd.read_json(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path)
+    raise ValueError(f"unknown format {fmt}")
+
+
+def _convert(in_path: str, in_fmt: str, out_dir: str, out_fmt: str) -> dict:
+    ds = _read(in_path, in_fmt)
+    n_in = ds.count()
+    os.makedirs(out_dir, exist_ok=True)
+    ds = _read(in_path, in_fmt)  # fresh lazy plan for the write pass
+    if out_fmt == "csv":
+        ds.write_csv(out_dir)
+    elif out_fmt == "json":
+        ds.write_json(out_dir)
+    else:
+        ds.write_parquet(out_dir)
+    n_out = _read(out_dir, out_fmt).count()
+    if n_in != n_out:  # the CSVToParquet audit, generalized
+        raise AuditError(f"row-count audit failed: in={n_in} out={n_out}")
+    return {"rows": n_in, "out_dir": out_dir, "format": out_fmt}
+
+
+def csv_to_parquet(in_path: str, out_dir: str) -> dict:
+    return _convert(in_path, "csv", out_dir, "parquet")
+
+
+def parquet_to_csv(in_path: str, out_dir: str) -> dict:
+    return _convert(in_path, "parquet", out_dir, "csv")
+
+
+def json_to_parquet(in_path: str, out_dir: str) -> dict:
+    return _convert(in_path, "json", out_dir, "parquet")
+
+
+def read_table_auto(path: str):
+    """Reader registry by extension (Source.read analog, §2.10)."""
+    ext = os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    fmt = {"csv": "csv", "json": "json", "jsonl": "json", "parquet": "parquet"}.get(ext)
+    if fmt is None:
+        raise ValueError(f"unsupported extension: {path}")
+    return _read(path, fmt)

@@ -142,3 +142,13 @@ def test_rarity_first_sample(ray_session):
     # deterministic
     res2 = rarity_first_sample(docs, "lang", "doc_id", per_type=3).take_all()
     assert sorted(map(tuple, (r.values() for r in res))) == sorted(map(tuple, (r.values() for r in res2)))
+
+
+def test_format_converters_audit(ray_session, tmp_path):
+    from odibel_ray.sources import csv_to_parquet, parquet_to_csv, read_table_auto
+
+    res = parquet_to_csv(f"{SF}/nation.parquet", str(tmp_path / "csv"))
+    assert res["rows"] == 25
+    res2 = csv_to_parquet(str(tmp_path / "csv"), str(tmp_path / "pq"))
+    assert res2["rows"] == 25
+    assert read_table_auto(f"{SF}/nation.parquet").count() == 25
