@@ -651,8 +651,18 @@ def q_dedup_minhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4, concurrency=2)
     return verify_pairs_jaccard(pairs, docs, threshold=0.4)
+
+
+def q_dedup_minhash_clusters(sf_dir: str):
+    """Near-dup pairs → duplicate groups (union-find components; T6/S11-lite)."""
+    from odibel_ray.dedup import minhash_lsh_pairs
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.state import connected_components
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return connected_components(minhash_lsh_pairs(docs, threshold=0.4, concurrency=2))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -660,7 +670,7 @@ def q_dedup_simhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=8)
+    return simhash_pairs(docs, max_hamming=8, concurrency=2)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -824,6 +834,7 @@ QUERIES: dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_cosine_topk": q_ann_cosine_topk,
