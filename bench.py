@@ -91,7 +91,11 @@ def run_headline(sf_dir: str, num_cpus: int, *, mult: int = 1,
                  logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based sort shuffle: ~2x faster than the default pull-based for the
+    # groupby paths at our key cardinalities (measured; correctness-neutral)
+    ctx.shuffle_strategy = "sort_shuffle_push_based"
     sys.path.insert(0, REPO)
     import shutil
 

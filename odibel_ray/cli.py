@@ -28,7 +28,9 @@ def _ray_init(num_cpus: int | None):
         ray.init(**kwargs)
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = "sort_shuffle_push_based"  # faster groupby (measured)
 
 
 def main(argv: list[str] | None = None) -> int:

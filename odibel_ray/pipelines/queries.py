@@ -118,6 +118,18 @@ WITH ev AS (
 # ---------------------------------------------------------------------------
 
 
+def _actor_conc(max_conc: int = 4) -> int:
+    """Actor-pool size that leaves CPUs for upstream read tasks (an actor pool
+    equal to the session CPU count starves the producers and deadlocks)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, min(max_conc, cpus // 2))
+
+
 def _events_as_changes(sf_dir: str):
     """events table re-interpreted as a binlog: key (user_id, event_type),
     lsn = event_id, delete when event_id % 17 == 0 (arithmetic rule so the SQL
@@ -643,7 +655,7 @@ def q_doc_lang_id(sf_dir: str):
     sample = sample.filter(pc.less(pc.bit_wise_and(t := sample["doc_id"], 7), 2))
     profiles = fit_language_profiles(sample)
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return language_id(docs, profiles, concurrency=2)
+    return language_id(docs, profiles, concurrency=_actor_conc())
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -651,7 +663,7 @@ def q_dedup_minhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.4, concurrency=2)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc())
     return verify_pairs_jaccard(pairs, docs, threshold=0.4)
 
 
@@ -662,7 +674,7 @@ def q_dedup_minhash_clusters(sf_dir: str):
     from odibel_ray.state import connected_components
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return connected_components(minhash_lsh_pairs(docs, threshold=0.4, concurrency=2))
+    return connected_components(minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc()))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -670,7 +682,7 @@ def q_dedup_simhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=8, concurrency=2)
+    return simhash_pairs(docs, max_hamming=8, concurrency=_actor_conc())
 
 
 def q_embedding_near_dups(sf_dir: str):
