@@ -97,8 +97,8 @@ def test_fingerprint_deterministic(ray_session):
     from odibel_ray.text import add_fingerprint
 
     docs = rd.read_parquet(f"{SF}/documents.parquet")
-    a = {r["doc_id"]: r["fp"] for r in add_fingerprint(docs).take(50)}
-    b = {r["doc_id"]: r["fp"] for r in add_fingerprint(docs).take(50)}
+    a = {r["doc_id"]: r["fp"] for r in add_fingerprint(docs).take_all()}
+    b = {r["doc_id"]: r["fp"] for r in add_fingerprint(docs).take_all()}
     assert a == b
     assert len(set(a.values())) == len(a)  # distinct texts -> distinct fps
 
