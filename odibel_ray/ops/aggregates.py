@@ -40,11 +40,41 @@ def with_time_bucket(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
-def group_count(ds: "ray.data.Dataset", keys: Sequence[str], out: str = "n"):
-    """``groupby(keys).count()`` with a stable output column name."""
+def group_count(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    out: str = "n",
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """``groupby(keys).count()`` with a stable output column name.
+
+    Combiner-first shape: each batch pre-aggregates its (keys → count) partials
+    vectorized (pandas C groupby), the shuffle moves one row per (batch, key)
+    hashed into ``num_buckets`` groups, and each group merges partials with one
+    more vectorized groupby — high-cardinality keys never form million-group
+    shuffles (the pre-aggregate-before-groupby rule, SURVEY.md §4)."""
+    import pandas as pd
+
+    from odibel_ray.cdc.lww import bucket_of_keys
+
     keys = list(keys)
-    g = ds.groupby(keys[0] if len(keys) == 1 else keys).count()
-    return g.rename_columns({"count()": out})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.combine_chunks().select(keys).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False).size().reset_index(name=out)
+        pt = pa.Table.from_pandas(g, preserve_index=False)
+        b = bucket_of_keys(pt, keys, num_buckets)
+        return pt.append_column("_b", pa.array(b, pa.int64()))
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.combine_chunks().drop_columns(["_b"]).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)[out].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby("_b").map_groups(merge, batch_format="pyarrow")
 
 
 def count_distinct(ds: "ray.data.Dataset", cols: Sequence[str], out: str = "n"):
