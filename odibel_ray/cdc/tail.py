@@ -1,0 +1,58 @@
+"""Binlog tailing: keep a published table converged as new change-log files
+land — repeated watermark-filtered incremental applies (micro-batches).
+
+The reference replays a static dump; the north rule asks for a *tail → lake
+upsert* engine, so this is the long-running shape: each round scans the log
+directory, applies only events beyond every partition's published LSN
+watermark (idempotent — a crashed round re-applies nothing twice), and
+publishes atomically. ``max_rounds``/``stop_when_idle`` bound the loop for
+tests; in production the loop runs forever on a schedule.
+"""
+
+from __future__ import annotations
+
+import time
+
+from odibel_ray.cdc.sink import incremental_apply, load_manifests, replay_publish
+
+
+def tail_log(
+    log_dir: str,
+    out_dir: str,
+    *,
+    poll_interval_s: float = 0.0,
+    max_rounds: int = 10,
+    stop_when_idle: int = 1,
+    run_prefix: str = "tail",
+) -> dict:
+    """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
+    no new events (or ``max_rounds``). Bootstraps with a full publish when the
+    table does not exist yet. Returns round stats."""
+    rounds = []
+    idle = 0
+    for i in range(max_rounds):
+        if not load_manifests(out_dir):
+            res = replay_publish(log_dir, out_dir, partitioned=True,
+                                 run_id=f"{run_prefix}-bootstrap")
+            res["round"] = i
+            res["mode"] = "bootstrap"
+            rounds.append(res)
+            continue
+        res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}")
+        res["round"] = i
+        res["mode"] = "incremental"
+        rounds.append(res)
+        if res.get("touched", 0) == 0:
+            idle += 1
+            if idle >= stop_when_idle:
+                break
+        else:
+            idle = 0
+        if poll_interval_s:
+            time.sleep(poll_interval_s)
+    return {
+        "rounds": len(rounds),
+        "applied_rounds": sum(1 for r in rounds if r.get("touched", 1)),
+        "rows_total": rounds[-1]["rows_total"] if rounds else 0,
+        "history": rounds,
+    }

@@ -55,3 +55,42 @@ def test_partitioned_publish_and_resume(ray_session, small_log, oracle_final, tm
     res2 = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="p2")
     assert res2["published_now"] == 0
     assert collect_sorted(read_published(out), KEYS).equals(oracle_final)
+
+
+def test_tail_log_converges_as_files_land(ray_session, small_log, oracle_final, tmp_path):
+    """Binlog-tail loop: bootstrap from a 50% prefix, land the remaining log
+    files, tail again — converges to the full-replay oracle and goes idle."""
+    import shutil
+
+    from odibel_ray.cdc.tail import tail_log
+    from odibel_ray.datagen import split_log
+
+    live = str(tmp_path / "live_log")
+    split_log(small_log["log_dir"], str(tmp_path / "pfx"), frac=0.5)
+    shutil.copytree(os.path.join(str(tmp_path / "pfx"), "change_log"), live)
+
+    out = str(tmp_path / "tbl")
+    res1 = tail_log(live, out, max_rounds=3)
+    assert res1["history"][0]["mode"] == "bootstrap"
+
+    # the remaining events "land": replace the live log with the full one
+    shutil.rmtree(live)
+    shutil.copytree(small_log["log_dir"], live)
+    res2 = tail_log(live, out, max_rounds=4, stop_when_idle=1)
+    assert collect_sorted(read_published(out), KEYS).equals(oracle_final)
+    modes = [r["mode"] for r in res2["history"]]
+    assert modes[0] == "incremental"
+    assert res2["history"][-1]["touched"] == 0  # went idle after convergence
+
+
+def test_training_feed(ray_session, small_log, oracle_final, tmp_path):
+    from odibel_ray.pipelines.training_feed import iter_training_batches
+
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], out, partitioned=True, run_id="t")
+    seen = 0
+    for batch in iter_training_batches(out, batch_size=128, min_tokens=1, seed=7):
+        assert set(batch.column_names) == {"conv_id", "turn_idx", "role", "text", "tokens"}
+        assert (batch["tokens"].to_numpy(zero_copy_only=False) >= 1).all()
+        seen += len(batch)
+    assert seen == oracle_final.num_rows  # every published row fed exactly once
