@@ -146,6 +146,38 @@ def broadcast_hash_join(
     )
 
 
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str] | str,
+    *,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    right_on: Sequence[str] | str | None = None,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Large-large distributed hash join (Ray Data's native shuffle join) —
+    for when NEITHER side fits in memory and broadcast
+    (:func:`broadcast_hash_join`) doesn't apply. Both sides hash-partition on
+    the key (one all-to-all each); prefer the broadcast path whenever one side
+    is dimension-sized."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 16
+    jt = {"inner": "inner", "left": "left_outer", "outer": "full_outer"}.get(how, how)
+    return left.join(
+        right, join_type=jt, num_partitions=num_partitions, on=on,
+        right_on=right_on, right_suffix=right_suffix,
+    )
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

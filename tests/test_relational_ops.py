@@ -152,3 +152,24 @@ def test_format_converters_audit(ray_session, tmp_path):
     res2 = csv_to_parquet(str(tmp_path / "csv"), str(tmp_path / "pq"))
     assert res2["rows"] == 25
     assert read_table_auto(f"{SF}/nation.parquet").count() == 25
+
+
+def test_shuffle_join_matches_broadcast(ray_session):
+    from odibel_ray.ops import broadcast_hash_join, load_table
+    from odibel_ray.ops.relational import shuffle_join
+
+    orders = load_table(SF, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(SF, "customer", ["c_custkey", "c_name"])
+    a = broadcast_hash_join(
+        orders, cust.rename_columns({"c_custkey": "o_custkey"}), "o_custkey"
+    ).to_pandas()
+    b = shuffle_join(
+        orders, cust, "o_custkey", right_on="c_custkey", num_partitions=8
+    ).to_pandas()
+    b = b[a.columns.tolist() + [c for c in b.columns if c not in a.columns]]
+    cols = sorted(set(a.columns) & set(b.columns))
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False,
+    )
