@@ -447,6 +447,60 @@ def q_orders_per_nation(sf_dir: str):
     return _round_cols(g, {"total_price": 2})
 
 
+def q_customers_per_region(sf_dir: str):
+    """Three-way broadcast join chain: customer ⋈ nation ⋈ region → count per
+    region (J4-family over the full dimension hierarchy)."""
+    from ray.data.aggregate import Count
+
+    from odibel_ray.ops.relational import broadcast_hash_join, load_table
+
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = load_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = load_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    j1 = broadcast_hash_join(
+        cust, nation.rename_columns({"n_nationkey": "c_nationkey"}), "c_nationkey"
+    )
+    j2 = broadcast_hash_join(
+        j1, region.rename_columns({"r_regionkey": "n_regionkey"}), "n_regionkey"
+    )
+    return j2.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def q_revenue_by_part_brand(sf_dir: str):
+    """Fact ⋈ two dimensions (part, supplier) with shuffle join on the larger
+    side and broadcast on the smaller; revenue per (brand, supplier nation)."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.relational import broadcast_hash_join, load_table
+
+    li = load_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    part = load_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = load_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # exact integer 1e-4 units: products of 2-decimal money and 2-decimal
+        # discount have <=4 decimals, so *1e4 lands ~1e-9 from an integer —
+        # rounding is unambiguous (at *100, values hit exact .5 and Arrow's
+        # half-to-even disagrees with DuckDB's half-away) — and int64
+        # summation is order-independent
+        e4 = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return t.append_column("revenue_e4", e4)
+
+    j1 = broadcast_hash_join(
+        li.map_batches(derive, batch_format="pyarrow"),
+        part.rename_columns({"p_partkey": "l_partkey"}),
+        "l_partkey",
+    )
+    j2 = broadcast_hash_join(
+        j1, supp.rename_columns({"s_suppkey": "l_suppkey"}), "l_suppkey"
+    )
+    return j2.groupby(["p_brand", "s_nationkey"]).aggregate(
+        Count(alias_name="n_items"), Sum("revenue_e4", alias_name="revenue_e4")
+    )
+
+
 def q_customers_with_orders(sf_dir: str):
     from odibel_ray.ops.relational import broadcast_semi_join, load_table
 
@@ -830,6 +884,8 @@ QUERIES: dict[str, Callable] = {
     "cdc_events_diff": q_cdc_events_diff,
     "pricing_summary": q_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
+    "customers_per_region": q_customers_per_region,
+    "revenue_by_part_brand": q_revenue_by_part_brand,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
     "distinct_order_profiles": q_distinct_order_profiles,
@@ -1041,6 +1097,19 @@ SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "customers_per_region": """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "revenue_by_part_brand": """
+SELECT p_brand, s_nationkey, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
 """,
         "customers_with_orders": """
 SELECT c_custkey AS custkey, c_name, c_nationkey FROM customer
