@@ -322,6 +322,27 @@ def read_published(out_dir: str, *, system: bool = False, parallelism: int = -1)
     return ds
 
 
+def lineage_table(out_dir: str) -> pa.Table:
+    """Per-partition lineage + metrics from the commit manifests (the north
+    rule's checkpoint record): bucket, rows_out, n_events, max applied LSN,
+    number of WAL partitions contributing, run id."""
+    manifests = load_manifests(out_dir)
+    rows = []
+    for b, m in sorted(manifests.items()):
+        wms = m.get("watermarks", {})
+        rows.append(
+            {
+                "bucket": int(b),
+                "rows_out": int(m["rows_out"]),
+                "n_events": int(m["n_events"]),
+                "applied_lsn": max((int(v) for v in wms.values()), default=-1),
+                "n_wal_parts": len(wms),
+                "run_id": m.get("run_id", ""),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def _watermark_matrix(manifests: dict[int, dict]) -> np.ndarray:
     nb = max(manifests) + 1 if manifests else 0
     nparts = 0

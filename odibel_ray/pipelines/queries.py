@@ -358,6 +358,20 @@ def q_events_change_stream(sf_dir: str):
     )
 
 
+def q_table_lineage(sf_dir: str):
+    """Per-partition lineage + metrics of a published table (manifest-backed
+    checkpoint record; rows-only check)."""
+    import shutil
+
+    from odibel_ray.cdc.sink import lineage_table, replay_publish
+
+    log = ensure_transcript_log(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lineage")
+    shutil.rmtree(out, ignore_errors=True)
+    replay_publish(log, out, partitioned=True, run_id="lineage")
+    return lineage_table(out)
+
+
 def q_cdc_events_lww(sf_dir: str):
     from odibel_ray.cdc.lww import lww_latest
 
@@ -877,6 +891,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_activity": q_transcript_activity,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
+    "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
     "cdc_events_lww": q_cdc_events_lww,
     "cdc_events_snapshot": q_cdc_events_snapshot,

@@ -94,3 +94,14 @@ def test_training_feed(ray_session, small_log, oracle_final, tmp_path):
         assert (batch["tokens"].to_numpy(zero_copy_only=False) >= 1).all()
         seen += len(batch)
     assert seen == oracle_final.num_rows  # every published row fed exactly once
+
+
+def test_lineage_table(ray_session, small_log, tmp_path):
+    from odibel_ray.cdc.sink import lineage_table
+
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], out, partitioned=True, run_id="lin")
+    t = lineage_table(out)
+    assert len(t) == small_log["num_parts"]
+    assert t["n_events"].to_pylist() >= t["rows_out"].to_pylist()
+    assert all(l >= 0 for l in t["applied_lsn"].to_pylist())
