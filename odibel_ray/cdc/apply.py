@@ -174,7 +174,7 @@ def apply_group_final(t: pa.Table) -> pa.Table:
     expressed as vectorized kernels instead of per-row state.
     """
     if len(t) == 0:
-        return t.drop_columns(["op", "part", "bucket"])
+        return t.drop_columns(["op", "lsn", "part", "bucket"])
     t = t.combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
     t = t.filter(pa.array(_keep_last_mask(t)))

@@ -1,0 +1,84 @@
+"""Property-based replay conformance: arbitrary small change logs → the
+distributed replay must equal the single-threaded oracle (hypothesis)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from odibel_ray.datagen import LOG_SCHEMA
+from odibel_ray.oracle import replay_oracle
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _write_log(tmpdir: str, events: list[dict], num_parts: int = 2) -> str:
+    """Write an event list as a hive-partitioned log; partition by key hash
+    (key-aligned, as the engine requires), lsn = position."""
+    log_dir = os.path.join(tmpdir, "change_log")
+    rows_by_part: dict[int, list[dict]] = {p: [] for p in range(num_parts)}
+    for lsn, ev in enumerate(events):
+        conv = ev["conv"]
+        part = (hash(conv) & 0x7FFFFFFF) % num_parts if conv is not None else lsn % num_parts
+        rows_by_part[part].append(
+            {
+                "op": ev["op"],
+                "lsn": lsn,
+                "conv_id": conv,
+                "turn_idx": ev["turn"],
+                "role": "user",
+                "text": ev.get("text"),
+                "tool": ev.get("tool"),
+                "tool_name": None,
+                "score": None,
+                "ts": 1_700_000_000_000_000 + lsn,
+                "schema_change": None,
+            }
+        )
+    for p, rows in rows_by_part.items():
+        pdir = os.path.join(log_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        t = (
+            pa.Table.from_pylist(rows, schema=LOG_SCHEMA)
+            if rows
+            else LOG_SCHEMA.empty_table()
+        )
+        pq.write_table(t, os.path.join(pdir, "log-00000.parquet"))
+    return log_dir
+
+
+event_st = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["I", "U", "D", "U"]),
+        "conv": st.one_of(st.none(), st.sampled_from([f"c{i}" for i in range(4)])),
+        "turn": st.one_of(st.none(), st.integers(0, 3)),
+        "text": st.text(alphabet="abxy ", min_size=0, max_size=6),
+        "tool": st.one_of(st.none(), st.sampled_from(["s", "p"])),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(event_st, min_size=0, max_size=40))
+def test_replay_matches_oracle_on_random_logs(ray_session, tmp_path_factory, events):
+    from odibel_ray.cdc.apply import replay_dataset, replay_partitioned
+
+    tmpdir = str(tmp_path_factory.mktemp("prop"))
+    log = _write_log(tmpdir, events)
+    oracle = replay_oracle(log)
+    got_shuffle = collect_sorted(replay_dataset(log), KEYS)
+    got_shard = collect_sorted(replay_partitioned(log), KEYS)
+    for got in (got_shuffle, got_shard):
+        if oracle.num_rows == 0:
+            assert got.num_rows == 0
+        else:
+            assert got.select(oracle.column_names).equals(oracle)
