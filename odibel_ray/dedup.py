@@ -27,7 +27,6 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data

@@ -180,8 +180,6 @@ class TemplateExtractor:
     handled by a brace-depth scan only on rows that contain ``{{`` at all
     (cheap vectorized prefilter)."""
 
-    import re as _re
-
     def __init__(self, prefix: str = ""):
         import re
 
