@@ -173,3 +173,34 @@ def test_shuffle_join_matches_broadcast(ray_session):
         b[cols].sort_values(cols, ignore_index=True),
         check_dtype=False,
     )
+
+
+def test_cron_expansion(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.cron import CronPattern, expand_cron
+
+    base = int(dt.datetime(2024, 1, 1, 0, 0).timestamp() * 1_000_000)
+    hour = 3_600_000_000
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "w_start": pa.array([base, base + hour], pa.timestamp("us")),
+            "w_end": pa.array([base + 2 * hour, base + 3 * hour], pa.timestamp("us")),
+        }
+    )
+    # every 30 minutes -> 4 occurrences per 2h window
+    out = expand_cron(rd.from_arrow(t), "*/30 * * * *", "w_start", "w_end").take_all()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r["id"], []).append(r["occurs_at"])
+    assert len(per_id[1]) == 4 and len(per_id[2]) == 4
+    assert all(x.minute in (0, 30) for x in per_id[1])
+    # field syntax
+    p = CronPattern("0 9 * * 0-4")  # 9:00 on weekdays
+    assert p.matches(dt.datetime(2024, 1, 1, 9, 0))  # Monday
+    assert not p.matches(dt.datetime(2024, 1, 6, 9, 0))  # Saturday
+    assert not p.matches(dt.datetime(2024, 1, 1, 9, 1))
