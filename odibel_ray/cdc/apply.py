@@ -325,6 +325,7 @@ def replay_dataset_actor(
     *,
     num_buckets: int | None = None,
     concurrency: int = 4,
+    history: bool = False,
     timeline: SchemaTimeline | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
@@ -341,9 +342,13 @@ def replay_dataset_actor(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+    if not history:  # pre-compaction would drop the intermediate versions
+        ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
     return ds.groupby("bucket").map_groups(
-        UpsertApplier, concurrency=concurrency, batch_format="pyarrow"
+        UpsertApplier,
+        fn_constructor_kwargs={"history": history},
+        concurrency=concurrency,
+        batch_format="pyarrow",
     )
 
 

@@ -75,8 +75,25 @@ def _bucket_watermarks(t: pa.Table) -> dict[str, int]:
     return out
 
 
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("n_events", pa.int64()),
+        ("file", pa.string()),
+        ("staged", pa.string()),
+        ("watermarks", pa.string()),
+        ("run_id", pa.string()),
+    ]
+)
+
+
 def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
     """Final apply + deterministic staged write; returns ONE manifest row."""
+    if len(t) == 0:
+        # a shard whose events all failed prepare's validity filter publishes
+        # nothing — skip, don't IndexError the whole run
+        return _MANIFEST_SCHEMA.empty_table()
     delay = float(os.environ.get("ODIBEL_TEST_APPLY_DELAY", "0"))
     if delay:  # test hook: lets the kill-resume test catch the run mid-publish
         import time
@@ -194,10 +211,7 @@ def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: st
         ev = _prep(t, timeline, num_buckets=None)
         outs.append(_apply_write_group(ev, staging=staging, run_id=run_id))
     if not outs:
-        return pa.table({c: pa.array([], t) for c, t in [
-            ("bucket", pa.int64()), ("rows_out", pa.int64()), ("n_events", pa.int64()),
-            ("file", pa.string()), ("staged", pa.string()), ("watermarks", pa.string()),
-            ("run_id", pa.string())]})
+        return _MANIFEST_SCHEMA.empty_table()
     return pa.concat_tables(outs)
 
 

@@ -103,9 +103,15 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         if args.mode == "partitioned":
+            if args.salt is not None or args.num_buckets is not None:
+                ap.error("--salt/--num-buckets are not supported with --mode partitioned")
             ds = replay_partitioned(args.log, history=args.history)
         elif args.mode == "actor":
-            ds = replay_dataset_actor(args.log, num_buckets=args.num_buckets)
+            if args.salt is not None:
+                ap.error("--salt is not supported with --mode actor")
+            ds = replay_dataset_actor(
+                args.log, num_buckets=args.num_buckets, history=args.history
+            )
         else:
             ds = replay_dataset(
                 args.log, num_buckets=args.num_buckets, salt=args.salt,

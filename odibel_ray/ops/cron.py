@@ -4,9 +4,14 @@
 ``flatMap`` (``eval/EvalFunctions.scala:410-422``).
 
 Supported field syntax: ``*``, ``N``, ``*/S``, ``A-B``, ``A,B,C`` for
-minute / hour / day-of-month / month / day-of-week (0=Monday, python
-convention). Scanning is per-minute over the window — windows are
-event-scale (hours/days), not years, so the per-row cost is bounded.
+minute / hour / day-of-month / month / day-of-week. Day-of-week follows
+UNIX cron semantics (0=Sunday .. 6=Saturday, 7 accepted as Sunday) — the
+reference parses ``CronType.UNIX`` via cron-utils, so ``0-4`` means
+Sun-Thu, not Mon-Fri. All arithmetic is timezone-aware UTC (the reference
+pins a ZoneId explicitly); naive ``datetime.timestamp()`` would shift
+occurrences by the host's UTC offset. Scanning is per-minute over the
+window — windows are event-scale (hours/days), not years, so the per-row
+cost is bounded.
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ class CronPattern:
         self.hour = _parse_field(f[1], 0, 23)
         self.dom = _parse_field(f[2], 1, 31)
         self.month = _parse_field(f[3], 1, 12)
-        self.dow = _parse_field(f[4], 0, 6)
+        # UNIX cron day-of-week: 0 or 7 = Sunday .. 6 = Saturday
+        self.dow = frozenset(v % 7 for v in _parse_field(f[4], 0, 7))
 
     def matches(self, t: dt.datetime) -> bool:
         return (
@@ -53,19 +59,19 @@ class CronPattern:
             and t.hour in self.hour
             and t.day in self.dom
             and t.month in self.month
-            and t.weekday() in self.dow
+            # python weekday(): Mon=0..Sun=6 → cron dow: Sun=0..Sat=6
+            and (t.weekday() + 1) % 7 in self.dow
         )
 
     def occurrences_us(self, start_us: int, end_us: int) -> list[int]:
         """Occurrence timestamps (µs epoch) in [start, end), minute granularity."""
         out = []
-        start = dt.datetime.utcfromtimestamp(start_us // 1_000_000).replace(
-            second=0, microsecond=0
-        )
+        t = dt.datetime.fromtimestamp(
+            start_us // 1_000_000, tz=dt.timezone.utc
+        ).replace(second=0, microsecond=0)
         if start_us % 60_000_000:
-            start += dt.timedelta(minutes=1)
-        t = start
-        end = dt.datetime.utcfromtimestamp(end_us / 1_000_000)
+            t += dt.timedelta(minutes=1)
+        end = dt.datetime.fromtimestamp(end_us / 1_000_000, tz=dt.timezone.utc)
         while t < end:
             if self.matches(t):
                 out.append(int(t.timestamp() * 1_000_000))

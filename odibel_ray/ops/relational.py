@@ -19,7 +19,6 @@ import os
 from typing import TYPE_CHECKING, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -83,8 +82,10 @@ def broadcast_semi_join(
     if len(on) == 1:
         key_set = pc.unique(small_t[on[0]])
     else:
-        # composite key: combine to a single hash column on both sides
-        key_set = pc.unique(pa.array(_combined_hash(small_t, on)))
+        # composite key: broadcast the distinct key-tuple table and use Arrow's
+        # exact hash semi/anti join per batch (a combined-hash prefilter would
+        # silently keep/drop rows on 64-bit collisions)
+        key_set = _first_per_key(small_t.combine_chunks(), on, None)
     ref = _broadcast(key_set)
 
     def probe(t: pa.Table, keys) -> pa.Table:
@@ -92,11 +93,11 @@ def broadcast_semi_join(
         t = t.combine_chunks()
         if len(on) == 1:
             mask = pc.is_in(t[on[0]], value_set=keys)
-        else:
-            mask = pc.is_in(pa.array(_combined_hash(t, on)), value_set=keys)
-        if anti:
-            mask = pc.invert(pc.fill_null(mask, False))
-        return t.filter(pc.fill_null(mask, False))
+            if anti:
+                mask = pc.invert(pc.fill_null(mask, False))
+            return t.filter(pc.fill_null(mask, False))
+        join_type = "left anti" if anti else "left semi"
+        return t.join(keys, keys=on, join_type=join_type)
 
     return ds.map_batches(
         probe, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
@@ -105,14 +106,6 @@ def broadcast_semi_join(
 
 def broadcast_anti_join(ds, small, on, **kw):
     return broadcast_semi_join(ds, small, on, anti=True, **kw)
-
-
-def _combined_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
-    h = np.zeros(len(t), dtype=np.uint64)
-    for c in cols:
-        arr = t[c].to_numpy(zero_copy_only=False)
-        h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr, categorize=False)
-    return h.astype(np.int64)
 
 
 def broadcast_hash_join(

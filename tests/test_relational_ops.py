@@ -199,8 +199,17 @@ def test_cron_expansion(ray_session):
         per_id.setdefault(r["id"], []).append(r["occurs_at"])
     assert len(per_id[1]) == 4 and len(per_id[2]) == 4
     assert all(x.minute in (0, 30) for x in per_id[1])
-    # field syntax
-    p = CronPattern("0 9 * * 0-4")  # 9:00 on weekdays
-    assert p.matches(dt.datetime(2024, 1, 1, 9, 0))  # Monday
-    assert not p.matches(dt.datetime(2024, 1, 6, 9, 0))  # Saturday
+    # field syntax — UNIX cron day-of-week (0=Sunday..6=Saturday, 7=Sunday)
+    p = CronPattern("0 9 * * 0-4")  # 9:00 Sun-Thu
+    assert p.matches(dt.datetime(2024, 1, 1, 9, 0))  # Monday (dow 1)
+    assert p.matches(dt.datetime(2024, 1, 7, 9, 0))  # Sunday (dow 0)
+    assert not p.matches(dt.datetime(2024, 1, 5, 9, 0))  # Friday (dow 5)
+    assert not p.matches(dt.datetime(2024, 1, 6, 9, 0))  # Saturday (dow 6)
     assert not p.matches(dt.datetime(2024, 1, 1, 9, 1))
+    assert CronPattern("0 9 * * 7").matches(dt.datetime(2024, 1, 7, 9, 0))  # 7=Sun
+    # occurrences are computed in UTC regardless of host TZ: first minute of
+    # a known Sunday must round-trip exactly
+    sun = dt.datetime(2024, 1, 7, 9, 0, tzinfo=dt.timezone.utc)
+    us = int(sun.timestamp() * 1_000_000)
+    occ = CronPattern("0 9 * * 0").occurrences_us(us - 60_000_000, us + 60_000_000)
+    assert occ == [us]
