@@ -16,8 +16,15 @@ Shapes (all Ray-Data-first, SURVEY.md "training-data pipeline" requirements):
 
 At 100 TB: the only all-to-all is the band groupby whose payload is
 ``(band_key, doc_id, signature)`` — tens of bytes per row per band, not the
-documents; texts needed for verification are re-joined per candidate group via
-broadcast lookup at test scale and a keyed join at cluster scale.
+documents; texts needed for verification are attached to the (tiny) candidate
+pair stream by two keyed shuffle joins against the documents table — the full
+corpus is never broadcast or driver-materialized.
+
+All text kernels are flat-array vectorized: tokens are hashed ONCE per batch
+(``pd.util.hash_array`` over the flattened token array of every doc), shingle
+hashes are rolling combinations of consecutive token hashes (no shingle string
+is ever materialized), and per-doc reductions are segmented numpy
+(``np.minimum.reduceat`` over list offsets) — no per-doc Python loop anywhere.
 """
 
 from __future__ import annotations
@@ -27,27 +34,64 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_U64_MAX = np.iinfo(np.uint64).max
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _token_hashes(texts: list[str], n: int) -> list[np.ndarray]:
-    """Per-doc array of n-gram (word shingle) hashes, vectorized per doc."""
-    out = []
-    for s in texts:
-        toks = (s or "").split(" ")
-        if len(toks) < n:
-            out.append(np.array([], dtype=np.uint64))
-            continue
-        # hash each n-gram via pandas string hash of the joined shingle
-        shingles = np.array(
-            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)], dtype=object
-        )
-        out.append(pd.util.hash_array(shingles, categorize=False))
-    return out
+def _flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token-hash array, per-doc token offsets) for a string column.
+
+    One ``split_pattern`` + ONE ``pd.util.hash_array`` call for the whole
+    batch — the flattened-array replacement for per-doc hashing loops.
+    """
+    toks = pc.split_pattern(pc.coalesce(texts, pa.scalar("")), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets)
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return np.array([], np.uint64), offs
+    th = pd.util.hash_array(
+        np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object), categorize=False
+    )
+    return th.astype(np.uint64), offs.astype(np.int64)
+
+
+def _segment_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]) ++ [0..lens[1]) ++ …, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.array([], np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _shingle_hashes_flat(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle-hash array, per-doc shingle offsets).
+
+    A shingle's hash is the rolling mix of its ``n`` token hashes — same
+    identity as hashing the joined shingle string (same tokens → same hash)
+    without materializing any shingle text.
+    """
+    th, offs = _flat_token_hashes(texts)
+    lens = np.diff(offs)
+    sh_lens = np.maximum(lens - n + 1, 0)
+    sh_offs = np.concatenate(([0], np.cumsum(sh_lens))).astype(np.int64)
+    T = len(th)
+    if T < n or sh_offs[-1] == 0:
+        return np.array([], np.uint64), sh_offs
+    comb = np.zeros(T - n + 1, dtype=np.uint64)
+    for j in range(n):  # n is tiny (3); the arrays are batch-sized
+        comb = comb * _MIX + th[j : T - n + 1 + j]
+    # valid shingle start positions: within-doc windows only
+    starts = np.repeat(offs[:-1], sh_lens) + _segment_arange(sh_lens)
+    return comb[starts], sh_offs
 
 
 class MinHasher:
@@ -57,8 +101,12 @@ class MinHasher:
     ``__init__`` from a fixed seed — identical across actors, so signatures are
     globally consistent. Emits ``n_bands`` rows per doc (``flat_map``-style
     fan-out inside ``map_batches``): ``band``, ``band_hash``, ``doc_id``,
-    ``sig`` (the band's slice of the signature, for in-bucket verification).
+    ``sig`` (the full signature, for in-bucket est-jaccard verification).
     """
+
+    #: shingle-chunk width for the (num_perm × chunk) permutation matrix —
+    #: 64 perms × 65536 shingles × 8 B ≈ 32 MB per task, well under heap
+    _CHUNK = 1 << 16
 
     def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle: int = 3, seed: int = 13):
         rng = np.random.default_rng(seed)
@@ -67,33 +115,57 @@ class MinHasher:
         self.num_perm, self.n_bands, self.shingle = num_perm, n_bands, shingle
         self.rows_per_band = num_perm // n_bands
 
-    def signature(self, h: np.ndarray) -> np.ndarray:
-        if len(h) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (num_perm, n_hashes) universal hashing, min over shingles
-        v = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
+    def signatures(self, flat: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) minhash matrix via chunked outer-product +
+        ``np.minimum.reduceat`` over doc segments — no per-doc loop."""
+        n_docs = len(sh_offs) - 1
+        sig = np.full((n_docs, self.num_perm), _U64_MAX, dtype=np.uint64)
+        sh_lens = np.diff(sh_offs)
+        nonempty = np.flatnonzero(sh_lens > 0)
+        if len(nonempty) == 0:
+            return sig
+        lo = 0
+        while lo < len(nonempty):
+            # take docs until the chunk holds ~_CHUNK shingles (≥1 doc)
+            hi = lo + 1
+            base = sh_offs[nonempty[lo]]
+            while hi < len(nonempty) and sh_offs[nonempty[hi] + 1] - base < self._CHUNK:
+                hi += 1
+            docs = nonempty[lo:hi]
+            s0, s1 = sh_offs[docs[0]], sh_offs[docs[-1] + 1]
+            h = flat[s0:s1]
+            # a·h + b with natural uint64 wraparound — a valid permutation
+            # family for minhash; the Mersenne mod would add a third full
+            # pass of (slow, SIMD-less) uint64 division per chunk
+            v = np.outer(self.a, h) + self.b[:, None]
+            seg_starts = (sh_offs[docs] - s0).astype(np.int64)
+            mins = np.minimum.reduceat(v, seg_starts, axis=1)  # (num_perm, len(docs))
+            sig[docs] = mins.T
+            lo = hi
+        return sig
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        texts = t["text"].to_pylist()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sigs = np.stack(
-            [self.signature(h) for h in _token_hashes(texts, self.shingle)]
-        )  # (n_docs, num_perm)
+        flat, sh_offs = _shingle_hashes_flat(t["text"], self.shingle)
+        sigs = self.signatures(flat, sh_offs)  # (n_docs, num_perm)
         n = len(ids)
         r = self.rows_per_band
         band_sigs = sigs.reshape(n, self.n_bands, r)
         band_hash = np.zeros((n, self.n_bands), dtype=np.uint64)
         for j in range(r):
-            band_hash = band_hash * np.uint64(0x9E3779B97F4A7C15) + band_sigs[:, :, j]
+            band_hash = band_hash * _MIX + band_sigs[:, :, j]
         bands = np.tile(np.arange(self.n_bands, dtype=np.int64), n)
+        rep = sigs.astype(np.int64)[np.repeat(np.arange(n), self.n_bands)]
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.reshape(-1), pa.int64()), self.num_perm
+        )
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, self.n_bands)),
                 "band": pa.array(bands),
                 "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
-                "sig": pa.array(list(sigs.astype(np.int64)[np.repeat(np.arange(n), self.n_bands)])),
+                "sig": sig_col,
             }
         )
 
@@ -134,10 +206,12 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     concurrency: int = 4,
-    batch_size: int = 4096,
+    batch_size: int = 1024,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
-    deduplicated across bands by a final exact dedup on (doc_a, doc_b)."""
+    deduplicated across bands by a final exact dedup on (doc_a, doc_b).
+    ``batch_size`` is kept small enough that the actor pool sees several
+    batches per actor (a batch ≈ the whole table would serialize the pool)."""
     from functools import partial
 
     from odibel_ray.ops.relational import exact_dedup
@@ -159,13 +233,47 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
-    """Exact word-n-gram Jaccard (verification kernel for candidate pairs)."""
+    """Exact word-n-gram Jaccard (reference kernel, used in tests)."""
     ta, tb = text_a.split(" "), text_b.split(" ")
     sa = {" ".join(ta[i : i + n]) for i in range(max(len(ta) - n + 1, 0))}
     sb = {" ".join(tb[i : i + n]) for i in range(max(len(tb) - n + 1, 0))}
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def _seg_unique(ids: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (segment, hash) rows, sorted — vectorized set-ification."""
+    order = np.lexsort((h, ids))
+    ids, h = ids[order], h[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (ids[1:] != ids[:-1]) | (h[1:] != h[:-1])
+    return ids[keep], h[keep]
+
+
+def _jaccard_from_hashes(
+    ha: np.ndarray, offa: np.ndarray, hb: np.ndarray, offb: np.ndarray
+) -> np.ndarray:
+    """Per-pair Jaccard of two shingle-hash multisets (row i of side A vs row i
+    of side B), fully vectorized: per-segment dedup, then a sort-merge
+    intersection count over the concatenated (pair, hash) streams."""
+    npairs = len(offa) - 1
+    ida = np.repeat(np.arange(npairs, dtype=np.int64), np.diff(offa))
+    idb = np.repeat(np.arange(npairs, dtype=np.int64), np.diff(offb))
+    ida, ha = _seg_unique(ida, ha)
+    idb, hb = _seg_unique(idb, hb)
+    na = np.bincount(ida, minlength=npairs)
+    nb = np.bincount(idb, minlength=npairs)
+    ids = np.concatenate([ida, idb])
+    h = np.concatenate([ha, hb])
+    order = np.lexsort((h, ids))
+    ids, h = ids[order], h[order]
+    if len(ids) == 0:
+        return np.ones(npairs)  # both sides empty everywhere
+    dup = (ids[1:] == ids[:-1]) & (h[1:] == h[:-1])
+    inter = np.bincount(ids[1:][dup], minlength=npairs)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def verify_pairs_jaccard(
@@ -175,29 +283,57 @@ def verify_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     batch_size: int = 4096,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
-    """Verify candidate pairs with exact n-gram Jaccard. Texts are broadcast as
-    a doc_id→text lookup (test scale; at 100 TB this becomes two keyed joins
-    against the documents table)."""
-    from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+    """Verify candidate pairs with exact n-gram Jaccard (hash-set identity —
+    64-bit shingle hashes stand in for shingle strings, collision probability
+    ~n_shingles²/2⁶⁴ per doc).
 
-    lookup_t = _small_table(docs.select_columns(["doc_id", "text"]))
-    ref = _broadcast(dict(zip(lookup_t["doc_id"].to_pylist(), lookup_t["text"].to_pylist())))
+    Scale shape: texts are attached to the (near-dup-sized) pair stream by two
+    keyed shuffle joins against the documents table (task-based
+    :func:`odibel_ray.ops.relational.bucketed_join` — never a full-corpus
+    broadcast) and the Jaccard kernel is flat-array segmented numpy.
+    """
+    from odibel_ray.ops.relational import bucketed_join
 
-    def verify(t: pa.Table, lut) -> pa.Table:
-        lut = _deref(lut)
+    nb = num_partitions or 32
+    d = docs.select_columns(["doc_id", "text"])
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+    text_schema = lambda c, tc: pa.schema([(c, pa.int64()), (tc, pa.string())])  # noqa: E731
+    p = bucketed_join(
+        pairs,
+        d.rename_columns({"doc_id": "doc_a", "text": "_text_a"}),
+        "doc_a",
+        num_buckets=nb,
+        left_schema=pair_schema,
+        right_schema=text_schema("doc_a", "_text_a"),
+    )
+    p = bucketed_join(
+        p,
+        d.rename_columns({"doc_id": "doc_b", "text": "_text_b"}),
+        "doc_b",
+        num_buckets=nb,
+        left_schema=pair_schema.append(pa.field("_text_a", pa.string())),
+        right_schema=text_schema("doc_b", "_text_b"),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        a = t["doc_a"].to_pylist()
-        b = t["doc_b"].to_pylist()
-        jac = np.array(
-            [ngram_jaccard(lut.get(x, ""), lut.get(y, ""), n) for x, y in zip(a, b)]
+        if len(t) == 0:
+            return t.drop_columns(["_text_a", "_text_b"]).append_column(
+                "jaccard", pa.array([], pa.float64())
+            )
+        ha, offa = _shingle_hashes_flat(t["_text_a"], n)
+        hb, offb = _shingle_hashes_flat(t["_text_b"], n)
+        jac = _jaccard_from_hashes(ha, offa, hb, offb)
+        out = t.drop_columns(["_text_a", "_text_b"]).append_column(
+            "jaccard", pa.array(np.round(jac, 6))
         )
-        out = t.append_column("jaccard", pa.array(np.round(jac, 6)))
         return out.filter(pa.array(jac >= threshold))
 
-    return pairs.map_batches(
-        verify, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
-    )
+    return p.map_batches(verify, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -217,24 +353,27 @@ class SimHasher:
         self.k_tables = k_tables
 
     @staticmethod
-    def simhash(h: np.ndarray) -> np.uint64:
-        if len(h) == 0:
-            return np.uint64(0)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = bits.sum(axis=0) * 2 - len(h)
-        return np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    def simhash_flat(th: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """Per-doc 64-bit simhash from the flat token-hash array: per-bit ±1
+        sums via segmented ``np.add.reduceat``, no per-doc loop."""
+        n_docs = len(offs) - 1
+        out = np.zeros(n_docs, dtype=np.uint64)
+        lens = np.diff(offs)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(th) == 0 or len(nonempty) == 0:
+            return out
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bits, offs[nonempty].astype(np.int64), axis=0)
+        v = sums * 2 - lens[nonempty][:, None]
+        out[nonempty] = ((v > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        texts = t["text"].to_pylist()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        hashes = [
-            pd.util.hash_array(np.array((s or "").split(" "), dtype=object), categorize=False)
-            for s in texts
-        ]
-        sh = np.array([self.simhash(h) for h in hashes], dtype=np.uint64)
+        th, offs = _flat_token_hashes(t["text"])
+        sh = self.simhash_flat(th, offs)
         n = len(ids)
         rows_id, rows_table, rows_key, rows_sim = [], [], [], []
         for k, mask in enumerate(self.masks):
@@ -287,7 +426,12 @@ def simhash_pairs(
         sh = t["simhash"].to_numpy(zero_copy_only=False)[idx].astype(np.uint64)
         ia, ib = np.triu_indices(len(uniq), k=1)
         x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount: bytes view → unpackbits → per-word sum
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
         keep = ham <= max_hamming
         a, b = uniq[ia[keep]], uniq[ib[keep]]
         return pa.table(

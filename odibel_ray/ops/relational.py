@@ -171,6 +171,86 @@ def shuffle_join(
     )
 
 
+def bucketed_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str] | str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    batch_size: int = 65536,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """Distributed hash join without broadcast and without Ray Data's
+    hash-shuffle join actors: tag-union both sides, sort-shuffle groupby on a
+    key-hash bucket, then a vectorized ``pyarrow.Table.join`` inside each
+    bucket. Each side moves exactly once; all matching keys co-locate because
+    the bucket is a pure function of the join key.
+
+    ``how`` ∈ {'inner', 'left'}. Non-key columns of ``right`` that collide with
+    ``left`` get ``suffix``. Use when NEITHER side is dimension-sized (else
+    :func:`broadcast_hash_join`); compared to ``Dataset.join`` this rides the
+    same task-based shuffle as every groupby in the engine, which behaves
+    predictably under tight CPU budgets.
+
+    Pass ``left_schema``/``right_schema`` when the side is a lazy pipeline —
+    ``Dataset.schema()`` on an unexecuted pipeline EXECUTES it to infer the
+    schema (a full upstream shuffle, twice, just for column types).
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    on = [on] if isinstance(on, str) else list(on)
+    l_schema: pa.Schema = left_schema or left.schema().base_schema
+    r_schema: pa.Schema = right_schema or right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def _tag(side: int, schema_self: pa.Schema, schema_other: pa.Schema):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    cols[c] = t[c]
+                else:
+                    typ = (
+                        schema_other.field(c).type
+                        if schema_other.get_field_index(c) >= 0
+                        else pa.null()
+                    )
+                    cols[c] = pa.nulls(len(t), typ)
+            out = pa.table(cols)
+            out = out.append_column(
+                "_side", pa.array(np.full(len(t), side, np.int8))
+            )
+            b = bucket_of_keys(out, on, num_buckets)
+            return out.append_column("_jbucket", pa.array(b, pa.int64()))
+
+        return f
+
+    tagged_l = left.map_batches(
+        _tag(0, l_schema, r_schema), batch_format="pyarrow", batch_size=batch_size
+    )
+    tagged_r = right.map_batches(
+        _tag(1, r_schema, l_schema), batch_format="pyarrow", batch_size=batch_size
+    )
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(l_cols)
+        rt = g.filter(pa.array(side == 1)).select(r_cols)
+        return lt.join(rt, keys=on, join_type=join_type, right_suffix=suffix)
+
+    return tagged_l.union(tagged_r).groupby("_jbucket").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

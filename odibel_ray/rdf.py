@@ -140,50 +140,59 @@ def clean_rdf_types(ds: "ray.data.Dataset", allowlist: Sequence[str]) -> "ray.da
     return non_type.union(allowed_types)
 
 
-def schema_graph(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def schema_graph(ds: "ray.data.Dataset", *, num_buckets: int = 64) -> "ray.data.Dataset":
     """A16 (``rdf2.py:548-600``): type data edges by subject and object type
-    (left joins + coalesce 'Untyped') → groupby (SourceType, Relation,
-    TargetType) count."""
+    (two distributed left joins + coalesce 'Untyped') → groupby (SourceType,
+    Relation, TargetType) count.
+
+    The subject→type table is O(#entities) — corpus-sized, never a broadcast
+    lookup — so both typings are keyed shuffle joins
+    (:func:`odibel_ray.ops.relational.bucketed_join`), exactly the reference's
+    two ``join(..., 'left')`` + ``coalesce`` shape (``rdf2.py:563-591``)."""
     from ray.data.aggregate import Count
 
-    from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
 
-    types_t = _small_table(
-        ds.filter(expr=f"p == '{RDF_TYPE}'").select_columns(["s", "o"])
+    # subject -> deterministic first type (min, matching SQL min(o))
+    types = exact_dedup(
+        ds.filter(expr=f"p == '{RDF_TYPE}'").select_columns(["s", "o"]),
+        ["s"],
+        tie_break="o",
     )
-    # subject -> first type (deterministic: lexicographically smallest)
-    t_sorted = types_t.take(
-        pc.sort_indices(types_t, sort_keys=[("s", "ascending"), ("o", "ascending")])
+    data = ds.filter(expr=f"p != '{RDF_TYPE}'")
+    type_schema = lambda k, v: pa.schema([(k, pa.string()), (v, pa.string())])  # noqa: E731
+    j1 = bucketed_join(
+        data,
+        types.rename_columns({"o": "_stype"}),
+        "s",
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA,
+        right_schema=type_schema("s", "_stype"),
     )
-    s_np = t_sorted["s"].to_numpy(zero_copy_only=False)
-    first = np.ones(len(s_np), dtype=bool)
-    first[1:] = s_np[1:] != s_np[:-1]
-    lookup = dict(
-        zip(s_np[first].tolist(), t_sorted["o"].to_numpy(zero_copy_only=False)[first].tolist())
+    j2 = bucketed_join(
+        j1,
+        types.rename_columns({"s": "o", "o": "_otype"}),
+        "o",
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA.append(pa.field("_stype", pa.string())),
+        right_schema=type_schema("o", "_otype"),
     )
-    ref = _broadcast(lookup)
 
-    def tag(t: pa.Table, lut) -> pa.Table:
-        lut = _deref(lut)
+    def tag(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        t = t.filter(pc.not_equal(t["p"], RDF_TYPE))
-        s = t["s"].to_pylist()
-        o = t["o"].to_pylist()
-        lit = t["isLiteral"].to_numpy(zero_copy_only=False)
-        src = np.array([lut.get(x, "Untyped") for x in s], dtype=object)
-        tgt = np.array(
-            ["Literal" if l else lut.get(x, "Untyped") for x, l in zip(o, lit)],
-            dtype=object,
+        src = pc.coalesce(t["_stype"], pa.scalar("Untyped"))
+        tgt = pc.if_else(
+            t["isLiteral"],
+            pa.scalar("Literal"),
+            pc.coalesce(t["_otype"], pa.scalar("Untyped")),
         )
         return pa.table(
-            {
-                "SourceType": pa.array(src, pa.string()),
-                "Relation": t["p"],
-                "TargetType": pa.array(tgt, pa.string()),
-            }
+            {"SourceType": src, "Relation": t["p"], "TargetType": tgt}
         )
 
-    tagged = ds.map_batches(tag, fn_args=[ref], batch_format="pyarrow")
+    tagged = j2.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby(["SourceType", "Relation", "TargetType"]).aggregate(
         Count(alias_name="n")
     )

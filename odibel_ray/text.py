@@ -101,6 +101,26 @@ def quality_scores(ds: "ray.data.Dataset", *, concurrency: int = 4, batch_size: 
 # ---------------------------------------------------------------------------
 
 
+def _utf8_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat utf-8 byte array, per-doc byte lengths) zero-copy from the Arrow
+    string buffers — the flattened-array basis for vectorized byte kernels."""
+    arr = pc.coalesce(texts, pa.scalar(""))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    otype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=otype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.array([], np.uint8)
+    )
+    flat = buf[offs[0] : offs[-1]]
+    return flat, np.diff(offs)
+
+
 class LanguageID:
     """N-gram-free language heuristic: cosine similarity of a doc's character
     histogram against per-language profiles learned from a labeled sample.
@@ -116,15 +136,16 @@ class LanguageID:
 
     @staticmethod
     def char_histogram(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-        """(n_docs, 256) byte-bigram-free histogram over latin-1-foldable bytes."""
-        arr = texts.to_pylist()
-        out = np.zeros((len(arr), 256), dtype=np.float64)
-        for i, s in enumerate(arr):
-            if not s:
-                continue
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-            out[i] = np.bincount(b, minlength=256)
-        return out
+        """(n_docs, 256) byte histogram — one ``np.bincount`` over the
+        flattened byte stream keyed by ``doc_idx*256 + byte`` (no per-doc
+        loop)."""
+        flat, lens = _utf8_flat(texts)
+        n = len(lens)
+        if len(flat) == 0:
+            return np.zeros((n, 256), dtype=np.float64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(doc_idx * 256 + flat.astype(np.int64), minlength=n * 256)
+        return hist.reshape(n, 256).astype(np.float64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -260,18 +281,26 @@ def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text", out: str = "
 
     def f(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        texts = t[text_col].to_pylist()
-        fps = np.empty(len(texts), dtype=np.uint64)
+        flat, lens = _utf8_flat(t[text_col])
+        n_docs = len(lens)
         P = np.uint64(1099511628211)
-        for i, s in enumerate(texts):
-            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = np.uint64(14695981039346656037)
-            # vectorized Horner via precomputed powers
-            n = len(b)
-            if n:
-                pows = np.power(P, np.arange(n - 1, -1, -1, dtype=np.uint64))
-                h = np.uint64(h * np.uint64(P) ** np.uint64(n) + (b * pows).sum())
-            fps[i] = h
+        F = np.uint64(14695981039346656037)
+        # fp(doc) = F·P^len + Σ byte_i · P^(len-1-i)  — computed for the whole
+        # batch at once: one shared power table, per-byte exponents from the
+        # doc-relative position, segmented sums via np.add.reduceat
+        maxlen = int(lens.max()) if n_docs else 0
+        pows = np.concatenate(
+            ([np.uint64(1)], np.multiply.accumulate(np.full(maxlen, P, np.uint64)))
+        )
+        fps = F * pows[lens]
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
+            exp = np.repeat(lens, lens) - 1 - pos
+            term = flat.astype(np.uint64) * pows[exp]
+            sums = np.add.reduceat(term, offs[nonempty])
+            fps[nonempty] = fps[nonempty] + sums
         return t.append_column(out, pa.array(fps.astype(np.int64), pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
