@@ -328,30 +328,43 @@ def rarity_first_sample(
     *,
     max_types: int | None = None,
 ) -> "ray.data.Dataset":
-    """O7 rarity-first iterative type-target sampling (``rdf2.py:259-392``):
-    iterate types by ascending frequency; for each, take up to ``per_type``
-    keys not already selected (anti-join against the selection), preferring
-    the deterministic smallest keys. Driver loop over the (small) type list;
-    each iteration is a Dataset filter + anti-join + top-k."""
-    import ray.data as rd
+    """O7 rarity-first type-target sampling (``rdf2.py:259-392``),
+    deterministic and fully distributed — no per-type dataset re-scans, no
+    driver key sets:
 
+    1. type frequencies (one groupby; the type list is dimension-sized, so
+       ranking it rarest-first on the driver and broadcasting the rank map is
+       legitimate);
+    2. each distinct key is assigned to its RAREST type (min-rank dedup —
+       rarer types get first claim on shared keys);
+    3. per type, the ``per_type`` smallest assigned keys are selected.
+
+    The reference's loop anti-joined against an accumulating driver-side
+    selection and used non-reproducible ``rand()`` sampling; this rule is one
+    pass + two key shuffles and exactly SQL-replicable (window functions)."""
     freq = sorted(
         ((r[type_col], r["n"]) for r in _group_count(ds, type_col).take_all()),
         key=lambda x: (x[1], str(x[0])),
     )
     if max_types:
         freq = freq[:max_types]
-    selected: set = set()
-    picks = []
-    for tval, _ in freq:
-        cand = ds.filter(expr=f"{type_col} == {tval!r}")
-        rows = sorted(
-            (r[key_col] for r in cand.select_columns([key_col]).take_all()
-             if r[key_col] not in selected)
-        )[:per_type]
-        selected.update(rows)
-        picks.extend({type_col: tval, key_col: k} for k in rows)
-    return rd.from_items(picks) if picks else rd.from_items([])
+    types_arr = pa.array([t for t, _ in freq])  # position == rarity rank
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        idx = pc.index_in(t[type_col], value_set=types_arr)
+        keep = pc.is_valid(idx)  # types beyond max_types are dropped
+        t = t.filter(keep)
+        idx = pc.cast(pc.index_in(t[type_col], value_set=types_arr), pa.int64())
+        return t.append_column("_rank", idx)
+
+    keyed = exact_dedup(ds.select_columns([type_col, key_col]), [type_col, key_col])
+    ranked = keyed.map_batches(add_rank, batch_format="pyarrow")
+    assigned = exact_dedup(ranked, [key_col], tie_break="_rank")
+    picks = topk_per_group(
+        assigned, [type_col], key_col, per_type, descending=False
+    )
+    return picks.select_columns([type_col, key_col])
 
 
 def _group_count(ds, key):

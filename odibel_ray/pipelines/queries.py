@@ -340,6 +340,30 @@ def q_transcript_activity(sf_dir: str):
     return g.map_batches(changes, batch_format="pyarrow")
 
 
+def q_transcript_named_graphs(sf_dir: str):
+    """M9 named-graph serializer: replay history → 5 N-Quad lines per
+    fact-version (``CSVToRDFNamedGraphs.scala:63-99`` shape, deterministic
+    graph ids)."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.rdf import history_to_named_graphs
+
+    return history_to_named_graphs(
+        replay_dataset(ensure_transcript_log(sf_dir), history=True)
+    )
+
+
+def q_transcript_reification(sf_dir: str):
+    """M9 reification serializer: replay history → 8 N-Triple lines per
+    fact-version (``CSVToRDFReification.scala:71-121`` shape, deterministic
+    bnode ids instead of ``System.nanoTime()``)."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.rdf import history_to_reification
+
+    return history_to_reification(
+        replay_dataset(ensure_transcript_log(sf_dir), history=True)
+    )
+
+
 def q_events_change_stream(sf_dir: str):
     """±1 change stream (A6, ``countChangesOverTime``): +1 at each window
     start, −1 at each close, net count per LSN position."""
@@ -709,6 +733,16 @@ def q_doc_quality(sf_dir: str):
     return add_token_count(docs).map_batches(derive, batch_format="pyarrow")
 
 
+def q_rarity_sample_docs(sf_dir: str):
+    """O7 rarity-first sampling over documents: 4 docs per language, rarest
+    language first, each key claimed by its rarest type (deterministic,
+    SQL-replicable — see :func:`odibel_ray.ops.relational.rarity_first_sample`)."""
+    from odibel_ray.ops.relational import load_table, rarity_first_sample
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "lang"])
+    return rarity_first_sample(docs, "lang", "doc_id", per_type=4)
+
+
 def q_doc_lang_id(sf_dir: str):
     """Language ID via per-language byte-histogram profiles learned on a
     deterministic sample (rows-only check; accuracy asserted in tests)."""
@@ -889,6 +923,8 @@ QUERIES: dict[str, Callable] = {
     "transcript_snapshot": q_transcript_snapshot,
     "transcript_window_histogram": q_transcript_window_histogram,
     "transcript_activity": q_transcript_activity,
+    "transcript_named_graphs": q_transcript_named_graphs,
+    "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
     "table_lineage": q_table_lineage,
@@ -915,6 +951,7 @@ QUERIES: dict[str, Callable] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_quality": q_doc_quality,
+    "rarity_sample_docs": q_rarity_sample_docs,
     "doc_lang_id": q_doc_lang_id,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -955,6 +992,51 @@ def _oracles_for(sf_dir: str) -> dict[str, str]:
 SELECT (lsn_end - lsn_start) // 16 AS duration_bucket, count(*) AS n_windows
 FROM win WHERE op <> 'D' AND lsn_end <> 9223372036854775807
 GROUP BY 1
+"""
+    )
+    _ser_parts = """
+, h AS (
+  SELECT conv_id, CAST(turn_idx AS VARCHAR) AS turn, text,
+         CAST(lsn_start AS VARCHAR) AS ls, CAST(lsn_end AS VARCHAR) AS le,
+         strftime(ts_start, '%Y-%m-%dT%H:%M:%S') AS tsf,
+         strftime(ts_end, '%Y-%m-%dT%H:%M:%S') AS tef
+  FROM win WHERE op <> 'D'
+), parts AS (
+  SELECT '<urn:turn:' || conv_id || ':' || turn || '>' AS subj,
+         '<urn:g:' || conv_id || ':' || turn || ':' || ls || '>' AS g,
+         '_:b' || conv_id || '_' || turn || '_' || ls AS b,
+         text, ls, le, tsf, tef
+  FROM h
+)
+"""
+    _dt = '"^^<http://www.w3.org/2001/XMLSchema#dateTime> '
+    _lg = '"^^<http://www.w3.org/2001/XMLSchema#long> '
+    t_named_graphs = (
+        _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+        + _hist_cte
+        + _ser_parts
+        + f"""
+SELECT subj || ' <urn:p:value> "' || text || '" ' || g || ' .' AS line FROM parts
+UNION ALL SELECT subj || ' <urn:p:tStart> "' || tsf || '{_dt}' || g || ' .' FROM parts
+UNION ALL SELECT subj || ' <urn:p:tEnd> "' || tef || '{_dt}' || g || ' .' FROM parts
+UNION ALL SELECT subj || ' <urn:p:rStart> "' || ls || '{_lg}' || g || ' .' FROM parts
+UNION ALL SELECT subj || ' <urn:p:rEnd> "' || le || '{_lg}' || g || ' .' FROM parts
+"""
+    )
+    _rns = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    t_reification = (
+        _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+        + _hist_cte
+        + _ser_parts
+        + f"""
+SELECT b || ' {_rns}type> {_rns}Statement> .' AS line FROM parts
+UNION ALL SELECT b || ' {_rns}subject> ' || subj || ' .' FROM parts
+UNION ALL SELECT b || ' {_rns}predicate> <urn:p:value> .' FROM parts
+UNION ALL SELECT b || ' {_rns}object> "' || text || '" .' FROM parts
+UNION ALL SELECT b || ' <urn:p:tStart> "' || tsf || '{_dt}.' FROM parts
+UNION ALL SELECT b || ' <urn:p:tEnd> "' || tef || '{_dt}.' FROM parts
+UNION ALL SELECT b || ' <urn:p:rStart> "' || ls || '{_lg}.' FROM parts
+UNION ALL SELECT b || ' <urn:p:rEnd> "' || le || '{_lg}.' FROM parts
 """
     )
     ev_stream = (
@@ -1093,6 +1175,8 @@ SELECT coalesce(o.bucket, c.bucket) AS bucket,
 FROM opened o FULL OUTER JOIN closed c ON o.bucket = c.bucket
 """
         ),
+        "transcript_named_graphs": t_named_graphs,
+        "transcript_reification": t_reification,
         "events_change_stream": ev_stream,
         "cdc_events_lww": ev_lww,
         "cdc_events_snapshot": ev_snap,
@@ -1195,6 +1279,20 @@ FROM (SELECT doc_id,
                                 ORDER BY doc_id) AS rn
       FROM documents)
 WHERE rn = 1
+""",
+        "rarity_sample_docs": """
+WITH freq AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+dk AS (SELECT DISTINCT lang, doc_id FROM documents),
+assigned AS (
+  SELECT lang, doc_id FROM (
+    SELECT dk.lang, dk.doc_id,
+           row_number() OVER (PARTITION BY dk.doc_id ORDER BY f.n, dk.lang) AS rk
+    FROM dk JOIN freq f ON dk.lang = f.lang)
+  WHERE rk = 1)
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM assigned)
+WHERE rn <= 4
 """,
         "doc_quality": """
 SELECT doc_id,

@@ -229,6 +229,99 @@ def history_to_quads(history: "ray.data.Dataset") -> "ray.data.Dataset":
     return history.map_batches(f, batch_format="pyarrow")
 
 
+_XSD_DT = "^^<http://www.w3.org/2001/XMLSchema#dateTime>"
+_XSD_LONG = "^^<http://www.w3.org/2001/XMLSchema#long>"
+_RDF_NS = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _history_parts(t: pa.Table):
+    """Shared per-row string components for the 1→k history serializers."""
+    conv = pc.cast(t["conv_id"], pa.string())
+    turn = pc.cast(t["turn_idx"], pa.string())
+    subj = pc.binary_join_element_wise("<urn:turn:", conv, ":", turn, ">", "")
+    key = pc.binary_join_element_wise(
+        conv, turn, pc.cast(t["lsn_start"], pa.string()), ":"
+    )
+    ls = pc.cast(t["lsn_start"], pa.string())
+    le = pc.cast(t["lsn_end"], pa.string())
+    # cast to second precision first — Arrow's %S appends fractional digits
+    # for sub-second units, DuckDB's does not
+    ts = pc.strftime(pc.cast(t["ts_start"], pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+    te = pc.strftime(pc.cast(t["ts_end"], pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+    return subj, key, ls, le, ts, te
+
+
+def history_to_named_graphs(history: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M9 named-graph serializer (1 row → 5 N-Quad lines), the
+    ``CSVToRDFNamedGraphs.convertRowToRDF`` shape
+    (``transform/CSVToRDFNamedGraphs.scala:63-99``): a value quad plus
+    tStart/tEnd (xsd:dateTime) and rStart/rEnd (xsd:long) quads, all in one
+    named graph per fact-version. The reference mints graph ids from
+    ``zipWithIndex`` row numbers (``:29-32``), which are not stable across
+    partitionings; we mint them from the key columns (M10), which also makes
+    the output exactly SQL-replicable."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        subj, key, ls, le, ts, te = _history_parts(t)
+        g = pc.binary_join_element_wise("<urn:g:", key, ">", "")
+
+        def quad(pred: str, obj, typ: str = "") -> pa.Array:
+            return pc.binary_join_element_wise(
+                subj, " <urn:p:" + pred + "> ", obj, typ + " ", g, " .", ""
+            )
+
+        lit = pc.binary_join_element_wise('"', t["text"], '"', "")
+        lines = pa.concat_arrays(
+            [
+                quad("value", lit).combine_chunks(),
+                quad("tStart", pc.binary_join_element_wise('"', ts, '"', ""), _XSD_DT).combine_chunks(),
+                quad("tEnd", pc.binary_join_element_wise('"', te, '"', ""), _XSD_DT).combine_chunks(),
+                quad("rStart", pc.binary_join_element_wise('"', ls, '"', ""), _XSD_LONG).combine_chunks(),
+                quad("rEnd", pc.binary_join_element_wise('"', le, '"', ""), _XSD_LONG).combine_chunks(),
+            ]
+        )
+        return pa.table({"line": lines})
+
+    return history.map_batches(f, batch_format="pyarrow")
+
+
+def history_to_reification(history: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M9 reification serializer (1 row → 8 N-Triple lines), the
+    ``CSVToRDFReification.convertRowToRDF`` shape
+    (``transform/CSVToRDFReification.scala:71-121``): rdf:Statement node with
+    subject/predicate/object plus the four window triples. The reference's
+    bnode ids come from ``System.nanoTime()`` (``:98``) — non-deterministic
+    and retry-hostile; we mint ``_:b<key>`` from the key columns (M10)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        subj, key, ls, le, ts, te = _history_parts(t)
+        b = pc.binary_join_element_wise("_:b", pc.replace_substring(key, ":", "_"), "")
+
+        def tri(pred: str, obj, typ: str = "") -> pa.ChunkedArray:
+            return pc.binary_join_element_wise(
+                b, " " + pred + " ", obj, typ + " .", ""
+            ).combine_chunks()
+
+        lit = pc.binary_join_element_wise('"', t["text"], '"', "")
+        lines = pa.concat_arrays(
+            [
+                tri(_RDF_NS + "type>", pa.scalar(_RDF_NS + "Statement>")),
+                tri(_RDF_NS + "subject>", subj),
+                tri(_RDF_NS + "predicate>", pa.scalar("<urn:p:value>")),
+                tri(_RDF_NS + "object>", lit),
+                tri("<urn:p:tStart>", pc.binary_join_element_wise('"', ts, '"', ""), _XSD_DT),
+                tri("<urn:p:tEnd>", pc.binary_join_element_wise('"', te, '"', ""), _XSD_DT),
+                tri("<urn:p:rStart>", pc.binary_join_element_wise('"', ls, '"', ""), _XSD_LONG),
+                tri("<urn:p:rEnd>", pc.binary_join_element_wise('"', le, '"', ""), _XSD_LONG),
+            ]
+        )
+        return pa.table({"line": lines})
+
+    return history.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deterministic NT corpus generator (writes BOTH .nt text and the equivalent
 # parquet triple table, so DuckDB can oracle the parsed result)
