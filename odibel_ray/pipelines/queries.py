@@ -733,6 +733,65 @@ def q_doc_quality(sf_dir: str):
     return add_token_count(docs).map_batches(derive, batch_format="pyarrow")
 
 
+def _doc_blocking(sf_dir: str):
+    from odibel_ray.evaluate import er_blocking_pairs
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return er_blocking_pairs(docs)
+
+
+def q_er_pairs_blocking(sf_dir: str):
+    """A17/ER: candidate pairs by prefix blocking with deterministic
+    match/non-match/unlabeled labels."""
+    return _doc_blocking(sf_dir)
+
+
+def q_er_pair_stats(sf_dir: str):
+    """A17/ER: match/non-match/unlabeled distribution of the benchmark pairs
+    (``entity_resolution/eval.py:30-80`` metrics)."""
+    from odibel_ray.evaluate import er_pair_stats
+
+    return er_pair_stats(_doc_blocking(sf_dir))
+
+
+def q_er_cluster_stats(sf_dir: str):
+    """A17/fusion: cluster-size statistics of the prefix-blocking clusters
+    (``entity_fusion/eval.py:100-150`` metrics)."""
+    from odibel_ray.evaluate import cluster_size_stats
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        key = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
+        return pa.table({"doc_id": t["doc_id"], "block_key": key})
+
+    return cluster_size_stats(
+        docs.map_batches(derive, batch_format="pyarrow"), "block_key"
+    )
+
+
+def q_transcript_missing_values(sf_dir: str):
+    """A17: per-property missing-value profile of the converged transcript
+    table (``entity_resolution/eval.py:117-135`` characteristics)."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.evaluate import missing_value_profile
+
+    final = replay_dataset(ensure_transcript_log(sf_dir))
+    return missing_value_profile(final, ["role", "text", "tool_name", "score", "ts"])
+
+
+def q_schema_mapping_stats(sf_dir: str):
+    """A17/schema-matching: distribution of schema-change mappings in the
+    change log (per kind: #events, #WAL partitions)."""
+    from odibel_ray.evaluate import schema_change_stats
+
+    return schema_change_stats(ensure_transcript_log(sf_dir))
+
+
 def q_rarity_sample_docs(sf_dir: str):
     """O7 rarity-first sampling over documents: 4 docs per language, rarest
     language first, each key claimed by its rarest type (deterministic,
@@ -951,6 +1010,11 @@ QUERIES: dict[str, Callable] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_quality": q_doc_quality,
+    "er_pairs_blocking": q_er_pairs_blocking,
+    "er_pair_stats": q_er_pair_stats,
+    "er_cluster_stats": q_er_cluster_stats,
+    "transcript_missing_values": q_transcript_missing_values,
+    "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
     "doc_lang_id": q_doc_lang_id,
     "dedup_minhash": q_dedup_minhash,
@@ -1175,6 +1239,25 @@ SELECT coalesce(o.bucket, c.bucket) AS bucket,
 FROM opened o FULL OUTER JOIN closed c ON o.bucket = c.bucket
 """
         ),
+        "transcript_missing_values": (
+            _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+            + ", f AS ("
+            + _TRANSCRIPT_FINAL_SELECT
+            + """)
+SELECT 'role' AS property, count(*) - count(role) AS n_missing, count(role) AS n_present FROM f
+UNION ALL SELECT 'text', count(*) - count(text), count(text) FROM f
+UNION ALL SELECT 'tool_name', count(*) - count(tool_name), count(tool_name) FROM f
+UNION ALL SELECT 'score', count(*) - count(score), count(score) FROM f
+UNION ALL SELECT 'ts', count(*) - count(ts), count(ts) FROM f
+"""
+        ),
+        "schema_mapping_stats": f"""
+SELECT json_extract_string(schema_change, '$.kind') AS kind,
+       count(*) AS n_changes,
+       CAST(count(DISTINCT part) AS BIGINT) AS n_parts
+FROM read_parquet('{glob}', hive_partitioning=1)
+WHERE op = 'S' GROUP BY 1
+""",
         "transcript_named_graphs": t_named_graphs,
         "transcript_reification": t_reification,
         "events_change_stream": ev_stream,
@@ -1279,6 +1362,43 @@ FROM (SELECT doc_id,
                                 ORDER BY doc_id) AS rn
       FROM documents)
 WHERE rn = 1
+""",
+        "er_pairs_blocking": """
+WITH k AS (SELECT doc_id, text,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.block_key AS block_key,
+       CASE WHEN (a.doc_id + b.doc_id) % 5 = 0 THEN NULL
+            ELSE CAST(a.text = b.text AS BIGINT) END AS label
+FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+""",
+        "er_pair_stats": """
+WITH k AS (SELECT doc_id, text,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents),
+p AS (SELECT CASE WHEN (a.doc_id + b.doc_id) % 5 = 0 THEN NULL
+                  ELSE CAST(a.text = b.text AS BIGINT) END AS label
+      FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id)
+SELECT count(*) AS total_pairs,
+       CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS matches,
+       CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS non_matches,
+       CAST(coalesce(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS unlabeled,
+       round(coalesce(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) / greatest(count(*), 1), 6) AS match_ratio,
+       round(coalesce(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END), 0) / greatest(count(*), 1), 6) AS non_match_ratio,
+       round(coalesce(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0) / greatest(count(*), 1), 6) AS unlabeled_ratio
+FROM p
+""",
+        "er_cluster_stats": """
+WITH k AS (SELECT doc_id,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents),
+c AS (SELECT block_key, count(*) AS sz FROM k GROUP BY 1 HAVING count(*) >= 2)
+SELECT count(*) AS total_clusters,
+       CAST(coalesce(sum(sz), 0) AS BIGINT) AS total_entities,
+       round(coalesce(avg(sz), 0), 6) AS avg_cluster_size,
+       CAST(coalesce(min(sz), 0) AS BIGINT) AS min_cluster_size,
+       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size
+FROM c
 """,
         "rarity_sample_docs": """
 WITH freq AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
