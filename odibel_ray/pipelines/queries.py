@@ -829,13 +829,16 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_minhash_clusters(sf_dir: str):
-    """Near-dup pairs → duplicate groups (union-find components; T6/S11-lite)."""
+    """Near-dup pairs → duplicate groups via distributed min-label propagation
+    (S11 corpus-scale connected components; driver holds no forest)."""
     from odibel_ray.dedup import minhash_lsh_pairs
     from odibel_ray.ops.relational import load_table
-    from odibel_ray.state import connected_components
+    from odibel_ray.state import connected_components_distributed
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return connected_components(minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc()))
+    return connected_components_distributed(
+        minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc())
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -883,7 +886,11 @@ def q_ann_ivf_topk(sf_dir: str):
     )
     cent = fit_centroids(sample, n_lists=16)
     emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(emb, _query_vectors(sf_dir), k=10, centroids=cent, n_probe=4)
+    # multi-assignment + wider probe: the synthetic embeddings are weakly
+    # clustered, so recall >= 0.9 vs the exact oracle needs both knobs
+    return ivf_topk(
+        emb, _query_vectors(sf_dir), k=10, centroids=cent, n_probe=6, n_assign=2
+    )
 
 
 def q_embedding_label_centroids(sf_dir: str):
@@ -1239,6 +1246,23 @@ SELECT coalesce(o.bucket, c.bucket) AS bucket,
 FROM opened o FULL OUTER JOIN closed c ON o.bucket = c.bucket
 """
         ),
+        "table_lineage": f"""
+WITH log AS (SELECT * FROM read_parquet('{glob}', hive_partitioning=1)),
+valid AS (
+  SELECT CAST(part AS BIGINT) AS part, lsn, conv_id, turn_idx, op
+  FROM log WHERE op IN ('I','U','D') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL),
+ev_counts AS (
+  SELECT part, count(*) AS n_events, max(lsn) AS applied_lsn FROM valid GROUP BY part),
+final AS (
+  SELECT part, count(*) AS rows_out FROM (
+    SELECT part, op, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid)
+  WHERE rn = 1 AND op <> 'D' GROUP BY part)
+SELECT e.part AS bucket, CAST(coalesce(f.rows_out, 0) AS BIGINT) AS rows_out,
+       e.n_events, e.applied_lsn,
+       CAST(1 AS BIGINT) AS n_wal_parts, 'lineage' AS run_id
+FROM ev_counts e LEFT JOIN final f ON e.part = f.part
+""",
         "transcript_missing_values": (
             _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
             + ", f AS ("

@@ -117,13 +117,19 @@ def ivf_topk(
     *,
     centroids: np.ndarray,
     n_probe: int = 4,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
     """IVF approximate top-k: vectors bucketed by nearest centroid (one
-    shuffle); each query scans only its ``n_probe`` nearest lists."""
+    shuffle); each query scans only its ``n_probe`` nearest lists.
+
+    ``n_assign`` > 1 indexes every vector in its ``n_assign`` nearest lists
+    (multi-assignment) — recall on weakly-clustered data improves at the cost
+    of ``n_assign``× index size; duplicate hits are deduped in the final
+    per-query reduction."""
     q_t = _small_table(queries)
     q_ids = q_t[query_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     q_mat = _normalize(_emb_matrix(q_t, emb_col))
@@ -140,9 +146,21 @@ def ivf_topk(
         c = _deref(c)
         t = t.combine_chunks()
         emb = _normalize(_emb_matrix(t, emb_col))
-        lists = (emb @ c.T).argmax(axis=1).astype(np.int64)
+        sims = emb @ c.T
+        if n_assign <= 1:
+            lists = sims.argmax(axis=1).astype(np.int64)
+            return pa.table(
+                {id_col: t[id_col], emb_col: t[emb_col], "ivf_list": pa.array(lists)}
+            )
+        top = np.argsort(-sims, axis=1)[:, :n_assign].astype(np.int64)  # (n, n_assign)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), n_assign))
+        rep = t.take(idx)
         return pa.table(
-            {id_col: t[id_col], emb_col: t[emb_col], "ivf_list": pa.array(lists)}
+            {
+                id_col: rep[id_col],
+                emb_col: rep[emb_col],
+                "ivf_list": pa.array(top.reshape(-1)),
+            }
         )
 
     def scan(t: pa.Table, q) -> pa.Table:
@@ -178,8 +196,11 @@ def ivf_topk(
         t = t.combine_chunks()
         sims = t["cosine"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sims))[:k]
-        order = order[np.argsort(-sims[order], kind="stable")]
+        order = np.lexsort((ids, -sims))
+        # multi-assignment can surface the same vector from several lists —
+        # keep each id's first (best) occurrence before the k cut
+        _, first = np.unique(ids[order], return_index=True)
+        order = order[np.sort(first)][:k]
         out = t.take(pa.array(order))
         return out.append_column("rank", pa.array(np.arange(len(order), dtype=np.int64)))
 

@@ -1,3 +1,8 @@
+from odibel_ray.sources.gradoop import (
+    gradoop_clusters,
+    read_gradoop_edges,
+    read_gradoop_vertices,
+)
 from odibel_ray.sources.io import (
     csv_to_parquet,
     json_to_parquet,
@@ -5,4 +10,12 @@ from odibel_ray.sources.io import (
     read_table_auto,
 )
 
-__all__ = ["csv_to_parquet", "json_to_parquet", "parquet_to_csv", "read_table_auto"]
+__all__ = [
+    "csv_to_parquet",
+    "json_to_parquet",
+    "parquet_to_csv",
+    "read_table_auto",
+    "read_gradoop_vertices",
+    "read_gradoop_edges",
+    "gradoop_clusters",
+]

@@ -1,3 +1,11 @@
-from odibel_ray.state.clusters import ClusterManager, connected_components
+from odibel_ray.state.clusters import (
+    ClusterManager,
+    connected_components,
+    connected_components_distributed,
+)
 
-__all__ = ["ClusterManager", "connected_components"]
+__all__ = [
+    "ClusterManager",
+    "connected_components",
+    "connected_components_distributed",
+]

@@ -18,6 +18,74 @@ def test_connected_components(ray_session):
     assert comp[8] == comp[9] == comp[10] == 8
 
 
+def test_distributed_cc_matches_union_find(ray_session):
+    """Min-label propagation must be bit-identical to the union-find result
+    on a random graph with chains (multi-round propagation needed)."""
+    import numpy as np
+    import ray.data as rd
+
+    from odibel_ray.state import connected_components, connected_components_distributed
+
+    rng = np.random.default_rng(3)
+    # chains force >1 propagation round: edges (i, i+1) in runs, plus random
+    a = np.arange(0, 40, dtype=np.int64)
+    chain = pa.table({"doc_a": a[:-1], "doc_b": a[1:]})
+    ra = rng.integers(100, 200, size=30)
+    rb = rng.integers(100, 200, size=30)
+    keep = ra != rb
+    rand = pa.table(
+        {
+            "doc_a": pa.array(np.minimum(ra, rb)[keep]),
+            "doc_b": pa.array(np.maximum(ra, rb)[keep]),
+        }
+    )
+    pairs = rd.from_arrow(pa.concat_tables([chain, rand]))
+    exact = connected_components(pairs)
+    dist = connected_components_distributed(pairs).to_pandas()
+    got = dict(zip(dist["node"], dist["component"]))
+    want = dict(zip(exact["node"].to_pylist(), exact["component"].to_pylist()))
+    assert got == want
+
+
+def test_gradoop_reader_and_clusters(ray_session, tmp_path):
+    """FAMER JSONL vertex/edge files → Datasets → distributed clusters
+    (S11; unknown-endpoint edges dropped as in the reference)."""
+    import json
+
+    from odibel_ray.sources import (
+        gradoop_clusters,
+        read_gradoop_edges,
+        read_gradoop_vertices,
+    )
+
+    vf, ef = tmp_path / "vertices.jsonl", tmp_path / "edges.jsonl"
+    vf.write_text(
+        "\n".join(
+            json.dumps({"id": f"v{i}", "data_io": {"srcId": f"s{i % 2}", "name": f"n{i}"}})
+            for i in range(6)
+        )
+    )
+    edges = [
+        {"source": "v0", "target": "v1", "data_io": {"value": 0.9}},
+        {"source": "v1", "target": "v2", "data_io": {"value": 0.8}},
+        {"source": "v3", "target": "v4", "data_io": {"value": 0.2}},  # below min_sim
+        {"source": "v4", "target": "vMISSING", "data_io": {"value": 0.9}},  # dropped
+    ]
+    ef.write_text("\n".join(json.dumps(e) for e in edges))
+
+    verts = read_gradoop_vertices(str(vf)).take_all()
+    assert len(verts) == 6 and verts[0]["resource"] in ("s0", "s1")
+    assert "srcId" not in verts[0]["properties"]
+    assert read_gradoop_edges(str(ef)).count() == 4
+
+    comp = {
+        r["node"]: r["component"]
+        for r in gradoop_clusters(str(vf), str(ef), min_sim=0.5).take_all()
+    }
+    assert comp["v0"] == comp["v1"] == comp["v2"] == "v0"
+    assert "vMISSING" not in comp and "v3" not in comp
+
+
 def test_cluster_manager_crud_merge():
     from odibel_ray.state import ClusterManager
 

@@ -192,7 +192,7 @@ def test_ivf_topk_recall(ray_session):
     exact = {(r["query_id"], r["vec_id"]) for r in q_ann_cosine_topk(SF).take_all()}
     approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf_topk(SF).take_all()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall}"
+    assert recall >= 0.9, f"IVF recall {recall}"
 
 
 def test_template_extraction(ray_session):
