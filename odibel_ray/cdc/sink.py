@@ -404,15 +404,17 @@ def incremental_apply(
     new_tl = extract_timeline(log_dir, min_lsn_by_part=per_part_max)
     timeline = old_tl.merged_with(new_tl)
 
+    # materialized once: both the touched-bucket scan and the merge consume it
+    # from the object store — without this the full log would be read and
+    # prepared twice (once for bucket ids, once for the merge)
     new_ev = rd.read_parquet(log_dir).map_batches(
         prepare_events,
         fn_kwargs={"timeline": timeline, "num_buckets": num_buckets, "watermarks": wm},
         batch_format="pyarrow",
         batch_size=batch_size,
-    )
+    ).materialize()
 
-    # which buckets actually have new events (tiny aggregate — bucket ids only;
-    # one extra streaming pass over the delta, never over the base)
+    # which buckets actually have new events (tiny aggregate — bucket ids only)
     touched_vals = new_ev.select_columns(["bucket"]).unique("bucket") or []
     touched = np.array(sorted(int(b) for b in touched_vals), dtype=np.int64)
     if len(touched) == 0:

@@ -51,27 +51,31 @@ def group_count(
     """``groupby(keys).count()`` with a stable output column name.
 
     Combiner-first shape: each batch pre-aggregates its (keys → count) partials
-    vectorized (pandas C groupby), the shuffle moves one row per (batch, key)
-    hashed into ``num_buckets`` groups, and each group merges partials with one
-    more vectorized groupby — high-cardinality keys never form million-group
-    shuffles (the pre-aggregate-before-groupby rule, SURVEY.md §4)."""
-    import pandas as pd
-
+    vectorized (Arrow hash groupby, zero-copy), the shuffle moves one row per
+    (batch, key) hashed into ``num_buckets`` groups, and each group merges
+    partials with one more vectorized groupby — high-cardinality keys never
+    form million-group shuffles (the pre-aggregate-before-groupby rule,
+    SURVEY.md §4)."""
     from odibel_ray.cdc.lww import bucket_of_keys
 
     keys = list(keys)
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.combine_chunks().select(keys).to_pandas()
-        g = df.groupby(keys, sort=False, dropna=False).size().reset_index(name=out)
-        pt = pa.Table.from_pandas(g, preserve_index=False)
+        g = t.combine_chunks().select(keys).group_by(keys).aggregate(
+            [([], "count_all")]
+        )
+        pt = g.rename_columns(keys + [out])
         b = bucket_of_keys(pt, keys, num_buckets)
         return pt.append_column("_b", pa.array(b, pa.int64()))
 
     def merge(t: pa.Table) -> pa.Table:
-        df = t.combine_chunks().drop_columns(["_b"]).to_pandas()
-        g = df.groupby(keys, sort=False, dropna=False)[out].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            t.combine_chunks()
+            .drop_columns(["_b"])
+            .group_by(keys)
+            .aggregate([(out, "sum")])
+        )
+        return g.rename_columns(keys + [out])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     return partials.groupby("_b").map_groups(merge, batch_format="pyarrow")

@@ -340,6 +340,116 @@ def q_transcript_activity(sf_dir: str):
     return g.map_batches(changes, batch_format="pyarrow")
 
 
+def q_transcript_summary(sf_dir: str):
+    """A11 TKG summary (``eval/OutputEval.scala:50-64``): distinct-count
+    profile of the replay history — facts, keys, conversations, versions
+    (union of window starts and closed ends), live rows."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.ops.aggregates import count_distinct
+
+    hist = replay_dataset(ensure_transcript_log(sf_dir), history=True)
+    proj = hist.select_columns(
+        ["conv_id", "turn_idx", "lsn_start", "lsn_end"]
+    ).materialize()
+    n_facts = proj.count()
+    n_keys = count_distinct(proj, ["conv_id", "turn_idx"]).take_all()[0]["n"]
+    n_convs = count_distinct(proj, ["conv_id"]).take_all()[0]["n"]
+
+    def versions(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["lsn_start"].to_numpy(zero_copy_only=False)
+        e = t["lsn_end"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([s, e[e != INT64_MAX]]))})
+
+    n_versions = count_distinct(
+        proj.map_batches(versions, batch_format="pyarrow"), ["v"]
+    ).take_all()[0]["n"]
+    n_live = proj.filter(expr=f"lsn_end == {INT64_MAX}").count()
+    return pa.table(
+        {
+            "n_facts": pa.array([n_facts], pa.int64()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_convs": pa.array([n_convs], pa.int64()),
+            "n_versions": pa.array([n_versions], pa.int64()),
+            "n_live": pa.array([n_live], pa.int64()),
+        }
+    )
+
+
+def q_transcript_snapshot_stats(sf_dir: str):
+    """A10 snapshot statistics (``eval/EvalFunctions.scala:353-408``): row
+    counts at half-log and full-log snapshots, added/deleted/changed keys
+    between them, static core, growth percent."""
+    from ray.data.aggregate import Count
+
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.cdc.lww import outer_diff
+
+    log = ensure_transcript_log(sf_dir)
+    cut = math.floor(0.5 * _transcript_max_lsn(sf_dir))
+    snap1 = replay_dataset(log, max_lsn=cut)
+    snap2 = replay_dataset(log)
+    rows_t1 = snap1.count()
+    rows_t2 = snap2.count()
+    d = outer_diff(snap1, snap2, ["conv_id", "turn_idx"], ["text"])
+    counts = {r["diff"]: r["n"] for r in d.groupby("diff").aggregate(Count(alias_name="n")).take_all()}
+    added = int(counts.get("added", 0))
+    deleted = int(counts.get("deleted", 0))
+    changed = int(counts.get("changed", 0))
+    return pa.table(
+        {
+            "rows_t1": pa.array([rows_t1], pa.int64()),
+            "rows_t2": pa.array([rows_t2], pa.int64()),
+            "added": pa.array([added], pa.int64()),
+            "deleted": pa.array([deleted], pa.int64()),
+            "changed": pa.array([changed], pa.int64()),
+            "static_core": pa.array([rows_t1 - deleted - changed], pa.int64()),
+            "growth_pct": pa.array([round((rows_t2 - rows_t1) / max(rows_t1, 1), 6)]),
+        }
+    )
+
+
+def q_daily_window_topk(sf_dir: str):
+    """A13 daily top-k (``eval/OutputEval.scala:72-83``): days with the most
+    opened windows, deterministic tie-break on the day string."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.ops.aggregates import group_count, with_time_bucket
+
+    hist = replay_dataset(ensure_transcript_log(sf_dir), history=True)
+    daily = group_count(
+        with_time_bucket(hist.select_columns(["ts_start"]), "ts_start", "day", out_col="day"),
+        ["day"],
+    )
+    return daily.sort(["n", "day"], descending=[True, False]).limit(5)
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """J8 large-large distributed join under an oracle: lineitem ⋈ orders on
+    the order key via the task-based bucketed join (neither side broadcast),
+    aggregated per (priority, returnflag)."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.relational import bucketed_join, load_table
+
+    li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    orders = load_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = bucketed_join(
+        li,
+        orders.rename_columns({"o_orderkey": "l_orderkey"}),
+        "l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_quantity", pa.float64()), ("l_returnflag", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+    g = j.groupby(["o_orderpriority", "l_returnflag"]).aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return _round_cols(g, {"sum_qty": 2})
+
+
 def q_transcript_named_graphs(sf_dir: str):
     """M9 named-graph serializer: replay history → 5 N-Quad lines per
     fact-version (``CSVToRDFNamedGraphs.scala:63-99`` shape, deterministic
@@ -975,6 +1085,17 @@ def q_rdf_schema_graph(sf_dir: str):
     return schema_graph(read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"]))
 
 
+def q_rdf_subgraph(sf_dir: str):
+    """J3 named op: class-scoped entity subgraph (semi-joins on subject AND
+    object entity sets + allowlist type edges + union + distinct)."""
+    from odibel_ray.rdf import filter_subgraph_by_entity_classes, read_ntriples
+
+    ds = read_ntriples(_ensure_rdf_corpus(sf_dir)["nt"])
+    return filter_subgraph_by_entity_classes(
+        ds, ["<http://ex.org/class/C0>", "<http://ex.org/class/C1>"]
+    )
+
+
 # ===========================================================================
 # registry + oracles
 # ===========================================================================
@@ -989,6 +1110,10 @@ QUERIES: dict[str, Callable] = {
     "transcript_snapshot": q_transcript_snapshot,
     "transcript_window_histogram": q_transcript_window_histogram,
     "transcript_activity": q_transcript_activity,
+    "transcript_summary": q_transcript_summary,
+    "transcript_snapshot_stats": q_transcript_snapshot_stats,
+    "daily_window_topk": q_daily_window_topk,
+    "orders_lineitem_join": q_orders_lineitem_join,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -1035,6 +1160,7 @@ QUERIES: dict[str, Callable] = {
     "rdf_filter_by_type": q_rdf_filter_by_type,
     "rdf_clean_types": q_rdf_clean_types,
     "rdf_schema_graph": q_rdf_schema_graph,
+    "rdf_subgraph": q_rdf_subgraph,
 }
 
 
@@ -1205,6 +1331,23 @@ SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')
 WHERE p <> '{rdf_type}'
    OR o IN ('<http://ex.org/class/C0>', '<http://ex.org/class/C1>', '<http://ex.org/class/C2>')
 """,
+        "rdf_subgraph": f"""
+WITH tr AS (SELECT * FROM read_parquet('{rdf_pq}')),
+sel AS (SELECT DISTINCT s AS entity FROM tr
+        WHERE p = '{rdf_type}'
+          AND o IN ('<http://ex.org/class/C0>', '<http://ex.org/class/C1>')),
+ss AS (SELECT tr.* FROM tr JOIN sel ON tr.s = sel.entity)
+SELECT DISTINCT s, p, o, isLiteral FROM (
+  SELECT s, p, o, isLiteral FROM ss WHERE isLiteral
+  UNION ALL
+  SELECT ss.s, ss.p, ss.o, ss.isLiteral FROM ss JOIN sel ON ss.o = sel.entity
+  WHERE NOT ss.isLiteral
+  UNION ALL
+  SELECT s, p, o, isLiteral FROM ss
+  WHERE p = '{rdf_type}'
+    AND o IN ('<http://ex.org/class/C0>', '<http://ex.org/class/C1>')
+)
+""",
         "rdf_schema_graph": f"""
 WITH tr AS (SELECT * FROM read_parquet('{rdf_pq}')),
 ty AS (SELECT s, min(o) AS t FROM tr WHERE p = '{rdf_type}' GROUP BY s)
@@ -1281,6 +1424,55 @@ SELECT json_extract_string(schema_change, '$.kind') AS kind,
        CAST(count(DISTINCT part) AS BIGINT) AS n_parts
 FROM read_parquet('{glob}', hive_partitioning=1)
 WHERE op = 'S' GROUP BY 1
+""",
+        "transcript_summary": (
+            _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+            + _hist_cte
+            + """
+, w AS (SELECT * FROM win WHERE op <> 'D')
+SELECT CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(count(DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS BIGINT) AS n_keys,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST((SELECT count(DISTINCT v) FROM (
+          SELECT lsn_start AS v FROM w
+          UNION SELECT lsn_end FROM w WHERE lsn_end <> 9223372036854775807)) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN lsn_end = 9223372036854775807 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+FROM w
+"""
+        ),
+        "transcript_snapshot_stats": f"""
+WITH s1 AS ({t_snap}),
+s2 AS ({t_final}),
+d AS (
+  SELECT s1.conv_id AS c1, s1.text AS x1, s2.conv_id AS c2, s2.text AS x2
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+)
+SELECT (SELECT count(*) FROM s1) AS rows_t1,
+       (SELECT count(*) FROM s2) AS rows_t2,
+       CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+       CAST(sum(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL AND x1 IS DISTINCT FROM x2 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(sum(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL AND x1 IS NOT DISTINCT FROM x2 THEN 1 ELSE 0 END) AS BIGINT) AS static_core,
+       round(1.0 * ((SELECT count(*) FROM s2) - (SELECT count(*) FROM s1))
+             / greatest((SELECT count(*) FROM s1), 1), 6) AS growth_pct
+FROM d
+""",
+        "daily_window_topk": (
+            _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+            + _hist_cte
+            + """
+SELECT day, n FROM (
+  SELECT strftime(ts_start, '%Y-%m-%d') AS day, count(*) AS n
+  FROM win WHERE op <> 'D' GROUP BY 1)
+ORDER BY n DESC, day LIMIT 5
+"""
+        ),
+        "orders_lineitem_join": """
+SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
 """,
         "transcript_named_graphs": t_named_graphs,
         "transcript_reification": t_reification,
@@ -1463,8 +1655,13 @@ WHERE rank < 10
     }
 
 
+#: third-party oracle strings registered via :func:`odibel_ray.api.register_query`
+EXTRA_ORACLES: dict[str, str] = {}
+
+
 def ray_queries() -> dict[str, Callable]:
     return dict(QUERIES)
 
 
-ORACLES = _oracles_for  # callable: sf_dir -> {name: sql}
+def ORACLES(sf_dir: str) -> dict[str, str]:  # callable: sf_dir -> {name: sql}
+    return {**_oracles_for(sf_dir), **EXTRA_ORACLES}

@@ -69,10 +69,11 @@ def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
 
 
 def read_ntriples(path: str) -> "ray.data.Dataset":
-    """S9: ``read_text`` → vectorized parse."""
-    import ray.data as rd
+    """S9: ``read_text`` (codec autodetected from the extension, S4) →
+    vectorized parse."""
+    from odibel_ray.sources.io import read_text_auto
 
-    return rd.read_text(path).map_batches(parse_ntriples_batch, batch_format="pyarrow")
+    return read_text_auto(path).map_batches(parse_ntriples_batch, batch_format="pyarrow")
 
 
 def serialize_ntriples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -138,6 +139,62 @@ def clean_rdf_types(ds: "ray.data.Dataset", allowlist: Sequence[str]) -> "ray.da
 
     allowed_types = ds.map_batches(keep_allowed, batch_format="pyarrow")
     return non_type.union(allowed_types)
+
+
+def filter_subgraph_by_entity_classes(
+    ds: "ray.data.Dataset", classes: Sequence[str], *, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """J3 multi-stage class-scoped subgraph (``rdf2.py:175-257``):
+
+    1. selected entities = subjects with an ``rdf:type`` in ``classes``;
+    2. keep triples whose subject is selected AND (object is a literal, OR
+       object is itself selected, OR the triple is an allowed type edge);
+    3. distinct.
+
+    The entity set is corpus-sized, so both entity scopings are keyed
+    :func:`odibel_ray.ops.relational.bucketed_join` semi-joins (the
+    reference's inner joins); only the class allowlist (dimension-sized) is an
+    in-filter mask.
+    """
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
+
+    classes = [c.strip() for c in classes if c and c.strip()]
+    if not classes:
+        raise ValueError("classes must not be empty")
+    class_arr = pa.array(classes)
+
+    def allowed_types(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pc.and_(
+            pc.equal(t["p"], RDF_TYPE), pc.is_in(t["o"], value_set=class_arr)
+        )
+        return t.filter(pc.fill_null(m, False))
+
+    selected = exact_dedup(
+        ds.map_batches(allowed_types, batch_format="pyarrow").select_columns(["s"]),
+        ["s"],
+    )
+    sel_schema = lambda c: pa.schema([(c, pa.string())])  # noqa: E731
+    subject_scoped = bucketed_join(
+        ds,
+        selected,
+        "s",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA,
+        right_schema=sel_schema("s"),
+    )
+    literal = subject_scoped.filter(expr="isLiteral == True")
+    entity_to_entity = bucketed_join(
+        subject_scoped.filter(expr="isLiteral == False"),
+        selected.rename_columns({"s": "o"}),
+        "o",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA,
+        right_schema=sel_schema("o"),
+    )
+    type_edges = subject_scoped.map_batches(allowed_types, batch_format="pyarrow")
+    merged = literal.union(entity_to_entity).union(type_edges)
+    return exact_dedup(merged, ["s", "p", "o", "isLiteral"])
 
 
 def schema_graph(ds: "ray.data.Dataset", *, num_buckets: int = 64) -> "ray.data.Dataset":

@@ -5,16 +5,20 @@ from odibel_ray.sources.gradoop import (
 )
 from odibel_ray.sources.io import (
     csv_to_parquet,
+    detect_codec,
     json_to_parquet,
     parquet_to_csv,
     read_table_auto,
+    read_text_auto,
 )
 
 __all__ = [
     "csv_to_parquet",
+    "detect_codec",
     "json_to_parquet",
     "parquet_to_csv",
     "read_table_auto",
+    "read_text_auto",
     "read_gradoop_vertices",
     "read_gradoop_edges",
     "gradoop_clusters",

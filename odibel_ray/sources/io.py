@@ -1,9 +1,16 @@
-"""Format converters with row-count audit (SURVEY.md §2.1 S5/S6/S8).
+"""Format converters with row-count audit (SURVEY.md §2.1 S5/S6/S8) and
+compression-codec autodetection (S4).
 
 The reference's ``CSVToParquet`` audits row counts before/after conversion
 (``/root/reference/src/main/scala/ai/scads/odibel/transform/CSVToParquet.scala:25-30``)
 — generalized here: every converter counts input and output rows via streaming
 aggregates and raises on mismatch. Formats: csv | json(l) | parquet.
+
+Codec detection follows the reference's extension dispatch on raw streams
+(``main/DBpediaTKG.scala:106-133``, ``utils/HDFSUtil.scala:23-43``): a
+trailing ``.gz``/``.bz2``/``.zst`` selects the decompression codec and the
+next extension selects the format (``corpus.nt.gz`` → gzip-compressed
+N-Triples). Parquet is self-describing and never needs a codec suffix.
 """
 
 from __future__ import annotations
@@ -17,6 +24,28 @@ if TYPE_CHECKING:  # pragma: no cover
 
 class AuditError(RuntimeError):
     pass
+
+
+#: codec-suffix → Arrow CompressedInputStream codec name
+CODEC_EXTENSIONS = {"gz": "gzip", "gzip": "gzip", "bz2": "bz2", "zst": "zstd"}
+
+
+def detect_codec(path: str) -> tuple[str | None, str]:
+    """(codec, path-without-codec-suffix) from the extension chain."""
+    base, ext = os.path.splitext(path)
+    codec = CODEC_EXTENSIONS.get(ext.lstrip(".").lower())
+    return (codec, base) if codec else (None, path)
+
+
+def read_text_auto(path: str) -> "ray.data.Dataset":
+    """``read_text`` with codec autodetection — the raw-stream source shape
+    (S4) used by line-oriented readers (N-Triples, logs)."""
+    import ray.data as rd
+
+    codec, _ = detect_codec(path)
+    if codec:
+        return rd.read_text(path, arrow_open_stream_args={"compression": codec})
+    return rd.read_text(path)
 
 
 def _read(path: str, fmt: str):
@@ -61,9 +90,18 @@ def json_to_parquet(in_path: str, out_dir: str) -> dict:
 
 
 def read_table_auto(path: str):
-    """Reader registry by extension (Source.read analog, §2.10)."""
-    ext = os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    """Reader registry by extension chain with codec autodetect (§2.10, S4):
+    ``table.csv.gz`` → gzip codec + csv format."""
+    import ray.data as rd
+
+    codec, stripped = detect_codec(path)
+    ext = os.path.splitext(stripped)[1].lstrip(".").lower() or "parquet"
     fmt = {"csv": "csv", "json": "json", "jsonl": "json", "parquet": "parquet"}.get(ext)
     if fmt is None:
         raise ValueError(f"unsupported extension: {path}")
+    if codec:
+        if fmt == "parquet":
+            raise ValueError("parquet is internally compressed; no codec suffix expected")
+        args = {"arrow_open_stream_args": {"compression": codec}}
+        return rd.read_csv(path, **args) if fmt == "csv" else rd.read_json(path, **args)
     return _read(path, fmt)

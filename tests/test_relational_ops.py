@@ -175,6 +175,28 @@ def test_shuffle_join_matches_broadcast(ray_session):
     )
 
 
+def test_codec_autodetect(ray_session, tmp_path):
+    """S4: extension-chain codec detection on raw text and table sources."""
+    import gzip
+
+    from odibel_ray.rdf import read_ntriples
+    from odibel_ray.sources import detect_codec, read_table_auto
+
+    assert detect_codec("x.nt.gz") == ("gzip", "x.nt")
+    assert detect_codec("x.csv.bz2") == ("bz2", "x.csv")
+    assert detect_codec("x.parquet") == (None, "x.parquet")
+
+    nt = tmp_path / "t.nt.gz"
+    with gzip.open(nt, "wt") as f:
+        f.write("<a> <b> <c> .\n<a> <b> \"lit\" .\n")
+    assert read_ntriples(str(nt)).count() == 2
+
+    csvgz = tmp_path / "t.csv.gz"
+    with gzip.open(csvgz, "wt") as f:
+        f.write("k,v\n1,a\n2,b\n")
+    assert read_table_auto(str(csvgz)).count() == 2
+
+
 def test_cron_expansion(ray_session):
     import datetime as dt
 
