@@ -69,21 +69,37 @@ def generate_media_table(n: int = 200, seed: int = 23) -> pa.Table:
 
 
 class FakeCodec:
-    """Deterministic stand-in for an image/audio codec."""
+    """Deterministic stand-in for an image/audio codec. ``decode`` accepts any
+    buffer-like payload (bytes or a zero-copy memoryview into the Arrow data
+    buffer)."""
 
     HEADER_LEN = 4 + 4 + 16
 
-    def decode(self, payload: bytes) -> np.ndarray:
-        if not payload.startswith(_MAGIC):
+    def decode(self, payload) -> np.ndarray:
+        mv = memoryview(payload)
+        if bytes(mv[:4]) != _MAGIC:
             raise NotImplementedError(
                 "real media formats need PIL/ffmpeg (not available in this "
                 "environment); only the ODB1 fake container is decodable"
             )
-        kind, w, h, c, sr = struct.unpack("<4siiii", payload[4 : self.HEADER_LEN])
-        body = payload[self.HEADER_LEN :]
+        kind, w, h, c, sr = struct.unpack("<4siiii", mv[4 : self.HEADER_LEN])
+        body = mv[self.HEADER_LEN :]
         if kind.rstrip(b"\x00") == b"imag":
             return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
         return np.frombuffer(body, dtype=np.int16)
+
+
+def _payload_views(t: pa.Table, col: str = "payload") -> list[memoryview]:
+    """Zero-copy per-row memoryviews into the binary column's data buffer —
+    no Python ``bytes`` copies, no ``to_pylist`` dict rows."""
+    ba = t[col]
+    if isinstance(ba, pa.ChunkedArray):
+        ba = ba.combine_chunks() if ba.num_chunks != 1 else ba.chunk(0)
+    bufs = ba.buffers()
+    otype = np.int64 if pa.types.is_large_binary(ba.type) else np.int32
+    offs = np.frombuffer(bufs[1], otype)[ba.offset : ba.offset + len(ba) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [data[offs[i] : offs[i + 1]] for i in range(len(ba))]
 
 
 class MediaFeatures:
@@ -96,21 +112,24 @@ class MediaFeatures:
         self.codec = FakeCodec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, kinds, means, stds, sizes = [], [], [], [], []
-        for row in t.to_pylist():
-            arr = self.codec.decode(row["payload"])
-            ids.append(row["media_id"])
-            kinds.append(row["kind"])
-            means.append(round(float(arr.mean()), 6))
-            stds.append(round(float(arr.std()), 6))
-            sizes.append(int(arr.size))
+        t = t.combine_chunks()
+        views = _payload_views(t)
+        n = len(t)
+        means = np.empty(n)
+        stds = np.empty(n)
+        sizes = np.empty(n, dtype=np.int64)
+        for i, mv in enumerate(views):  # per-item decode is intrinsic to a codec
+            arr = self.codec.decode(mv)
+            means[i] = round(float(arr.mean()), 6)
+            stds[i] = round(float(arr.std()), 6)
+            sizes[i] = arr.size
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
-                "mean": pa.array(means, pa.float64()),
-                "std": pa.array(stds, pa.float64()),
-                "n_samples": pa.array(sizes, pa.int64()),
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "mean": pa.array(means),
+                "std": pa.array(stds),
+                "n_samples": pa.array(sizes),
             }
         )
 
@@ -124,21 +143,36 @@ class ImageResizer:
         self.target = target
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
+        t = t.combine_chunks()
         tw, th = self.target
-        for row in t.to_pylist():
-            if row["kind"] != "image":
-                out.append(row)
+        views = _payload_views(t)
+        kinds = t["kind"].to_pylist()
+        payloads: list = [None] * len(t)
+        widths = t["width"].to_numpy(zero_copy_only=False).copy()
+        heights = t["height"].to_numpy(zero_copy_only=False).copy()
+        for i, mv in enumerate(views):
+            if kinds[i] != "image":
+                payloads[i] = bytes(mv)
                 continue
-            img = self.codec.decode(row["payload"])
+            img = self.codec.decode(mv)
             h, w, c = img.shape
             yi = (np.arange(th) * h // th)[:, None]
             xi = (np.arange(tw) * w // tw)[None, :]
             resized = img[yi, xi]
             header = _MAGIC + struct.pack("<4siiii", b"imag", tw, th, c, 0)
-            row = {**row, "payload": header + resized.tobytes(), "width": tw, "height": th}
-            out.append(row)
-        return pa.Table.from_pylist(out, schema=MEDIA_SCHEMA)
+            payloads[i] = header + resized.tobytes()
+            widths[i], heights[i] = tw, th
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": t["channels"],
+                "sample_rate": t["sample_rate"],
+            }
+        )
 
 
 def media_features(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 64):

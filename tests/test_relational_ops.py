@@ -154,6 +154,34 @@ def test_format_converters_audit(ray_session, tmp_path):
     assert read_table_auto(f"{SF}/nation.parquet").count() == 25
 
 
+def test_bucketed_join_matches_broadcast(ray_session):
+    """Task-based distributed hash join == broadcast join (inner + left,
+    including unmatched left rows)."""
+    import pyarrow as pa
+
+    from odibel_ray.ops import broadcast_hash_join, load_table
+    from odibel_ray.ops.relational import bucketed_join
+
+    orders = load_table(SF, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(SF, "customer", ["c_custkey", "c_name"]).rename_columns(
+        {"c_custkey": "o_custkey"}
+    )
+    schema_l = pa.schema([("o_custkey", pa.int64()), ("o_totalprice", pa.float64())])
+    schema_r = pa.schema([("o_custkey", pa.int64()), ("c_name", pa.string())])
+    for how in ("inner", "left"):
+        a = broadcast_hash_join(orders, cust, "o_custkey", how=how).to_pandas()
+        b = bucketed_join(
+            orders, cust, "o_custkey", how=how,
+            left_schema=schema_l, right_schema=schema_r,
+        ).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols, ignore_index=True),
+            b[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False,
+        )
+
+
 def test_shuffle_join_matches_broadcast(ray_session):
     from odibel_ray.ops import broadcast_hash_join, load_table
     from odibel_ray.ops.relational import shuffle_join
