@@ -284,6 +284,7 @@ def verify_pairs_jaccard(
     threshold: float = 0.5,
     batch_size: int = 4096,
     num_partitions: int | None = None,
+    pair_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Verify candidate pairs with exact n-gram Jaccard (hash-set identity —
     64-bit shingle hashes stand in for shingle strings, collision probability
@@ -293,12 +294,15 @@ def verify_pairs_jaccard(
     keyed shuffle joins against the documents table (task-based
     :func:`odibel_ray.ops.relational.bucketed_join` — never a full-corpus
     broadcast) and the Jaccard kernel is flat-array segmented numpy.
+
+    ``pair_schema``: Arrow schema of ``pairs`` (must include doc_a/doc_b);
+    defaults to the MinHash candidate shape (doc_a, doc_b, est_jaccard).
     """
     from odibel_ray.ops.relational import bucketed_join
 
     nb = num_partitions or 32
     d = docs.select_columns(["doc_id", "text"])
-    pair_schema = pa.schema(
+    pair_schema = pair_schema or pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
     )
     text_schema = lambda c, tc: pa.schema([(c, pa.int64()), (tc, pa.string())])  # noqa: E731

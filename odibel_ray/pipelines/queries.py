@@ -951,6 +951,28 @@ def q_dedup_minhash_clusters(sf_dir: str):
     )
 
 
+def q_dedup_jaccard_verified(sf_dir: str):
+    """Exact n-gram Jaccard verification over SQL-expressible blocking
+    candidates — oracles the verification kernel that `dedup_minhash` shares
+    (the LSH candidate set itself is not SQL-expressible)."""
+    from odibel_ray.dedup import verify_pairs_jaccard
+    from odibel_ray.ops.relational import load_table
+
+    pairs = (
+        _doc_blocking(sf_dir)
+        .select_columns(["id_a", "id_b"])
+        .rename_columns({"id_a": "doc_a", "id_b": "doc_b"})
+    )
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return verify_pairs_jaccard(
+        pairs,
+        docs,
+        n=3,
+        threshold=0.3,
+        pair_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     from odibel_ray.dedup import simhash_pairs
     from odibel_ray.ops.relational import load_table
@@ -1151,6 +1173,7 @@ QUERIES: dict[str, Callable] = {
     "doc_lang_id": q_doc_lang_id,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1615,6 +1638,26 @@ SELECT count(*) AS total_clusters,
        CAST(coalesce(min(sz), 0) AS BIGINT) AS min_cluster_size,
        CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size
 FROM c
+""",
+        "dedup_jaccard_verified": """
+WITH k AS (SELECT doc_id, text,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             string_split(a.text, ' ') AS ka, string_split(b.text, ' ') AS kb
+      FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_a, doc_b,
+  list_distinct(list_transform(range(1, greatest(len(ka) - 1, 1)),
+      i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS sa,
+  list_distinct(list_transform(range(1, greatest(len(kb) - 1, 1)),
+      i -> kb[i] || ' ' || kb[i+1] || ' ' || kb[i+2])) AS sb
+  FROM p),
+j AS (SELECT doc_a, doc_b,
+  CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 1.0
+       ELSE 1.0 * len(list_intersect(sa, sb)) / len(list_distinct(list_concat(sa, sb)))
+  END AS jac
+  FROM sh)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
 """,
         "rarity_sample_docs": """
 WITH freq AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
