@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from odibel_ray.pipelines.queries import (
         QUERIES,
+        _ensure_media_table,
         _ensure_rdf_corpus,
         ensure_transcript_log,
     )
@@ -40,16 +41,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle SQL (which reads them from /tmp); generation is cheap + idempotent.
     ensure_transcript_log(_DRIVER_SF)
     _ensure_rdf_corpus(_DRIVER_SF)
+    _ensure_media_table(_DRIVER_SF)
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from odibel_ray.pipelines.queries import (
         ORACLES,
+        _ensure_media_table,
         _ensure_rdf_corpus,
         ensure_transcript_log,
     )
 
     ensure_transcript_log(_DRIVER_SF)
     _ensure_rdf_corpus(_DRIVER_SF)
+    _ensure_media_table(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

@@ -801,6 +801,27 @@ def q_doc_token_stats(sf_dir: str):
     return _round_cols(g, {"avg_tokens": 6})
 
 
+def q_doc_regex_token_stats(sf_dir: str):
+    """BPE-ish regex token counts (letter runs | digit runs | symbols) per
+    language — the second tokenizer of the brief's text-analysis suite."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import add_regex_token_count
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    g = (
+        add_regex_token_count(docs)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("regex_tokens", alias_name="total_tokens"),
+            Mean("regex_tokens", alias_name="avg_tokens"),
+        )
+    )
+    return _round_cols(g, {"avg_tokens": 6})
+
+
 def q_doc_prefix_dedup(sf_dir: str):
     """Dedup documents by their first-5-token prefix (exact dedup on a derived
     key; SQL-checkable analog of fingerprint dedup)."""
@@ -999,6 +1020,40 @@ def _query_vectors(sf_dir: str):
     return q.rename_columns(["query_id", "embedding"])
 
 
+def _ensure_media_table(sf_dir: str) -> str:
+    """Deterministic fake-codec media table sized for the scale factor,
+    written once under the cache so the DuckDB oracle reads the same file."""
+    import pyarrow.parquet as pq
+
+    from odibel_ray.multimodal import generate_media_table
+
+    name = _sf_name(sf_dir)
+    out = os.path.join(CACHE_ROOT, name + "_media")
+    path = os.path.join(out, "media.parquet")
+    n = max(200, int(20000 * float(name.replace("sf", "") or 0.001)))
+    marker = os.path.join(out, "_n.txt")
+    if os.path.exists(marker) and open(marker).read() == str(n):
+        return path
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(generate_media_table(n), path)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return path
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool decode stage under an oracle: the decoded sample
+    count per payload must equal what the typed metadata implies (images:
+    w·h·c; audio: int16 body length)."""
+    import ray.data as rd
+
+    from odibel_ray.multimodal import media_features
+
+    ds = rd.read_parquet(_ensure_media_table(sf_dir))
+    feats = media_features(ds, concurrency=_actor_conc(2), batch_size=64)
+    return feats.select_columns(["media_id", "kind", "n_samples"])
+
+
 def q_ann_cosine_topk(sf_dir: str):
     from odibel_ray.ops.relational import load_table
     from odibel_ray.sim import cosine_topk
@@ -1162,6 +1217,7 @@ QUERIES: dict[str, Callable] = {
     "event_value_stats": q_event_value_stats,
     "events_props_stats": q_events_props_stats,
     "doc_token_stats": q_doc_token_stats,
+    "doc_regex_token_stats": q_doc_regex_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_quality": q_doc_quality,
     "er_pairs_blocking": q_er_pairs_blocking,
@@ -1176,6 +1232,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dups": q_embedding_near_dups,
+    "media_features": q_media_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
@@ -1339,6 +1396,7 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
    OR (s.value IS DISTINCT FROM f.value)
 """
     )
+    media_pq = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_media", "media.parquet")
     rdf_pq = _rdf_pq(sf_dir)
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     rdf_sqls = {
@@ -1593,6 +1651,12 @@ SELECT lang, count(*) AS n_docs,
        round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
 FROM documents GROUP BY lang
 """,
+        "doc_regex_token_stats": """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS avg_tokens
+FROM documents GROUP BY lang
+""",
         "doc_prefix_dedup": """
 SELECT doc_id, prefix_key
 FROM (SELECT doc_id,
@@ -1683,6 +1747,12 @@ FROM documents
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
        round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
 FROM embeddings GROUP BY label
+""",
+        "media_features": f"""
+SELECT media_id, kind,
+       CAST(CASE WHEN kind = 'image' THEN width * height * channels
+                 ELSE (octet_length(payload) - 24) / 2 END AS BIGINT) AS n_samples
+FROM read_parquet('{media_pq}')
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0)

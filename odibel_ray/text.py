@@ -42,6 +42,31 @@ def add_token_count(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+#: BPE-ish token classes: letter runs | digit runs | single non-space symbol —
+#: the pre-tokenization split most BPE vocabularies apply before merges
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def add_regex_token_count(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    out: str = "regex_tokens",
+    *,
+    pattern: str = BPE_TOKEN_PATTERN,
+    batch_size: int = 65536,
+):
+    """BPE-ish regex token count per row — one vectorized
+    ``pc.count_substring_regex`` kernel per batch (SQL twin:
+    ``len(regexp_extract_all(text, pattern))``)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = pc.count_substring_regex(t[text_col], pattern=pattern)
+        return t.append_column(out, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
