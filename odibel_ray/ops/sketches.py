@@ -1,0 +1,140 @@
+"""Mergeable sketches for 100-TB-scale profiling (SURVEY.md §2.5 note —
+the reference's only sketch is ``percentile_approx``; these add the two
+aggregates a corpus-scale pipeline needs constantly):
+
+- :func:`approx_count_distinct` — HyperLogLog. Exact distinct
+  (:func:`odibel_ray.ops.aggregates.count_distinct`) hash-shuffles every
+  distinct value; HLL ships one 2^p-byte register array per batch and merges
+  by element-wise max — no shuffle at all, ~1.04/√m relative error.
+- :func:`approx_heavy_hitters` — combiner top-k frequency sketch (per-batch
+  truncated counts → small groupby-sum → top-k). The hot-key detector behind
+  salted two-stage apply: a key's true global count is underestimated by at
+  most the truncation mass of the batches that dropped it, and every key
+  whose per-batch share is above ``1/candidates_per_batch`` survives.
+
+Both kernels are vectorized (one ``pd.util.hash_array`` / Arrow
+``value_counts`` per batch); only fixed-size partials reach the driver.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _row_hashes(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    h = np.zeros(len(t), dtype=np.uint64)
+    for c in cols:
+        arr = t[c].to_numpy(zero_copy_only=False)
+        h = h * _MIX + pd.util.hash_array(arr, categorize=False)
+    return h
+
+
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p max-rank registers from 64-bit hashes, fully vectorized."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rank = leading-zero count within the low 64-p bits, + 1
+    bits = np.zeros(len(h), dtype=np.int64)
+    nz = w > 0
+    # w < 2^52 ⇒ float64 log2 is exact enough for the floor
+    bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    rank = np.where(nz, (64 - p) - bits, (64 - p) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range linear-counting correction
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_count_distinct(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    *,
+    precision: int = 12,
+    batch_size: int = 65536,
+) -> int:
+    """HyperLogLog distinct count: per-batch register partials (2^precision
+    bytes each), merged by element-wise max on the driver — shuffle-free."""
+    cols = list(cols)
+    m = 1 << precision
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(_row_hashes(t.combine_chunks(), cols), precision)
+        return pa.table(
+            {"regs": pa.FixedSizeListArray.from_arrays(pa.array(regs, pa.uint8()), m)}
+        )
+
+    merged = np.zeros(m, dtype=np.uint8)
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for row in batch["regs"].to_pylist():
+            merged = np.maximum(merged, np.asarray(row, dtype=np.uint8))
+    return round(_hll_estimate(merged))
+
+
+def approx_heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 10,
+    *,
+    candidates_per_batch: int = 256,
+    batch_size: int = 65536,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Approximate top-k most frequent values of ``col``: per-batch truncated
+    value counts (combiner) → key-bucketed sum → global top-k by count.
+    Returns ``(value, n)`` with ``n`` a lower bound on the true count."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+    from odibel_ray.ops.relational import topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.combine_chunks()[col].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        out = pa.table(
+            {"value": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+        if len(out) > candidates_per_batch:
+            idx = pc.select_k_unstable(out, candidates_per_batch, sort_keys=[("n", "descending")])
+            out = out.take(idx)
+        b = bucket_of_keys(out, ["value"], num_buckets)
+        return out.append_column("_b", pa.array(b, pa.int64()))
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    summed = (
+        partials.groupby("_b")
+        .map_groups(
+            lambda t: t.combine_chunks()
+            .drop_columns(["_b"])
+            .group_by(["value"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["value", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return topk(summed, "n", k)

@@ -1,0 +1,53 @@
+"""Mergeable sketches: HLL distinct count + heavy hitters."""
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_accuracy_vs_exact(ray_session):
+    from odibel_ray.ops import load_table
+    from odibel_ray.ops.aggregates import count_distinct
+    from odibel_ray.ops.sketches import approx_count_distinct
+
+    ev = load_table(SF, "events", ["user_id"])
+    exact = count_distinct(ev, ["user_id"]).take_all()[0]["n"]
+    est = approx_count_distinct(ev, ["user_id"], precision=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # composite key
+    ev2 = load_table(SF, "events", ["user_id", "event_type"])
+    exact2 = count_distinct(ev2, ["user_id", "event_type"]).take_all()[0]["n"]
+    est2 = approx_count_distinct(ev2, ["user_id", "event_type"])
+    assert abs(est2 - exact2) / exact2 < 0.05, (est2, exact2)
+
+
+def test_hll_merge_partition_invariant(ray_session):
+    """Same estimate whatever the batch boundaries (register max is
+    commutative/associative)."""
+    import ray.data as rd
+
+    from odibel_ray.ops.sketches import approx_count_distinct
+
+    vals = pa.table({"v": pa.array(np.arange(5000, dtype=np.int64) % 1700)})
+    a = approx_count_distinct(rd.from_arrow(vals), ["v"], batch_size=100)
+    b = approx_count_distinct(rd.from_arrow(vals), ["v"], batch_size=4096)
+    assert a == b
+
+
+def test_heavy_hitters_finds_hot_keys(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.ops.sketches import approx_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # two hot keys on a long uniform tail
+    tail = rng.integers(1000, 9000, size=20000)
+    vals = np.concatenate([np.full(5000, 1), np.full(3000, 2), tail])
+    rng.shuffle(vals)
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    top = approx_heavy_hitters(rd.from_arrow(t), "k", k=2, batch_size=2048).take_all()
+    got = {r["value"]: r["n"] for r in top}
+    assert set(got) == {1, 2}
+    # counts are lower bounds but hot keys survive every batch: exact here
+    assert got[1] == 5000 and got[2] == 3000
