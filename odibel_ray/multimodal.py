@@ -38,11 +38,16 @@ _MAGIC = b"ODB1"
 
 
 def encode_fake_media(media_id: int, kind: str, rng: np.random.Generator) -> dict:
-    """One deterministic fake media row (image: H*W*C uint8; audio: 1-D int16)."""
+    """One deterministic fake media row (image: H·W·C uint8; audio: 1-D int16;
+    video: F·H·W·C uint8 with the frame count carried in ``sample_rate``)."""
     if kind == "image":
         w, h, c = int(rng.integers(8, 64)), int(rng.integers(8, 64)), 3
         sr = 0
         body = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    elif kind == "video":
+        w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
+        sr = int(rng.integers(8, 40))  # frame count
+        body = rng.integers(0, 256, size=sr * h * w * c, dtype=np.uint8).tobytes()
     else:
         w = h = c = 0
         sr = 16000
@@ -62,8 +67,9 @@ def encode_fake_media(media_id: int, kind: str, rng: np.random.Generator) -> dic
 
 def generate_media_table(n: int = 200, seed: int = 23) -> pa.Table:
     rng = np.random.default_rng(seed)
+    kinds = {0: "audio", 1: "video"}
     rows = [
-        encode_fake_media(i, "image" if i % 3 else "audio", rng) for i in range(n)
+        encode_fake_media(i, kinds.get(i % 5, "image"), rng) for i in range(n)
     ]
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -84,8 +90,11 @@ class FakeCodec:
             )
         kind, w, h, c, sr = struct.unpack("<4siiii", mv[4 : self.HEADER_LEN])
         body = mv[self.HEADER_LEN :]
-        if kind.rstrip(b"\x00") == b"imag":
+        k = kind.rstrip(b"\x00")
+        if k == b"imag":
             return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+        if k == b"vide":
+            return np.frombuffer(body, dtype=np.uint8).reshape(sr, h, w, c)
         return np.frombuffer(body, dtype=np.int16)
 
 
@@ -173,6 +182,52 @@ class ImageResizer:
                 "sample_rate": t["sample_rate"],
             }
         )
+
+
+class FrameSampler:
+    """Actor-pool stage: keep every ``stride``-th frame of video payloads
+    (re-encoded with the reduced frame count); images/audio pass through.
+    The frame-sample step of a video-pretraining feed."""
+
+    def __init__(self, stride: int = 4):
+        self.codec = FakeCodec()
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        views = _payload_views(t)
+        kinds = t["kind"].to_pylist()
+        payloads: list = [None] * len(t)
+        rates = t["sample_rate"].to_numpy(zero_copy_only=False).copy()
+        for i, mv in enumerate(views):
+            if kinds[i] != "video":
+                payloads[i] = bytes(mv)
+                continue
+            vid = self.codec.decode(mv)  # (frames, h, w, c)
+            sampled = np.ascontiguousarray(vid[:: self.stride])
+            f, h, w, c = sampled.shape
+            header = _MAGIC + struct.pack("<4siiii", b"vide", w, h, c, f)
+            payloads[i] = header + sampled.tobytes()
+            rates[i] = f
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+                "width": t["width"],
+                "height": t["height"],
+                "channels": t["channels"],
+                "sample_rate": pa.array(rates, pa.int32()),
+            }
+        )
+
+
+def sample_frames(ds: "ray.data.Dataset", stride: int = 4, *, concurrency: int = 2,
+                  batch_size: int = 64):
+    return ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
+    )
 
 
 def media_features(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 64):

@@ -1032,12 +1032,12 @@ def _ensure_media_table(sf_dir: str) -> str:
     path = os.path.join(out, "media.parquet")
     n = max(200, int(20000 * float(name.replace("sf", "") or 0.001)))
     marker = os.path.join(out, "_n.txt")
-    if os.path.exists(marker) and open(marker).read() == str(n):
+    if os.path.exists(marker) and open(marker).read() == f"v2:{n}":
         return path
     os.makedirs(out, exist_ok=True)
     pq.write_table(generate_media_table(n), path)
     with open(marker, "w") as f:
-        f.write(str(n))
+        f.write(f"v2:{n}")
     return path
 
 
@@ -1751,6 +1751,7 @@ FROM embeddings GROUP BY label
         "media_features": f"""
 SELECT media_id, kind,
        CAST(CASE WHEN kind = 'image' THEN width * height * channels
+                 WHEN kind = 'video' THEN octet_length(payload) - 24
                  ELSE (octet_length(payload) - 24) / 2 END AS BIGINT) AS n_samples
 FROM read_parquet('{media_pq}')
 """,

@@ -43,6 +43,31 @@ def test_image_resize_roundtrip(ray_session):
             assert img.shape == (8, 8, 3)
 
 
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.multimodal import FakeCodec, generate_media_table, sample_frames
+
+    tbl = generate_media_table(n=40)
+    before = {r["media_id"]: r for r in tbl.to_pylist()}
+    out = sample_frames(rd.from_arrow(tbl), stride=4).take_all()
+    codec = FakeCodec()
+    n_video = 0
+    for r in out:
+        if r["kind"] != "video":
+            assert r["payload"] == before[r["media_id"]]["payload"]  # pass-through
+            continue
+        n_video += 1
+        orig_frames = before[r["media_id"]]["sample_rate"]
+        vid = codec.decode(r["payload"])
+        expect = (orig_frames + 3) // 4  # every 4th frame
+        assert vid.shape[0] == expect == r["sample_rate"]
+        # sampled frame 1 == original frame at stride
+        orig = codec.decode(before[r["media_id"]]["payload"])
+        assert np.array_equal(vid[1], orig[4])
+    assert n_video > 0
+
+
 def test_codec_rejects_real_formats():
     from odibel_ray.multimodal import FakeCodec
 
