@@ -352,6 +352,42 @@ def replay_dataset_actor(
     )
 
 
+def suggest_salt(
+    log_dir: str,
+    *,
+    num_buckets: int = 64,
+    hot_ratio: float = 4.0,
+    max_salt: int = 16,
+) -> dict:
+    """Skew advisor for the salted two-stage apply: detect hot conversations
+    with the heavy-hitter sketch (no exact groupby over the full key space)
+    and suggest a salt factor so the hottest key's share of a bucket drops to
+    roughly the mean bucket load.
+
+    Returns ``{"hot_keys": [(conv_id, n), ...], "salt": int}`` — ``salt`` is 0
+    when no key exceeds ``hot_ratio`` × the mean per-key event count among the
+    sketch's candidates.
+    """
+    import ray.data as rd
+
+    from odibel_ray.ops.sketches import approx_heavy_hitters
+
+    ds = rd.read_parquet(log_dir).select_columns(["conv_id"])
+    n_total = ds.count()
+    top = approx_heavy_hitters(ds, "conv_id", k=16).take_all()
+    if not top or n_total == 0:
+        return {"hot_keys": [], "salt": 0}
+    mean_per_bucket = n_total / num_buckets
+    hottest = max(int(r["n"]) for r in top)
+    if hottest < hot_ratio * (n_total / max(len(top) * 64, 1)):
+        return {"hot_keys": [], "salt": 0}
+    salt = int(min(max_salt, max(1, round(hottest / mean_per_bucket))))
+    return {
+        "hot_keys": [(r["value"], int(r["n"])) for r in top],
+        "salt": salt if salt > 1 else 0,
+    }
+
+
 def limit_arrow_threads(n: int = 1, io: int = 2) -> None:
     """Cap pyarrow's global thread pools inside a Ray worker. Arrow's pools
     default to the machine's core count and are NOT governed by Ray's

@@ -35,6 +35,19 @@ def test_hll_merge_partition_invariant(ray_session):
     assert a == b
 
 
+def test_suggest_salt_detects_zipf_hot_keys(ray_session, small_log):
+    """The skew advisor must flag the generator's Zipf-hot conversations and
+    the suggested salt must leave the converged state unchanged."""
+    from odibel_ray.cdc.apply import replay_dataset, suggest_salt
+
+    log = small_log["log_dir"]
+    s = suggest_salt(log)
+    assert s["salt"] >= 1 and len(s["hot_keys"]) > 0
+    plain = replay_dataset(log).count()
+    salted = replay_dataset(log, num_buckets=8, salt=max(s["salt"], 2)).count()
+    assert plain == salted
+
+
 def test_heavy_hitters_finds_hot_keys(ray_session):
     import ray.data as rd
 
