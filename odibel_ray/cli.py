@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--table", required=True)
     i.add_argument("--run-id", default="cli-inc")
 
+    a = sub.add_parser("advise", help="detect hot keys and suggest a salt factor")
+    a.add_argument("--log", required=True)
+    a.add_argument("--num-buckets", type=int, default=64)
+
     q = sub.add_parser("query", help="run a named pipeline from the registry")
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -135,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
         from odibel_ray.cdc.sink import incremental_apply
 
         res = incremental_apply(args.log, args.table, run_id=args.run_id)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "advise":
+        from odibel_ray.cdc.apply import suggest_salt
+
+        res = suggest_salt(args.log, num_buckets=args.num_buckets)
         print(json.dumps(res))
         return 0
 

@@ -267,6 +267,43 @@ def q_transcript_snapshot(sf_dir: str):
     return replay_dataset(log, max_lsn=cut)
 
 
+def _transcript_mid_ts_us(sf_dir: str) -> int:
+    """Deterministic event-time midpoint over valid data events (both sides
+    compute min + (max-min)//2 in integer microseconds)."""
+    import pyarrow.dataset as pads
+
+    log = ensure_transcript_log(sf_dir)
+    t = pads.dataset(log, format="parquet", partitioning="hive").to_table(
+        columns=["op", "conv_id", "turn_idx", "ts"]
+    )
+    m = pc.and_(
+        pc.and_(pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])), pc.is_valid(t["conv_id"])),
+        pc.is_valid(t["turn_idx"]),
+    )
+    ts = t.filter(m)["ts"].cast(pa.int64())
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    return lo + (hi - lo) // 2
+
+
+def q_transcript_time_travel(sf_dir: str):
+    """M15 snapshot-at-T in TIME space (``eval/EvalFunctions.scala:66-84``):
+    interval containment ``ts_start <= T < ts_end`` over the history windows —
+    the second snapshot form, cross-checking the LSN-space snapshot."""
+    from odibel_ray.cdc.apply import replay_dataset
+
+    t_us = _transcript_mid_ts_us(sf_dir)
+    hist = replay_dataset(ensure_transcript_log(sf_dir), history=True)
+
+    def contains(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["ts_start"].cast(pa.int64())
+        e = t["ts_end"].cast(pa.int64())
+        m = pc.and_(pc.less_equal(s, t_us), pc.greater(e, t_us))
+        return t.filter(pc.fill_null(m, False))
+
+    return hist.map_batches(contains, batch_format="pyarrow")
+
+
 def q_transcript_window_histogram(sf_dir: str):
     """Version-lifetime histogram over closed history windows (A12 analog,
     ``eval/OutputEval.scala:85-97``): floor(lsn duration / 16) → count."""
@@ -1185,6 +1222,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_replay_salted": q_transcript_replay_salted,
     "transcript_history": q_transcript_history,
     "transcript_snapshot": q_transcript_snapshot,
+    "transcript_time_travel": q_transcript_time_travel,
     "transcript_window_histogram": q_transcript_window_histogram,
     "transcript_activity": q_transcript_activity,
     "transcript_summary": q_transcript_summary,
@@ -1452,6 +1490,21 @@ GROUP BY 1, 2, 3
         "transcript_incremental": t_final,
         "transcript_history": t_hist,
         "transcript_snapshot": t_snap,
+        "transcript_time_travel": (
+            _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+            + _hist_cte
+            + """
+, bounds AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool_name, score,
+       lsn_start, lsn_end, ts_start, ts_end
+FROM win, bounds
+WHERE op <> 'D'
+  AND epoch_us(ts_start) <= lo + (hi - lo) // 2
+  AND epoch_us(ts_end) > lo + (hi - lo) // 2
+"""
+        ),
         "transcript_window_histogram": t_winhist,
         "transcript_activity": (
             _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
