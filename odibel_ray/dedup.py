@@ -108,12 +108,17 @@ class MinHasher:
     #: 64 perms × 65536 shingles × 8 B ≈ 32 MB per task, well under heap
     _CHUNK = 1 << 16
 
-    def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle: int = 3, seed: int = 13):
+    def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle: int = 3,
+                 seed: int = 13, emit_sig: bool = True):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm, self.n_bands, self.shingle = num_perm, n_bands, shingle
         self.rows_per_band = num_perm // n_bands
+        #: emit_sig=False ships only (doc_id, band, band_hash) through the
+        #: banding shuffle — 24 B/row instead of ~540 B/row — for pipelines
+        #: that exact-verify candidates anyway (no est-jaccard prefilter)
+        self.emit_sig = emit_sig
 
     def signatures(self, flat: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
         """(n_docs, num_perm) minhash matrix via chunked outer-product +
@@ -156,46 +161,63 @@ class MinHasher:
         for j in range(r):
             band_hash = band_hash * _MIX + band_sigs[:, :, j]
         bands = np.tile(np.arange(self.n_bands, dtype=np.int64), n)
-        rep = sigs.astype(np.int64)[np.repeat(np.arange(n), self.n_bands)]
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(rep.reshape(-1), pa.int64()), self.num_perm
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(ids, self.n_bands)),
-                "band": pa.array(bands),
-                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
-                "sig": sig_col,
-            }
-        )
+        cols = {
+            "doc_id": pa.array(np.repeat(ids, self.n_bands)),
+            "band": pa.array(bands),
+            "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+        }
+        if self.emit_sig:
+            rep = sigs.astype(np.int64)[np.repeat(np.arange(n), self.n_bands)]
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.reshape(-1), pa.int64()), self.num_perm
+            )
+        return pa.table(cols)
 
 
 def _pairs_in_bucket(t: pa.Table, threshold: float, num_perm: int) -> pa.Table:
-    """Candidate pairs inside one (band, band_hash) bucket; estimated Jaccard =
-    fraction of matching minhash positions; keep pairs ≥ threshold."""
+    """Candidate pairs inside one (band, band_hash) bucket. With signatures
+    present, estimated Jaccard = fraction of matching minhash positions and
+    pairs below ``threshold`` are dropped; without (``emit_sig=False``), every
+    in-bucket pair is a candidate for downstream exact verification."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    has_sig = "sig" in t.column_names
     # bucket sizes are tiny (docs agreeing on a full band); all-pairs here is OK
     uniq, idx = np.unique(ids, return_index=True)
+    cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    if has_sig:
+        cols["est_jaccard"] = pa.array([], pa.float64())
     if len(uniq) < 2:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "est_jaccard": pa.array([], pa.float64())}
-        )
-    sigs = np.stack(t["sig"].to_numpy(zero_copy_only=False)[idx])
+        return pa.table(cols)
     n = len(uniq)
     ia, ib = np.triu_indices(n, k=1)
-    match = (sigs[ia] == sigs[ib]).mean(axis=1)
-    keep = match >= threshold
-    order = np.argsort(uniq)
-    a, b = uniq[ia[keep]], uniq[ib[keep]]
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return pa.table(
-        {
-            "doc_a": pa.array(lo.astype(np.int64)),
-            "doc_b": pa.array(hi.astype(np.int64)),
-            "est_jaccard": pa.array(np.round(match[keep], 6)),
-        }
-    )
+    if has_sig:
+        sigs = np.stack(t["sig"].to_numpy(zero_copy_only=False)[idx])
+        match = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = match >= threshold
+        ia, ib = ia[keep], ib[keep]
+    a, b = uniq[ia], uniq[ib]
+    out = {
+        "doc_a": pa.array(np.minimum(a, b).astype(np.int64)),
+        "doc_b": pa.array(np.maximum(a, b).astype(np.int64)),
+    }
+    if has_sig:
+        out["est_jaccard"] = pa.array(np.round(match[keep], 6))
+    return pa.table(out)
+
+
+_HASHER_CACHE: dict = {}
+
+
+def _minhash_batch(t: pa.Table, **kw) -> pa.Table:
+    """Task-based MinHasher with once-per-worker-process construction (module
+    cache) — the per-actor-``__init__`` property of the actor-pool pattern
+    without paying actor-pool spin-up on every pipeline run (the hasher state
+    is a few KB of seeded coefficients)."""
+    key = tuple(sorted(kw.items()))
+    hasher = _HASHER_CACHE.get(key)
+    if hasher is None:
+        hasher = _HASHER_CACHE.setdefault(key, MinHasher(**kw))
+    return hasher(t)
 
 
 def minhash_lsh_pairs(
@@ -205,31 +227,48 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle: int = 3,
     threshold: float = 0.5,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 1024,
+    est_filter: bool = True,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
     deduplicated across bands by a final exact dedup on (doc_a, doc_b).
-    ``batch_size`` is kept small enough that the actor pool sees several
-    batches per actor (a batch ≈ the whole table would serialize the pool)."""
+
+    ``est_filter=False`` skips the in-bucket estimated-jaccard prefilter and
+    ships NO signatures through the banding shuffle (24 B/row vs ~540 B/row)
+    — right when the caller exact-verifies candidates anyway
+    (:func:`verify_pairs_jaccard`). ``concurrency`` switches the signature
+    stage to an actor pool; default is task-based with once-per-process
+    hasher construction."""
     from functools import partial
 
     from odibel_ray.ops.relational import exact_dedup
 
-    sig_ds = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "n_bands": n_bands, "shingle": shingle
-        },
-        concurrency=concurrency,
-        batch_size=batch_size,
-        batch_format="pyarrow",
+    hasher_kw = dict(
+        num_perm=num_perm, n_bands=n_bands, shingle=shingle, emit_sig=est_filter
     )
+    src = ds.select_columns(["doc_id", "text"])
+    if concurrency:
+        sig_ds = src.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=hasher_kw,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        sig_ds = src.map_batches(
+            partial(_minhash_batch, **hasher_kw),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
     pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
         partial(_pairs_in_bucket, threshold=threshold, num_perm=num_perm),
         batch_format="pyarrow",
     )
-    return exact_dedup(pairs, ["doc_a", "doc_b"], tie_break="est_jaccard")
+    return exact_dedup(
+        pairs, ["doc_a", "doc_b"], tie_break="est_jaccard" if est_filter else None
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

@@ -988,12 +988,19 @@ def q_doc_lang_id(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    """MinHash/LSH candidates (no signature shipping — the exact verify
+    re-filters) → keyed-join n-gram Jaccard verification."""
     from odibel_ray.dedup import minhash_lsh_pairs, verify_pairs_jaccard
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc())
-    return verify_pairs_jaccard(pairs, docs, threshold=0.4)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4, est_filter=False)
+    return verify_pairs_jaccard(
+        pairs,
+        docs,
+        threshold=0.4,
+        pair_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
 
 
 def q_dedup_minhash_clusters(sf_dir: str):
@@ -1005,7 +1012,7 @@ def q_dedup_minhash_clusters(sf_dir: str):
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
     return connected_components_distributed(
-        minhash_lsh_pairs(docs, threshold=0.4, concurrency=_actor_conc())
+        minhash_lsh_pairs(docs, threshold=0.4)
     )
 
 
