@@ -767,6 +767,36 @@ def q_events_per_type_day(sf_dir: str):
     return _round_cols(g, {"total_value": 2})
 
 
+def q_events_cron_expand(sf_dir: str):
+    """M5 cron occurrence expansion (1→k row explosion) under an oracle: every
+    half-hour mark inside each sampled event's 2-hour window (the fixed
+    ``*/30`` pattern is SQL-expressible via ``generate_series``; arbitrary
+    cron fields stay pytest-covered)."""
+    from odibel_ray.ops.cron import expand_cron
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["event_id", "ts"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 20 == 0))
+        s = t["ts"].cast(pa.int64())
+        e = pc.add(s, 2 * 3_600_000_000)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "w_start": s.cast(pa.timestamp("us")),
+                "w_end": pc.cast(e, pa.timestamp("us")),
+            }
+        )
+
+    out = expand_cron(
+        ev.map_batches(windows, batch_format="pyarrow"), "*/30 * * * *", "w_start", "w_end"
+    )
+    return out.select_columns(["event_id", "occurs_at"])
+
+
 def q_distinct_users(sf_dir: str):
     from odibel_ray.ops.aggregates import count_distinct
     from odibel_ray.ops.relational import load_table
@@ -1257,6 +1287,7 @@ QUERIES: dict[str, Callable] = {
     "top_lineitems": q_top_lineitems,
     "top_lineitems_per_flag": q_top_lineitems_per_flag,
     "events_per_type_day": q_events_per_type_day,
+    "events_cron_expand": q_events_cron_expand,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
     "event_value_stats": q_event_value_stats,
@@ -1683,6 +1714,15 @@ WHERE rn <= 3
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_cron_expand": """
+WITH e AS (SELECT event_id, ts FROM events WHERE event_id % 20 = 0),
+b AS (SELECT event_id,
+  make_timestamp(((epoch_us(ts) + 1799999999) // 1800000000) * 1800000000) AS first_occ,
+  ts + INTERVAL 2 HOUR AS w_end FROM e)
+SELECT event_id,
+       unnest(generate_series(first_occ, w_end - INTERVAL 1 MICROSECOND, INTERVAL 30 MINUTE)) AS occurs_at
+FROM b
 """,
         "distinct_users": "SELECT count(DISTINCT user_id) AS n FROM events",
         "user_activity_distribution": """
