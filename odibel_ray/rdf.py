@@ -88,11 +88,14 @@ def serialize_ntriples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def filter_by_subject_types(
-    ds: "ray.data.Dataset", type_iris: Sequence[str]
+    ds: "ray.data.Dataset", type_iris: Sequence[str], *, num_buckets: int = 64
 ) -> "ray.data.Dataset":
     """J1 semi-join: keep all triples whose subject has one of the given rdf
-    types (``filter_triples_by_s_types``, ``rdf2.py:105-137``)."""
-    from odibel_ray.ops.relational import broadcast_semi_join
+    types (``filter_triples_by_s_types``, ``rdf2.py:105-137``). The selected
+    entity set is O(#entities) at corpus scale, so the membership test is a
+    keyed :func:`odibel_ray.ops.relational.bucketed_join` semi-join — only the
+    class allowlist (dimension-sized) is an in-filter mask."""
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
 
     typed = ds.filter(expr=f"p == '{RDF_TYPE}'")
 
@@ -100,28 +103,57 @@ def filter_by_subject_types(
         t = t.combine_chunks()
         return t.filter(pc.is_in(t["o"], value_set=pa.array(list(type_iris))))
 
-    subjects = typed.map_batches(keep_types, batch_format="pyarrow").select_columns(["s"])
-    return broadcast_semi_join(ds, subjects, "s")
+    subjects = exact_dedup(
+        typed.map_batches(keep_types, batch_format="pyarrow").select_columns(["s"]),
+        ["s"],
+    )
+    return bucketed_join(
+        ds,
+        subjects,
+        "s",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA,
+        right_schema=pa.schema([("s", pa.string())]),
+    )
 
 
-def keep_triples_with_object_subject(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def keep_triples_with_object_subject(
+    ds: "ray.data.Dataset", *, num_buckets: int = 64
+) -> "ray.data.Dataset":
     """J2: keep literal triples, type edges, and triples whose object is
-    itself a known subject (``rdf2.py:139-156``)."""
-    from odibel_ray.ops.relational import _broadcast, _deref, _small_table
+    itself a known subject (``rdf2.py:139-156``). The subject set is the
+    corpus entity set — a keyed left join with a hit marker, never a
+    broadcast value set."""
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
 
-    subjects = _small_table(ds.select_columns(["s"]))
-    ref = _broadcast(pc.unique(subjects["s"]))
+    subjects = exact_dedup(ds.select_columns(["s"]), ["s"])
 
-    def f(t: pa.Table, subj) -> pa.Table:
-        subj = _deref(subj)
+    def mark(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        keep = pc.or_(
-            pc.or_(t["isLiteral"], pc.equal(t["p"], RDF_TYPE)),
-            pc.is_in(t["o"], value_set=subj),
+        return pa.table(
+            {"o": t["s"], "_subj_hit": pa.array(np.ones(len(t), np.int8))}
         )
-        return t.filter(pc.fill_null(keep, False))
 
-    return ds.map_batches(f, fn_args=[ref], batch_format="pyarrow")
+    marked = subjects.map_batches(mark, batch_format="pyarrow")
+    j = bucketed_join(
+        ds,
+        marked,
+        "o",
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=RDF_SCHEMA,
+        right_schema=pa.schema([("o", pa.string()), ("_subj_hit", pa.int8())]),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pc.or_(
+            pc.or_(t["isLiteral"], pc.equal(t["p"], RDF_TYPE)),
+            pc.is_valid(t["_subj_hit"]),
+        )
+        return t.filter(pc.fill_null(m, False)).drop_columns(["_subj_hit"])
+
+    return j.map_batches(keep, batch_format="pyarrow")
 
 
 def clean_rdf_types(ds: "ray.data.Dataset", allowlist: Sequence[str]) -> "ray.data.Dataset":
