@@ -150,3 +150,39 @@ def test_kill_resume_partitioned_sink(ray_session, small_log, oracle_final, tmp_
     res = replay_publish(small_log["log_dir"], out, partitioned=True, run_id="resume")
     assert res["published_now"] == small_log["num_parts"] - len(done_before)
     assert _published_table(out).equals(oracle_final)
+
+
+def test_retried_group_write_is_idempotent(tmp_path):
+    """A retried sink task overwrites its OWN deterministic staging file —
+    no duplicate data files, identical manifest row (the no-wall-clock-ids
+    exactly-once invariant)."""
+    import os
+
+    import pyarrow as pa
+
+    from odibel_ray.cdc.sink import _apply_write_group
+
+    staging = tmp_path / "stage"
+    staging.mkdir()
+    t = pa.table(
+        {
+            "op": ["I", "U", "D", "I"],
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "conv_id": ["a", "a", "b", "c"],
+            "turn_idx": pa.array([0, 0, 0, 0], pa.int64()),
+            "role": ["u"] * 4,
+            "text": ["t1", "t2", "t3", "t4"],
+            "tool_name": [None] * 4,
+            "score": pa.array([None] * 4, pa.float64()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "part": pa.array([0, 0, 0, 0], pa.int64()),
+            "bucket": pa.array([5, 5, 5, 5], pa.int64()),
+        }
+    )
+    m1 = _apply_write_group(t, staging=str(staging), run_id="r")
+    m2 = _apply_write_group(t, staging=str(staging), run_id="r")  # simulated retry
+    assert m1.equals(m2)
+    assert os.listdir(staging) == ["part-000005.parquet"]
+    assert m1["rows_out"][0].as_py() == 2  # 'a' upserted, 'b' deleted, 'c' live
+    # empty group (all events invalid upstream) publishes nothing, no error
+    assert len(_apply_write_group(t.slice(0, 0), staging=str(staging), run_id="r")) == 0
