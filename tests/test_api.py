@@ -47,6 +47,33 @@ def test_ntriples_source(ray_session, tmp_path):
     assert {r["o"]: r["isLiteral"] for r in rows} == {"<c>": False, '"lit"': True}
 
 
+def test_pipeline_composes_engine_ops(ray_session):
+    """Extension surface end-to-end: a user Pipeline chaining a custom batch
+    op with engine library operators over a real table."""
+    from odibel_ray.api import FnOperation, ParquetSource, Pipeline
+    from odibel_ray.ops import exact_dedup, topk
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.multiply(t["l_quantity"], 0.1), pa.int64())
+        return t.append_column("qty_bucket", b)
+
+    src = ParquetSource(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    pipe = Pipeline(
+        [
+            FnOperation(add_bucket),
+            FnOperation(lambda t: t.filter(pc.greater(t["qty_bucket"], 2))),
+        ]
+    )
+    ds = pipe.execute(src.read())
+    dedup = exact_dedup(ds, ["qty_bucket"], tie_break="l_extendedprice")
+    rows = topk(dedup, "l_extendedprice", 3).take_all()
+    assert 0 < len(rows) <= 3
+    assert all(r["qty_bucket"] > 2 for r in rows)
+
+
 def test_register_query_extends_driver_contract(ray_session):
     from odibel_ray.api import register_query
     from odibel_ray.pipelines import queries as q
