@@ -54,7 +54,7 @@ def test_pipeline_composes_engine_ops(ray_session):
     from odibel_ray.ops import exact_dedup, topk
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.multiply(t["l_quantity"], 0.1), pa.int64())
+        b = pc.cast(pc.floor(pc.multiply(t["l_quantity"], 0.1)), pa.int64())
         return t.append_column("qty_bucket", b)
 
     src = ParquetSource(
