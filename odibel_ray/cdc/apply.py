@@ -324,16 +324,28 @@ def replay_dataset_actor(
     log_dir: str,
     *,
     num_buckets: int | None = None,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     history: bool = False,
     timeline: SchemaTimeline | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
-    """Replay with the stateful actor-pool applier variant of the merge stage."""
+    """Replay with the stateful actor-pool applier variant of the merge stage.
+
+    ``concurrency`` defaults to half the session CPUs (capped at 4) — an actor
+    pool equal to the CPU count starves the upstream read/prepare tasks and
+    deadlocks the streaming executor.
+    """
+    import ray
     import ray.data as rd
 
     from odibel_ray.cdc.schema import extract_timeline
 
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = max(1, min(4, cpus // 2))
     tl = timeline or extract_timeline(log_dir)
     ds = rd.read_parquet(log_dir)
     ds = ds.map_batches(
