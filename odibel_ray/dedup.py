@@ -443,7 +443,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     k_tables: int = 4,
     bits_per_table: int = 16,
-    concurrency: int = 4,
+    concurrency: int = 2,
     batch_size: int = 4096,
 ) -> "ray.data.Dataset":
     """Near-dup pairs whose simhashes differ by ≤ ``max_hamming`` bits and that

@@ -114,7 +114,7 @@ class QualityScorer:
         )
 
 
-def quality_scores(ds: "ray.data.Dataset", *, concurrency: int = 4, batch_size: int = 8192):
+def quality_scores(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 8192):
     """Quality features via an actor pool (stateful-stage shape, SURVEY.md §2.3 T4)."""
     return ds.map_batches(
         QualityScorer, concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow"
@@ -203,7 +203,7 @@ def fit_language_profiles(sample: pa.Table, lang_col: str = "lang") -> dict[str,
 _DEFAULT_PROFILES: dict[str, np.ndarray] = {}
 
 
-def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int = 4, batch_size: int = 8192):
+def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int = 2, batch_size: int = 8192):
     return ds.map_batches(
         LanguageID,
         fn_constructor_kwargs={"profiles": profiles},
