@@ -16,11 +16,14 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Iterator
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
+
+PAD_ID, SEP_ID = 0, 1
 
 
 def training_dataset(
@@ -44,6 +47,55 @@ def training_dataset(
         return t.filter(pc.fill_null(m, False))
 
     return add_token_count(ds.map_batches(keep, batch_format="pyarrow"))
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    seq_len: int = 512,
+    vocab_size: int = 32000,
+    text_col: str = "text",
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Greedy sequence packing for a pretraining feed: texts are tokenized to
+    deterministic hash vocab ids (a stand-in encode — swap the id derivation
+    for a real BPE without touching the packing), concatenated with a ``SEP``
+    between documents, and emitted as fixed ``seq_len`` windows
+    (``input_ids`` fixed-size list + ``n_real`` non-pad count).
+
+    Packing is per batch with no cross-batch state, so blocks stream with
+    backpressure; only the final window of each batch carries padding, so
+    waste is bounded by ``seq_len / tokens_per_batch``. Fully vectorized
+    (one flat token-hash pass + one scatter per batch).
+    """
+    from odibel_ray.dedup import _flat_token_hashes
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        th, offs = _flat_token_hashes(t[text_col])
+        lens = np.diff(offs)
+        ids = (th % np.uint64(vocab_size - 2) + np.uint64(2)).astype(np.int64)
+        T, n = len(ids), len(lens)
+        # interleave SEP after each doc: token j of doc i lands at j + i
+        stream = np.full(T + n, SEP_ID, dtype=np.int64)
+        if T:
+            pos = np.arange(T) + np.repeat(np.arange(n), lens)
+            stream[pos] = ids
+        pad = (-len(stream)) % seq_len
+        if pad:
+            stream = np.concatenate([stream, np.full(pad, PAD_ID, np.int64)])
+        mat = stream.reshape(-1, seq_len)
+        n_real = (mat != PAD_ID).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "input_ids": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.int64()), seq_len
+                ),
+                "n_real": pa.array(n_real),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow", batch_size=batch_size)
 
 
 def iter_training_batches(

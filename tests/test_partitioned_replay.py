@@ -96,6 +96,33 @@ def test_training_feed(ray_session, small_log, oracle_final, tmp_path):
     assert seen == oracle_final.num_rows  # every published row fed exactly once
 
 
+def test_sequence_packing_conserves_tokens(ray_session):
+    """Packed windows are exactly seq_len wide; total non-pad ids equal
+    per-batch (tokens + one SEP per doc); ids stay inside the vocab."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.pipelines.training_feed import PAD_ID, SEP_ID, pack_sequences
+
+    texts = [f"tok{i} " * (i % 7 + 1) for i in range(200)]
+    t = pa.table({"text": pa.array([s.strip() for s in texts])})
+    ds = rd.from_arrow(t)
+    rows = pack_sequences(ds, seq_len=64, vocab_size=1000, batch_size=50).take_all()
+    total_real = sum(r["n_real"] for r in rows)
+    expect_tokens = sum(len(s.strip().split(" ")) for s in texts) + len(texts)  # + SEPs
+    assert total_real == expect_tokens
+    for r in rows:
+        ids = np.asarray(r["input_ids"])
+        assert len(ids) == 64
+        assert ids.max() < 1000 and ids.min() >= PAD_ID
+        # non-pad prefix, pad suffix only
+        pad_at = np.flatnonzero(ids == PAD_ID)
+        if len(pad_at):
+            assert pad_at[0] == r["n_real"]
+    assert any((np.asarray(r["input_ids"]) == SEP_ID).any() for r in rows)
+
+
 def test_lineage_table(ray_session, small_log, tmp_path):
     from odibel_ray.cdc.sink import lineage_table
 
