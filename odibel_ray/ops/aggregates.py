@@ -40,6 +40,66 @@ def with_time_bucket(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def sessionize(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    gap_us: int,
+    tie_cols: Sequence[str] = (),
+    out: str = "session_id",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Gap-based sessionization (the streaming session-window the reference
+    lacks): a new session starts when the time since the key's previous event
+    exceeds ``gap_us``. Emits a per-key 0-based ``session_id``.
+
+    One key-hash shuffle; within each bucket the kernel is a vectorized sort +
+    lag-diff + segmented cumulative sum — equivalent to the SQL
+    ``sum(gap_break) OVER (PARTITION BY key ORDER BY ts)`` window, so exactly
+    oracle-checkable. ``tie_cols`` pin a deterministic order for equal
+    timestamps.
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_sbucket", pa.array(b, pa.int64()))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sort_keys = [(k, "ascending") for k in keys + [ts_col] + tie_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = len(t)
+        if n == 0:
+            return t.drop_columns(["_sbucket"]).append_column(
+                out, pa.array([], pa.int64())
+            )
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key_change = np.ones(n, dtype=bool)
+        for k in keys:
+            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
+            key_change[1:] &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        # row 0 and every key boundary start a session; within a key, a gap does
+        new_sess = key_change.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        new_sess[0] = True
+        sid_global = np.cumsum(new_sess) - 1
+        base = np.where(key_change, sid_global, 0)
+        base = np.maximum.accumulate(base)  # sid at each key's first row
+        return t.drop_columns(["_sbucket"]).append_column(
+            out, pa.array((sid_global - base).astype(np.int64))
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed.groupby("_sbucket").map_groups(local, batch_format="pyarrow")
+
+
 def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

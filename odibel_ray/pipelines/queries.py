@@ -767,6 +767,23 @@ def q_events_per_type_day(sf_dir: str):
     return _round_cols(g, {"total_value": 2})
 
 
+def q_events_sessionized(sf_dir: str):
+    """Gap-based session windows over the events stream: per-user sessions
+    split at >30-minute gaps, aggregated to (user, session) event counts."""
+    from ray.data.aggregate import Count, Min
+
+    from odibel_ray.ops.aggregates import sessionize
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_us=30 * 60 * 1_000_000, tie_cols=["event_id"]
+    )
+    return s.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"), Min("event_id", alias_name="first_event")
+    )
+
+
 def q_events_cron_expand(sf_dir: str):
     """M5 cron occurrence expansion (1→k row explosion) under an oracle: every
     half-hour mark inside each sampled event's 2-hour window (the fixed
@@ -1288,6 +1305,7 @@ QUERIES: dict[str, Callable] = {
     "top_lineitems_per_flag": q_top_lineitems_per_flag,
     "events_per_type_day": q_events_per_type_day,
     "events_cron_expand": q_events_cron_expand,
+    "events_sessionized": q_events_sessionized,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
     "event_value_stats": q_event_value_stats,
@@ -1714,6 +1732,24 @@ WHERE rn <= 3
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sessionized": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM s GROUP BY 1, 2
 """,
         "events_cron_expand": """
 WITH e AS (SELECT event_id, ts FROM events WHERE event_id % 20 = 0),
