@@ -100,6 +100,47 @@ def sessionize(
     return bucketed.groupby("_sbucket").map_groups(local, batch_format="pyarrow")
 
 
+def sliding_window_counts(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    *,
+    width_us: int,
+    step_us: int,
+    keys: Sequence[str] = (),
+    out_start: str = "window_start",
+    out_count: str = "n",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Sliding event-time window counts (width ``width_us``, hop ``step_us``):
+    every event fans out to the ``width/step`` windows containing it (a 1→k
+    row explosion inside ``map_batches``), then one groupby-count per
+    (window_start, keys). Tumbling windows are the ``width == step`` case.
+    ``window_start`` is an epoch-aligned timestamp, so the whole operator is
+    window-function-free SQL (cross join with the hop offsets)."""
+    if width_us % step_us:
+        raise ValueError("width must be a multiple of step")
+    k = width_us // step_us
+    keys = list(keys)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        base = (ts // step_us) * step_us  # newest window containing the event
+        starts = (
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * step_us, n)
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = t.select(keys).take(idx) if keys else pa.table({})
+        col = pa.array(starts, pa.int64()).cast(pa.timestamp("us"))
+        if keys:
+            return out.append_column(out_start, col)
+        return pa.table({out_start: col})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+    return group_count(exploded, keys + [out_start], out=out_count)
+
+
 def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -767,6 +767,23 @@ def q_events_per_type_day(sf_dir: str):
     return _round_cols(g, {"total_value": 2})
 
 
+def q_events_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1 h wide, 15 min hop): per-(type, window)
+    event counts — the windowed-aggregate custom operator, tumbling being the
+    width==step special case."""
+    from odibel_ray.ops.aggregates import sliding_window_counts
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["event_type", "ts"])
+    return sliding_window_counts(
+        ev,
+        "ts",
+        width_us=3_600_000_000,
+        step_us=900_000_000,
+        keys=["event_type"],
+    )
+
+
 def q_events_sessionized(sf_dir: str):
     """Gap-based session windows over the events stream: per-user sessions
     split at >30-minute gaps, aggregated to (user, session) event counts."""
@@ -1306,6 +1323,7 @@ QUERIES: dict[str, Callable] = {
     "events_per_type_day": q_events_per_type_day,
     "events_cron_expand": q_events_cron_expand,
     "events_sessionized": q_events_sessionized,
+    "events_sliding_windows": q_events_sliding_windows,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
     "event_value_stats": q_event_value_stats,
@@ -1732,6 +1750,13 @@ WHERE rn <= 3
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding_windows": """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 900000000) * 900000000 - i * 900000000) AS window_start,
+       count(*) AS n
+FROM events, (SELECT unnest(range(0, 4)) AS i)
+GROUP BY 1, 2
 """,
         "events_sessionized": """
 WITH o AS (
