@@ -251,6 +251,97 @@ def bucketed_join(
     )
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str] | str,
+    ts_col: str,
+    *,
+    value_cols: Sequence[str],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """As-of join (latest right row with ``right.ts <= left.ts`` per key) —
+    the temporal lookup Ray Data lacks, DuckDB ``ASOF LEFT JOIN`` semantics.
+
+    Both sides hash-bucket on the key and co-locate in one sort-shuffle; the
+    per-bucket kernel sorts the union by (key, ts, side — right first at
+    ties), forward-propagates the last right row index with
+    ``np.maximum.accumulate``, and gathers ``value_cols`` for left rows (null
+    when the key has no right row at or before the timestamp). Right rows must
+    be unique per (key, ts).
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    on = [on] if isinstance(on, str) else list(on)
+    value_cols = list(value_cols)
+    l_schema: pa.Schema = left_schema or left.schema().base_schema
+    r_schema: pa.Schema = right_schema or right.schema().base_schema
+    l_cols = list(l_schema.names)
+
+    def _tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            cols = {}
+            for c in on + [ts_col]:
+                cols[c] = t[c]
+            for c in value_cols:
+                cols[c] = (
+                    t[c] if c in t.column_names
+                    else pa.nulls(len(t), r_schema.field(c).type)
+                )
+            for c in l_cols:
+                if c in cols:
+                    continue
+                cols[c] = (
+                    t[c] if c in t.column_names
+                    else pa.nulls(len(t), l_schema.field(c).type)
+                )
+            out = pa.table(cols)
+            out = out.append_column("_side", pa.array(np.full(len(t), side, np.int8)))
+            b = bucket_of_keys(out, on, num_buckets)
+            return out.append_column("_abucket", pa.array(b, pa.int64()))
+
+        return f
+
+    tagged = left.map_batches(
+        _tag(1), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(_tag(0), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        sort_keys = [(k, "ascending") for k in on] + [
+            (ts_col, "ascending"),
+            ("_side", "ascending"),  # right (0) before left (1) at equal ts
+        ]
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = len(g)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        is_right = side == 0
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(is_right, idx, -1))
+        key_change = np.ones(n, dtype=bool)
+        for k in on:
+            eq = pc.equal(g[k].slice(1), g[k].slice(0, n - 1))
+            key_change[1:] &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        key_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+        valid = last_right >= key_start
+        lmask = ~is_right
+        out = g.filter(pa.array(lmask)).select(l_cols)
+        take = pa.array(np.maximum(last_right[lmask], 0), pa.int64())
+        ok = pa.array(valid[lmask])
+        for c in value_cols:
+            vals = pc.if_else(ok, g[c].take(take), pa.nulls(int(lmask.sum()), g[c].type))
+            out = out.append_column(c, vals)
+        return out
+
+    return tagged.groupby("_abucket").map_groups(merge, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

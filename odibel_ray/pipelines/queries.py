@@ -767,6 +767,49 @@ def q_events_per_type_day(sf_dir: str):
     return _round_cols(g, {"total_value": 2})
 
 
+def q_events_asof_profile(sf_dir: str):
+    """As-of join: every event picks up the latest snapshot value (events with
+    event_id % 10 == 0 act as per-user profile snapshots) at or before its
+    timestamp — DuckDB ASOF LEFT JOIN semantics."""
+    from odibel_ray.ops.relational import asof_join, exact_dedup, load_table
+
+    ev = load_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    snaps_raw = load_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 10 == 0))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "snap_value": pc.round(t["value"], 6),
+            }
+        )
+
+    snaps = exact_dedup(
+        snaps_raw.map_batches(derive, batch_format="pyarrow"),
+        ["user_id", "ts"],
+        tie_break="event_id",
+    ).select_columns(["user_id", "ts", "snap_value"])
+    joined = asof_join(
+        ev,
+        snaps,
+        "user_id",
+        "ts",
+        value_cols=["snap_value"],
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("snap_value", pa.float64())]
+        ),
+    )
+    return joined.select_columns(["event_id", "user_id", "snap_value"])
+
+
 def q_events_sliding_windows(sf_dir: str):
     """Sliding event-time windows (1 h wide, 15 min hop): per-(type, window)
     event counts — the windowed-aggregate custom operator, tumbling being the
@@ -1324,6 +1367,7 @@ QUERIES: dict[str, Callable] = {
     "events_cron_expand": q_events_cron_expand,
     "events_sessionized": q_events_sessionized,
     "events_sliding_windows": q_events_sliding_windows,
+    "events_asof_profile": q_events_asof_profile,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
     "event_value_stats": q_event_value_stats,
@@ -1750,6 +1794,15 @@ WHERE rn <= 3
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_asof_profile": """
+WITH r0 AS (SELECT user_id, ts, round(value, 6) AS snap_value, event_id
+            FROM events WHERE event_id % 10 = 0),
+r AS (SELECT user_id, ts, snap_value FROM (
+   SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn FROM r0)
+   WHERE rn = 1)
+SELECT l.event_id, l.user_id, r.snap_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "events_sliding_windows": """
 SELECT event_type,

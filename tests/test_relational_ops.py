@@ -203,6 +203,48 @@ def test_shuffle_join_matches_broadcast(ray_session):
     )
 
 
+def test_asof_join_semantics(ray_session):
+    """Latest-at-or-before semantics: equal timestamps match (<=), events
+    before any snapshot get null, keys without snapshots get null."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import asof_join
+
+    ts = pa.timestamp("us")
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([5, 10, 20, 7, 9], ts),
+            "eid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 15, 8], ts),
+            "v": pa.array([1.0, 2.0, 9.0]),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        "k",
+        "ts",
+        value_cols=["v"],
+        left_schema=left.schema,
+        right_schema=right.schema,
+    ).take_all()
+    got = {r["eid"]: r["v"] for r in out}
+    assert got == {
+        100: None,  # before first snapshot of k=1
+        101: 1.0,   # equal ts -> included
+        102: 2.0,   # latest at-or-before 20 is ts=15
+        103: None,  # k=2 snapshot is at ts=8 > 7
+        104: None,  # k=3 has no snapshots
+    }
+
+
 def test_codec_autodetect(ray_session, tmp_path):
     """S4: extension-chain codec detection on raw text and table sources."""
     import gzip
