@@ -342,6 +342,121 @@ def asof_join(
     return tagged.groupby("_abucket").map_groups(merge, batch_format="pyarrow")
 
 
+def range_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    on: Sequence[str] | str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    payload_cols: Sequence[str],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    points_schema: pa.Schema | None = None,
+    intervals_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """Keyed range join: every point row pairs with every interval of the same
+    key whose ``[start, end)`` contains its timestamp (inequality-join
+    semantics Ray Data lacks).
+
+    Both sides co-locate in one key-hash shuffle; the per-bucket kernel sorts
+    points by timestamp once, then resolves each interval to a contiguous
+    point span with two ``np.searchsorted`` probes and emits the span — no
+    point×interval comparison. Assumes a key's points+intervals fit one
+    worker (the same group-locality contract as every ``map_groups`` kernel;
+    at corpus scale add a coarse time-bucket to the key like
+    :func:`odibel_ray.ops.aggregates.sliding_window_counts`).
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    on = [on] if isinstance(on, str) else list(on)
+    payload_cols = list(payload_cols)
+    p_schema: pa.Schema = points_schema or points.schema().base_schema
+    i_schema: pa.Schema = intervals_schema or intervals.schema().base_schema
+    p_cols = list(p_schema.names)
+    all_cols = on + [c for c in p_cols if c not in on]
+
+    def _tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            cols = {}
+            for c in all_cols:
+                cols[c] = (
+                    t[c] if c in t.column_names
+                    else pa.nulls(len(t), p_schema.field(c).type)
+                )
+            for c in [start_col, end_col] + payload_cols:
+                cols[c] = (
+                    t[c] if c in t.column_names
+                    else pa.nulls(len(t), i_schema.field(c).type)
+                )
+            out = pa.table(cols)
+            out = out.append_column("_side", pa.array(np.full(len(t), side, np.int8)))
+            b = bucket_of_keys(out, on, num_buckets)
+            return out.append_column("_rbucket", pa.array(b, pa.int64()))
+
+        return f
+
+    tagged = points.map_batches(
+        _tag(0), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        intervals.map_batches(_tag(1), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        pts = g.filter(pa.array(side == 0)).select(p_cols)
+        ivs = g.filter(pa.array(side == 1)).select(on + [start_col, end_col] + payload_cols)
+        empty = pa.table(
+            {
+                **{c: pa.chunked_array([[]], p_schema.field(c).type) for c in p_cols},
+                **{
+                    c: pa.chunked_array([[]], i_schema.field(c).type)
+                    for c in payload_cols
+                },
+            }
+        )
+        if len(pts) == 0 or len(ivs) == 0:
+            return empty
+        # sort points by (key, ts) once; per interval two searchsorted probes
+        sort_keys = [(k, "ascending") for k in on] + [(ts_col, "ascending")]
+        pts = pts.take(pc.sort_indices(pts, sort_keys=sort_keys))
+        pts_ts = pts[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # key runs are delimited by a 62-bit key hash on both sides; a
+        # same-bucket hash collision (~2^-62 per key pair) could merge two
+        # keys' runs — verify with the real key tuple if that ever matters
+        pk = bucket_of_keys(pts, on, 1 << 62)
+        ik = bucket_of_keys(ivs, on, 1 << 62)
+        # keys sorted ascending ⇒ (pk, ts) lexicographic within the bucket
+        order = np.lexsort((pts_ts, pk))
+        pts = pts.take(pa.array(order))
+        pts_ts = pts_ts[order]
+        pk = pk[order]
+        starts = ivs[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ends = ivs[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p_idx_parts, i_idx_parts = [], []
+        for j in range(len(ivs)):
+            lo = np.searchsorted(pk, ik[j], side="left")
+            hi = np.searchsorted(pk, ik[j], side="right")
+            a = lo + np.searchsorted(pts_ts[lo:hi], starts[j], side="left")
+            b = lo + np.searchsorted(pts_ts[lo:hi], ends[j], side="left")
+            if b > a:
+                p_idx_parts.append(np.arange(a, b, dtype=np.int64))
+                i_idx_parts.append(np.full(b - a, j, dtype=np.int64))
+        if not p_idx_parts:
+            return empty
+        p_idx = pa.array(np.concatenate(p_idx_parts))
+        i_idx = pa.array(np.concatenate(i_idx_parts))
+        out = pts.take(p_idx)
+        for c in payload_cols:
+            out = out.append_column(c, ivs[c].take(i_idx))
+        return out
+
+    return tagged.groupby("_rbucket").map_groups(merge, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -810,6 +810,46 @@ def q_events_asof_profile(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "snap_value"])
 
 
+def q_events_range_join(sf_dir: str):
+    """Keyed range join: events paired with every same-user 5-minute interval
+    (spawned by events with event_id % 50 == 0) containing their timestamp."""
+    from odibel_ray.ops.relational import load_table, range_join
+
+    ev = load_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def make_intervals(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 50 == 0))
+        s = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w_start": s.cast(pa.timestamp("us")),
+                "w_end": pc.cast(pc.add(s, 300_000_000), pa.timestamp("us")),
+                "interval_id": t["event_id"],
+            }
+        )
+
+    intervals = ev.map_batches(make_intervals, batch_format="pyarrow")
+    ts = pa.timestamp("us")
+    return range_join(
+        ev,
+        intervals,
+        "user_id",
+        "ts",
+        "w_start",
+        "w_end",
+        payload_cols=["interval_id"],
+        points_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts)]
+        ),
+        intervals_schema=pa.schema(
+            [("user_id", pa.int64()), ("w_start", ts), ("w_end", ts), ("interval_id", pa.int64())]
+        ),
+    ).select_columns(["event_id", "user_id", "interval_id"])
+
+
 def q_events_sliding_windows(sf_dir: str):
     """Sliding event-time windows (1 h wide, 15 min hop): per-(type, window)
     event counts — the windowed-aggregate custom operator, tumbling being the
@@ -1367,6 +1407,7 @@ QUERIES: dict[str, Callable] = {
     "events_cron_expand": q_events_cron_expand,
     "events_sessionized": q_events_sessionized,
     "events_sliding_windows": q_events_sliding_windows,
+    "events_range_join": q_events_range_join,
     "events_asof_profile": q_events_asof_profile,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
@@ -1794,6 +1835,14 @@ WHERE rn <= 3
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_range_join": """
+WITH i AS (SELECT user_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end,
+                  event_id AS interval_id
+           FROM events WHERE event_id % 50 = 0)
+SELECT p.event_id, p.user_id, i.interval_id
+FROM events p JOIN i ON p.user_id = i.user_id
+ AND p.ts >= i.w_start AND p.ts < i.w_end
 """,
         "events_asof_profile": """
 WITH r0 AS (SELECT user_id, ts, round(value, 6) AS snap_value, event_id

@@ -245,6 +245,39 @@ def test_asof_join_semantics(ray_session):
     }
 
 
+def test_range_join_semantics(ray_session):
+    """Interval containment [start, end): overlapping intervals multi-match,
+    boundary end excluded, keys without counterpart drop out."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import range_join
+
+    ts = pa.timestamp("us")
+    pts = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([1, 5, 9, 13, 5], ts),
+            "pid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ivs = pa.table(
+        {
+            "k": pa.array([1, 1, 3], pa.int64()),
+            "s": pa.array([0, 4, 0], ts),
+            "e": pa.array([10, 13, 100], ts),
+            "iid": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(pts), rd.from_arrow(ivs), "k", "ts", "s", "e",
+        payload_cols=["iid"], points_schema=pts.schema, intervals_schema=ivs.schema,
+    ).take_all()
+    pairs = sorted((r["pid"], r["iid"]) for r in out)
+    # ts=13 == end of interval 20 -> excluded; k=2 and k=3 have no counterpart
+    assert pairs == [(0, 10), (1, 10), (1, 20), (2, 10), (2, 20)]
+
+
 def test_codec_autodetect(ray_session, tmp_path):
     """S4: extension-chain codec detection on raw text and table sources."""
     import gzip
