@@ -50,6 +50,8 @@ def sessionize(
     out: str = "session_id",
     num_buckets: int = 64,
     batch_size: int = 65536,
+    emit: str = "events",
+    agg_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Gap-based sessionization (the streaming session-window the reference
     lacks): a new session starts when the time since the key's previous event
@@ -60,6 +62,11 @@ def sessionize(
     ``sum(gap_break) OVER (PARTITION BY key ORDER BY ts)`` window, so exactly
     oracle-checkable. ``tie_cols`` pin a deterministic order for equal
     timestamps.
+
+    ``emit='sessions'`` aggregates INSIDE the kernel (sessions never cross
+    buckets): one row per session with ``n_events`` and, when ``agg_col`` is
+    given, ``min_<agg_col>`` — avoiding a second high-cardinality groupby
+    shuffle for per-session stats.
     """
     from odibel_ray.cdc.lww import bucket_of_keys
 
@@ -77,9 +84,16 @@ def sessionize(
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         n = len(t)
         if n == 0:
-            return t.drop_columns(["_sbucket"]).append_column(
-                out, pa.array([], pa.int64())
-            )
+            base_t = t.drop_columns(["_sbucket"])
+            if emit == "events":
+                return base_t.append_column(out, pa.array([], pa.int64()))
+            res = base_t.select(keys).append_column(out, pa.array([], pa.int64()))
+            res = res.append_column("n_events", pa.array([], pa.int64()))
+            if agg_col is not None:
+                res = res.append_column(
+                    f"min_{agg_col}", pa.array([], base_t[agg_col].type)
+                )
+            return res
         ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         key_change = np.ones(n, dtype=bool)
         for k in keys:
@@ -92,9 +106,21 @@ def sessionize(
         sid_global = np.cumsum(new_sess) - 1
         base = np.where(key_change, sid_global, 0)
         base = np.maximum.accumulate(base)  # sid at each key's first row
-        return t.drop_columns(["_sbucket"]).append_column(
-            out, pa.array((sid_global - base).astype(np.int64))
-        )
+        sid = (sid_global - base).astype(np.int64)
+        if emit == "events":
+            return t.drop_columns(["_sbucket"]).append_column(out, pa.array(sid))
+        seg_starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(seg_starts, n)).astype(np.int64)
+        take = pa.array(seg_starts.astype(np.int64))
+        res = t.select(keys).take(take)
+        res = res.append_column(out, pa.array(sid[seg_starts]))
+        res = res.append_column("n_events", pa.array(counts))
+        if agg_col is not None:
+            vals = t[agg_col].to_numpy(zero_copy_only=False)
+            res = res.append_column(
+                f"min_{agg_col}", pa.array(np.minimum.reduceat(vals, seg_starts))
+            )
+        return res
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
     return bucketed.groupby("_sbucket").map_groups(local, batch_format="pyarrow")

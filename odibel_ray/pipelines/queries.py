@@ -869,18 +869,21 @@ def q_events_sliding_windows(sf_dir: str):
 
 def q_events_sessionized(sf_dir: str):
     """Gap-based session windows over the events stream: per-user sessions
-    split at >30-minute gaps, aggregated to (user, session) event counts."""
-    from ray.data.aggregate import Count, Min
-
+    split at >30-minute gaps, aggregated to (user, session) event counts —
+    the aggregation happens inside the sessionize kernel (sessions never
+    cross key buckets), so the whole query is ONE shuffle."""
     from odibel_ray.ops.aggregates import sessionize
     from odibel_ray.ops.relational import load_table
 
     ev = load_table(sf_dir, "events", ["user_id", "event_id", "ts"])
-    s = sessionize(
-        ev, ["user_id"], "ts", gap_us=30 * 60 * 1_000_000, tie_cols=["event_id"]
-    )
-    return s.groupby(["user_id", "session_id"]).aggregate(
-        Count(alias_name="n_events"), Min("event_id", alias_name="first_event")
+    return sessionize(
+        ev,
+        ["user_id"],
+        "ts",
+        gap_us=30 * 60 * 1_000_000,
+        tie_cols=["event_id"],
+        emit="sessions",
+        agg_col="event_id",
     )
 
 
@@ -1875,7 +1878,7 @@ s AS (
   FROM o
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       count(*) AS n_events, min(event_id) AS first_event
+       count(*) AS n_events, min(event_id) AS min_event_id
 FROM s GROUP BY 1, 2
 """,
         "events_cron_expand": """
