@@ -203,6 +203,38 @@ def test_shuffle_join_matches_broadcast(ray_session):
     )
 
 
+def test_sessionize_events_vs_sessions_emit(ray_session):
+    """The fused sessions emit must equal aggregating the per-event emit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.aggregates import sessionize
+
+    rng = np.random.default_rng(21)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(0, 10_000, n)) * 1_000_000, pa.timestamp("us")),
+            "eid": pa.array(rng.permutation(n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    gap = 300 * 1_000_000
+    ev = sessionize(ds, ["k"], "ts", gap_us=gap, tie_cols=["eid"]).take_all()
+    manual = {}
+    for r in ev:
+        key = (r["k"], r["session_id"])
+        c, m = manual.get(key, (0, None))
+        manual[key] = (c + 1, r["eid"] if m is None else min(m, r["eid"]))
+    fused = sessionize(
+        ds, ["k"], "ts", gap_us=gap, tie_cols=["eid"], emit="sessions", agg_col="eid"
+    ).take_all()
+    got = {(r["k"], r["session_id"]): (r["n_events"], r["min_eid"]) for r in fused}
+    assert got == manual
+
+
 def test_asof_join_semantics(ray_session):
     """Latest-at-or-before semantics: equal timestamps match (<=), events
     before any snapshot get null, keys without snapshots get null."""
