@@ -377,12 +377,13 @@ def suggest_salt(
     roughly the mean bucket load.
 
     Returns ``{"hot_keys": [(conv_id, n), ...], "salt": int}`` — ``salt`` is 0
-    when no key exceeds ``hot_ratio`` × the mean per-key event count among the
-    sketch's candidates.
+    when no key exceeds ``hot_ratio`` × the mean per-key event count, where
+    the key cardinality comes from a HyperLogLog estimate (shuffle-free) —
+    uniform logs with few distinct keys are NOT flagged as skewed.
     """
     import ray.data as rd
 
-    from odibel_ray.ops.sketches import approx_heavy_hitters
+    from odibel_ray.ops.sketches import approx_count_distinct, approx_heavy_hitters
 
     ds = rd.read_parquet(log_dir).select_columns(["conv_id"])
     n_total = ds.count()
@@ -391,7 +392,8 @@ def suggest_salt(
         return {"hot_keys": [], "salt": 0}
     mean_per_bucket = n_total / num_buckets
     hottest = max(int(r["n"]) for r in top)
-    if hottest < hot_ratio * (n_total / max(len(top) * 64, 1)):
+    n_keys = max(approx_count_distinct(ds, ["conv_id"]), 1)
+    if hottest < hot_ratio * (n_total / n_keys):
         return {"hot_keys": [], "salt": 0}
     salt = int(min(max_salt, max(1, round(hottest / mean_per_bucket))))
     return {

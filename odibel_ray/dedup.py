@@ -29,6 +29,7 @@ is ever materialized), and per-doc reductions are segmented numpy
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -38,6 +39,16 @@ import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
+
+_log = logging.getLogger("odibel_ray.dedup")
+
+#: default per-bucket doc cap for all pair-enumeration kernels. A bucket with
+#: more docs than this emits star pairs (every doc against the minimum doc_id)
+#: instead of all O(n²) pairs — connectivity for clustering is preserved, the
+#: worker's memory stays O(n), and the drop is logged. Degenerate buckets
+#: (millions of empty/boilerplate docs sharing one band hash) are a real
+#: corpus pathology at 100 TB; without the cap one `map_groups` task OOMs.
+DEFAULT_MAX_BUCKET = 512
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _U64_MAX = np.iinfo(np.uint64).max
@@ -174,14 +185,37 @@ class MinHasher:
         return pa.table(cols)
 
 
-def _pairs_in_bucket(t: pa.Table, threshold: float, num_perm: int) -> pa.Table:
+def _bucket_pair_indices(n: int, max_bucket: int, what: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pair index arrays (ia, ib) for an n-doc bucket, O(n²)-guarded.
+
+    ``n <= max_bucket`` → all ``n(n-1)/2`` pairs (``np.triu_indices``).
+    Oversized buckets collapse to ``n-1`` star pairs against index 0 (the
+    minimum doc id — callers pass ids sorted ascending), preserving
+    connected-component connectivity while bounding both the output and the
+    kernel's working set at O(n). The drop is logged with counts so a capped
+    run is auditable, never silent.
+    """
+    if n <= max_bucket:
+        return np.triu_indices(n, k=1)
+    _log.warning(
+        "%s bucket capped: %d docs > max_bucket=%d; emitting %d star pairs "
+        "(dropping %d of %d full pairs)",
+        what, n, max_bucket, n - 1, n * (n - 1) // 2 - (n - 1), n * (n - 1) // 2,
+    )
+    return np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)
+
+
+def _pairs_in_bucket(
+    t: pa.Table, threshold: float, num_perm: int, max_bucket: int = DEFAULT_MAX_BUCKET
+) -> pa.Table:
     """Candidate pairs inside one (band, band_hash) bucket. With signatures
     present, estimated Jaccard = fraction of matching minhash positions and
     pairs below ``threshold`` are dropped; without (``emit_sig=False``), every
-    in-bucket pair is a candidate for downstream exact verification."""
+    in-bucket pair is a candidate for downstream exact verification. Buckets
+    larger than ``max_bucket`` docs are reduced to star pairs (see
+    :func:`_bucket_pair_indices`)."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     has_sig = "sig" in t.column_names
-    # bucket sizes are tiny (docs agreeing on a full band); all-pairs here is OK
     uniq, idx = np.unique(ids, return_index=True)
     cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     if has_sig:
@@ -189,7 +223,7 @@ def _pairs_in_bucket(t: pa.Table, threshold: float, num_perm: int) -> pa.Table:
     if len(uniq) < 2:
         return pa.table(cols)
     n = len(uniq)
-    ia, ib = np.triu_indices(n, k=1)
+    ia, ib = _bucket_pair_indices(n, max_bucket, "minhash band")
     if has_sig:
         sigs = np.stack(t["sig"].to_numpy(zero_copy_only=False)[idx])
         match = (sigs[ia] == sigs[ib]).mean(axis=1)
@@ -230,9 +264,12 @@ def minhash_lsh_pairs(
     concurrency: int | None = None,
     batch_size: int = 1024,
     est_filter: bool = True,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
     deduplicated across bands by a final exact dedup on (doc_a, doc_b).
+    Band buckets larger than ``max_bucket`` docs emit star pairs only
+    (logged) — the O(n²) guard for degenerate buckets at corpus scale.
 
     ``est_filter=False`` skips the in-bucket estimated-jaccard prefilter and
     ships NO signatures through the banding shuffle (24 B/row vs ~540 B/row)
@@ -263,7 +300,12 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
         )
     pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
-        partial(_pairs_in_bucket, threshold=threshold, num_perm=num_perm),
+        partial(
+            _pairs_in_bucket,
+            threshold=threshold,
+            num_perm=num_perm,
+            max_bucket=max_bucket,
+        ),
         batch_format="pyarrow",
     )
     return exact_dedup(
@@ -397,18 +439,26 @@ class SimHasher:
 
     @staticmethod
     def simhash_flat(th: np.ndarray, offs: np.ndarray) -> np.ndarray:
-        """Per-doc 64-bit simhash from the flat token-hash array: per-bit ±1
-        sums via segmented ``np.add.reduceat``, no per-doc loop."""
+        """Per-doc 64-bit simhash from the flat token-hash array: the bit
+        matrix is uint8 via ``np.unpackbits`` over the little-endian byte view
+        (64 B/token, not the 512 B/token an int64 shift matrix costs) and the
+        per-doc ±1 sums are segmented ``np.add.reduceat`` accumulated in int64
+        — no per-doc loop."""
         n_docs = len(offs) - 1
         out = np.zeros(n_docs, dtype=np.uint64)
         lens = np.diff(offs)
         nonempty = np.flatnonzero(lens > 0)
         if len(th) == 0 or len(nonempty) == 0:
             return out
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        sums = np.add.reduceat(bits, offs[nonempty].astype(np.int64), axis=0)
+        # (n_tokens, 64) uint8, column j == bit j of the token hash
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        sums = np.add.reduceat(
+            bits, offs[nonempty].astype(np.int64), axis=0, dtype=np.int64
+        )
         v = sums * 2 - lens[nonempty][:, None]
+        shifts = np.arange(64, dtype=np.uint64)
         out[nonempty] = ((v > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
         return out
 
@@ -437,26 +487,52 @@ class SimHasher:
         )
 
 
+def _simhash_batch(t: pa.Table, **kw) -> pa.Table:
+    """Task-based SimHasher with once-per-worker-process construction — same
+    cached-constructor pattern as :func:`_minhash_batch`; the hasher state is
+    a few hundred bytes of seeded bit masks, so an actor pool only adds
+    spin-up latency."""
+    key = ("simhash",) + tuple(sorted(kw.items()))
+    hasher = _HASHER_CACHE.get(key)
+    if hasher is None:
+        hasher = _HASHER_CACHE.setdefault(key, SimHasher(**kw))
+    return hasher(t)
+
+
 def simhash_pairs(
     ds: "ray.data.Dataset",
     *,
     max_hamming: int = 8,
     k_tables: int = 4,
     bits_per_table: int = 16,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     batch_size: int = 4096,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Near-dup pairs whose simhashes differ by ≤ ``max_hamming`` bits and that
-    collide in at least one LSH table."""
+    collide in at least one LSH table. Buckets above ``max_bucket`` docs
+    reduce to star pairs (logged). ``concurrency`` opts into an actor pool;
+    default is task-based with a once-per-process cached hasher."""
+    from functools import partial
+
     from odibel_ray.ops.relational import exact_dedup
 
-    sig = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"k_tables": k_tables, "bits_per_table": bits_per_table},
-        concurrency=concurrency,
-        batch_size=batch_size,
-        batch_format="pyarrow",
-    )
+    hasher_kw = {"k_tables": k_tables, "bits_per_table": bits_per_table}
+    src = ds.select_columns(["doc_id", "text"])
+    if concurrency:
+        sig = src.map_batches(
+            SimHasher,
+            fn_constructor_kwargs=hasher_kw,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    else:
+        sig = src.map_batches(
+            partial(_simhash_batch, **hasher_kw),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -467,7 +543,7 @@ def simhash_pairs(
                  "hamming": pa.array([], pa.int64())}
             )
         sh = t["simhash"].to_numpy(zero_copy_only=False)[idx].astype(np.uint64)
-        ia, ib = np.triu_indices(len(uniq), k=1)
+        ia, ib = _bucket_pair_indices(len(uniq), max_bucket, "simhash")
         x = sh[ia] ^ sh[ib]
         # vectorized popcount: bytes view → unpackbits → per-word sum
         ham = (
@@ -502,12 +578,14 @@ def embedding_near_dups(
     planes_per_table: int = 4,
     seed: int = 47,
     batch_size: int = 8192,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Near-duplicate vector pairs (cosine ≥ threshold) via multi-table
     random-hyperplane LSH + in-bucket exact cosine. ``k_tables`` independent
     tables of ``planes_per_table`` planes each — recall for a pair at angle θ is
     ``1 - (1 - (1-θ/π)^b)^L``; tune (b, L) to the threshold. One shuffle on
-    ``(table_id, bucket_key)``; pairs found in several tables are deduped."""
+    ``(table_id, bucket_key)``; pairs found in several tables are deduped.
+    Buckets above ``max_bucket`` vectors reduce to star pairs (logged)."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -541,9 +619,14 @@ def embedding_near_dups(
             )
         emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        sims = emb @ emb.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
+        # ids sorted ascending so the star hub (index 0) is the min vec_id
+        order = np.argsort(ids, kind="stable")
+        ids, emb = ids[order], emb[order]
+        ia, ib = _bucket_pair_indices(len(ids), max_bucket, "embedding LSH")
+        if len(ids) <= max_bucket:
+            s = (emb @ emb.T)[ia, ib]
+        else:
+            s = emb[1:] @ emb[0]  # star pairs only: hub vs rest, O(n·dim)
         keep = s >= threshold
         a, b = ids[ia[keep]], ids[ib[keep]]
         return pa.table(

@@ -111,8 +111,10 @@ def er_pair_stats(
         Sum("m", alias_name="matches"),
         Sum("nm", alias_name="non_matches"),
         Sum("ul", alias_name="unlabeled"),
+    ) or {}  # Dataset.aggregate returns None on an empty dataset
+    m, nm, ul = (
+        int(agg.get(k) or 0) for k in ("matches", "non_matches", "unlabeled")
     )
-    m, nm, ul = (int(agg[k] or 0) for k in ("matches", "non_matches", "unlabeled"))
     total = m + nm + ul
     d = max(total, 1)
     return pa.table(
@@ -187,14 +189,14 @@ def cluster_size_stats(
         Mean("sz", alias_name="avg_cluster_size"),
         Min("sz", alias_name="min_cluster_size"),
         Max("sz", alias_name="max_cluster_size"),
-    )
+    ) or {}  # Dataset.aggregate returns None on an empty dataset
     return pa.table(
         {
-            "total_clusters": pa.array([int(agg["total_clusters"] or 0)], pa.int64()),
-            "total_entities": pa.array([int(agg["total_entities"] or 0)], pa.int64()),
-            "avg_cluster_size": pa.array([round(float(agg["avg_cluster_size"] or 0), 6)]),
-            "min_cluster_size": pa.array([int(agg["min_cluster_size"] or 0)], pa.int64()),
-            "max_cluster_size": pa.array([int(agg["max_cluster_size"] or 0)], pa.int64()),
+            "total_clusters": pa.array([int(agg.get("total_clusters") or 0)], pa.int64()),
+            "total_entities": pa.array([int(agg.get("total_entities") or 0)], pa.int64()),
+            "avg_cluster_size": pa.array([round(float(agg.get("avg_cluster_size") or 0), 6)]),
+            "min_cluster_size": pa.array([int(agg.get("min_cluster_size") or 0)], pa.int64()),
+            "max_cluster_size": pa.array([int(agg.get("max_cluster_size") or 0)], pa.int64()),
         }
     )
 

@@ -342,6 +342,27 @@ def asof_join(
     return tagged.groupby("_abucket").map_groups(merge, batch_format="pyarrow")
 
 
+def _lex_insertion_index(
+    pk: np.ndarray, pts_ts: np.ndarray, qk: np.ndarray, qv: np.ndarray
+) -> np.ndarray:
+    """Vectorized two-column searchsorted: for each query ``(qk[j], qv[j])``
+    the count of points with ``(pk, ts)`` lexicographically < the query —
+    i.e. the ``side='left'`` insertion index into the (key, ts)-sorted point
+    array. One merge-lexsort over points + queries; no 64-bit key/ts packing
+    (which would overflow int64)."""
+    n, m = len(pk), len(qk)
+    keys = np.concatenate([pk, qk])
+    vals = np.concatenate([pts_ts, qv])
+    # on ties a query slots BEFORE equal points (side='left')
+    side = np.concatenate([np.ones(n, np.int8), np.zeros(m, np.int8)])
+    order = np.lexsort((side, vals, keys))
+    is_pt = (side[order] == 1).astype(np.int64)
+    before = np.cumsum(is_pt) - is_pt  # points strictly before each slot
+    rank = np.empty(n + m, np.int64)
+    rank[order] = np.arange(n + m, dtype=np.int64)
+    return before[rank[n:]]
+
+
 def range_join(
     points: "ray.data.Dataset",
     intervals: "ray.data.Dataset",
@@ -361,9 +382,10 @@ def range_join(
     semantics Ray Data lacks).
 
     Both sides co-locate in one key-hash shuffle; the per-bucket kernel sorts
-    points by timestamp once, then resolves each interval to a contiguous
-    point span with two ``np.searchsorted`` probes and emits the span — no
-    point×interval comparison. Assumes a key's points+intervals fit one
+    points by (key, ts) once, then resolves ALL intervals to contiguous point
+    spans with two batched lexicographic searchsorted passes
+    (:func:`_lex_insertion_index`) and emits the spans — no point×interval
+    comparison and no per-interval Python loop. Assumes a key's points+intervals fit one
     worker (the same group-locality contract as every ``map_groups`` kernel;
     at corpus scale add a coarse time-bucket to the key like
     :func:`odibel_ray.ops.aggregates.sliding_window_counts`).
@@ -436,19 +458,25 @@ def range_join(
         pk = pk[order]
         starts = ivs[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ends = ivs[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        p_idx_parts, i_idx_parts = [], []
-        for j in range(len(ivs)):
-            lo = np.searchsorted(pk, ik[j], side="left")
-            hi = np.searchsorted(pk, ik[j], side="right")
-            a = lo + np.searchsorted(pts_ts[lo:hi], starts[j], side="left")
-            b = lo + np.searchsorted(pts_ts[lo:hi], ends[j], side="left")
-            if b > a:
-                p_idx_parts.append(np.arange(a, b, dtype=np.int64))
-                i_idx_parts.append(np.full(b - a, j, dtype=np.int64))
-        if not p_idx_parts:
+        # batched lexicographic searchsorted: every interval endpoint resolves
+        # to its insertion index in the (key, ts)-sorted point array in ONE
+        # merge-lexsort over points + endpoints — no per-interval Python loop,
+        # so interval tables the size of the fact table stay vectorized
+        a = _lex_insertion_index(pk, pts_ts, ik, starts)
+        b = _lex_insertion_index(pk, pts_ts, ik, ends)
+        counts = b - a  # a == b when the interval's key has no points in range
+        total = int(counts.sum())
+        if total == 0:
             return empty
-        p_idx = pa.array(np.concatenate(p_idx_parts))
-        i_idx = pa.array(np.concatenate(i_idx_parts))
+        i_idx_np = np.repeat(np.arange(len(ivs), dtype=np.int64), counts)
+        seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        p_idx_np = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(seg_starts, counts)
+            + np.repeat(a, counts)
+        )
+        p_idx = pa.array(p_idx_np)
+        i_idx = pa.array(i_idx_np)
         out = pts.take(p_idx)
         for c in payload_cols:
             out = out.append_column(c, ivs[c].take(i_idx))

@@ -47,11 +47,16 @@ def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
         return regs
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
-    # rank = leading-zero count within the low 64-p bits, + 1
+    # rank = leading-zero count within the low 64-p bits, + 1. MSB position is
+    # computed with exact integer shifts (6 vectorized passes) — float64 log2
+    # rounds UP for w just below 2^k when k >= 50, biasing the rank low.
     bits = np.zeros(len(h), dtype=np.int64)
     nz = w > 0
-    # w < 2^52 ⇒ float64 log2 is exact enough for the floor
-    bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << shift)
+        bits[m] += shift
+        v[m] >>= np.uint64(shift)
     rank = np.where(nz, (64 - p) - bits, (64 - p) + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs

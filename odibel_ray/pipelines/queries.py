@@ -1193,7 +1193,7 @@ def q_dedup_simhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=8, concurrency=_actor_conc())
+    return simhash_pairs(docs, max_hamming=8)
 
 
 def q_embedding_near_dups(sf_dir: str):

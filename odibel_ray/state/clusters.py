@@ -146,6 +146,7 @@ def connected_components_distributed(
     )
     ptr_schema = pa.schema([("node", key_type), ("ptr", key_type)])
     prev_sum = _label_checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         # 1) neighbour min: l(n) <- min(l(n), min over adjacent l(m))
         msgs = bucketed_join(

@@ -1,6 +1,7 @@
 """Relational op library vs DuckDB on the TPC-H-ish test tables."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF = "/root/testdata/sf0.001"
@@ -310,6 +311,51 @@ def test_range_join_semantics(ray_session):
     assert pairs == [(0, 10), (1, 10), (1, 20), (2, 10), (2, 20)]
 
 
+def test_range_join_many_intervals_property(ray_session):
+    """Property check with 10× more intervals than points: the batched
+    lexicographic searchsorted must agree with a brute-force nested loop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import range_join
+
+    rng = np.random.default_rng(71)
+    n_pts, n_ivs = 200, 2_000
+    ts = pa.timestamp("us")
+    p_k = rng.integers(0, 12, n_pts)
+    p_ts = rng.integers(0, 1_000, n_pts)
+    i_k = rng.integers(0, 14, n_ivs)  # some keys have no points
+    i_s = rng.integers(0, 1_000, n_ivs)
+    i_e = i_s + rng.integers(0, 80, n_ivs)
+    pts = pa.table(
+        {
+            "k": pa.array(p_k, pa.int64()),
+            "ts": pa.array(p_ts, pa.int64()).cast(ts),
+            "pid": pa.array(np.arange(n_pts), pa.int64()),
+        }
+    )
+    ivs = pa.table(
+        {
+            "k": pa.array(i_k, pa.int64()),
+            "s": pa.array(i_s, pa.int64()).cast(ts),
+            "e": pa.array(i_e, pa.int64()).cast(ts),
+            "iid": pa.array(np.arange(n_ivs), pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(pts), rd.from_arrow(ivs), "k", "ts", "s", "e",
+        payload_cols=["iid"], points_schema=pts.schema, intervals_schema=ivs.schema,
+    ).take_all()
+    got = sorted((r["pid"], r["iid"]) for r in out)
+    want = sorted(
+        (p, i)
+        for i in range(n_ivs)
+        for p in range(n_pts)
+        if p_k[p] == i_k[i] and i_s[i] <= p_ts[p] < i_e[i]
+    )
+    assert got == want
+
+
 def test_codec_autodetect(ray_session, tmp_path):
     """S4: extension-chain codec detection on raw text and table sources."""
     import gzip
@@ -370,3 +416,43 @@ def test_cron_expansion(ray_session):
     us = int(sun.timestamp() * 1_000_000)
     occ = CronPattern("0 9 * * 0").occurrences_us(us - 60_000_000, us + 60_000_000)
     assert occ == [us]
+
+
+def test_cron_arithmetic_matches_minute_scan():
+    """The arithmetic enumerator must agree with a brute-force per-minute scan
+    (the semantics the old implementation — and the SQL oracle — define)."""
+    import datetime as dt
+
+    from odibel_ray.ops.cron import CronPattern
+
+    start = dt.datetime(2024, 2, 27, 13, 37, 11, tzinfo=dt.timezone.utc)
+    end = dt.datetime(2024, 3, 4, 2, 5, tzinfo=dt.timezone.utc)
+    s_us, e_us = int(start.timestamp() * 1e6), int(end.timestamp() * 1e6)
+    for expr in ("*/15 8-17 * * 1-5", "0 0 29 2 *", "30 */6 1,15 * *", "* * * * *"):
+        p = CronPattern(expr)
+        got = p.occurrences_us(s_us, e_us)
+        t = start.replace(second=0, microsecond=0)
+        if s_us % 60_000_000:
+            t += dt.timedelta(minutes=1)
+        want = []
+        while t < end:
+            if p.matches(t):
+                want.append(int(t.timestamp() * 1_000_000))
+            t += dt.timedelta(minutes=1)
+        assert got == want, expr
+
+
+def test_cron_year_window_fast():
+    """A 366-day window must complete in milliseconds (no per-minute scan)."""
+    import datetime as dt
+    import time
+
+    from odibel_ray.ops.cron import CronPattern
+
+    s = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    e = s + 366 * 86_400_000_000
+    t0 = time.perf_counter()
+    occ = CronPattern("*/5 * * * *").occurrences_us(s, e)
+    elapsed = time.perf_counter() - t0
+    assert len(occ) == 366 * 24 * 12
+    assert elapsed < 0.5, f"year-long cron window took {elapsed:.3f}s"

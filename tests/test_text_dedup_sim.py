@@ -160,6 +160,82 @@ def test_embedding_near_dups_with_planted(ray_session):
     assert found >= 4, f"only {found}/5 planted vector dups found"
 
 
+def test_bucket_cap_star_pairs_unit():
+    """Oversized buckets must emit O(n) star pairs, never O(n²)."""
+    from odibel_ray.dedup import _bucket_pair_indices, _pairs_in_bucket
+
+    ia, ib = _bucket_pair_indices(10_000, 512, "test")
+    assert len(ia) == 9_999 and (ia == 0).all()
+    assert ib[0] == 1 and ib[-1] == 9_999
+    # small buckets keep full enumeration
+    ia, ib = _bucket_pair_indices(10, 512, "test")
+    assert len(ia) == 45
+    # kernel level: a degenerate 10k-doc bucket with signatures
+    n = 10_000
+    sig = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.zeros(n * 4, np.int64)), 4
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "sig": sig,
+        }
+    )
+    out = _pairs_in_bucket(t, threshold=0.0, num_perm=4, max_bucket=256)
+    assert len(out) == n - 1
+    assert set(out["doc_a"].to_pylist()) == {0}
+
+
+def test_minhash_capped_identical_docs(ray_session):
+    """10k identical docs: every band bucket is degenerate; the cap bounds the
+    pair output to n-1 star pairs and nothing OOMs."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import minhash_lsh_pairs
+
+    n = 10_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["the same boilerplate text repeated verbatim"] * n),
+        }
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(tbl), threshold=0.3, max_bucket=256
+    ).take_all()
+    assert len(pairs) == n - 1
+    assert {r["doc_a"] for r in pairs} == {0}
+    assert {r["doc_b"] for r in pairs} == set(range(1, n))
+
+
+def test_simhash_and_embedding_capped(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.dedup import embedding_near_dups, simhash_pairs
+
+    n = 2_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["identical duplicated content here"] * n),
+        }
+    )
+    got = simhash_pairs(rd.from_arrow(tbl), max_hamming=8, max_bucket=128).take_all()
+    assert len(got) == n - 1 and {r["doc_a"] for r in got} == {0}
+
+    vec = np.ones((n, 8), np.float32)
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vec), pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_near_dups(
+        rd.from_arrow(etbl), threshold=0.9, max_bucket=128
+    ).take_all()
+    assert len(got) == n - 1 and {r["vec_a"] for r in got} == {0}
+
+
 def test_cosine_topk_exact_vs_numpy(ray_session):
     import ray.data as rd
 
