@@ -62,12 +62,29 @@ class Operation(ABC):
         return f"{type(self).__name__}(type={self.config.operation_type})"
 
 
+class _ActorAdapter:
+    """Callable-class wrapper so a ``BatchOperation`` with ``concurrency`` set
+    genuinely runs as an actor pool: the serialized operation lands on each
+    actor once, its :meth:`BatchOperation.setup` hook runs there (per-actor
+    state: model load, regex compile, index build), and batches flow through
+    ``transform_batch``."""
+
+    def __init__(self, op: "BatchOperation"):
+        self._op = op
+        op.setup()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._op.transform_batch(batch)
+
+
 class BatchOperation(Operation):
     """Per-batch Operation (``api/operations.py:89-98``): subclass and
     implement :meth:`transform_batch` (Arrow table → Arrow table); ``execute``
     wires it through ``map_batches`` with the configured batch size /
-    concurrency (an actor pool when ``concurrency`` is set — the stateful-
-    stage shape)."""
+    concurrency. When ``concurrency`` is set the stage is a true actor pool —
+    the op ships to each actor once and :meth:`setup` runs there before the
+    first batch (per-actor state, the stateful-stage shape); without it the
+    stage is stateless tasks and ``setup`` runs lazily in-process."""
 
     def __init__(
         self,
@@ -84,12 +101,22 @@ class BatchOperation(Operation):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         ...
 
+    def setup(self) -> None:
+        """Per-actor setup hook (once per actor when ``concurrency`` is set).
+        Default: no-op."""
+
     def execute(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
         kwargs: Dict[str, Any] = dict(
             batch_format="pyarrow", batch_size=self.batch_size
         )
         if self.concurrency:
-            kwargs["concurrency"] = self.concurrency
+            return ds.map_batches(
+                _ActorAdapter,
+                fn_constructor_args=(self,),
+                concurrency=self.concurrency,
+                **kwargs,
+            )
+        self.setup()
         return ds.map_batches(self.transform_batch, **kwargs)
 
 

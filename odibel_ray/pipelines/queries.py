@@ -1092,6 +1092,23 @@ def q_er_cluster_stats(sf_dir: str):
     )
 
 
+def q_benchmark_split_stats(sf_dir: str):
+    """§2.10 Benchmark API: prefix-blocking ER pairs registered as an
+    EntityResolutionBenchmark, split train/validation/test by the
+    deterministic modulo rule (``BenchmarkBuilder.create_splits`` /
+    ``assign_splits``), then per-split match/non-match/unlabeled stats
+    (``api/benchmark.py:147-160`` + ``entity_resolution/eval.py:42-57``)."""
+    from odibel_ray.benchmark import SplitType, assign_splits, split_pair_stats
+
+    tagged = assign_splits(
+        _doc_blocking(sf_dir),
+        {SplitType.TRAIN: 0.6, SplitType.VALIDATION: 0.2, SplitType.TEST: 0.2},
+        method="modulo",
+        buckets=10,
+    )
+    return split_pair_stats(tagged)
+
+
 def q_transcript_missing_values(sf_dir: str):
     """A17: per-property missing-value profile of the converged transcript
     table (``entity_resolution/eval.py:117-135`` characteristics)."""
@@ -1423,6 +1440,7 @@ QUERIES: dict[str, Callable] = {
     "er_pairs_blocking": q_er_pairs_blocking,
     "er_pair_stats": q_er_pair_stats,
     "er_cluster_stats": q_er_cluster_stats,
+    "benchmark_split_stats": q_benchmark_split_stats,
     "transcript_missing_values": q_transcript_missing_values,
     "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
@@ -1968,6 +1986,27 @@ SELECT count(*) AS total_clusters,
        CAST(coalesce(min(sz), 0) AS BIGINT) AS min_cluster_size,
        CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size
 FROM c
+""",
+        "benchmark_split_stats": """
+WITH k AS (SELECT doc_id, text,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN (a.doc_id + b.doc_id) % 5 = 0 THEN NULL
+                  ELSE CAST(a.text = b.text AS BIGINT) END AS label
+      FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+s AS (SELECT label,
+             CASE WHEN ((id_a + id_b) * 7) % 10 < 6 THEN 'train'
+                  WHEN ((id_a + id_b) * 7) % 10 < 8 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM p)
+SELECT split,
+       count(*) AS pairs,
+       CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS matches,
+       CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS non_matches,
+       CAST(coalesce(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS unlabeled,
+       round(coalesce(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) / greatest(count(*), 1), 6) AS match_ratio
+FROM s GROUP BY split
 """,
         "dedup_jaccard_verified": """
 WITH k AS (SELECT doc_id, text,
