@@ -1109,6 +1109,48 @@ def q_benchmark_split_stats(sf_dir: str):
     return split_pair_stats(tagged)
 
 
+def q_er_link_classes(sf_dir: str):
+    """FAMER link-strength taxonomy (``graph_construction.py:20-99``):
+    prefix-blocking candidate pairs as a similarity graph (deterministic
+    sim, resource = ``doc_id % 3``), every edge classified strong / normal /
+    weak by the reciprocal max-per-resource rule via
+    :func:`odibel_ray.state.clusters.classify_links`."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.state.clusters import classify_links
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        sim = ((a * 31 + b * 17) % 100) / 100.0
+        return pa.table(
+            {
+                "src": pa.array(a, pa.int64()),
+                "dst": pa.array(b, pa.int64()),
+                "sim": pa.array(sim, pa.float64()),
+            }
+        )
+
+    edges = _doc_blocking(sf_dir).map_batches(mk_edges, batch_format="pyarrow")
+
+    def mk_verts(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.char.add("r", (ids % 3).astype("U1"))
+        return pa.table({"id": t["doc_id"], "resource": pa.array(r, pa.string())})
+
+    verts = load_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk_verts, batch_format="pyarrow"
+    )
+    return classify_links(
+        edges,
+        verts,
+        edge_schema=pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+
+
 def q_transcript_missing_values(sf_dir: str):
     """A17: per-property missing-value profile of the converged transcript
     table (``entity_resolution/eval.py:117-135`` characteristics)."""
@@ -1441,6 +1483,7 @@ QUERIES: dict[str, Callable] = {
     "er_pair_stats": q_er_pair_stats,
     "er_cluster_stats": q_er_cluster_stats,
     "benchmark_split_stats": q_benchmark_split_stats,
+    "er_link_classes": q_er_link_classes,
     "transcript_missing_values": q_transcript_missing_values,
     "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
@@ -2007,6 +2050,28 @@ SELECT split,
        CAST(coalesce(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS unlabeled,
        round(coalesce(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) / greatest(count(*), 1), 6) AS match_ratio
 FROM s GROUP BY split
+""",
+        "er_link_classes": """
+WITH k AS (SELECT doc_id, text,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS block_key
+  FROM documents),
+e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST((a.doc_id * 31 + b.doc_id * 17) % 100 AS DOUBLE) / 100 AS sim
+      FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+v AS (SELECT doc_id, 'r' || CAST(doc_id % 3 AS VARCHAR) AS resource FROM documents),
+d AS (SELECT e.id_a AS a, e.id_b AS b, e.sim, vb.resource AS res_b
+      FROM e JOIN v vb ON e.id_b = vb.doc_id
+      UNION ALL
+      SELECT e.id_b, e.id_a, e.sim, va.resource
+      FROM e JOIN v va ON e.id_a = va.doc_id),
+m AS (SELECT a, b, sim, MAX(sim) OVER (PARTITION BY a, res_b) AS best FROM d),
+f AS (SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst, MAX(sim) AS sim,
+             SUM(CASE WHEN sim = best THEN 1 ELSE 0 END) AS n_max
+      FROM m GROUP BY LEAST(a, b), GREATEST(a, b))
+SELECT src, dst, sim,
+       CASE WHEN n_max >= 2 THEN 'strong' WHEN n_max = 1 THEN 'normal'
+            ELSE 'weak' END AS link_type
+FROM f
 """,
         "dedup_jaccard_verified": """
 WITH k AS (SELECT doc_id, text,

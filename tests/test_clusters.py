@@ -117,3 +117,72 @@ def test_minhash_pairs_to_clusters(ray_session):
     cm = ClusterManager()
     cm.from_components(comps)
     assert all(len(c) >= 2 for c in cm.clusters.values())
+
+
+def _famer_fixture():
+    """Hand-computed FAMER graph: resources A={A1,A2}, B={B1,B2}, C={C1}.
+
+    Expected classes per graph_construction.py:20-99 semantics:
+    (A1,B1,.9) strong (reciprocal best), (A2,B1,.5) normal (best from A2
+    only), (A1,B2,.3) normal (best from B2 only), (A2,B2,.2) weak (best
+    from neither), (A1,C1,.7)/(A2,C1,.7) both strong (tie at C1's max
+    toward A counts for every tied edge, as in the reference's tie loop).
+    """
+    edges = pa.table(
+        {
+            "src": ["A1", "A2", "A1", "A2", "A1", "A2"],
+            "dst": ["B1", "B1", "B2", "B2", "C1", "C1"],
+            "sim": [0.9, 0.5, 0.3, 0.2, 0.7, 0.7],
+        }
+    )
+    verts = pa.table(
+        {
+            "id": ["A1", "A2", "B1", "B2", "C1"],
+            "resource": ["A", "A", "B", "B", "C"],
+        }
+    )
+    return edges, verts
+
+
+def test_classify_links_reference_semantics(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.state.clusters import classify_links
+
+    edges, verts = _famer_fixture()
+    out = classify_links(rd.from_arrow(edges), rd.from_arrow(verts)).to_pandas()
+    got = {
+        (r.src, r.dst): r.link_type for r in out.itertuples()
+    }
+    assert got == {
+        ("A1", "B1"): "strong",
+        ("A2", "B1"): "normal",
+        ("A1", "B2"): "normal",
+        ("A2", "B2"): "weak",
+        ("A1", "C1"): "strong",
+        ("A2", "C1"): "strong",
+    }
+    sims = {(r.src, r.dst): r.sim for r in out.itertuples()}
+    assert sims[("A1", "B1")] == 0.9 and sims[("A2", "B2")] == 0.2
+
+
+def test_filter_links_reclusters(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.state.clusters import filter_links
+
+    edges, verts = _famer_fixture()
+    # default (normal+strong): only (A2,B2) dropped -> graph stays connected
+    out = filter_links(rd.from_arrow(edges), rd.from_arrow(verts)).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert len(set(comp.values())) == 1 and comp["B2"] == comp["A1"]
+    # strong only: B2 loses all links -> singleton cluster (reference keeps
+    # all nodes of the pruned graph)
+    out2 = filter_links(
+        rd.from_arrow(edges), rd.from_arrow(verts), types=("strong",)
+    ).to_pandas()
+    comp2 = dict(zip(out2["node"], out2["component"]))
+    assert comp2["B2"] == "B2"
+    assert comp2["A1"] == comp2["A2"] == comp2["B1"] == comp2["C1"] == "A1"
+    res = dict(zip(out2["node"], out2["resource"]))
+    assert res == {"A1": "A", "A2": "A", "B1": "B", "B2": "B", "C1": "C"}
