@@ -1151,6 +1151,85 @@ def q_er_link_classes(sf_dir: str):
     )
 
 
+def ensure_raw_dump(sf_dir: str) -> str:
+    """Materialize (once) a deterministic wiki-style raw dump derived from
+    ``documents.parquet`` — 4 gzip files, one ``<page>`` per document with two
+    ``<revision>``s (a constant ``v1`` then the document text), so the S1
+    splitter has real multi-line, multi-record-per-header input whose parse
+    result is SQL-replicable straight from the table."""
+    import gzip
+
+    from odibel_ray.ops.relational import load_table
+
+    name = _sf_name(sf_dir)
+    out = os.path.join(CACHE_ROOT, name, "raw_dump")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id")
+    n_files = 4
+    handles = [
+        gzip.open(os.path.join(out, f"dump-{i}.xml.gz"), "wt") for i in range(n_files)
+    ]
+    try:
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            f = handles[int(doc_id) % n_files]
+            f.write(
+                "<page>\n"
+                f"  <title>doc_{doc_id}</title>\n"
+                "  <ns>0</ns>\n"
+                f"  <id>{doc_id}</id>\n"
+                "  <revision>\n"
+                f"    <id>{doc_id * 10 + 1}</id>\n"
+                "    <timestamp>2024-01-01T00:00:00Z</timestamp>\n"
+                "    <text>v1</text>\n"
+                "  </revision>\n"
+                "  <revision>\n"
+                f"    <id>{doc_id * 10 + 2}</id>\n"
+                "    <timestamp>2024-01-02T00:00:00Z</timestamp>\n"
+                f"    <text>{text}</text>\n"
+                "  </revision>\n"
+                "</page>\n"
+            )
+    finally:
+        for f in handles:
+            f.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def q_rawlog_page_revisions(sf_dir: str):
+    """S1 raw dump splitter end-to-end: multi-line XML-ish dump files →
+    stateful record assembly (one record per revision, page header shared) →
+    vectorized field extraction (``WikiDumpFlatter.scala:39-82`` +
+    ``WikiUtil.scala:66-97``). Returns one row per revision with the page
+    fields and the ``<text>`` payload."""
+    from odibel_ray.sources.rawlog import parse_page_revisions, read_split_records
+
+    dump_dir = ensure_raw_dump(sf_dir)
+    parsed = parse_page_revisions(read_split_records(os.path.join(dump_dir, "*.gz")))
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        body_text = pc.struct_field(
+            pc.extract_regex(t["body"], r"<text>(?P<v>.*?)</text>"), ["v"]
+        )
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "page_title": t["page_title"],
+                "revision_id": t["revision_id"],
+                "revision_ts": t["revision_ts"],
+                "text": body_text,
+            }
+        )
+
+    return parsed.map_batches(project, batch_format="pyarrow")
+
+
 def q_transcript_missing_values(sf_dir: str):
     """A17: per-property missing-value profile of the converged transcript
     table (``entity_resolution/eval.py:117-135`` characteristics)."""
@@ -1484,6 +1563,7 @@ QUERIES: dict[str, Callable] = {
     "er_cluster_stats": q_er_cluster_stats,
     "benchmark_split_stats": q_benchmark_split_stats,
     "er_link_classes": q_er_link_classes,
+    "rawlog_page_revisions": q_rawlog_page_revisions,
     "transcript_missing_values": q_transcript_missing_values,
     "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
@@ -2072,6 +2152,21 @@ SELECT src, dst, sim,
        CASE WHEN n_max >= 2 THEN 'strong' WHEN n_max = 1 THEN 'normal'
             ELSE 'weak' END AS link_type
 FROM f
+""",
+        "rawlog_page_revisions": """
+SELECT doc_id AS page_id,
+       'doc_' || CAST(doc_id AS VARCHAR) AS page_title,
+       doc_id * 10 + 1 AS revision_id,
+       '2024-01-01T00:00:00Z' AS revision_ts,
+       'v1' AS text
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'doc_' || CAST(doc_id AS VARCHAR),
+       doc_id * 10 + 2,
+       '2024-01-02T00:00:00Z',
+       text
+FROM documents
 """,
         "dedup_jaccard_verified": """
 WITH k AS (SELECT doc_id, text,
