@@ -1277,7 +1277,11 @@ def q_doc_lang_id(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash/LSH candidates (no signature shipping — the exact verify
-    re-filters) → keyed-join n-gram Jaccard verification."""
+    re-filters) → keyed-join n-gram Jaccard verification. Oracle-pinned: the
+    end product is the Jaccard-verified pair set, and the SQL oracle computes
+    the FULL all-pairs shingle-join answer — so the check also proves the LSH
+    candidate generation loses no qualifying pair on this (seeded,
+    deterministic) corpus."""
     from odibel_ray.dedup import minhash_lsh_pairs, verify_pairs_jaccard
     from odibel_ray.ops.relational import load_table
 
@@ -1293,7 +1297,9 @@ def q_dedup_minhash(sf_dir: str):
 
 def q_dedup_minhash_clusters(sf_dir: str):
     """Near-dup pairs → duplicate groups via distributed min-label propagation
-    (S11 corpus-scale connected components; driver holds no forest)."""
+    (S11 corpus-scale connected components; driver holds no forest).
+    Oracle-pinned against a recursive-CTE reachability oracle over the exact
+    all-pairs Jaccard graph."""
     from odibel_ray.dedup import minhash_lsh_pairs
     from odibel_ray.ops.relational import load_table
     from odibel_ray.state import connected_components_distributed
@@ -1340,6 +1346,22 @@ def q_embedding_near_dups(sf_dir: str):
 
     emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_near_dups(emb, threshold=0.4)
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    """EXACT embedding near-dup pairs (cosine ≥ 0.4) via the block-tiled
+    all-pairs kernel — complete recall by construction, so the brute-force
+    SQL cross-join oracle pins it at any scale factor (the LSH variant
+    `embedding_near_dups` stays the sub-quadratic scale path)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import cosine_pairs_exact
+
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pairs only: the cosine VALUE is float-order-sensitive across engines
+    # (numpy matmul vs DuckDB's sequential sum differ in the last ulp, which
+    # flips the 6th rounded digit on boundary values); the pair SET is the
+    # exactness claim and is stable (no sf0.01 cosine sits within 1e-9 of 0.4)
+    return cosine_pairs_exact(emb, threshold=0.4).select_columns(["vec_a", "vec_b"])
 
 
 def _query_vectors(sf_dir: str):
@@ -1564,6 +1586,7 @@ QUERIES: dict[str, Callable] = {
     "benchmark_split_stats": q_benchmark_split_stats,
     "er_link_classes": q_er_link_classes,
     "rawlog_page_revisions": q_rawlog_page_revisions,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "transcript_missing_values": q_transcript_missing_values,
     "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
@@ -2167,6 +2190,43 @@ SELECT doc_id,
        '2024-01-02T00:00:00Z',
        text
 FROM documents
+""",
+        "embedding_cosine_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "dedup_minhash": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ka) - 1, 1)),
+        i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS s FROM t),
+e AS (SELECT doc_id, unnest(s) AS sg, len(s) AS sz FROM sh),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb
+      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(1.0 * inter / (sa + sb - inter), 6) AS jaccard
+FROM i WHERE 1.0 * inter / (sa + sb - inter) >= 0.4
+""",
+        "dedup_minhash_clusters": """
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ka) - 1, 1)),
+        i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS s FROM t),
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS sz FROM sh),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT doc_a, doc_b FROM i WHERE 1.0 * inter / (sa + sb - inter) >= 0.4),
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT src AS node FROM ed),
+r(node, reach) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, ed.dst FROM r JOIN ed ON ed.src = r.reach
+)
+SELECT node, min(reach) AS component FROM r GROUP BY node
 """,
         "dedup_jaccard_verified": """
 WITH k AS (SELECT doc_id, text,

@@ -94,6 +94,92 @@ def cosine_topk(
     return res.drop_columns(["cosine"])
 
 
+def cosine_pairs_exact(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs cosine ≥ threshold by block tiling — the
+    complete-recall complement of :func:`odibel_ray.dedup.embedding_near_dups`
+    (LSH trades recall for scan cost; this kernel trades compute, which is
+    inherent to exact all-pairs).
+
+    Every vector is assigned a block ``vec_id % num_blocks`` and replicated
+    into the ``num_blocks`` tiles ``(min(b, j), max(b, j))`` it participates
+    in; one shuffle on the tile key co-locates each tile's two blocks, and the
+    per-tile kernel is one matmul (intra-block upper triangle on the diagonal
+    tiles, full cross product off-diagonal — each unordered pair is computed
+    exactly once). Communication is ``n × num_blocks`` rows; per-task memory
+    is ``2n/num_blocks`` vectors. Returns ``(vec_a, vec_b, cosine)`` with
+    ``vec_a < vec_b``, cosine rounded to 6 digits.
+    """
+
+    def tile_out(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ids % num_blocks
+        tiles = []
+        for j in range(num_blocks):
+            ti = np.minimum(blk, j)
+            tj = np.maximum(blk, j)
+            tiles.append(ti * num_blocks + tj)
+        idx = pa.array(np.tile(np.arange(len(t), dtype=np.int64), num_blocks))
+        rep = t.take(idx)
+        return pa.table(
+            {
+                id_col: rep[id_col],
+                emb_col: rep[emb_col],
+                "block": pa.array(np.tile(blk, num_blocks)),
+                "tile": pa.array(np.concatenate(tiles)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def tile_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        tile = int(t["tile"][0].as_py())
+        ti, tj = divmod(tile, num_blocks)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = t["block"].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        if ti == tj:
+            if len(ids) < 2:
+                return empty
+            ia, ib = np.triu_indices(len(ids), 1)
+            s = (emb @ emb.T)[ia, ib]
+            a, b = ids[ia], ids[ib]
+        else:
+            ma, mb = blk == ti, blk == tj
+            if not ma.any() or not mb.any():
+                return empty
+            s = (emb[ma] @ emb[mb].T).reshape(-1)
+            a = np.repeat(ids[ma], int(mb.sum()))
+            b = np.tile(ids[mb], int(ma.sum()))
+        keep = s >= threshold
+        a, b, s = a[keep], b[keep], s[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b)),
+                "vec_b": pa.array(np.maximum(a, b)),
+                "cosine": pa.array(np.round(s, 6)),
+            }
+        )
+
+    tiled = ds.map_batches(tile_out, batch_format="pyarrow", batch_size=batch_size)
+    return tiled.groupby("tile").map_groups(tile_pairs, batch_format="pyarrow")
+
+
 def fit_centroids(sample: pa.Table, n_lists: int, *, iters: int = 10, seed: int = 11,
                   emb_col: str = "embedding") -> np.ndarray:
     """Driver-side k-means on a small sample (Lloyd, fixed iters, seeded)."""

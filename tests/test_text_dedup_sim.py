@@ -327,3 +327,40 @@ def test_enrichment_retry_and_skip_semantics(ray_session):
     # with max_retries=1, transient keys are also lost
     out1 = enrich_turns(rd.from_arrow(tbl), concurrency=2, max_retries=1).take_all()
     assert len(out1) < len(out)
+
+
+def test_cosine_pairs_exact_vs_bruteforce(ray_session):
+    """Block-tiled all-pairs kernel must equal the full similarity matrix —
+    every qualifying pair exactly once, cosines matching, across several
+    num_blocks (diagonal and off-diagonal tiles both exercised)."""
+    import ray.data as rd
+
+    from odibel_ray.sim import cosine_pairs_exact
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    emb = rng.standard_normal((n, d))
+    # plant clones to guarantee pairs near 1.0
+    emb[50] = emb[40]
+    emb[60] = emb[40] + 0.01 * rng.standard_normal(d)
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)  # non-contiguous ids
+    t = pa.table({"vec_id": ids, "embedding": list(emb)})
+
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    S = e @ e.T
+    ia, ib = np.triu_indices(n, 1)
+    thr = 0.6
+    keep = S[ia, ib] >= thr
+    want = {
+        (min(a, b), max(a, b)): s
+        for a, b, s in zip(ids[ia[keep]], ids[ib[keep]], S[ia, ib][keep])
+    }
+    assert len(want) >= 3
+
+    for num_blocks in (1, 3, 8):
+        out = cosine_pairs_exact(
+            rd.from_arrow(t), threshold=thr, num_blocks=num_blocks
+        ).to_pandas()
+        got = {(r.vec_a, r.vec_b): r.cosine for r in out.itertuples()}
+        assert set(got) == set(want), f"num_blocks={num_blocks}"
+        assert all(abs(got[k] - want[k]) < 1e-5 for k in want), f"num_blocks={num_blocks}"
