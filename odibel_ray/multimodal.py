@@ -1,14 +1,20 @@
 """Multimodal column plumbing: opaque binary media payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are not available in this environment, so the
-*codec* is a deterministic fake — a self-describing header
-(``ODB1 | kind | width | height | channels | sample_rate``) followed by a raw
-uint8 buffer — decoded with numpy. Everything around the codec is real and
-tested: the Arrow ``binary`` column schema, small-batch sizing for large
-payloads, per-actor decoder state, and the feature/resize/frame-sample output
-layouts. Swapping ``FakeCodec`` for PIL/ffmpeg is a one-class change
-(clearly-marked ``NotImplementedError`` on real formats).
+Codecs, dispatched per payload by :class:`DispatchCodec` (the default in
+every stage, constructed once per actor):
+
+- ``ODB1`` fake container (header ``ODB1 | kind | w | h | c | sample_rate``
+  + raw buffer) → :class:`FakeCodec` — the deterministic synthetic path;
+- real **PNG** → :class:`PILCodec` when Pillow is importable, else the
+  dependency-free stdlib :func:`png_decode`/:func:`png_encode` (zlib), so
+  the real-format path is exercised even in this no-codec-libs sandbox;
+- other real formats (JPEG, audio, video containers) raise a clearly-marked
+  ``NotImplementedError`` naming the missing dependency (PIL/ffmpeg).
+
+Everything around the codec is real and tested: the Arrow ``binary`` column
+schema, small-batch sizing for large payloads, per-actor decoder state, and
+the feature/resize/frame-sample output layouts.
 """
 
 from __future__ import annotations
@@ -98,6 +104,183 @@ class FakeCodec:
         return np.frombuffer(body, dtype=np.int16)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + typ
+        + body
+        + zlib.crc32(typ + body).to_bytes(4, "big")
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit gray/GA/RGB/RGBA, filter 0,
+    non-interlaced) — real-format output without any codec dependency."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload) -> np.ndarray:
+    """Minimal stdlib PNG decoder: 8-bit gray/GA/RGB/RGBA, non-interlaced,
+    all five scanline filters. Filter 0/2 rows are vectorized; 1/3/4 fall
+    back to per-pixel loops (sufficient for test images — a production
+    deployment swaps in :class:`PILCodec`)."""
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, []
+    w = h = color_type = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 1:  # sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif f == 2:  # up
+            row = (row + prev) & 0xFF
+        elif f == 3:  # average
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                cc = prev[x - channels] if x >= channels else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+                row[x] = (row[x] + pred) & 0xFF
+        out[y] = row.astype(np.uint8)
+        prev = row
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+class PILCodec:
+    """Real-codec adapter (optional dependency): decodes any PIL-supported
+    format, encodes PNG. Import is deferred so the class can exist — and the
+    dispatch below can *prefer* it — in environments without Pillow."""
+
+    def __init__(self):
+        from PIL import Image  # raises ImportError when Pillow is absent
+
+        self._Image = Image
+
+    def decode(self, payload) -> np.ndarray:
+        import io
+
+        return np.asarray(self._Image.open(io.BytesIO(bytes(payload))))
+
+    def encode(self, arr: np.ndarray) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        self._Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+class DispatchCodec:
+    """Format-dispatching codec: ODB1 fake container → :class:`FakeCodec`;
+    PNG signature → :class:`PILCodec` when Pillow is importable, else the
+    stdlib :func:`png_decode`; anything else raises ``NotImplementedError``
+    naming the missing dependency. This is the default codec of every
+    actor-pool media stage, so real PNG payloads flow through the same
+    plumbing as the synthetic container — constructed once per actor."""
+
+    def __init__(self):
+        self._fake = FakeCodec()
+        try:
+            self._pil: PILCodec | None = PILCodec()
+        except ImportError:
+            self._pil = None
+
+    def detect(self, payload) -> str:
+        mv = memoryview(payload)
+        if bytes(mv[:4]) == _MAGIC:
+            return "odb1"
+        if bytes(mv[:8]) == _PNG_SIG:
+            return "png"
+        return "unknown"
+
+    def decode(self, payload) -> np.ndarray:
+        fmt = self.detect(payload)
+        if fmt == "odb1":
+            return self._fake.decode(payload)
+        if fmt == "png":
+            return self._pil.decode(payload) if self._pil else png_decode(payload)
+        raise NotImplementedError(
+            "unrecognized media container: real formats beyond PNG need "
+            "PIL/ffmpeg (not available in this environment)"
+        )
+
+    def encode_image(self, arr: np.ndarray, fmt: str) -> bytes:
+        if fmt == "png":
+            if self._pil:
+                return self._pil.encode(arr)
+            return png_encode(arr)
+        h, w = arr.shape[:2]
+        c = arr.shape[2] if arr.ndim == 3 else 1
+        header = _MAGIC + struct.pack("<4siiii", b"imag", w, h, c, 0)
+        return header + np.ascontiguousarray(arr).tobytes()
+
+
+def encode_png_media(media_id: int, arr: np.ndarray) -> dict:
+    """A MEDIA_SCHEMA row holding a real PNG payload."""
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    return {
+        "media_id": media_id,
+        "kind": "image",
+        "payload": png_encode(arr),
+        "width": int(w),
+        "height": int(h),
+        "channels": int(c),
+        "sample_rate": 0,
+    }
+
+
 def _payload_views(t: pa.Table, col: str = "payload") -> list[memoryview]:
     """Zero-copy per-row memoryviews into the binary column's data buffer —
     no Python ``bytes`` copies, no ``to_pylist`` dict rows."""
@@ -118,7 +301,7 @@ class MediaFeatures:
     worker heap (SURVEY.md 'memory-aware')."""
 
     def __init__(self):
-        self.codec = FakeCodec()
+        self.codec = DispatchCodec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -148,7 +331,7 @@ class ImageResizer:
     fake container. Audio rows pass through unchanged."""
 
     def __init__(self, target: tuple[int, int] = (16, 16)):
-        self.codec = FakeCodec()
+        self.codec = DispatchCodec()
         self.target = target
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -163,13 +346,14 @@ class ImageResizer:
             if kinds[i] != "image":
                 payloads[i] = bytes(mv)
                 continue
+            fmt = self.codec.detect(mv)
             img = self.codec.decode(mv)
-            h, w, c = img.shape
+            h, w = img.shape[:2]
             yi = (np.arange(th) * h // th)[:, None]
             xi = (np.arange(tw) * w // tw)[None, :]
-            resized = img[yi, xi]
-            header = _MAGIC + struct.pack("<4siiii", b"imag", tw, th, c, 0)
-            payloads[i] = header + resized.tobytes()
+            resized = np.ascontiguousarray(img[yi, xi])
+            # re-encode in the payload's own container (PNG stays PNG)
+            payloads[i] = self.codec.encode_image(resized, fmt)
             widths[i], heights[i] = tw, th
         return pa.table(
             {
@@ -190,7 +374,7 @@ class FrameSampler:
     The frame-sample step of a video-pretraining feed."""
 
     def __init__(self, stride: int = 4):
-        self.codec = FakeCodec()
+        self.codec = DispatchCodec()
         self.stride = stride
 
     def __call__(self, t: pa.Table) -> pa.Table:
