@@ -32,7 +32,18 @@ BENCH_LOG_PARAMS = dict(max_turns=24, seed=11, num_parts=32, files_per_part=4,
                         update_factor=0.5, delete_frac=0.05, malformed_frac=0.01)
 
 # queries that are too slow/stateful to time every round at bench scale
-SKIP_QUERY_TIMINGS: set[str] = set()
+# Variants of pipelines that are already timed under their base name —
+# excluded from the bench's "queries" dict ONLY to keep the contract line
+# within the driver's 2000-char capture window (BENCH_r02.json recorded
+# `parsed: null` once the line outgrew it). They remain fully registered in
+# queries()/oracle_sql() and correctness-checked by the driver.
+SKIP_QUERY_TIMINGS: set[str] = {
+    "transcript_replay_bucketed",
+    "transcript_replay_partitioned",
+    "transcript_replay_actor",
+    "transcript_replay_salted",
+    "transcript_time_travel",
+}
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -144,7 +155,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             res = fn(sf_dir)
             if not isinstance(res, pa.Table):
                 res.count()
-            times[name] = round(time.time() - t0, 3)
+            times[name] = round(time.time() - t0, 2)
         except Exception as e:  # pragma: no cover - bench robustness
             times[name] = -1.0
             print(f"# query {name} failed: {e}", file=sys.stderr)
@@ -209,7 +220,7 @@ def main() -> None:
 
     headline = run_headline(sf_dir, num_cpus, mult=args.mult, num_parts=args.parts)
     queries = {} if args.headline_only else run_queries(sf_dir)
-    print(json.dumps({
+    full = {
         "metric": "headline_replay_wall_sec",
         "value": headline["wall_sec"],
         "unit": "sec",
@@ -219,7 +230,24 @@ def main() -> None:
         "queries": queries,
         "sf": _sf_name(sf_dir),
         "num_cpus": num_cpus,
-    }))
+    }
+    if args.headline_only:
+        print(json.dumps(full, separators=(",", ":")))
+    else:
+        # full detail to a local file; the contract line stays compact so it
+        # fits the driver's capture window in one piece
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        compact = {
+            "metric": "headline_replay_wall_sec",
+            "value": headline["wall_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_name(sf_dir),
+            "num_cpus": num_cpus,
+        }
+        print(json.dumps(compact, separators=(",", ":")))
     ray.shutdown()
 
 

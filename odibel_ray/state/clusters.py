@@ -234,15 +234,22 @@ def classify_links(
     ``vertices`` is ``(id, resource)``. Returns
     ``(src, dst, sim, link_type)`` with ``src < dst``.
 
-    Scale shape: two resource-attach joins + one groupby-max over directed
-    edges + one join back + one pair groupby — all key-hash shuffles of
-    edge-sized data; no driver state, no per-row Python in the hot path.
-    """
-    from ray.data.aggregate import Max, Sum
+    Scale shape — three exchanges of edge-sized data, no driver state, no
+    per-row Python in the hot path:
 
+    1. symmetrize first (cheap map), then ONE keyed join attaches the
+       *neighbour's* resource to each directed edge — the only column the
+       max-per-resource rule needs (attaching both endpoint resources before
+       symmetrizing would cost a second join);
+    2. one bucketed groupby on hash(origin, neighbour-resource): inside each
+       bucket a sort + ``np.maximum.reduceat`` segment-max flags best edges —
+       vectorized, no per-group Python, no aggregate-then-join-back;
+    3. one bucketed groupby on hash(undirected pair): segment-sum of the two
+       directions' flags classifies each edge.
+    """
+    from odibel_ray.cdc.lww import _same_next_key_mask, bucket_of_keys
     from odibel_ray.ops.relational import bucketed_join
 
-    res = vertices.select_columns([id_col, resource_col])
     if edge_schema is None:
         edge_schema = pa.schema(
             [(src_col, pa.string()), (dst_col, pa.string()), (sim_col, pa.float64())]
@@ -252,91 +259,102 @@ def classify_links(
         vertex_schema.field(resource_col).type if vertex_schema else pa.string()
     )
 
-    # 1) attach endpoint resources (src_res, dst_res)
-    with_dst = bucketed_join(
-        edges,
-        res.rename_columns({id_col: dst_col, resource_col: "dst_res"}),
-        dst_col,
-        num_buckets=num_buckets,
-        left_schema=edge_schema,
-        right_schema=pa.schema([(dst_col, key_type), ("dst_res", res_type)]),
-    )
-    with_both = bucketed_join(
-        with_dst,
-        res.rename_columns({id_col: src_col, resource_col: "src_res"}),
-        src_col,
-        num_buckets=num_buckets,
-        left_schema=edge_schema.append(pa.field("dst_res", res_type)),
-        right_schema=pa.schema([(src_col, key_type), ("src_res", res_type)]),
-    )
-
     def _arr(col) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
             return pa.concat_arrays(col.chunks) if col.num_chunks != 1 else col.chunk(0)
         return col
 
-    # 2) directed view keyed by (origin, neighbour-resource)
+    # 1) directed view (both orders of every undirected edge) — no shuffle
     def direct(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         a = pa.concat_arrays([_arr(t[src_col]), _arr(t[dst_col])])
         b = pa.concat_arrays([_arr(t[dst_col]), _arr(t[src_col])])
-        res_b = pa.concat_arrays([_arr(t["dst_res"]), _arr(t["src_res"])])
-        sim = pa.concat_arrays([_arr(t[sim_col]), _arr(t[sim_col])])
-        akey = pc.binary_join_element_wise(
-            pc.cast(a, pa.string()), pc.cast(res_b, pa.string()), _LINK_SEP
-        )
-        return pa.table({"akey": akey, "a": a, "b": b, "sim": sim})
+        sim = _arr(t[sim_col])
+        return pa.table({"a": a, "b": b, "sim": pa.concat_arrays([sim, sim])})
 
-    directed = with_both.map_batches(direct, batch_format="pyarrow")
+    directed = edges.map_batches(direct, batch_format="pyarrow")
     directed_schema = pa.schema(
-        [("akey", pa.string()), ("a", key_type), ("b", key_type), ("sim", pa.float64())]
+        [("a", key_type), ("b", key_type), ("sim", pa.float64())]
     )
 
-    # 3) best similarity per (origin, neighbour-resource)
-    best = directed.select_columns(["akey", "sim"]).groupby("akey").aggregate(
-        Max("sim", alias_name="best")
-    )
-
-    # 4) per-direction max flag, re-paired on the undirected key
-    flagged = bucketed_join(
+    # exchange 1: neighbour resource via one keyed join on b
+    with_res = bucketed_join(
         directed,
-        best,
-        "akey",
+        vertices.select_columns([id_col, resource_col]).rename_columns(
+            {id_col: "b", resource_col: "res_b"}
+        ),
+        "b",
         num_buckets=num_buckets,
         left_schema=directed_schema,
-        right_schema=pa.schema([("akey", pa.string()), ("best", pa.float64())]),
+        right_schema=pa.schema([("b", key_type), ("res_b", res_type)]),
     )
 
-    def pair_key(t: pa.Table) -> pa.Table:
+    # exchange 2: per-(origin, neighbour-resource) segment max → is_max flag
+    def add_gbucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column(
+            "gb", pa.array(bucket_of_keys(t, ["a", "res_b"], num_buckets))
+        )
+
+    def flag_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("a", "ascending"), ("res_b", "ascending")]).combine_chunks()
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        same = _same_next_key_mask(t, ["a", "res_b"])
+        starts = np.flatnonzero(np.r_[True, ~same])
+        gidx = np.cumsum(np.r_[False, ~same])
+        gmax = np.maximum.reduceat(sim, starts) if len(sim) else sim
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "sim": t["sim"],
+                "is_max": pa.array((sim == gmax[gidx]).astype(np.int64)),
+            }
+        )
+
+    flagged = (
+        with_res.map_batches(add_gbucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(flag_group, batch_format="pyarrow")
+    )
+
+    # exchange 3: undirected pair-up, segment sum of the two flags
+    def add_pbucket(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         lt = pc.less(t["a"], t["b"])
-        return pa.table(
+        t = pa.table(
             {
                 "lo": pc.if_else(lt, t["a"], t["b"]),
                 "hi": pc.if_else(lt, t["b"], t["a"]),
                 "sim": t["sim"],
-                "is_max": pc.cast(pc.equal(t["sim"], t["best"]), pa.int64()),
+                "is_max": t["is_max"],
             }
         )
+        return t.append_column(
+            "pb", pa.array(bucket_of_keys(t, ["lo", "hi"], num_buckets))
+        )
 
-    def classify(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        n_max = t["n_max"].to_numpy(zero_copy_only=False)
+    def pair_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("lo", "ascending"), ("hi", "ascending")]).combine_chunks()
+        is_max = t["is_max"].to_numpy(zero_copy_only=False)
+        same = _same_next_key_mask(t, ["lo", "hi"])
+        starts = np.flatnonzero(np.r_[True, ~same])
+        n_max = np.add.reduceat(is_max, starts) if len(is_max) else is_max
+        first = pa.array(starts)
         types = np.where(n_max >= 2, "strong", np.where(n_max == 1, "normal", "weak"))
         return pa.table(
             {
-                src_col: t["lo"],
-                dst_col: t["hi"],
-                sim_col: t["sim"],
+                src_col: t["lo"].take(first),
+                dst_col: t["hi"].take(first),
+                sim_col: t["sim"].take(first),
                 "link_type": pa.array(types, pa.string()),
             }
         )
 
     return (
-        flagged.map_batches(pair_key, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Max("sim", alias_name="sim"), Sum("is_max", alias_name="n_max"))
-        .map_batches(classify, batch_format="pyarrow")
+        flagged.map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pair_group, batch_format="pyarrow")
     )
 
 
