@@ -461,6 +461,346 @@ class BenchmarkBuilder:
 
 
 # ---------------------------------------------------------------------------
+# schema-matching flavor (``benchmark/schema_matching/data.py:15-163``)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Schema:
+    """(``schema_matching/data.py:16-21``)"""
+
+    name: str
+    attributes: Dict[str, Any]
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class AttributeMapping:
+    """(``schema_matching/data.py:24-31``)"""
+
+    source_attribute: str
+    target_attribute: str
+    is_match: Optional[bool] = None
+    confidence: Optional[float] = None
+    similarity_score: Optional[float] = None
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class SchemaMatchingData:
+    """(``schema_matching/data.py:34-52``) — list views over the mappings."""
+
+    schemas: List[Schema]
+    mappings: List[AttributeMapping]
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+    def get_matches(self) -> List[AttributeMapping]:
+        return [m for m in self.mappings if m.is_match is True]
+
+    def get_non_matches(self) -> List[AttributeMapping]:
+        return [m for m in self.mappings if m.is_match is False]
+
+    def get_unlabeled(self) -> List[AttributeMapping]:
+        return [m for m in self.mappings if m.is_match is None]
+
+
+class SchemaMatchingBenchmark(Benchmark):
+    """(``schema_matching/data.py:55-163``)"""
+
+    def __init__(self, config: BenchmarkConfig):
+        super().__init__(config)
+        self.matching_data: Dict[SplitType, SchemaMatchingData] = {}
+
+    def add_matching_data(
+        self, split_type: SplitType, data: SchemaMatchingData
+    ) -> None:
+        self.matching_data[split_type] = data
+
+    def get_matching_data(
+        self, split_type: Optional[SplitType] = None
+    ) -> Optional[SchemaMatchingData]:
+        if split_type is not None:
+            return self.matching_data.get(split_type)
+        schemas: List[Schema] = []
+        mappings: List[AttributeMapping] = []
+        for data in self.matching_data.values():
+            schemas.extend(data.schemas)
+            mappings.extend(data.mappings)
+        return SchemaMatchingData(schemas=schemas, mappings=mappings)
+
+    def get_ground_truth(self, split_type: Optional[SplitType] = None) -> Dict[str, Any]:
+        datas = (
+            [self.matching_data[split_type]]
+            if split_type is not None and split_type in self.matching_data
+            else ([] if split_type is not None else list(self.matching_data.values()))
+        )
+        out: Dict[str, Any] = {}
+        for data in datas:
+            for m in data.mappings:
+                out[str((m.source_attribute, m.target_attribute))] = m.is_match
+        return out
+
+    def get_metadata(self) -> Dict[str, Any]:
+        meta = super().get_metadata()
+        meta["num_splits"] = len(self.matching_data)
+        meta["total_schemas"] = sum(len(d.schemas) for d in self.matching_data.values())
+        meta["total_mappings"] = sum(
+            len(d.mappings) for d in self.matching_data.values()
+        )
+        return meta
+
+
+class SchemaMatchingEvaluator:
+    """(``schema_matching/eval.py:19-84``) — data-characteristic metrics."""
+
+    def evaluate_benchmark(self, benchmark: SchemaMatchingBenchmark) -> EvaluationResult:
+        metrics: Dict[str, Any] = {}
+        statistics: Dict[str, Any] = {}
+        totals = dict.fromkeys(
+            ("total_schemas", "total_mappings", "total_matches",
+             "total_non_matches", "total_unlabeled"), 0
+        )
+        n_attrs = 0
+        for split_type, data in benchmark.matching_data.items():
+            m, nm, ul = (
+                len(data.get_matches()),
+                len(data.get_non_matches()),
+                len(data.get_unlabeled()),
+            )
+            statistics[f"{split_type.value}_schemas"] = len(data.schemas)
+            statistics[f"{split_type.value}_mappings"] = len(data.mappings)
+            statistics[f"{split_type.value}_matches"] = m
+            statistics[f"{split_type.value}_non_matches"] = nm
+            statistics[f"{split_type.value}_unlabeled"] = ul
+            totals["total_schemas"] += len(data.schemas)
+            totals["total_mappings"] += len(data.mappings)
+            totals["total_matches"] += m
+            totals["total_non_matches"] += nm
+            totals["total_unlabeled"] += ul
+            n_attrs += sum(len(s.attributes) for s in data.schemas)
+        metrics.update(totals)
+        if totals["total_mappings"]:
+            tm = totals["total_mappings"]
+            metrics["match_ratio"] = totals["total_matches"] / tm
+            metrics["non_match_ratio"] = totals["total_non_matches"] / tm
+            metrics["unlabeled_ratio"] = totals["total_unlabeled"] / tm
+        characteristics = {
+            "num_splits": len(benchmark.matching_data),
+            "avg_attributes_per_schema": (
+                n_attrs / totals["total_schemas"] if totals["total_schemas"] else 0
+            ),
+        }
+        return EvaluationResult(
+            metrics=metrics,
+            statistics=statistics,
+            characteristics=characteristics,
+            metadata={"benchmark_name": benchmark.config.name},
+        )
+
+
+# ---------------------------------------------------------------------------
+# entity-fusion flavor (``benchmark/entity_fusion/data.py:15-167``) + the
+# distributed fusion executor the reference only describes as rule data
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FusionRule:
+    """(``entity_fusion/data.py:27-34``) — ``rule_type`` ∈ {max, min, avg,
+    sum, first, concat}; ``parameters`` may carry ``sep`` for concat."""
+
+    rule_id: str
+    rule_type: str
+    attribute: str
+    parameters: Dict[str, Any] = field(default_factory=dict)
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class FusionCluster:
+    """(``entity_fusion/data.py:16-24`` ``EntityCluster``) — named
+    FusionCluster here because the engine's ClusterManager already exports an
+    entity-cluster shape; semantics match the reference's."""
+
+    cluster_id: str
+    entities: List[Entity]
+    fused_entity: Optional[Entity] = None
+    fusion_rules: Optional[List[Dict[str, Any]]] = None
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EntityFusionData:
+    """(``entity_fusion/data.py:37-62``)"""
+
+    clusters: List[FusionCluster]
+    fusion_rules: Optional[List[FusionRule]] = None
+    fused_entities: Optional[List[Entity]] = None
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+    def get_cluster_by_id(self, cluster_id: str) -> Optional[FusionCluster]:
+        for c in self.clusters:
+            if c.cluster_id == cluster_id:
+                return c
+        return None
+
+    def get_clusters_with_fused(self) -> List[FusionCluster]:
+        return [c for c in self.clusters if c.fused_entity is not None]
+
+    def get_clusters_without_fused(self) -> List[FusionCluster]:
+        return [c for c in self.clusters if c.fused_entity is None]
+
+
+class EntityFusionBenchmark(Benchmark):
+    """(``entity_fusion/data.py:65-167``)"""
+
+    def __init__(self, config: BenchmarkConfig):
+        super().__init__(config)
+        self.fusion_data: Dict[SplitType, EntityFusionData] = {}
+
+    def add_fusion_data(self, split_type: SplitType, data: EntityFusionData) -> None:
+        self.fusion_data[split_type] = data
+
+    def get_fusion_data(
+        self, split_type: Optional[SplitType] = None
+    ) -> Optional[EntityFusionData]:
+        if split_type is not None:
+            return self.fusion_data.get(split_type)
+        clusters: List[FusionCluster] = []
+        for data in self.fusion_data.values():
+            clusters.extend(data.clusters)
+        return EntityFusionData(clusters=clusters)
+
+    def get_metadata(self) -> Dict[str, Any]:
+        meta = super().get_metadata()
+        meta["num_splits"] = len(self.fusion_data)
+        meta["total_clusters"] = sum(len(d.clusters) for d in self.fusion_data.values())
+        return meta
+
+
+class EntityFusionEvaluator:
+    """(``entity_fusion/eval.py:19-82``) — data-characteristic metrics."""
+
+    def evaluate_benchmark(self, benchmark: EntityFusionBenchmark) -> EvaluationResult:
+        metrics: Dict[str, Any] = {}
+        statistics: Dict[str, Any] = {}
+        total_clusters = total_entities = total_fused = 0
+        sizes: List[int] = []
+        for split_type, data in benchmark.fusion_data.items():
+            n_ent = sum(len(c.entities) for c in data.clusters)
+            fused = len(data.get_clusters_with_fused())
+            statistics[f"{split_type.value}_clusters"] = len(data.clusters)
+            statistics[f"{split_type.value}_entities"] = n_ent
+            statistics[f"{split_type.value}_fused"] = fused
+            total_clusters += len(data.clusters)
+            total_entities += n_ent
+            total_fused += fused
+            sizes.extend(len(c.entities) for c in data.clusters)
+        metrics["total_clusters"] = total_clusters
+        metrics["total_entities"] = total_entities
+        metrics["total_fused"] = total_fused
+        if sizes:
+            metrics["avg_cluster_size"] = sum(sizes) / len(sizes)
+            metrics["min_cluster_size"] = min(sizes)
+            metrics["max_cluster_size"] = max(sizes)
+        if total_clusters:
+            metrics["fusion_ratio"] = total_fused / total_clusters
+        characteristics = {
+            "num_splits": len(benchmark.fusion_data),
+            "has_fusion_rules": any(
+                d.fusion_rules is not None for d in benchmark.fusion_data.values()
+            ),
+        }
+        return EvaluationResult(
+            metrics=metrics,
+            statistics=statistics,
+            characteristics=characteristics,
+            metadata={"benchmark_name": benchmark.config.name},
+        )
+
+
+def fuse_clusters(
+    entities: "ray.data.Dataset",
+    rules: Sequence[FusionRule],
+    *,
+    cluster_col: str = "cluster_id",
+    id_col: str = "entity_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed fusion executor: one fused row per cluster, each attribute
+    reduced by its :class:`FusionRule` — the operational counterpart of the
+    reference's rule *data* (``entity_fusion/data.py:27-34`` stores rules; no
+    executor exists there).
+
+    ``entities`` carries ``cluster_col``, ``id_col`` and one column per ruled
+    attribute. One bucketed exchange on ``hash(cluster_id)``; inside each
+    bucket rows are sorted by ``(cluster_id, entity_id)`` (deterministic
+    ``first``/``concat`` order) and every rule is a vectorized segment
+    reduction (``np.maximum/minimum/add.reduceat``; concat joins per segment).
+    Supported ``rule_type``: max, min, avg, sum, first, concat
+    (``parameters={"sep": ...}``, default ``" "``).
+    """
+    from odibel_ray.cdc.lww import _same_next_key_mask, bucket_of_keys
+
+    rules = list(rules)
+    known = {"max", "min", "avg", "sum", "first", "concat"}
+    for r in rules:
+        if r.rule_type not in known:
+            raise ValueError(f"unknown fusion rule type {r.rule_type!r}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column(
+            "_fb", pa.array(bucket_of_keys(t, [cluster_col], num_buckets))
+        )
+
+    def fuse_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [(cluster_col, "ascending"), (id_col, "ascending")]
+        ).combine_chunks()
+        same = _same_next_key_mask(t, [cluster_col])
+        starts = np.flatnonzero(np.r_[True, ~same])
+        counts = np.diff(np.r_[starts, len(t)])
+        out: dict = {
+            cluster_col: t[cluster_col].take(pa.array(starts)),
+            "n_entities": pa.array(counts.astype(np.int64)),
+        }
+        for r in rules:
+            col = t[r.attribute]
+            if r.rule_type == "first":
+                out[r.attribute] = col.take(pa.array(starts))
+                continue
+            if r.rule_type == "concat":
+                vals = col.to_pylist()
+                sep = r.parameters.get("sep", " ")
+                out[r.attribute] = pa.array(
+                    [
+                        sep.join("" if v is None else str(v) for v in vals[s : s + c])
+                        for s, c in zip(starts, counts)
+                    ],
+                    pa.string(),
+                )
+                continue
+            x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            if r.rule_type == "max":
+                red = np.maximum.reduceat(x, starts)
+            elif r.rule_type == "min":
+                red = np.minimum.reduceat(x, starts)
+            else:  # sum / avg
+                red = np.add.reduceat(x, starts)
+                if r.rule_type == "avg":
+                    red = red / counts
+            out[r.attribute] = pa.array(red)
+        return pa.table(out)
+
+    return (
+        entities.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(fuse_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # evaluator bridge
 # ---------------------------------------------------------------------------
 

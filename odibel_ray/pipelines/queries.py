@@ -1230,6 +1230,39 @@ def q_rawlog_page_revisions(sf_dir: str):
     return parsed.map_batches(project, batch_format="pyarrow")
 
 
+def q_fusion_cluster_values(sf_dir: str):
+    """Distributed entity fusion (``benchmark/entity_fusion``): documents
+    clustered by blocking key, per-cluster attributes fused by rule —
+    max(doc_id), avg(chars), ordered concat(lang) — via
+    :func:`odibel_ray.benchmark.fuse_clusters` (one bucketed exchange,
+    vectorized segment reductions)."""
+    from odibel_ray.benchmark import FusionRule, fuse_clusters
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        key = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
+        return pa.table(
+            {
+                "cluster_id": key,
+                "entity_id": t["doc_id"],
+                "max_id": pc.cast(t["doc_id"], pa.float64()),
+                "avg_chars": pc.cast(pc.utf8_length(t["text"]), pa.float64()),
+                "langs": t["lang"],
+            }
+        )
+
+    rules = [
+        FusionRule("r1", "max", "max_id"),
+        FusionRule("r2", "avg", "avg_chars"),
+        FusionRule("r3", "concat", "langs", parameters={"sep": "|"}),
+    ]
+    return fuse_clusters(docs.map_batches(derive, batch_format="pyarrow"), rules)
+
+
 def q_transcript_missing_values(sf_dir: str):
     """A17: per-property missing-value profile of the converged transcript
     table (``entity_resolution/eval.py:117-135`` characteristics)."""
@@ -1587,6 +1620,7 @@ QUERIES: dict[str, Callable] = {
     "er_link_classes": q_er_link_classes,
     "rawlog_page_revisions": q_rawlog_page_revisions,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "fusion_cluster_values": q_fusion_cluster_values,
     "transcript_missing_values": q_transcript_missing_values,
     "schema_mapping_stats": q_schema_mapping_stats,
     "rarity_sample_docs": q_rarity_sample_docs,
@@ -2195,6 +2229,17 @@ FROM documents
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "fusion_cluster_values": """
+WITH k AS (SELECT doc_id, text, lang,
+  array_to_string(array_slice(string_split(text, ' '), 1, 5), ' ') AS cluster_id
+  FROM documents)
+SELECT cluster_id,
+       count(*) AS n_entities,
+       CAST(max(doc_id) AS DOUBLE) AS max_id,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+       string_agg(lang, '|' ORDER BY doc_id) AS langs
+FROM k GROUP BY cluster_id
 """,
         "dedup_minhash": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),

@@ -228,3 +228,119 @@ def test_evaluate_benchmark_per_split_stats():
     assert res.statistics["test_unlabeled"] == 1
     assert res.characteristics["num_splits"] == 2
     assert res.metadata["benchmark_name"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# schema-matching / entity-fusion flavors + distributed fusion executor
+# ---------------------------------------------------------------------------
+
+
+def test_schema_matching_benchmark_and_evaluator():
+    from odibel_ray.benchmark import (
+        AttributeMapping,
+        Schema,
+        SchemaMatchingBenchmark,
+        SchemaMatchingData,
+        SchemaMatchingEvaluator,
+    )
+
+    s1 = Schema("s1", {"a": "int", "b": "str"})
+    s2 = Schema("s2", {"x": "int", "y": "str"})
+    data = SchemaMatchingData(
+        schemas=[s1, s2],
+        mappings=[
+            AttributeMapping("a", "x", is_match=True, confidence=0.9),
+            AttributeMapping("b", "y", is_match=False),
+            AttributeMapping("b", "x"),
+        ],
+    )
+    assert len(data.get_matches()) == 1
+    assert len(data.get_non_matches()) == 1
+    assert len(data.get_unlabeled()) == 1
+
+    bench = SchemaMatchingBenchmark(BenchmarkConfig(name="sm", description=""))
+    bench.add_matching_data(SplitType.TRAIN, data)
+    gt = bench.get_ground_truth()
+    assert gt[str(("a", "x"))] is True and gt[str(("b", "x"))] is None
+    meta = bench.get_metadata()
+    assert meta["total_schemas"] == 2 and meta["total_mappings"] == 3
+
+    res = SchemaMatchingEvaluator().evaluate_benchmark(bench)
+    assert res.metrics["total_mappings"] == 3
+    assert res.metrics["match_ratio"] == pytest.approx(1 / 3)
+    assert res.characteristics["avg_attributes_per_schema"] == 2
+
+
+def test_entity_fusion_benchmark_and_evaluator():
+    from odibel_ray.benchmark import (
+        EntityFusionBenchmark,
+        EntityFusionData,
+        EntityFusionEvaluator,
+        FusionCluster,
+    )
+
+    c1 = FusionCluster("c1", [Entity("e1"), Entity("e2")], fused_entity=Entity("f1"))
+    c2 = FusionCluster("c2", [Entity("e3")])
+    bench = EntityFusionBenchmark(BenchmarkConfig(name="ef", description=""))
+    bench.add_fusion_data(SplitType.TRAIN, EntityFusionData(clusters=[c1, c2]))
+    data = bench.get_fusion_data()
+    assert data.get_cluster_by_id("c2").entities[0].identifier == "e3"
+    assert [c.cluster_id for c in data.get_clusters_with_fused()] == ["c1"]
+
+    res = EntityFusionEvaluator().evaluate_benchmark(bench)
+    assert res.metrics["total_clusters"] == 2
+    assert res.metrics["total_entities"] == 3
+    assert res.metrics["fusion_ratio"] == 0.5
+    assert res.metrics["max_cluster_size"] == 2
+
+
+def test_fuse_clusters_rules(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.benchmark import FusionRule, fuse_clusters
+
+    t = pa.table(
+        {
+            "cluster_id": ["c1", "c1", "c1", "c2", "c2"],
+            "entity_id": [3, 1, 2, 5, 4],
+            "score": [1.0, 5.0, 3.0, 2.0, 4.0],
+            "name": ["c", "a", "b", "e", "d"],
+        }
+    )
+    rules = [
+        FusionRule("r1", "max", "score"),
+        FusionRule("r2", "concat", "name", parameters={"sep": ","}),
+    ]
+    out = (
+        fuse_clusters(rd.from_arrow(t), rules)
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    assert out.loc["c1", "n_entities"] == 3
+    assert out.loc["c1", "score"] == 5.0
+    # concat follows entity_id order, not input order
+    assert out.loc["c1", "name"] == "a,b,c"
+    assert out.loc["c2", "name"] == "d,e"
+
+    # avg / min / sum / first
+    rules2 = [
+        FusionRule("a", "avg", "score"),
+        FusionRule("b", "min", "score2"),
+        FusionRule("c", "sum", "score3"),
+        FusionRule("d", "first", "name"),
+    ]
+    t2 = t.append_column("score2", t["score"]).append_column("score3", t["score"])
+    out2 = (
+        fuse_clusters(rd.from_arrow(t2), rules2)
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    assert out2.loc["c1", "score"] == 3.0
+    assert out2.loc["c1", "score2"] == 1.0
+    assert out2.loc["c1", "score3"] == 9.0
+    assert out2.loc["c1", "name"] == "a"  # row of smallest entity_id
+
+    with pytest.raises(ValueError):
+        fuse_clusters(rd.from_arrow(t), [FusionRule("x", "median", "score")])
