@@ -265,11 +265,20 @@ def minhash_lsh_pairs(
     batch_size: int = 1024,
     est_filter: bool = True,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
     deduplicated across bands by a final exact dedup on (doc_a, doc_b).
     Band buckets larger than ``max_bucket`` docs emit star pairs only
     (logged) — the O(n²) guard for degenerate buckets at corpus scale.
+
+    ``dedup=False`` skips the cross-band pair dedup exchange and returns the
+    raw candidate stream (a pair seen in k bands appears k times) — for
+    consumers that dedup for free inside their own keyed exchange
+    (:func:`verify_pairs_jaccard` dedups in its first join bucket). Keep the
+    default for consumers that re-shuffle the pairs repeatedly (connected
+    components touches the edge set every round — duplicate edges would
+    inflate every round's all-to-all, so one dedup exchange up front wins).
 
     ``est_filter=False`` skips the in-bucket estimated-jaccard prefilter and
     ships NO signatures through the banding shuffle (24 B/row vs ~540 B/row)
@@ -308,6 +317,8 @@ def minhash_lsh_pairs(
         ),
         batch_format="pyarrow",
     )
+    if not dedup:
+        return pairs
     return exact_dedup(
         pairs, ["doc_a", "doc_b"], tie_break="est_jaccard" if est_filter else None
     )
@@ -374,7 +385,12 @@ def verify_pairs_jaccard(
     Scale shape: texts are attached to the (near-dup-sized) pair stream by two
     keyed shuffle joins against the documents table (task-based
     :func:`odibel_ray.ops.relational.bucketed_join` — never a full-corpus
-    broadcast) and the Jaccard kernel is flat-array segmented numpy.
+    broadcast) and the Jaccard kernel is flat-array segmented numpy. The
+    first join dedups the pair stream in-bucket (``left_distinct`` on
+    doc_a/doc_b — every copy of a pair shares doc_a, so they co-locate), so
+    callers can feed raw multi-band LSH candidates
+    (``minhash_lsh_pairs(..., dedup=False)``) and skip that pipeline's
+    dedicated dedup exchange.
 
     ``pair_schema``: Arrow schema of ``pairs`` (must include doc_a/doc_b);
     defaults to the MinHash candidate shape (doc_a, doc_b, est_jaccard).
@@ -394,6 +410,7 @@ def verify_pairs_jaccard(
         num_buckets=nb,
         left_schema=pair_schema,
         right_schema=text_schema("doc_a", "_text_a"),
+        left_distinct=["doc_a", "doc_b"],
     )
     p = bucketed_join(
         p,

@@ -182,12 +182,20 @@ def bucketed_join(
     batch_size: int = 65536,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    left_distinct: Sequence[str] | None = None,
 ) -> "ray.data.Dataset":
     """Distributed hash join without broadcast and without Ray Data's
     hash-shuffle join actors: tag-union both sides, sort-shuffle groupby on a
     key-hash bucket, then a vectorized ``pyarrow.Table.join`` inside each
     bucket. Each side moves exactly once; all matching keys co-locate because
     the bucket is a pure function of the join key.
+
+    ``left_distinct``: dedup the left side on these columns inside each
+    bucket before joining. Correct only when the columns include the join
+    key (all copies of a row then land in the same bucket); it fuses an
+    upstream ``exact_dedup`` exchange into the join — e.g. LSH candidate
+    pairs duplicated across bands are deduped here for free instead of
+    paying a dedicated all-to-all.
 
     ``how`` ∈ {'inner', 'left'}. Non-key columns of ``right`` that collide with
     ``left`` get ``suffix``. Use when NEITHER side is dimension-sized (else
@@ -244,6 +252,15 @@ def bucketed_join(
         side = g["_side"].to_numpy(zero_copy_only=False)
         lt = g.filter(pa.array(side == 0)).select(l_cols)
         rt = g.filter(pa.array(side == 1)).select(r_cols)
+        if left_distinct and len(lt) > 1:
+            keys = np.column_stack(
+                [lt[c].to_numpy(zero_copy_only=False) for c in left_distinct]
+            )
+            order = np.lexsort(keys.T[::-1])
+            srt = keys[order]
+            first = np.ones(len(lt), dtype=bool)
+            first[1:] = (srt[1:] != srt[:-1]).any(axis=1)
+            lt = lt.take(pa.array(np.sort(order[first])))
         return lt.join(rt, keys=on, join_type=join_type, right_suffix=suffix)
 
     return tagged_l.union(tagged_r).groupby("_jbucket").map_groups(

@@ -1319,7 +1319,9 @@ def q_dedup_minhash(sf_dir: str):
     from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.4, est_filter=False)
+    # dedup=False: cross-band duplicates are deduped for free inside the
+    # verify join's first bucket — one fewer all-to-all of the pair stream
+    pairs = minhash_lsh_pairs(docs, threshold=0.4, est_filter=False, dedup=False)
     return verify_pairs_jaccard(
         pairs,
         docs,

@@ -183,6 +183,49 @@ def test_bucketed_join_matches_broadcast(ray_session):
         )
 
 
+def test_bucketed_join_left_distinct_fuses_dedup(ray_session):
+    """``left_distinct`` dedups duplicated left rows inside the join bucket —
+    a raw multi-band LSH candidate stream joined with left_distinct equals a
+    pre-deduped stream joined without it."""
+    import pyarrow as pa
+    import ray
+
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
+
+    # pairs duplicated across "bands" (each pair appears 1-3×)
+    raw = pa.table(
+        {
+            "doc_a": pa.array([1, 1, 1, 2, 2, 3, 7, 7], pa.int64()),
+            "doc_b": pa.array([5, 5, 6, 6, 6, 9, 8, 8], pa.int64()),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 7], pa.int64()),
+            "t": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    schema_l = raw.schema
+    schema_r = docs.schema
+    fused = bucketed_join(
+        ray.data.from_arrow(raw), ray.data.from_arrow(docs), "doc_a",
+        num_buckets=4, left_schema=schema_l, right_schema=schema_r,
+        left_distinct=["doc_a", "doc_b"],
+    ).to_pandas()
+    pre = bucketed_join(
+        exact_dedup(ray.data.from_arrow(raw), ["doc_a", "doc_b"]),
+        ray.data.from_arrow(docs), "doc_a",
+        num_buckets=4, left_schema=schema_l, right_schema=schema_r,
+    ).to_pandas()
+    cols = sorted(fused.columns)
+    pd.testing.assert_frame_equal(
+        fused[cols].sort_values(cols, ignore_index=True),
+        pre[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False,
+    )
+    assert len(fused) == 5  # one row per distinct (doc_a, doc_b)
+
+
 def test_shuffle_join_matches_broadcast(ray_session):
     from odibel_ray.ops import broadcast_hash_join, load_table
     from odibel_ray.ops.relational import shuffle_join
