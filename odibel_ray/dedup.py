@@ -205,17 +205,49 @@ def _bucket_pair_indices(n: int, max_bucket: int, what: str) -> tuple[np.ndarray
     return np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)
 
 
+def _local_spanning_edges(
+    n: int, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spanning edges (root index → member index) of the local graph on ``n``
+    nodes with edges (ia, ib) — vectorized min-label propagation with pointer
+    jumping (no per-edge Python loop). The returned edge set has identical
+    connectivity to the input but only O(n) edges; roots are the minimum node
+    index of each component."""
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        prev = labels.copy()
+        np.minimum.at(labels, ia, labels[ib])
+        np.minimum.at(labels, ib, labels[ia])
+        labels = labels[labels]  # pointer jump
+        if np.array_equal(labels, prev):
+            break
+    member = np.flatnonzero(labels != np.arange(n))
+    return labels[member], member
+
+
 def _pairs_in_bucket(
-    t: pa.Table, threshold: float, num_perm: int, max_bucket: int = DEFAULT_MAX_BUCKET
+    t: pa.Table,
+    threshold: float,
+    num_perm: int,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    emit: str = "pairs",
 ) -> pa.Table:
     """Candidate pairs inside one (band, band_hash) bucket. With signatures
     present, estimated Jaccard = fraction of matching minhash positions and
     pairs below ``threshold`` are dropped; without (``emit_sig=False``), every
     in-bucket pair is a candidate for downstream exact verification. Buckets
     larger than ``max_bucket`` docs are reduced to star pairs (see
-    :func:`_bucket_pair_indices`)."""
+    :func:`_bucket_pair_indices`).
+
+    ``emit="spanning"``: instead of the kept pairs themselves, emit spanning
+    edges of the kept-pair graph's local components (O(n) rows instead of up
+    to O(n²), columns doc_a/doc_b only). Connectivity is preserved exactly —
+    the union over buckets of per-bucket spanning edges has the same global
+    connected components as the union of per-bucket kept pairs — so this is
+    the right feed for clustering (the edges themselves may be synthetic
+    root→member links, not verified near-dup pairs)."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    has_sig = "sig" in t.column_names
+    has_sig = "sig" in t.column_names and emit != "spanning"
     uniq, idx = np.unique(ids, return_index=True)
     cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     if has_sig:
@@ -224,11 +256,20 @@ def _pairs_in_bucket(
         return pa.table(cols)
     n = len(uniq)
     ia, ib = _bucket_pair_indices(n, max_bucket, "minhash band")
-    if has_sig:
+    if "sig" in t.column_names:
         sigs = np.stack(t["sig"].to_numpy(zero_copy_only=False)[idx])
         match = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = match >= threshold
         ia, ib = ia[keep], ib[keep]
+    if emit == "spanning":
+        # roots carry the min index == min doc id (uniq is sorted ascending)
+        ra, rb = _local_spanning_edges(n, ia, ib)
+        return pa.table(
+            {
+                "doc_a": pa.array(uniq[ra].astype(np.int64)),
+                "doc_b": pa.array(uniq[rb].astype(np.int64)),
+            }
+        )
     a, b = uniq[ia], uniq[ib]
     out = {
         "doc_a": pa.array(np.minimum(a, b).astype(np.int64)),
@@ -266,6 +307,7 @@ def minhash_lsh_pairs(
     est_filter: bool = True,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     dedup: bool = True,
+    emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
     deduplicated across bands by a final exact dedup on (doc_a, doc_b).
@@ -279,6 +321,12 @@ def minhash_lsh_pairs(
     default for consumers that re-shuffle the pairs repeatedly (connected
     components touches the edge set every round — duplicate edges would
     inflate every round's all-to-all, so one dedup exchange up front wins).
+
+    ``emit="spanning"``: per-bucket spanning edges of the kept-pair graph
+    instead of the pairs (O(docs) rows per bucket instead of O(docs²); same
+    global connected components) — the scale feed for clustering, where a
+    clique of k near-identical docs must not cost k²/2 edge rows in every
+    CC round's shuffle. Output columns are doc_a/doc_b only.
 
     ``est_filter=False`` skips the in-bucket estimated-jaccard prefilter and
     ships NO signatures through the banding shuffle (24 B/row vs ~540 B/row)
@@ -314,14 +362,14 @@ def minhash_lsh_pairs(
             threshold=threshold,
             num_perm=num_perm,
             max_bucket=max_bucket,
+            emit=emit,
         ),
         batch_format="pyarrow",
     )
     if not dedup:
         return pairs
-    return exact_dedup(
-        pairs, ["doc_a", "doc_b"], tie_break="est_jaccard" if est_filter else None
-    )
+    tie = "est_jaccard" if (est_filter and emit != "spanning") else None
+    return exact_dedup(pairs, ["doc_a", "doc_b"], tie_break=tie)
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

@@ -1340,8 +1340,11 @@ def q_dedup_minhash_clusters(sf_dir: str):
     from odibel_ray.state import connected_components_distributed
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    # emit="spanning": per-bucket spanning edges — a clique of k near-dups
+    # feeds CC k-1 edge rows instead of k²/2, shrinking every CC round's
+    # all-to-all while producing identical components
     return connected_components_distributed(
-        minhash_lsh_pairs(docs, threshold=0.4)
+        minhash_lsh_pairs(docs, threshold=0.4, emit="spanning")
     )
 
 

@@ -18,11 +18,14 @@ Two connected-components implementations:
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING, Sequence
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_log = logging.getLogger("odibel_ray.clusters")
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -166,6 +169,13 @@ def connected_components_distributed(
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
+        s = _label_checksum(labels)
+        if s == prev_sum:
+            # neighbour-min alone is a fixed point — converged; skip the
+            # pointer-jump join (the last round pays 2 exchanges, not 3)
+            converged = True
+            break
+        prev_sum = s
         # 2) pointer jump: l(n) <- l(l(n)) — turns O(diameter) rounds into
         #    O(log diameter) (path-halving, label values are node ids)
         jump = bucketed_join(
@@ -193,8 +203,15 @@ def connected_components_distributed(
         # labels only ever decrease element-wise; an unchanged multiset
         # checksum means the fixed point (works for any key type)
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        _log.warning(
+            "connected_components_distributed: round budget (%d) exhausted "
+            "before the label fixed point — returned labels may merge "
+            "incompletely; raise max_rounds", max_rounds,
+        )
     return labels.map_batches(
         lambda t: pa.table({"node": t["src"], "component": t["label"]}),
         batch_format="pyarrow",

@@ -120,6 +120,41 @@ def test_minhash_finds_planted_dups(ray_session):
         assert 0.0 <= r["jaccard"] <= 1.0
 
 
+def test_spanning_emit_same_components(ray_session):
+    """emit='spanning' ships O(n) edges per bucket yet yields bit-identical
+    connected components to the full kept-pair graph (connectivity-preserving
+    per-bucket contraction)."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import minhash_lsh_pairs
+    from odibel_ray.state import connected_components_distributed
+
+    tbl, _ = _docs_with_planted_dups()
+    docs = rd.from_arrow(tbl)
+    comp = lambda emit: {  # noqa: E731
+        r["node"]: r["component"]
+        for r in connected_components_distributed(
+            minhash_lsh_pairs(docs, threshold=0.3, emit=emit)
+        ).take_all()
+    }
+    full, spanning = comp("pairs"), comp("spanning")
+    assert full == spanning and len(full) > 0
+
+
+def test_spanning_edges_unit():
+    """_local_spanning_edges: connectivity preserved, O(n) edges, min root."""
+    import numpy as np
+
+    from odibel_ray.dedup import _local_spanning_edges
+
+    # two components {0,1,2,3} (chain) and {5,6} plus isolated 4
+    ia = np.array([1, 2, 3, 6], dtype=np.int64)
+    ib = np.array([0, 1, 2, 5], dtype=np.int64)
+    roots, members = _local_spanning_edges(7, ia, ib)
+    got = sorted(zip(roots.tolist(), members.tolist()))
+    assert got == [(0, 1), (0, 2), (0, 3), (5, 6)]
+
+
 def test_simhash_finds_planted_dups(ray_session):
     import ray.data as rd
 
