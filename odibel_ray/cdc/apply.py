@@ -131,6 +131,57 @@ def prepare_events(
     return out.filter(pa.array(valid))
 
 
+def dead_letter_batch(batch: pa.Table) -> pa.Table:
+    """The complement of :func:`prepare_events`' validity filter, with a
+    ``reason`` column — rows the replay skips under skip-never-delete:
+    ``unknown_op`` (op outside I/U/D/S) and ``null_key`` (data event with a
+    null conv_id or turn_idx). Schema (S) events are not dead letters."""
+    batch = batch.combine_chunks()
+    op = batch["op"].to_numpy(zero_copy_only=False)
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn_valid = pc.is_valid(batch["turn_idx"]).to_numpy(zero_copy_only=False)
+    key_valid = (conv != None) & turn_valid  # noqa: E711
+    unknown = ~np.isin(op, ("I", "U", "D", "S"))
+    null_key = ~unknown & (op != "S") & ~key_valid
+    reject = unknown | null_key
+    out = pa.table(
+        {
+            "part": pc.cast(batch["part"], pa.int64()),
+            "lsn": batch["lsn"],
+            "op": batch["op"],
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "reason": pa.array(np.where(unknown, "unknown_op", "null_key")),
+        }
+    )
+    return out.filter(pa.array(reject))
+
+
+def dead_letter_scan(
+    log_dir: str,
+    *,
+    quarantine_dir: str | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Dead-letter queue: one streaming pass over the change log emitting the
+    events the replay skips, each with a machine-readable ``reason`` — so a
+    CDC operator can audit exactly what was dropped and why instead of
+    trusting the skip-never-delete rule blindly. Rejects are rare by
+    construction, so the scan's output is tiny relative to the log; pass
+    ``quarantine_dir`` to also persist them as partitioned Parquet for
+    offline triage (written with ``write_parquet`` — resumable re-runs just
+    overwrite the quarantine, which is derived data)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(log_dir).map_batches(
+        dead_letter_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    if quarantine_dir:
+        ds = ds.materialize()
+        ds.write_parquet(quarantine_dir)
+    return ds
+
+
 def _keep_last_mask(t: pa.Table) -> np.ndarray:
     """Boolean mask of the max-LSN row per key. ``t`` MUST already be sorted by
     ``(conv_id, turn_idx, lsn)`` and combined into one chunk."""

@@ -357,6 +357,94 @@ def lineage_table(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def rebucket_published(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    num_buckets: int,
+    run_id: str = "rebucket-0",
+    batch_size: int = 65536,
+) -> dict:
+    """Rewrite a published table at a different bucket count — the cluster
+    maintenance op for the north rule's fixed-size resize (an N→4N-node
+    cluster wants ~4× the buckets so each node still owns several resume
+    units). Out-of-place: the rebucketed table is write-audit-published into
+    ``dst_dir`` while ``src_dir`` keeps serving readers; the switch is the
+    caller pointing readers at ``dst_dir``. Resumable like any publish —
+    already-manifested destination buckets are filtered out before the
+    shuffle, so a killed rebucket re-does only unfinished buckets.
+
+    Watermark note: the destination manifests' per-(bucket, part) watermarks
+    are recomputed from surviving rows, so they can REGRESS below the
+    source's (a delete's LSN leaves no surviving row). That is safe for
+    :func:`incremental_apply` on the destination: replay is keep-last over
+    ``base ∪ events-above-watermark``, re-applying an already-applied event
+    is idempotent, and no event at or below the regressed watermark can
+    supersede a base row (a converged base row already carries its key's
+    maximum applied LSN).
+    """
+    import ray.data as rd  # noqa: F401  (read_published builds the Dataset)
+
+    from odibel_ray.cdc.apply import bucket_of_conv
+
+    with open(os.path.join(src_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    os.makedirs(os.path.join(dst_dir, MANIFEST_DIR), exist_ok=True)
+    staging = os.path.join(dst_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+    done = load_manifests(dst_dir)
+    done_arr = np.array(sorted(done), dtype=np.int64)
+
+    base = read_published(src_dir, system=True)
+
+    def to_events(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        bucket = bucket_of_conv(conv, num_buckets)
+        out = pa.table(
+            {
+                "op": pa.array(np.full(len(t), "I"), pa.string()),
+                "lsn": t["_lsn"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+                "tool_name": t["tool_name"],
+                "score": t["score"],
+                "ts": t["ts"],
+                "part": t["_part"],
+                "bucket": pa.array(bucket),
+            }
+        )
+        if len(done_arr):
+            out = out.filter(pa.array(~np.isin(bucket, done_arr)))
+        return out
+
+    ev = base.map_batches(to_events, batch_format="pyarrow", batch_size=batch_size)
+    manifest_ds = ev.groupby("bucket").map_groups(
+        partial(_apply_write_group, staging=staging, run_id=run_id),
+        batch_format="pyarrow",
+    )
+    published = _publish_stream(manifest_ds, dst_dir)
+
+    all_manifests = load_manifests(dst_dir)
+    new_tman = {
+        **tman,
+        "num_buckets": num_buckets,
+        "buckets": sorted(all_manifests),
+        "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+        "last_run_id": run_id,
+        "rebucketed_from": src_dir,
+    }
+    _atomic_write_json(os.path.join(dst_dir, TABLE_MANIFEST), new_tman)
+    return {
+        "published_now": len(published),
+        "published_total": len(all_manifests),
+        "rows_total": new_tman["rows_total"],
+        "out_dir": dst_dir,
+    }
+
+
 def _watermark_matrix(manifests: dict[int, dict]) -> np.ndarray:
     nb = max(manifests) + 1 if manifests else 0
     nparts = 0

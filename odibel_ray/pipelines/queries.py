@@ -230,6 +230,34 @@ def q_transcript_publish_read(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_rebucket_read(sf_dir: str):
+    """Cluster-resize maintenance: publish at 16 buckets, rebucket the
+    published table out-of-place to 4 (write-audit-publish into a fresh
+    directory, source untouched), read the destination — must equal a
+    from-scratch replay."""
+    import shutil
+
+    from odibel_ray.cdc.sink import read_published, rebucket_published, replay_publish
+
+    log = ensure_transcript_log(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_rebucket")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    replay_publish(log, src, num_buckets=16, run_id="rb-src")
+    rebucket_published(src, dst, num_buckets=4, run_id="rb-dst")
+    return read_published(dst)
+
+
+def q_cdc_dead_letters(sf_dir: str):
+    """Dead-letter queue: the events replay skips (unknown op / null key),
+    each with a reason — one streaming pass over the log."""
+    from odibel_ray.cdc.apply import dead_letter_scan
+
+    log = ensure_transcript_log(sf_dir)
+    return dead_letter_scan(log)
+
+
 def q_transcript_incremental(sf_dir: str):
     """Publish a 60% LSN prefix, then incrementally apply the full log; the
     result must equal a from-scratch replay (same SQL oracle)."""
@@ -1590,6 +1618,8 @@ QUERIES: dict[str, Callable] = {
     "transcript_publish_read": q_transcript_publish_read,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
+    "transcript_rebucket_read": q_transcript_rebucket_read,
+    "cdc_dead_letters": q_cdc_dead_letters,
     "cdc_events_lww": q_cdc_events_lww,
     "cdc_events_snapshot": q_cdc_events_snapshot,
     "cdc_events_windows": q_cdc_events_windows,
@@ -1853,6 +1883,15 @@ GROUP BY 1, 2, 3
         "transcript_replay_salted": t_final,
         "transcript_publish_read": t_final,
         "transcript_incremental": t_final,
+        "transcript_rebucket_read": t_final,
+        "cdc_dead_letters": f"""
+SELECT CAST(part AS BIGINT) AS part, lsn, op, conv_id,
+  CAST(turn_idx AS BIGINT) AS turn_idx,
+  CASE WHEN op NOT IN ('I','U','D','S') THEN 'unknown_op'
+       ELSE 'null_key' END AS reason
+FROM read_parquet('{_log_glob(sf_dir)}', hive_partitioning=1)
+WHERE op NOT IN ('I','U','D','S')
+   OR (op <> 'S' AND (conv_id IS NULL OR turn_idx IS NULL))""",
         "transcript_history": t_hist,
         "transcript_snapshot": t_snap,
         "transcript_time_travel": (

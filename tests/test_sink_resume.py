@@ -46,6 +46,83 @@ def test_second_run_is_noop(ray_session, small_log, tmp_path):
     assert res2["published_total"] == 4
 
 
+def test_rebucket_published_round_trip(ray_session, small_log, oracle_final, tmp_path):
+    """Out-of-place rebucket: destination at a different bucket count reads
+    identical to the source (and to the replay oracle); source untouched;
+    resume skips already-published destination buckets; incremental apply on
+    the rebucketed table still converges (regressed-watermark safety)."""
+    from odibel_ray.cdc.sink import rebucket_published
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    replay_publish(small_log["log_dir"], src, num_buckets=8, run_id="r1")
+    res = rebucket_published(src, dst, num_buckets=3, run_id="rb")
+    assert res["published_total"] == 3
+    assert _published_table(dst).equals(oracle_final)
+    assert _published_table(src).equals(oracle_final)  # source still serves
+    tman = json.load(open(os.path.join(dst, TABLE_MANIFEST)))
+    assert tman["num_buckets"] == 3 and tman["rows_total"] == oracle_final.num_rows
+
+    # resume: a second rebucket into the same destination is a no-op
+    res2 = rebucket_published(src, dst, num_buckets=3, run_id="rb2")
+    assert res2["published_now"] == 0 and res2["published_total"] == 3
+
+    # incremental apply onto the REBUCKETED table converges to the same state
+    inc = incremental_apply(small_log["log_dir"], dst, run_id="inc")
+    assert _published_table(dst).equals(oracle_final)
+    assert inc["published_total"] == 3
+
+
+def test_dead_letter_scan_reasons(ray_session, small_log, tmp_path):
+    """DLQ complements the replay filter: dead letters + applied events
+    account for every data row; reasons are machine-readable; quarantine
+    parquet round-trips."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from odibel_ray.cdc.apply import dead_letter_batch, dead_letter_scan
+
+    log = small_log["log_dir"]
+    dl = dead_letter_scan(log).take_all()
+    assert len(dl) > 0  # datagen plants ~1% malformed events
+    assert all(r["reason"] == "null_key" for r in dl)
+    assert all(r["conv_id"] is None or r["turn_idx"] is None for r in dl)
+
+    # complement: dead letters + valid data events == all non-S rows
+    t = pads.dataset(log, format="parquet", partitioning="hive").to_table()
+    n_data = len(t.filter(pa.compute.not_equal(t["op"], "S")))
+    n_valid = len(
+        t.filter(
+            pa.compute.and_(
+                pa.compute.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
+                pa.compute.and_(
+                    pa.compute.is_valid(t["conv_id"]), pa.compute.is_valid(t["turn_idx"])
+                ),
+            )
+        )
+    )
+    assert len(dl) + n_valid == n_data
+
+    # unknown op codes get their own reason (precedence over null_key)
+    bad = pa.table(
+        {
+            "part": pa.array([0, 0], pa.int64()),
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["X", "I"]),
+            "conv_id": pa.array([None, "c"], pa.string()),
+            "turn_idx": pa.array([None, 1], pa.int32()),
+        }
+    )
+    out = dead_letter_batch(bad)
+    assert out["reason"].to_pylist() == ["unknown_op"]
+
+    # quarantine write round-trips
+    qdir = str(tmp_path / "quarantine")
+    dead_letter_scan(log, quarantine_dir=qdir)
+    assert rd.read_parquet(qdir).count() == len(dl)
+
+
 def test_incremental_apply_converges(ray_session, small_log, oracle_final, tmp_path):
     prefix = str(tmp_path / "prefix")
     split_log(small_log["log_dir"], prefix, frac=0.6)
