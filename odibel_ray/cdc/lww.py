@@ -184,6 +184,107 @@ def change_windows(
     return ds.groupby("bucket").map_groups(windows, batch_format="pyarrow")
 
 
+def change_feed(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    keys: Sequence[str],
+    values: Sequence[str],
+    *,
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Row-level change-data-feed between two converged table states: one row
+    per key that was inserted, updated or deleted going ``old -> new``, with
+    before/after values (the CDF read a lakehouse sink exposes downstream;
+    before/after extension of the ``SnapshotEval.calculateDiffDF`` diff,
+    ``eval/SnapshotEval.scala:132-160``).
+
+    Output columns: ``*keys, change ('insert'|'update'|'delete'),
+    {v}_before, {v}_after for v in values``. Inserts carry null ``_before``,
+    deletes null ``_after``; updates are keys present on both sides where any
+    value column differs (null == null counts as equal).
+
+    Same single-exchange shape as :func:`outer_diff`: tag each side, union,
+    shuffle once on the key hash, pair rows group-locally — no join operator,
+    so at 100 TB the cost is one all-to-all over ``keys + values`` only.
+    Both inputs must be converged states (at most one row per key per side).
+    """
+    keys, values = list(keys), list(values)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks().select(keys + values)
+            t = t.append_column("_side", pa.array(np.full(len(t), side, np.int64)))
+            b = bucket_of_keys(t, keys, num_buckets)
+            return t.append_column("bucket", pa.array(b, pa.int64()))
+
+        return f
+
+    def feed(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sort_keys = [(k, "ascending") for k in keys] + [("_side", "ascending")]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = len(t)
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[: n - 1] = _same_next_key_mask(t, keys)
+        same_prev = np.roll(same_next, 1)
+        same_prev[0] = False
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        paired = same_next | same_prev
+        only_old = (~paired) & (side == -1)
+        only_new = (~paired) & (side == 1)
+        differs = np.zeros(n, dtype=bool)
+        if n > 1:
+            d = np.zeros(n - 1, dtype=bool)
+            for c in values:
+                col = t[c]
+                eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+                both_null = pc.and_(
+                    pc.is_null(col.slice(1)), pc.is_null(col.slice(0, n - 1))
+                )
+                eqv = pc.or_(pc.fill_null(eq, False), both_null).to_numpy(
+                    zero_copy_only=False
+                )
+                d |= ~eqv
+            differs[: n - 1] = d & same_next[: n - 1]
+        changed_old = differs & same_next & (side == -1)
+        idx = np.arange(n)
+        del_rows = t.take(pa.array(idx[only_old]))
+        ins_rows = t.take(pa.array(idx[only_new]))
+        upd_old_idx = idx[changed_old]
+        upd_old = t.take(pa.array(upd_old_idx))
+        upd_new = t.take(pa.array(upd_old_idx + 1))
+
+        def mk(key_src: pa.Table, before: pa.Table | None, after: pa.Table | None,
+               label: str) -> pa.Table:
+            m = len(key_src)
+            arrs = [key_src[k] for k in keys]
+            names = list(keys)
+            arrs.append(pa.array(np.full(m, label, dtype=object), pa.string()))
+            names.append("change")
+            for v in values:
+                vt = t.schema.field(v).type
+                arrs.append(before[v] if before is not None else pa.nulls(m, vt))
+                names.append(f"{v}_before")
+                arrs.append(after[v] if after is not None else pa.nulls(m, vt))
+                names.append(f"{v}_after")
+            return pa.table(dict(zip(names, arrs)))
+
+        return pa.concat_tables(
+            [
+                mk(del_rows, del_rows, None, "delete"),
+                mk(ins_rows, None, ins_rows, "insert"),
+                mk(upd_old, upd_old, upd_new, "update"),
+            ]
+        )
+
+    tagged = old.map_batches(tag(-1), batch_format="pyarrow", batch_size=batch_size).union(
+        new.map_batches(tag(1), batch_format="pyarrow", batch_size=batch_size)
+    )
+    return tagged.groupby("bucket").map_groups(feed, batch_format="pyarrow")
+
+
 def outer_diff(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -295,6 +295,21 @@ def q_transcript_snapshot(sf_dir: str):
     return replay_dataset(log, max_lsn=cut)
 
 
+def q_transcript_change_feed(sf_dir: str):
+    """Change-data-feed read: row-level insert/update/delete with before/after
+    ``text`` between the half-log snapshot and the fully-replayed table — the
+    downstream-consumer view a lakehouse CDC sink exposes (before/after
+    extension of ``eval/SnapshotEval.scala:132-160``)."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.cdc.lww import change_feed
+
+    log = ensure_transcript_log(sf_dir)
+    cut = math.floor(0.5 * _transcript_max_lsn(sf_dir))
+    snap = replay_dataset(log, max_lsn=cut)
+    fin = replay_dataset(log)
+    return change_feed(snap, fin, ["conv_id", "turn_idx"], ["text"])
+
+
 def _transcript_mid_ts_us(sf_dir: str) -> int:
     """Deterministic event-time midpoint over valid data events (both sides
     compute min + (max-min)//2 in integer microseconds)."""
@@ -1605,6 +1620,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_replay_salted": q_transcript_replay_salted,
     "transcript_history": q_transcript_history,
     "transcript_snapshot": q_transcript_snapshot,
+    "transcript_change_feed": q_transcript_change_feed,
     "transcript_time_travel": q_transcript_time_travel,
     "transcript_window_histogram": q_transcript_window_histogram,
     "transcript_activity": q_transcript_activity,
@@ -1894,6 +1910,38 @@ WHERE op NOT IN ('I','U','D','S')
    OR (op <> 'S' AND (conv_id IS NULL OR turn_idx IS NULL))""",
         "transcript_history": t_hist,
         "transcript_snapshot": t_snap,
+        "transcript_change_feed": f"""
+WITH valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, lsn, op
+  FROM read_parquet('{glob}', hive_partitioning=1)
+  WHERE op IN ('I','U','D') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
+),
+cut AS (
+  SELECT CAST(FLOOR(0.5 * max(lsn)) AS BIGINT) AS c
+  FROM read_parquet('{glob}', hive_partitioning=1)
+),
+snap AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid WHERE lsn <= (SELECT c FROM cut))
+  WHERE rn = 1 AND op <> 'D'
+),
+fin AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s.conv_id, f.conv_id) AS conv_id,
+       coalesce(s.turn_idx, f.turn_idx) AS turn_idx,
+       CASE WHEN s.conv_id IS NULL THEN 'insert'
+            WHEN f.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       s.text AS text_before, f.text AS text_after
+FROM snap s FULL OUTER JOIN fin f
+  ON s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
+WHERE s.conv_id IS NULL OR f.conv_id IS NULL OR s.text IS DISTINCT FROM f.text
+""",
         "transcript_time_travel": (
             _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
             + _hist_cte

@@ -125,3 +125,26 @@ def test_outer_diff_classification(ray_session):
     )
     rows = {(r["k"], r["diff"]) for r in outer_diff(left, right, ["k"], ["v"]).take_all()}
     assert rows == {(1, "deleted"), (3, "changed"), (4, "added")}
+
+
+def test_change_feed_before_after(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.cdc.lww import change_feed
+
+    old = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 5], "v": ["a", "b", "c", None]})
+    )
+    new = rd.from_arrow(
+        pa.table({"k": [2, 3, 4, 5], "v": ["b", "CHANGED", "d", None]})
+    )
+    rows = {
+        (r["k"], r["change"], r["v_before"], r["v_after"])
+        for r in change_feed(old, new, ["k"], ["v"]).take_all()
+    }
+    # k=2 unchanged, k=5 null==null unchanged -> neither emitted
+    assert rows == {
+        (1, "delete", "a", None),
+        (3, "update", "c", "CHANGED"),
+        (4, "insert", None, "d"),
+    }
