@@ -571,7 +571,7 @@ def simhash_pairs(
     k_tables: int = 4,
     bits_per_table: int = 16,
     concurrency: int | None = None,
-    batch_size: int = 4096,
+    batch_size: int = 1024,
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Near-dup pairs whose simhashes differ by ≤ ``max_hamming`` bits and that
