@@ -348,6 +348,118 @@ def replay_dataset(
     return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")
 
 
+def replay_change_feed(
+    log_dir: str,
+    cut_lsn: int,
+    *,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Fused change-data-feed replay: per-turn insert/update/delete rows with
+    before/after ``text`` between the snapshot state at ``cut_lsn`` and the
+    fully-converged state — ONE pass over the log and ONE key shuffle, versus
+    the naive two-replay + diff (two log reads, three exchanges). Both states
+    of a key live in its sorted event group, so the feed is computed
+    group-locally: before = max-LSN event with ``lsn <= cut_lsn``, after =
+    max-LSN event overall; a tombstone in either position means absent.
+
+    Only the schema-stable ``text`` column is compared, so the timeline clip
+    a snapshot replay applies to the ``tool``/``score`` mapping is moot here.
+    """
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+
+    cut = int(cut_lsn)
+    tl = extract_timeline(log_dir)
+
+    def compact_sides(t: pa.Table) -> pa.Table:
+        # Within-batch combiner keeping the max-LSN event per (key, side)
+        # where side = lsn <= cut. The plain per-key combiner would discard
+        # the before-state whenever a post-cut event lands in the same batch.
+        if len(t) == 0:
+            return t
+        t = t.combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+        n = len(t)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            conv, turn = t["conv_id"], t["turn_idx"]
+            same_next = pc.and_(
+                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+            le = t["lsn"].to_numpy(zero_copy_only=False) <= cut
+            keep[: n - 1] = ~(same_next & (le[:-1] == le[1:]))
+        return t.filter(pa.array(keep))
+
+    def feed(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "change": pa.array([], pa.string()),
+                    "text_before": pa.array([], pa.string()),
+                    "text_after": pa.array([], pa.string()),
+                }
+            )
+        t = t.combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+        n = len(t)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            conv, turn = t["conv_id"], t["turn_idx"]
+            same = pc.and_(
+                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+            first[1:] = ~same
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1  # max-LSN row per key
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        before_idx = np.maximum.reduceat(np.where(lsn <= cut, idx, -1), starts)
+        has_b = before_idx >= 0
+        bi = np.where(has_b, before_idx, 0)
+        is_del = pc.equal(t["op"], "D").to_numpy(zero_copy_only=False)
+        live_b = has_b & ~is_del[bi]
+        live_a = ~is_del[ends]
+        txt = t["text"]
+        tb = txt.take(pa.array(bi))
+        ta = txt.take(pa.array(ends))
+        eq = pc.fill_null(pc.equal(tb, ta), False)
+        both_null = pc.and_(pc.is_null(tb), pc.is_null(ta))
+        neq = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        upd = live_b & live_a & neq
+        dele = live_b & ~live_a
+        ins = ~live_b & live_a
+        keep = upd | dele | ins
+        sel = pa.array(np.flatnonzero(keep))
+        label = np.where(ins, "insert", np.where(dele, "delete", "update"))[keep]
+        lb, la = pa.array(live_b[keep]), pa.array(live_a[keep])
+        null_s = pa.scalar(None, pa.string())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].take(pa.array(starts)).take(sel),
+                "turn_idx": t["turn_idx"].take(pa.array(starts)).take(sel),
+                "change": pa.array(label, pa.string()),
+                "text_before": pc.if_else(lb, tb.take(sel), null_s),
+                "text_after": pc.if_else(la, ta.take(sel), null_s),
+            }
+        )
+
+    ds = rd.read_parquet(log_dir)
+    ds = ds.map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": tl, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(compact_sides, batch_format="pyarrow", batch_size=batch_size)
+    return ds.groupby("bucket").map_groups(feed, batch_format="pyarrow")
+
+
 class UpsertApplier:
     """Stateful actor-pool upsert stage (SURVEY.md §2.3 T4/T5): used as the
     ``map_groups`` UDF with ``concurrency=k``, so each actor is constructed

@@ -299,15 +299,15 @@ def q_transcript_change_feed(sf_dir: str):
     """Change-data-feed read: row-level insert/update/delete with before/after
     ``text`` between the half-log snapshot and the fully-replayed table — the
     downstream-consumer view a lakehouse CDC sink exposes (before/after
-    extension of ``eval/SnapshotEval.scala:132-160``)."""
-    from odibel_ray.cdc.apply import replay_dataset
-    from odibel_ray.cdc.lww import change_feed
+    extension of ``eval/SnapshotEval.scala:132-160``). Uses the fused
+    single-replay path (one log read, one shuffle); the generic two-state
+    ``lww.change_feed`` is parity-pinned against it in
+    ``tests/test_replay.py``."""
+    from odibel_ray.cdc.apply import replay_change_feed
 
     log = ensure_transcript_log(sf_dir)
     cut = math.floor(0.5 * _transcript_max_lsn(sf_dir))
-    snap = replay_dataset(log, max_lsn=cut)
-    fin = replay_dataset(log)
-    return change_feed(snap, fin, ["conv_id", "turn_idx"], ["text"])
+    return replay_change_feed(log, cut)
 
 
 def _transcript_mid_ts_us(sf_dir: str) -> int:

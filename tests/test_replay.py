@@ -62,3 +62,37 @@ def test_history_open_window_sentinels(ray_session, small_log):
     # number of live windows == number of converged rows
     final = replay_oracle(small_log["log_dir"])
     assert live.num_rows == final.num_rows
+
+
+def test_change_feed_fused_matches_generic(ray_session, small_log):
+    """The single-replay fused change feed must be row-identical to the
+    generic two-state diff (snapshot replay + final replay + change_feed)."""
+    import pyarrow.compute as pc
+
+    from odibel_ray.cdc.apply import replay_change_feed
+    from odibel_ray.cdc.lww import change_feed
+
+    log = small_log["log_dir"]
+    import pyarrow.dataset as pads
+
+    lsn = pads.dataset(log, format="parquet", partitioning="hive").to_table(
+        columns=["lsn"]
+    )["lsn"]
+    cut = int(pc.max(lsn).as_py() * 0.5)
+    cols = ["conv_id", "turn_idx", "change", "text_before", "text_after"]
+    fused = collect_sorted(
+        replay_change_feed(log, cut, num_buckets=4), ["conv_id", "turn_idx"]
+    ).select(cols)
+    generic = collect_sorted(
+        change_feed(
+            replay_dataset(log, max_lsn=cut),
+            replay_dataset(log),
+            ["conv_id", "turn_idx"],
+            ["text"],
+        ),
+        ["conv_id", "turn_idx"],
+    ).select(cols)
+    assert fused.num_rows > 0
+    assert fused.equals(generic)
+    kinds = set(fused["change"].to_pylist())
+    assert kinds <= {"insert", "update", "delete"}
