@@ -43,6 +43,10 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_replay_actor",
     "transcript_replay_salted",
     "transcript_time_travel",
+    # the headline metric IS replay->publish->read, timed every run
+    "transcript_publish_read",
+    # tokenizer variant of doc_token_stats
+    "doc_regex_token_stats",
 }
 
 

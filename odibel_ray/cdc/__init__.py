@@ -1,13 +1,21 @@
 """CDC replay core: schema evolution, LWW apply, exactly-once sink, resume."""
 
 from odibel_ray.cdc.schema import SchemaTimeline, extract_timeline
-from odibel_ray.cdc.apply import replay_dataset, prepare_events, compact_batch
+from odibel_ray.cdc.apply import (
+    replay_dataset,
+    replay_change_feed,
+    prepare_events,
+    compact_batch,
+)
+from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.sink import replay_publish, incremental_apply, read_published
 
 __all__ = [
     "SchemaTimeline",
     "extract_timeline",
     "replay_dataset",
+    "replay_change_feed",
+    "change_feed",
     "prepare_events",
     "compact_batch",
     "replay_publish",

@@ -371,27 +371,6 @@ def replay_change_feed(
     from odibel_ray.cdc.schema import extract_timeline
 
     cut = int(cut_lsn)
-    tl = extract_timeline(log_dir)
-
-    def compact_sides(t: pa.Table) -> pa.Table:
-        # Within-batch combiner keeping the max-LSN event per (key, side)
-        # where side = lsn <= cut. The plain per-key combiner would discard
-        # the before-state whenever a post-cut event lands in the same batch.
-        if len(t) == 0:
-            return t
-        t = t.combine_chunks()
-        t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
-        n = len(t)
-        keep = np.ones(n, dtype=bool)
-        if n > 1:
-            conv, turn = t["conv_id"], t["turn_idx"]
-            same_next = pc.and_(
-                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-            ).to_numpy(zero_copy_only=False)
-            le = t["lsn"].to_numpy(zero_copy_only=False) <= cut
-            keep[: n - 1] = ~(same_next & (le[:-1] == le[1:]))
-        return t.filter(pa.array(keep))
 
     def feed(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -404,33 +383,10 @@ def replay_change_feed(
                     "text_after": pa.array([], pa.string()),
                 }
             )
-        t = t.combine_chunks()
-        t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
-        n = len(t)
-        first = np.ones(n, dtype=bool)
-        if n > 1:
-            conv, turn = t["conv_id"], t["turn_idx"]
-            same = pc.and_(
-                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-            ).to_numpy(zero_copy_only=False)
-            first[1:] = ~same
-        starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], n) - 1  # max-LSN row per key
-        lsn = t["lsn"].to_numpy(zero_copy_only=False)
-        idx = np.arange(n)
-        before_idx = np.maximum.reduceat(np.where(lsn <= cut, idx, -1), starts)
-        has_b = before_idx >= 0
-        bi = np.where(has_b, before_idx, 0)
-        is_del = pc.equal(t["op"], "D").to_numpy(zero_copy_only=False)
-        live_b = has_b & ~is_del[bi]
-        live_a = ~is_del[ends]
+        t, starts, bi, ends, live_b, live_a, neq = _feed_states(t, cut)
         txt = t["text"]
         tb = txt.take(pa.array(bi))
         ta = txt.take(pa.array(ends))
-        eq = pc.fill_null(pc.equal(tb, ta), False)
-        both_null = pc.and_(pc.is_null(tb), pc.is_null(ta))
-        neq = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
         upd = live_b & live_a & neq
         dele = live_b & ~live_a
         ins = ~live_b & live_a
@@ -449,6 +405,77 @@ def replay_change_feed(
             }
         )
 
+    return _two_state_replay(
+        log_dir, cut, feed, num_buckets=num_buckets, batch_size=batch_size
+    )
+
+
+def _compact_sides(t: pa.Table, *, cut: int) -> pa.Table:
+    """Within-batch combiner keeping the max-LSN event per (key, side) where
+    side = ``lsn <= cut``. The plain per-key combiner would discard the
+    before-state whenever a post-cut event lands in the same batch."""
+    if len(t) == 0:
+        return t
+    t = t.combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    n = len(t)
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        conv, turn = t["conv_id"], t["turn_idx"]
+        same_next = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        le = t["lsn"].to_numpy(zero_copy_only=False) <= cut
+        keep[: n - 1] = ~(same_next & (le[:-1] == le[1:]))
+    return t.filter(pa.array(keep))
+
+
+def _feed_states(t: pa.Table, cut: int):
+    """Group-local two-state decomposition: sort the group's events, find per
+    key the max-LSN event at-or-before ``cut`` (before-state) and overall
+    (after-state), and whether the ``text`` differs null-safely. Returns
+    ``(sorted_table, starts, before_idx, after_idx, live_b, live_a, neq)``
+    with the index arrays per key segment."""
+    t = t.combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    n = len(t)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        conv, turn = t["conv_id"], t["turn_idx"]
+        same = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        first[1:] = ~same
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n) - 1  # max-LSN row per key
+    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    idx = np.arange(n)
+    before_idx = np.maximum.reduceat(np.where(lsn <= cut, idx, -1), starts)
+    has_b = before_idx >= 0
+    bi = np.where(has_b, before_idx, 0)
+    is_del = pc.equal(t["op"], "D").to_numpy(zero_copy_only=False)
+    live_b = has_b & ~is_del[bi]
+    live_a = ~is_del[ends]
+    tb = t["text"].take(pa.array(bi))
+    ta = t["text"].take(pa.array(ends))
+    eq = pc.fill_null(pc.equal(tb, ta), False)
+    both_null = pc.and_(pc.is_null(tb), pc.is_null(ta))
+    neq = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+    return t, starts, bi, ends, live_b, live_a, neq
+
+
+def _two_state_replay(log_dir, cut, group_fn, *, num_buckets, batch_size):
+    """Shared plumbing for the fused two-state replays: one log read, side-
+    aware combiner, one key shuffle, then ``group_fn`` per bucket."""
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+
+    from functools import partial
+
+    tl = extract_timeline(log_dir)
     ds = rd.read_parquet(log_dir)
     ds = ds.map_batches(
         prepare_events,
@@ -456,8 +483,61 @@ def replay_change_feed(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    ds = ds.map_batches(compact_sides, batch_format="pyarrow", batch_size=batch_size)
-    return ds.groupby("bucket").map_groups(feed, batch_format="pyarrow")
+    ds = ds.map_batches(
+        partial(_compact_sides, cut=cut),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return ds.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")
+
+
+def replay_snapshot_stats(
+    log_dir: str,
+    cut_lsn: int,
+    *,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Fused A10 snapshot statistics (``eval/EvalFunctions.scala:353-408``):
+    row counts at the ``cut_lsn`` snapshot and the converged state plus
+    added/deleted/changed key counts between them — derived in the same
+    group-local two-state kernel as :func:`replay_change_feed`, so the whole
+    statistic costs ONE log read and ONE shuffle (the naive form executes
+    four replays: two ``count()``s and both sides of an outer diff). Each
+    group emits one tiny count row; only the ≤``num_buckets``-row count
+    table reaches the driver."""
+    cut = int(cut_lsn)
+
+    def counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            z = pa.array([0], pa.int64())
+            return pa.table(
+                {"rows_t1": z, "rows_t2": z, "added": z, "deleted": z, "changed": z}
+            )
+        _, _, _, _, live_b, live_a, neq = _feed_states(t, cut)
+        return pa.table(
+            {
+                "rows_t1": pa.array([int(live_b.sum())], pa.int64()),
+                "rows_t2": pa.array([int(live_a.sum())], pa.int64()),
+                "added": pa.array([int((~live_b & live_a).sum())], pa.int64()),
+                "deleted": pa.array([int((live_b & ~live_a).sum())], pa.int64()),
+                "changed": pa.array([int((live_b & live_a & neq).sum())], pa.int64()),
+            }
+        )
+
+    import ray
+
+    per_group = _two_state_replay(
+        log_dir, cut, counts, num_buckets=num_buckets, batch_size=batch_size
+    )
+    # dimension-sized: one count row per bucket
+    tot = pa.concat_tables([ray.get(r) for r in per_group.to_arrow_refs()])
+    return pa.table(
+        {
+            c: pa.array([int(pc.sum(tot[c]).as_py() or 0)], pa.int64())
+            for c in ["rows_t1", "rows_t2", "added", "deleted", "changed"]
+        }
+    )
 
 
 class UpsertApplier:

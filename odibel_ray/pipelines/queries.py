@@ -459,33 +459,22 @@ def q_transcript_summary(sf_dir: str):
 def q_transcript_snapshot_stats(sf_dir: str):
     """A10 snapshot statistics (``eval/EvalFunctions.scala:353-408``): row
     counts at half-log and full-log snapshots, added/deleted/changed keys
-    between them, static core, growth percent."""
-    from ray.data.aggregate import Count
-
-    from odibel_ray.cdc.apply import replay_dataset
-    from odibel_ray.cdc.lww import outer_diff
+    between them, static core, growth percent. Fused single-replay form
+    (one log read, one shuffle — the naive composition executes four
+    replays: two counts + both sides of an outer diff)."""
+    from odibel_ray.cdc.apply import replay_snapshot_stats
 
     log = ensure_transcript_log(sf_dir)
     cut = math.floor(0.5 * _transcript_max_lsn(sf_dir))
-    snap1 = replay_dataset(log, max_lsn=cut)
-    snap2 = replay_dataset(log)
-    rows_t1 = snap1.count()
-    rows_t2 = snap2.count()
-    d = outer_diff(snap1, snap2, ["conv_id", "turn_idx"], ["text"])
-    counts = {r["diff"]: r["n"] for r in d.groupby("diff").aggregate(Count(alias_name="n")).take_all()}
-    added = int(counts.get("added", 0))
-    deleted = int(counts.get("deleted", 0))
-    changed = int(counts.get("changed", 0))
-    return pa.table(
-        {
-            "rows_t1": pa.array([rows_t1], pa.int64()),
-            "rows_t2": pa.array([rows_t2], pa.int64()),
-            "added": pa.array([added], pa.int64()),
-            "deleted": pa.array([deleted], pa.int64()),
-            "changed": pa.array([changed], pa.int64()),
-            "static_core": pa.array([rows_t1 - deleted - changed], pa.int64()),
-            "growth_pct": pa.array([round((rows_t2 - rows_t1) / max(rows_t1, 1), 6)]),
-        }
+    s = replay_snapshot_stats(log, cut)
+    rows_t1 = s["rows_t1"][0].as_py()
+    rows_t2 = s["rows_t2"][0].as_py()
+    deleted = s["deleted"][0].as_py()
+    changed = s["changed"][0].as_py()
+    return s.append_column(
+        "static_core", pa.array([rows_t1 - deleted - changed], pa.int64())
+    ).append_column(
+        "growth_pct", pa.array([round((rows_t2 - rows_t1) / max(rows_t1, 1), 6)])
     )
 
 
