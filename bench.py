@@ -45,6 +45,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_time_travel",
     # the headline metric IS replay->publish->read, timed every run
     "transcript_publish_read",
+    # prefix-publish + incremental variants of the timed incremental path
+    "transcript_incremental_feed",
     # tokenizer variant of doc_token_stats
     "doc_regex_token_stats",
 }

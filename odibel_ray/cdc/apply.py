@@ -373,40 +373,51 @@ def replay_change_feed(
     cut = int(cut_lsn)
 
     def feed(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], pa.string()),
-                    "turn_idx": pa.array([], pa.int64()),
-                    "change": pa.array([], pa.string()),
-                    "text_before": pa.array([], pa.string()),
-                    "text_after": pa.array([], pa.string()),
-                }
-            )
-        t, starts, bi, ends, live_b, live_a, neq = _feed_states(t, cut)
-        txt = t["text"]
-        tb = txt.take(pa.array(bi))
-        ta = txt.take(pa.array(ends))
-        upd = live_b & live_a & neq
-        dele = live_b & ~live_a
-        ins = ~live_b & live_a
-        keep = upd | dele | ins
-        sel = pa.array(np.flatnonzero(keep))
-        label = np.where(ins, "insert", np.where(dele, "delete", "update"))[keep]
-        lb, la = pa.array(live_b[keep]), pa.array(live_a[keep])
-        null_s = pa.scalar(None, pa.string())
-        return pa.table(
-            {
-                "conv_id": t["conv_id"].take(pa.array(starts)).take(sel),
-                "turn_idx": t["turn_idx"].take(pa.array(starts)).take(sel),
-                "change": pa.array(label, pa.string()),
-                "text_before": pc.if_else(lb, tb.take(sel), null_s),
-                "text_after": pc.if_else(la, ta.take(sel), null_s),
-            }
-        )
+        return feed_table(t, cut=cut)
 
     return _two_state_replay(
         log_dir, cut, feed, num_buckets=num_buckets, batch_size=batch_size
+    )
+
+
+_FEED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("change", pa.string()),
+        ("text_before", pa.string()),
+        ("text_after", pa.string()),
+    ]
+)
+
+
+def feed_table(t: pa.Table, *, cut: int | None = None, mask_col: str | None = None) -> pa.Table:
+    """Group-local change-feed rows from one key-complete event group: per key
+    classify insert/update/delete between the before-state (max-LSN event on
+    the before side) and the after-state (max-LSN event overall). The before
+    side is ``lsn <= cut`` or a boolean ``mask_col`` column."""
+    if len(t) == 0:
+        return _FEED_SCHEMA.empty_table()
+    t, starts, bi, ends, live_b, live_a, neq = _feed_states(t, cut=cut, mask_col=mask_col)
+    txt = t["text"]
+    tb = txt.take(pa.array(bi))
+    ta = txt.take(pa.array(ends))
+    upd = live_b & live_a & neq
+    dele = live_b & ~live_a
+    ins = ~live_b & live_a
+    keep = upd | dele | ins
+    sel = pa.array(np.flatnonzero(keep))
+    label = np.where(ins, "insert", np.where(dele, "delete", "update"))[keep]
+    lb, la = pa.array(live_b[keep]), pa.array(live_a[keep])
+    null_s = pa.scalar(None, pa.string())
+    return pa.table(
+        {
+            "conv_id": t["conv_id"].take(pa.array(starts)).take(sel),
+            "turn_idx": t["turn_idx"].take(pa.array(starts)).take(sel).cast(pa.int64()),
+            "change": pa.array(label, pa.string()),
+            "text_before": pc.if_else(lb, tb.take(sel), null_s),
+            "text_after": pc.if_else(la, ta.take(sel), null_s),
+        }
     )
 
 
@@ -431,12 +442,13 @@ def _compact_sides(t: pa.Table, *, cut: int) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
-def _feed_states(t: pa.Table, cut: int):
+def _feed_states(t: pa.Table, cut: int | None = None, mask_col: str | None = None):
     """Group-local two-state decomposition: sort the group's events, find per
-    key the max-LSN event at-or-before ``cut`` (before-state) and overall
-    (after-state), and whether the ``text`` differs null-safely. Returns
-    ``(sorted_table, starts, before_idx, after_idx, live_b, live_a, neq)``
-    with the index arrays per key segment."""
+    key the max-LSN event on the *before side* (``lsn <= cut``, or rows where
+    the boolean ``mask_col`` is true) and overall (after-state), and whether
+    the ``text`` differs null-safely. Returns ``(sorted_table, starts,
+    before_idx, after_idx, live_b, live_a, neq)`` with the index arrays per
+    key segment."""
     t = t.combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
     n = len(t)
@@ -450,9 +462,12 @@ def _feed_states(t: pa.Table, cut: int):
         first[1:] = ~same
     starts = np.flatnonzero(first)
     ends = np.append(starts[1:], n) - 1  # max-LSN row per key
-    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    if mask_col is not None:
+        before_side = t[mask_col].to_numpy(zero_copy_only=False).astype(bool)
+    else:
+        before_side = t["lsn"].to_numpy(zero_copy_only=False) <= cut
     idx = np.arange(n)
-    before_idx = np.maximum.reduceat(np.where(lsn <= cut, idx, -1), starts)
+    before_idx = np.maximum.reduceat(np.where(before_side, idx, -1), starts)
     has_b = before_idx >= 0
     bi = np.where(has_b, before_idx, 0)
     is_del = pc.equal(t["op"], "D").to_numpy(zero_copy_only=False)

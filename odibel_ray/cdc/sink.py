@@ -464,6 +464,7 @@ def incremental_apply(
     *,
     run_id: str = "run-inc",
     batch_size: int = 65536,
+    feed_dir: str | None = None,
 ) -> dict:
     """Apply new change-log events (``lsn`` beyond each bucket's per-partition
     watermark) onto the published base table; untouched buckets are left as-is.
@@ -475,6 +476,16 @@ def incremental_apply(
     exactly the state of a from-scratch replay. Kill-resume of the incremental
     run itself is idempotent because publish is per-bucket atomic and the
     watermark filter drops already-applied events.
+
+    ``feed_dir``: also emit the run's change-data-feed (row-level
+    insert/update/delete with before/after ``text`` vs the base table, the
+    lakehouse CDF a MERGE writes alongside the data) as partitioned Parquet
+    under ``feed_dir/bucket=<b>/<run_id>.parquet`` — computed inside the same
+    per-bucket apply task from state the merge already holds (base row +
+    winning event per key), so it costs no extra exchange or log read.
+    Re-running the same ``run_id`` overwrites its own feed files (derived
+    data, idempotent); keys in untouched buckets have no new events and thus
+    no feed rows.
     """
     import ray.data as rd
 
@@ -514,31 +525,79 @@ def incremental_apply(
     def _base_as_events(t: pa.Table) -> pa.Table:
         keep = np.isin(t["_bucket"].to_numpy(zero_copy_only=False), touched)
         t = t.filter(pa.array(keep))
-        return pa.table(
-            {
-                "op": pa.array(["I"] * len(t), pa.string()),
-                "lsn": t["_lsn"],
-                "conv_id": t["conv_id"],
-                "turn_idx": t["turn_idx"],
-                "role": t["role"],
-                "text": t["text"],
-                "tool_name": t["tool_name"],
-                "score": t["score"],
-                "ts": t["ts"],
-                "part": t["_part"],
-                "bucket": t["_bucket"],
-            }
-        )
+        cols = {
+            "op": pa.array(["I"] * len(t), pa.string()),
+            "lsn": t["_lsn"],
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "tool_name": t["tool_name"],
+            "score": t["score"],
+            "ts": t["ts"],
+            "part": t["_part"],
+            "bucket": t["_bucket"],
+        }
+        if feed_dir:
+            cols["_base"] = pa.array(np.ones(len(t), dtype=bool))
+        return pa.table(cols)
 
     base_ev = base.map_batches(_base_as_events, batch_format="pyarrow", batch_size=batch_size)
-    merged = new_ev.union(base_ev)
-    merged = merged.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
+    if feed_dir:
+        def _mark_new(t: pa.Table) -> pa.Table:
+            return t.append_column("_base", pa.array(np.zeros(len(t), dtype=bool)))
+
+        new_side = new_ev.map_batches(_mark_new, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        new_side = new_ev
+    merged = new_side.union(base_ev)
+    if feed_dir:
+        # side-aware combiner: keep the max-LSN row per (key, base-vs-new) so
+        # the before-state survives compaction alongside the winning event
+        def _compact_keep_base(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            t = t.combine_chunks()
+            t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+            n = len(t)
+            keep = np.ones(n, dtype=bool)
+            if n > 1:
+                conv, turn = t["conv_id"], t["turn_idx"]
+                same_next = pc.and_(
+                    pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                    pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+                ).to_numpy(zero_copy_only=False)
+                b = t["_base"].to_numpy(zero_copy_only=False).astype(bool)
+                keep[: n - 1] = ~(same_next & (b[:-1] == b[1:]))
+            return t.filter(pa.array(keep))
+
+        merged = merged.map_batches(
+            _compact_keep_base, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        merged = merged.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
 
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)
-    manifest_ds = merged.groupby("bucket").map_groups(
-        partial(_apply_write_group, staging=staging, run_id=run_id), batch_format="pyarrow"
-    )
+    if feed_dir:
+        from odibel_ray.cdc.apply import feed_table
+
+        def _apply_with_feed(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _MANIFEST_SCHEMA.empty_table()
+            bucket = int(t["bucket"][0].as_py())
+            feed = feed_table(t, mask_col="_base")
+            bdir = os.path.join(feed_dir, f"bucket={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(feed, os.path.join(bdir, f"{run_id}.parquet"))
+            return _apply_write_group(
+                t.drop_columns(["_base"]), staging=staging, run_id=run_id
+            )
+
+        group_fn = _apply_with_feed
+    else:
+        group_fn = partial(_apply_write_group, staging=staging, run_id=run_id)
+    manifest_ds = merged.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")
     published = _publish_stream(manifest_ds, out_dir)
 
     all_manifests = load_manifests(out_dir)

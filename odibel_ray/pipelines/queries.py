@@ -277,6 +277,31 @@ def q_transcript_incremental(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_incremental_feed(sf_dir: str):
+    """CDF emitted by the sink itself: publish a 60% LSN prefix, incrementally
+    apply the full log with ``feed_dir`` set, and return the change-data-feed
+    the merge wrote alongside the data (no extra exchange or log read — the
+    per-bucket apply task already holds base row + winning event per key)."""
+    import shutil
+
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import incremental_apply, replay_publish
+    from odibel_ray.datagen import split_log
+
+    log = ensure_transcript_log(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incfeed")
+    shutil.rmtree(base, ignore_errors=True)
+    prefix = os.path.join(base, "prefix")
+    split_log(log, prefix, frac=0.6)
+    out = os.path.join(base, "table")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=16, run_id="r1")
+    incremental_apply(log, out, run_id="r2", feed_dir=os.path.join(base, "feed"))
+    return rd.read_parquet(os.path.join(base, "feed")).select_columns(
+        ["conv_id", "turn_idx", "change", "text_before", "text_after"]
+    )
+
+
 def _transcript_max_lsn(sf_dir: str) -> int:
     import pyarrow.dataset as pads
 
@@ -1610,6 +1635,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_history": q_transcript_history,
     "transcript_snapshot": q_transcript_snapshot,
     "transcript_change_feed": q_transcript_change_feed,
+    "transcript_incremental_feed": q_transcript_incremental_feed,
     "transcript_time_travel": q_transcript_time_travel,
     "transcript_window_histogram": q_transcript_window_histogram,
     "transcript_activity": q_transcript_activity,
@@ -1908,6 +1934,42 @@ WITH valid AS (
 cut AS (
   SELECT CAST(FLOOR(0.5 * max(lsn)) AS BIGINT) AS c
   FROM read_parquet('{glob}', hive_partitioning=1)
+),
+snap AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid WHERE lsn <= (SELECT c FROM cut))
+  WHERE rn = 1 AND op <> 'D'
+),
+fin AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s.conv_id, f.conv_id) AS conv_id,
+       coalesce(s.turn_idx, f.turn_idx) AS turn_idx,
+       CASE WHEN s.conv_id IS NULL THEN 'insert'
+            WHEN f.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       s.text AS text_before, f.text AS text_after
+FROM snap s FULL OUTER JOIN fin f
+  ON s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
+WHERE s.conv_id IS NULL OR f.conv_id IS NULL OR s.text IS DISTINCT FROM f.text
+""",
+        "transcript_incremental_feed": f"""
+WITH lall AS (
+  SELECT lsn FROM read_parquet('{glob}', hive_partitioning=1)
+),
+cut AS (
+  SELECT lsn AS c FROM (
+    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn FROM lall)
+  WHERE rn = (SELECT CAST(FLOOR(0.6 * (count(*) - 1)) AS BIGINT) FROM lall)
+),
+valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, lsn, op
+  FROM read_parquet('{glob}', hive_partitioning=1)
+  WHERE op IN ('I','U','D') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
 ),
 snap AS (
   SELECT conv_id, turn_idx, text FROM (

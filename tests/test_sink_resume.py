@@ -263,3 +263,45 @@ def test_retried_group_write_is_idempotent(tmp_path):
     assert m1["rows_out"][0].as_py() == 2  # 'a' upserted, 'b' deleted, 'c' live
     # empty group (all events invalid upstream) publishes nothing, no error
     assert len(_apply_write_group(t.slice(0, 0), staging=str(staging), run_id="r")) == 0
+
+
+def test_incremental_feed_matches_generic_diff(ray_session, small_log, tmp_path):
+    """The CDF the sink writes during incremental apply must equal the generic
+    two-state diff between the prefix-converged and full-converged states,
+    and a rerun (nothing new to apply) must leave the feed untouched."""
+    import ray.data as rd
+
+    from odibel_ray.cdc import replay_dataset
+    from odibel_ray.cdc.lww import change_feed
+
+    log = small_log["log_dir"]
+    prefix = str(tmp_path / "prefix")
+    split_log(log, prefix, frac=0.6)
+    out = str(tmp_path / "tbl")
+    feed_dir = str(tmp_path / "feed")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=4, run_id="r1")
+    incremental_apply(log, out, run_id="r2", feed_dir=feed_dir)
+
+    cols = ["conv_id", "turn_idx", "change", "text_before", "text_after"]
+    feed = collect_sorted(
+        rd.read_parquet(feed_dir).select_columns(cols), ["conv_id", "turn_idx"]
+    )
+    expected = collect_sorted(
+        change_feed(
+            replay_dataset(os.path.join(prefix, "change_log")),
+            replay_dataset(log),
+            ["conv_id", "turn_idx"],
+            ["text"],
+        ),
+        ["conv_id", "turn_idx"],
+    ).select(cols)
+    assert feed.num_rows > 0
+    assert feed.equals(expected)
+
+    # rerun: all events below the watermark -> nothing applied, feed unchanged
+    res = incremental_apply(log, out, run_id="r3", feed_dir=feed_dir)
+    assert res["touched"] == 0
+    feed2 = collect_sorted(
+        rd.read_parquet(feed_dir).select_columns(cols), ["conv_id", "turn_idx"]
+    )
+    assert feed2.equals(feed)
