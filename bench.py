@@ -47,8 +47,6 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_publish_read",
     # prefix-publish + incremental variants of the timed incremental path
     "transcript_incremental_feed",
-    # tokenizer variant of doc_token_stats
-    "doc_regex_token_stats",
 }
 
 
@@ -234,6 +232,7 @@ def main() -> None:
         "n_events": headline["n_events"],
         "rows_out": headline["rows_out"],
         "queries": queries,
+        "skipped_timings": sorted(SKIP_QUERY_TIMINGS),
         "sf": _sf_name(sf_dir),
         "num_cpus": num_cpus,
     }
@@ -250,10 +249,17 @@ def main() -> None:
             "value": headline["wall_sec"],
             "unit": "sec",
             "queries": queries,
+            # timed-under-base-name variants excluded from the map above;
+            # count here, full list in BENCH_LOCAL.json "skipped_timings"
+            "skipped_timings": len(SKIP_QUERY_TIMINGS),
             "sf": _sf_name(sf_dir),
             "num_cpus": num_cpus,
         }
-        print(json.dumps(compact, separators=(",", ":")))
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1950:  # driver capture window is ~2000 chars
+            compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
     ray.shutdown()
 
 

@@ -167,18 +167,26 @@ def dead_letter_scan(
     events the replay skips, each with a machine-readable ``reason`` — so a
     CDC operator can audit exactly what was dropped and why instead of
     trusting the skip-never-delete rule blindly. Rejects are rare by
-    construction, so the scan's output is tiny relative to the log; pass
-    ``quarantine_dir`` to also persist them as partitioned Parquet for
-    offline triage (written with ``write_parquet`` — resumable re-runs just
-    overwrite the quarantine, which is derived data)."""
+    construction, so the scan's output is tiny relative to the log — but a
+    poisoned log (schema drift rejecting every event) must not buffer the
+    whole log in the object store, so with ``quarantine_dir`` the reject
+    stream is written straight to Parquet (streaming, no ``materialize``)
+    and the returned Dataset re-reads the quarantine. The quarantine is
+    derived data: it is deleted and recreated per scan, so re-runs replace
+    rather than append (``write_parquet`` alone would add uniquely-named
+    files and double-count rejects)."""
+    import shutil
+
     import ray.data as rd
 
     ds = rd.read_parquet(log_dir).map_batches(
         dead_letter_batch, batch_format="pyarrow", batch_size=batch_size
     )
     if quarantine_dir:
-        ds = ds.materialize()
+        shutil.rmtree(quarantine_dir, ignore_errors=True)
+        os.makedirs(quarantine_dir, exist_ok=True)
         ds.write_parquet(quarantine_dir)
+        return rd.read_parquet(quarantine_dir)
     return ds
 
 
@@ -366,10 +374,6 @@ def replay_change_feed(
     Only the schema-stable ``text`` column is compared, so the timeline clip
     a snapshot replay applies to the ``tool``/``score`` mapping is moot here.
     """
-    import ray.data as rd
-
-    from odibel_ray.cdc.schema import extract_timeline
-
     cut = int(cut_lsn)
 
     def feed(t: pa.Table) -> pa.Table:

@@ -84,6 +84,10 @@ _MANIFEST_SCHEMA = pa.schema(
         ("staged", pa.string()),
         ("watermarks", pa.string()),
         ("run_id", pa.string()),
+        # change-data-feed sidecar: staged path + final path, published in the
+        # same per-bucket atomic step as the data file ("" when no feed)
+        ("feed_staged", pa.string()),
+        ("feed_final", pa.string()),
     ]
 )
 
@@ -135,6 +139,8 @@ def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
             "staged": pa.array([staged], pa.string()),
             "watermarks": pa.array([json.dumps(wms)], pa.string()),
             "run_id": pa.array([run_id], pa.string()),
+            "feed_staged": pa.array([""], pa.string()),
+            "feed_final": pa.array([""], pa.string()),
         }
     )
 
@@ -172,6 +178,13 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
             )
         final_path = os.path.join(out_dir, row["file"])
         os.replace(staged, final_path)
+        # feed sidecar publishes with its bucket: it becomes visible only
+        # AFTER the data it describes (a crash between the two leaves the
+        # bucket manifest-less, so resume redoes both deterministically) —
+        # a mid-crash feed reader can never see phantom changes
+        if row.get("feed_staged"):
+            os.makedirs(os.path.dirname(row["feed_final"]), exist_ok=True)
+            os.replace(row["feed_staged"], row["feed_final"])
         manifest = {
             "bucket": int(row["bucket"]),
             "rows_out": int(row["rows_out"]),
@@ -587,11 +600,24 @@ def incremental_apply(
                 return _MANIFEST_SCHEMA.empty_table()
             bucket = int(t["bucket"][0].as_py())
             feed = feed_table(t, mask_col="_base")
-            bdir = os.path.join(feed_dir, f"bucket={bucket}")
-            os.makedirs(bdir, exist_ok=True)
-            pq.write_table(feed, os.path.join(bdir, f"{run_id}.parquet"))
-            return _apply_write_group(
+            # stage the feed next to the bucket's staged data; _publish_stream
+            # moves it into feed_dir inside the bucket's atomic publish step,
+            # so feed rows never describe state that isn't visible yet
+            feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
+            pq.write_table(feed, feed_staged)
+            feed_final = os.path.join(
+                feed_dir, f"bucket={bucket}", f"{run_id}.parquet"
+            )
+            row = _apply_write_group(
                 t.drop_columns(["_base"]), staging=staging, run_id=run_id
+            )
+            i_fs = row.schema.get_field_index("feed_staged")
+            row = row.set_column(
+                i_fs, "feed_staged", pa.array([feed_staged], pa.string())
+            )
+            i_ff = row.schema.get_field_index("feed_final")
+            return row.set_column(
+                i_ff, "feed_final", pa.array([feed_final], pa.string())
             )
 
         group_fn = _apply_with_feed

@@ -42,12 +42,19 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _log = logging.getLogger("odibel_ray.dedup")
 
-#: default per-bucket doc cap for all pair-enumeration kernels. A bucket with
-#: more docs than this emits star pairs (every doc against the minimum doc_id)
-#: instead of all O(n²) pairs — connectivity for clustering is preserved, the
-#: worker's memory stays O(n), and the drop is logged. Degenerate buckets
-#: (millions of empty/boilerplate docs sharing one band hash) are a real
-#: corpus pathology at 100 TB; without the cap one `map_groups` task OOMs.
+#: default per-bucket doc cap for CLUSTERING-feed pair enumeration
+#: (``emit="spanning"``). A bucket with more docs than this emits star pairs
+#: (every doc against the minimum doc_id) instead of all O(n²) pairs —
+#: connectivity for clustering is preserved, the worker's memory stays O(n),
+#: and the drop is logged. Degenerate buckets (millions of empty/boilerplate
+#: docs sharing one band hash) are a real corpus pathology at 100 TB; without
+#: the cap one `map_groups` task OOMs.
+#:
+#: Pair-emitting APIs (``minhash_lsh_pairs(emit="pairs")``, ``simhash_pairs``,
+#: ``embedding_near_dups``) default to UNCAPPED: a silent star-pair collapse
+#: there drops real verified pairs, i.e. reduces recall of the output itself,
+#: not just of a connectivity feed. Callers opting into a cap get a ``capped``
+#: marker column so the recall loss is visible in the data, not only in logs.
 DEFAULT_MAX_BUCKET = 512
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -185,17 +192,20 @@ class MinHasher:
         return pa.table(cols)
 
 
-def _bucket_pair_indices(n: int, max_bucket: int, what: str) -> tuple[np.ndarray, np.ndarray]:
+def _bucket_pair_indices(
+    n: int, max_bucket: int | None, what: str
+) -> tuple[np.ndarray, np.ndarray]:
     """Pair index arrays (ia, ib) for an n-doc bucket, O(n²)-guarded.
 
-    ``n <= max_bucket`` → all ``n(n-1)/2`` pairs (``np.triu_indices``).
+    ``max_bucket is None`` (uncapped) or ``n <= max_bucket`` → all
+    ``n(n-1)/2`` pairs (``np.triu_indices``).
     Oversized buckets collapse to ``n-1`` star pairs against index 0 (the
     minimum doc id — callers pass ids sorted ascending), preserving
     connected-component connectivity while bounding both the output and the
     kernel's working set at O(n). The drop is logged with counts so a capped
     run is auditable, never silent.
     """
-    if n <= max_bucket:
+    if max_bucket is None or n <= max_bucket:
         return np.triu_indices(n, k=1)
     _log.warning(
         "%s bucket capped: %d docs > max_bucket=%d; emitting %d star pairs "
@@ -229,15 +239,17 @@ def _pairs_in_bucket(
     t: pa.Table,
     threshold: float,
     num_perm: int,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
     emit: str = "pairs",
 ) -> pa.Table:
     """Candidate pairs inside one (band, band_hash) bucket. With signatures
     present, estimated Jaccard = fraction of matching minhash positions and
     pairs below ``threshold`` are dropped; without (``emit_sig=False``), every
-    in-bucket pair is a candidate for downstream exact verification. Buckets
-    larger than ``max_bucket`` docs are reduced to star pairs (see
-    :func:`_bucket_pair_indices`).
+    in-bucket pair is a candidate for downstream exact verification. With a
+    ``max_bucket`` cap, larger buckets are reduced to star pairs (see
+    :func:`_bucket_pair_indices`) and — for ``emit="pairs"`` — every output
+    row carries a ``capped`` marker so downstream consumers can see which
+    pairs came from a recall-reduced bucket.
 
     ``emit="spanning"``: instead of the kept pairs themselves, emit spanning
     edges of the kept-pair graph's local components (O(n) rows instead of up
@@ -248,10 +260,13 @@ def _pairs_in_bucket(
     root→member links, not verified near-dup pairs)."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     has_sig = "sig" in t.column_names and emit != "spanning"
+    mark_capped = emit == "pairs" and max_bucket is not None
     uniq, idx = np.unique(ids, return_index=True)
     cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     if has_sig:
         cols["est_jaccard"] = pa.array([], pa.float64())
+    if mark_capped:
+        cols["capped"] = pa.array([], pa.bool_())
     if len(uniq) < 2:
         return pa.table(cols)
     n = len(uniq)
@@ -277,6 +292,8 @@ def _pairs_in_bucket(
     }
     if has_sig:
         out["est_jaccard"] = pa.array(np.round(match[keep], 6))
+    if mark_capped:
+        out["capped"] = pa.array(np.full(len(a), n > max_bucket))
     return pa.table(out)
 
 
@@ -305,14 +322,22 @@ def minhash_lsh_pairs(
     concurrency: int | None = None,
     batch_size: int = 1024,
     est_filter: bool = True,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None | str = "auto",
     dedup: bool = True,
     emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via MinHash + LSH banding. Pairs are
     deduplicated across bands by a final exact dedup on (doc_a, doc_b).
-    Band buckets larger than ``max_bucket`` docs emit star pairs only
-    (logged) — the O(n²) guard for degenerate buckets at corpus scale.
+
+    ``max_bucket="auto"`` resolves per output kind: ``emit="pairs"`` runs
+    UNCAPPED (a star-pair collapse would silently drop real candidate pairs
+    — recall of the verified output matters more than the O(n²) guard, which
+    the caller can still opt into), while ``emit="spanning"`` caps at
+    :data:`DEFAULT_MAX_BUCKET` (connectivity survives the cap, so the
+    clustering feed keeps the degenerate-bucket OOM guard). An explicit int
+    caps either mode; pair outputs then carry a per-row ``capped`` marker
+    column identifying rows from recall-reduced buckets. ``None`` is always
+    uncapped.
 
     ``dedup=False`` skips the cross-band pair dedup exchange and returns the
     raw candidate stream (a pair seen in k bands appears k times) — for
@@ -338,6 +363,8 @@ def minhash_lsh_pairs(
 
     from odibel_ray.ops.relational import exact_dedup
 
+    if max_bucket == "auto":
+        max_bucket = DEFAULT_MAX_BUCKET if emit == "spanning" else None
     hasher_kw = dict(
         num_perm=num_perm, n_bands=n_bands, shingle=shingle, emit_sig=est_filter
     )
@@ -572,12 +599,16 @@ def simhash_pairs(
     bits_per_table: int = 16,
     concurrency: int | None = None,
     batch_size: int = 1024,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs whose simhashes differ by ≤ ``max_hamming`` bits and that
-    collide in at least one LSH table. Buckets above ``max_bucket`` docs
-    reduce to star pairs (logged). ``concurrency`` opts into an actor pool;
-    default is task-based with a once-per-process cached hasher."""
+    collide in at least one LSH table. Uncapped by default — this is a
+    pair-emitting API, and a star-pair collapse would silently drop real
+    near-dup pairs. An explicit ``max_bucket`` opts into the O(n²) guard
+    (oversized buckets reduce to star pairs) and adds a per-row ``capped``
+    marker column flagging pairs from recall-reduced buckets. ``concurrency``
+    opts into an actor pool; default is task-based with a once-per-process
+    cached hasher."""
     from functools import partial
 
     from odibel_ray.ops.relational import exact_dedup
@@ -603,10 +634,14 @@ def simhash_pairs(
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         uniq, idx = np.unique(ids, return_index=True)
         if len(uniq) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
+            cols = {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+            if max_bucket is not None:
+                cols["capped"] = pa.array([], pa.bool_())
+            return pa.table(cols)
         sh = t["simhash"].to_numpy(zero_copy_only=False)[idx].astype(np.uint64)
         ia, ib = _bucket_pair_indices(len(uniq), max_bucket, "simhash")
         x = sh[ia] ^ sh[ib]
@@ -618,13 +653,14 @@ def simhash_pairs(
         )
         keep = ham <= max_hamming
         a, b = uniq[ia[keep]], uniq[ib[keep]]
-        return pa.table(
-            {
-                "doc_a": pa.array(np.minimum(a, b).astype(np.int64)),
-                "doc_b": pa.array(np.maximum(a, b).astype(np.int64)),
-                "hamming": pa.array(ham[keep]),
-            }
-        )
+        out = {
+            "doc_a": pa.array(np.minimum(a, b).astype(np.int64)),
+            "doc_b": pa.array(np.maximum(a, b).astype(np.int64)),
+            "hamming": pa.array(ham[keep]),
+        }
+        if max_bucket is not None:
+            out["capped"] = pa.array(np.full(len(a), len(uniq) > max_bucket))
+        return pa.table(out)
 
     cand = sig.groupby(["table_id", "bucket_key"]).map_groups(pairs, batch_format="pyarrow")
     return exact_dedup(cand, ["doc_a", "doc_b"], tie_break="hamming")
@@ -643,14 +679,21 @@ def embedding_near_dups(
     planes_per_table: int = 4,
     seed: int = 47,
     batch_size: int = 8192,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate vector pairs (cosine ≥ threshold) via multi-table
     random-hyperplane LSH + in-bucket exact cosine. ``k_tables`` independent
     tables of ``planes_per_table`` planes each — recall for a pair at angle θ is
     ``1 - (1 - (1-θ/π)^b)^L``; tune (b, L) to the threshold. One shuffle on
     ``(table_id, bucket_key)``; pairs found in several tables are deduped.
-    Buckets above ``max_bucket`` vectors reduce to star pairs (logged)."""
+
+    Uncapped by default — the output is threshold-verified pairs, and a
+    star-pair collapse both drops pairs and (because star edges are
+    hub-filtered) can lose qualifying pairs entirely. An explicit
+    ``max_bucket`` opts into the O(n²) guard: oversized buckets emit their
+    star edges UNFILTERED (no threshold applied — the hub cosine says nothing
+    about non-hub pairs) with ``capped=True``, so the consumer sees exactly
+    which edges are connectivity hints rather than verified near-dups."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -678,29 +721,38 @@ def embedding_near_dups(
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         if len(ids) < 2:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
+            cols = {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+            if max_bucket is not None:
+                cols["capped"] = pa.array([], pa.bool_())
+            return pa.table(cols)
         emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         # ids sorted ascending so the star hub (index 0) is the min vec_id
         order = np.argsort(ids, kind="stable")
         ids, emb = ids[order], emb[order]
         ia, ib = _bucket_pair_indices(len(ids), max_bucket, "embedding LSH")
-        if len(ids) <= max_bucket:
+        was_capped = max_bucket is not None and len(ids) > max_bucket
+        if not was_capped:
             s = (emb @ emb.T)[ia, ib]
+            keep = s >= threshold
         else:
-            s = emb[1:] @ emb[0]  # star pairs only: hub vs rest, O(n·dim)
-        keep = s >= threshold
+            # star pairs only: hub vs rest, O(n·dim). NOT threshold-filtered —
+            # these are connectivity hints, flagged capped=True below
+            s = emb[1:] @ emb[0]
+            keep = np.ones(len(s), dtype=bool)
         a, b = ids[ia[keep]], ids[ib[keep]]
-        return pa.table(
-            {
-                "vec_a": pa.array(np.minimum(a, b).astype(np.int64)),
-                "vec_b": pa.array(np.maximum(a, b).astype(np.int64)),
-                "cosine": pa.array(np.round(s[keep], 6)),
-            }
-        )
+        out = {
+            "vec_a": pa.array(np.minimum(a, b).astype(np.int64)),
+            "vec_b": pa.array(np.maximum(a, b).astype(np.int64)),
+            "cosine": pa.array(np.round(s[keep], 6)),
+        }
+        if max_bucket is not None:
+            out["capped"] = pa.array(np.full(len(a), was_capped))
+        return pa.table(out)
 
     from odibel_ray.ops.relational import exact_dedup
 

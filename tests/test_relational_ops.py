@@ -499,3 +499,62 @@ def test_cron_year_window_fast():
     elapsed = time.perf_counter() - t0
     assert len(occ) == 366 * 24 * 12
     assert elapsed < 0.5, f"year-long cron window took {elapsed:.3f}s"
+
+
+def test_broadcast_guard_falls_back_to_bucketed(ray_session):
+    """A build side over max_broadcast_bytes must NOT be driver-collected:
+    the join silently degrades to bucketed_join and answers identically."""
+    from odibel_ray.ops import broadcast_hash_join, load_table
+
+    orders = load_table(SF, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(SF, "customer", ["c_custkey", "c_name"])
+    small = cust.rename_columns({"c_custkey": "o_custkey"})
+    sql = (
+        "SELECT o_custkey, o_totalprice, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    # 1-byte budget: every block crosses it, so this exercises the fallback
+    _match(broadcast_hash_join(orders, small, "o_custkey", max_broadcast_bytes=1), sql)
+    _match(
+        broadcast_hash_join(
+            orders, small, "o_custkey", how="left", max_broadcast_bytes=1
+        ),
+        "SELECT o_custkey, o_totalprice, c_name FROM orders "
+        "LEFT JOIN customer ON o_custkey = c_custkey",
+    )
+
+
+def test_semi_anti_guard_falls_back_to_bucketed(ray_session):
+    """Semi/anti joins over the broadcast limit run as bucketed semi/anti
+    shuffle joins; the distinct-key combiner must not change the answer."""
+    from odibel_ray.ops import broadcast_anti_join, broadcast_semi_join, load_table
+
+    import pyarrow.compute as _pc
+
+    cust = load_table(SF, "customer", ["c_custkey", "c_name"])
+    orders = (
+        load_table(SF, "orders", ["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+        .map_batches(
+            # even keys only, so the anti side is non-empty at this SF
+            lambda t: t.filter(
+                _pc.equal(_pc.bit_wise_and(t["c_custkey"], 1), 0)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    semi_sql = (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0)"
+    )
+    anti_sql = (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0)"
+    )
+    _match(broadcast_semi_join(cust, orders, "c_custkey"), semi_sql)
+    _match(
+        broadcast_semi_join(cust, orders, "c_custkey", max_broadcast_bytes=1), semi_sql
+    )
+    _match(
+        broadcast_anti_join(cust, orders, "c_custkey", max_broadcast_bytes=1), anti_sql
+    )

@@ -399,3 +399,42 @@ def test_cosine_pairs_exact_vs_bruteforce(ray_session):
         got = {(r.vec_a, r.vec_b): r.cosine for r in out.itertuples()}
         assert set(got) == set(want), f"num_blocks={num_blocks}"
         assert all(abs(got[k] - want[k]) < 1e-5 for k in want), f"num_blocks={num_blocks}"
+
+
+def test_pair_apis_uncapped_by_default_and_capped_marker(ray_session):
+    """Pair-emitting APIs default to full recall (no star collapse); an
+    explicit cap marks every row from a reduced bucket with capped=True."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import embedding_near_dups, minhash_lsh_pairs
+
+    n = 600  # > DEFAULT_MAX_BUCKET, identical docs → one degenerate bucket
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["the same boilerplate text repeated verbatim"] * n),
+        }
+    )
+    full = minhash_lsh_pairs(rd.from_arrow(tbl), threshold=0.3).take_all()
+    assert len(full) == n * (n - 1) // 2  # uncapped default: all pairs
+    assert "capped" not in full[0]
+
+    capped = minhash_lsh_pairs(
+        rd.from_arrow(tbl), threshold=0.3, max_bucket=128
+    ).take_all()
+    assert len(capped) == n - 1
+    assert all(r["capped"] for r in capped)
+
+    vec = np.ones((n, 8), np.float32)
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vec), pa.list_(pa.float32())),
+        }
+    )
+    efull = embedding_near_dups(rd.from_arrow(etbl), threshold=0.9).take_all()
+    assert len(efull) == n * (n - 1) // 2
+    ecap = embedding_near_dups(
+        rd.from_arrow(etbl), threshold=0.9, max_bucket=128
+    ).take_all()
+    assert len(ecap) == n - 1 and all(r["capped"] for r in ecap)
