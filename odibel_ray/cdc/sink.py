@@ -290,6 +290,7 @@ def replay_publish(
         return {
             "published_now": len(published),
             "published_total": len(all_manifests),
+            "n_events_applied": int(sum(p["n_events"] for p in published)),
             "rows_total": table_manifest["rows_total"],
             "out_dir": out_dir,
         }
@@ -330,6 +331,7 @@ def replay_publish(
     return {
         "published_now": len(published),
         "published_total": len(all_manifests),
+        "n_events_applied": int(sum(p["n_events"] for p in published)),
         "rows_total": table_manifest["rows_total"],
         "out_dir": out_dir,
     }
@@ -641,6 +643,7 @@ def incremental_apply(
         "published_now": len(published),
         "published_total": len(all_manifests),
         "touched": int(len(touched)),
+        "n_events_applied": int(sum(p["n_events"] for p in published)),
         "rows_total": tman["rows_total"],
         "out_dir": out_dir,
     }

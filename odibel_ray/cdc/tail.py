@@ -24,35 +24,47 @@ def tail_log(
     max_rounds: int = 10,
     stop_when_idle: int = 1,
     run_prefix: str = "tail",
+    heartbeat_interval_s: float = 0.0,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
-    table does not exist yet. Returns round stats."""
+    table does not exist yet. Returns round stats.
+
+    ``heartbeat_interval_s > 0`` logs live applied-events/s through
+    :class:`odibel_ray.monitor.ThroughputMonitor` (the reference prints the
+    same signal every 10 s, ``log/HeartbeatMonitor.scala:54-70``)."""
+    from odibel_ray.monitor import ThroughputMonitor
+
     rounds = []
     idle = 0
-    for i in range(max_rounds):
-        if not load_manifests(out_dir):
-            res = replay_publish(log_dir, out_dir, partitioned=True,
-                                 run_id=f"{run_prefix}-bootstrap")
+    with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
+        for i in range(max_rounds):
+            if not load_manifests(out_dir):
+                res = replay_publish(log_dir, out_dir, partitioned=True,
+                                     run_id=f"{run_prefix}-bootstrap")
+                res["round"] = i
+                res["mode"] = "bootstrap"
+                mon.add(res.get("n_events_applied", 0))
+                rounds.append(res)
+                continue
+            res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}")
             res["round"] = i
-            res["mode"] = "bootstrap"
+            res["mode"] = "incremental"
+            mon.add(res.get("n_events_applied", 0))
             rounds.append(res)
-            continue
-        res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}")
-        res["round"] = i
-        res["mode"] = "incremental"
-        rounds.append(res)
-        if res.get("touched", 0) == 0:
-            idle += 1
-            if idle >= stop_when_idle:
-                break
-        else:
-            idle = 0
-        if poll_interval_s:
-            time.sleep(poll_interval_s)
+            if res.get("touched", 0) == 0:
+                idle += 1
+                if idle >= stop_when_idle:
+                    break
+            else:
+                idle = 0
+            if poll_interval_s:
+                time.sleep(poll_interval_s)
+        throughput = mon.stop()
     return {
         "rounds": len(rounds),
         "applied_rounds": sum(1 for r in rounds if r.get("touched", 1)),
         "rows_total": rounds[-1]["rows_total"] if rounds else 0,
+        "throughput": throughput,
         "history": rounds,
     }

@@ -76,6 +76,21 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list-queries", help="list registry entries")
 
+    t = sub.add_parser(
+        "tail-stream",
+        help="pipe JSONL change events ('-' = stdin) into a published table",
+    )
+    t.add_argument("--in", dest="input", default="-",
+                   help="'-' (stdin), a file, or file.gz/bz2/zst")
+    t.add_argument("--table", required=True)
+    t.add_argument("--spool", required=True,
+                   help="WAL spool directory for the micro-batches")
+    t.add_argument("--num-parts", type=int, default=8)
+    t.add_argument("--batch-rows", type=int, default=65536)
+    t.add_argument("--num-buckets", type=int, default=16)
+    t.add_argument("--heartbeat", type=float, default=10.0,
+                   help="live events/s report interval in seconds (0 = off)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "datagen":
@@ -139,6 +154,22 @@ def main(argv: list[str] | None = None) -> int:
         from odibel_ray.cdc.sink import incremental_apply
 
         res = incremental_apply(args.log, args.table, run_id=args.run_id)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "tail-stream":
+        import logging
+
+        logging.getLogger("odibel_ray.monitor").setLevel(logging.INFO)
+        from odibel_ray.sources.stream import tail_stream
+
+        res = tail_stream(
+            args.input, args.table, spool_dir=args.spool,
+            num_parts=args.num_parts, batch_rows=args.batch_rows,
+            num_buckets=args.num_buckets,
+            heartbeat_interval_s=args.heartbeat,
+        )
+        res.pop("history", None)
         print(json.dumps(res))
         return 0
 

@@ -262,6 +262,61 @@ def q_transcript_publish_read(sf_dir: str):
     return read_published(out)
 
 
+def ensure_jsonl_stream(sf_dir: str) -> str:
+    """Serialize the cached change log once into an LSN-ordered JSONL file —
+    the deterministic stand-in for a live binlog pipe."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    log = ensure_transcript_log(sf_dir)
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_stream.jsonl")
+    marker = path + ".ok"
+    if os.path.exists(marker) and os.path.exists(path):
+        return path
+    tables = [
+        pq.read_table(f)
+        for f in sorted(_glob.glob(os.path.join(log, "part=*", "*.parquet")))
+    ]
+    t = pa.concat_tables(tables, promote_options="default")
+    t = t.take(pc.sort_indices(t, sort_keys=[("lsn", "ascending")]))
+    with open(path + ".tmp", "w") as f:
+        for r in t.to_pylist():
+            if r.get("ts") is not None:
+                r["ts"] = r["ts"].isoformat()
+            f.write(_json.dumps({k: v for k, v in r.items() if v is not None}))
+            f.write("\n")
+    os.replace(path + ".tmp", path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def q_transcript_stream_tail(sf_dir: str):
+    """Stdin/pipe ingest (reference ``DBpediaTKG.scala:106-133`` '-' mode):
+    the change log serialized as a JSONL stream is piped through the spool →
+    micro-batch incremental-upsert loop; the converged table must equal the
+    batch replay (same SQL oracle). Valid because the generated log's schema
+    events occupy a contiguous LSN block per batch, so the spool's
+    replicate-S-to-every-part layout yields the same per-part thresholds for
+    every data LSN."""
+    import shutil
+
+    from odibel_ray.cdc.sink import read_published
+    from odibel_ray.sources.stream import tail_stream
+
+    payload = ensure_jsonl_stream(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "table")
+    tail_stream(
+        payload, table, spool_dir=os.path.join(base, "spool"),
+        num_parts=8, batch_rows=10000, num_buckets=16, run_prefix="q",
+    )
+    return read_published(table)
+
+
 def q_transcript_rebucket_read(sf_dir: str):
     """Cluster-resize maintenance: publish at 16 buckets, rebucket the
     published table out-of-place to 4 (write-audit-publish into a fresh
@@ -1676,6 +1731,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
+    "transcript_stream_tail": q_transcript_stream_tail,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
     "transcript_rebucket_read": q_transcript_rebucket_read,
@@ -1942,6 +1998,7 @@ GROUP BY 1, 2, 3
         "transcript_replay_actor": t_final,
         "transcript_replay_salted": t_final,
         "transcript_publish_read": t_final,
+        "transcript_stream_tail": t_final,
         "transcript_incremental": t_final,
         "transcript_rebucket_read": t_final,
         "cdc_dead_letters": f"""

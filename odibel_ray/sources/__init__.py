@@ -11,6 +11,7 @@ from odibel_ray.sources.io import (
     read_table_auto,
     read_text_auto,
 )
+from odibel_ray.sources.stream import open_stream, spool_jsonl, tail_stream
 
 __all__ = [
     "csv_to_parquet",
@@ -22,4 +23,7 @@ __all__ = [
     "read_gradoop_vertices",
     "read_gradoop_edges",
     "gradoop_clusters",
+    "open_stream",
+    "spool_jsonl",
+    "tail_stream",
 ]

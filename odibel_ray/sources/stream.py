@@ -1,0 +1,271 @@
+"""Stdin/pipe streaming source: JSONL change events → WAL spool → lake upsert.
+
+The reference's CLI replays from ``-`` (stdin), a local file, or an HDFS
+stream, processing lines sequentially inside one JVM
+(``/root/reference/src/main/scala/ai/scads/odibel/main/DBpediaTKG.scala:106-133``).
+The Ray-Data-native shape splits that into two roles:
+
+- **one lightweight reader** (this module) chunks the unbounded byte stream —
+  a single fd is inherently sequential — into micro-batches, parses each chunk
+  with ``pyarrow.json`` (vectorized block parse, never a per-line Python
+  loop), and spools it into the engine's partitioned WAL layout
+  ``<spool>/part=<k>/stream-<seq>.parquet`` with ``part = hash(conv_id)``
+  (key-aligned, exactly like the generated log);
+- **the distributed engine** (``tail_log`` → ``incremental_apply``) upserts
+  each micro-batch through the exactly-once sink. Nothing downstream knows the
+  events arrived by pipe.
+
+At cluster scale the spool directory is shared storage and the reader is a
+trivial sidecar process; per-event work in this process is one hash + one
+Parquet column write. Events may carry their own ``lsn`` (a real binlog
+position); otherwise arrival order assigns one — monotone per part because the
+global sequence is monotone.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+from typing import IO, TYPE_CHECKING, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+from odibel_ray.sources.io import CODEC_EXTENSIONS, detect_codec
+
+
+def open_stream(path: str) -> IO[bytes]:
+    """Binary input stream from a path spec, reference-CLI style:
+    ``"-"`` → stdin; ``*.gz``/``*.bz2``/``*.zst`` → decompressing reader
+    (codec by extension, same registry as :func:`~odibel_ray.sources.io.read_table_auto`);
+    anything else → plain file."""
+    if path == "-":
+        return sys.stdin.buffer
+    codec, _ = detect_codec(path)
+    if codec:
+        import pyarrow as _pa
+
+        return _pa.CompressedInputStream(_pa.OSFile(path, "rb"), codec)
+    return open(path, "rb")
+
+
+def _parse_jsonl(chunk: bytes, schema: pa.Schema) -> pa.Table:
+    """Vectorized JSONL block parse → table cast to the log schema. Fields
+    missing from the JSON become nulls; unknown fields are ignored (the
+    schema-evolution channel is the ``schema_change`` payload, not physical
+    columns)."""
+    from pyarrow import json as pa_json
+
+    raw = pa_json.read_json(
+        io.BytesIO(chunk),
+        parse_options=pa_json.ParseOptions(
+            explicit_schema=schema, unexpected_field_behavior="ignore"
+        ),
+    )
+    return raw.cast(schema)
+
+
+def _read_line_chunks(stream: IO[bytes], batch_rows: int) -> Iterator[bytes]:
+    """Yield byte chunks of up to ``batch_rows`` complete lines. Reads in
+    64 KiB blocks and splits on the last newline — O(block) per iteration,
+    no per-line Python objects."""
+    buf = b""
+    pending_lines = 0
+    out: list[bytes] = []
+    while True:
+        block = stream.read(64 * 1024)
+        if not block:
+            break
+        buf += block
+        nl = buf.rfind(b"\n")
+        if nl < 0:
+            continue
+        complete, buf = buf[: nl + 1], buf[nl + 1 :]
+        out.append(complete)
+        pending_lines += complete.count(b"\n")
+        if pending_lines >= batch_rows:
+            yield b"".join(out)
+            out, pending_lines = [], 0
+    if buf.strip():
+        out.append(buf if buf.endswith(b"\n") else buf + b"\n")
+    if out:
+        yield b"".join(out)
+
+
+def spool_jsonl(
+    stream: IO[bytes] | str,
+    spool_dir: str,
+    *,
+    num_parts: int = 8,
+    batch_rows: int = 65536,
+    start_seq: int | None = None,
+    assign_lsn: bool = True,
+) -> dict:
+    """Spool a JSONL change-event stream into the WAL layout the engine's
+    sinks consume (``part=<k>/stream-<seq>.parquet``). Returns
+    ``{"n_events", "files", "last_lsn", "next_seq"}``.
+
+    ``part`` is the same conv_id hash the engine buckets by, so the spool is
+    key-aligned (a key's events never split across parts — the invariant the
+    watermark matrix and the shuffle-free partitioned replay rely on).
+    ``assign_lsn``: rows with a null ``lsn`` get the next arrival-order
+    sequence number (resumed from the spool's own max when ``start_seq`` is
+    None), so a raw event feed without binlog positions still replays
+    deterministically.
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+    from odibel_ray.datagen import LOG_SCHEMA
+
+    if isinstance(stream, str):
+        stream = open_stream(stream)
+    os.makedirs(spool_dir, exist_ok=True)
+    state_path = os.path.join(spool_dir, "_spool_state.json")
+    if start_seq is None:
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                st = json.load(f)
+            start_seq = int(st["next_seq"])
+            next_lsn = int(st["next_lsn"])
+        else:
+            start_seq, next_lsn = 0, 0
+    else:
+        next_lsn = start_seq
+
+    seq = start_seq
+    n_events = 0
+    files: list[str] = []
+    last_lsn = -1
+    for chunk in _read_line_chunks(stream, batch_rows):
+        t = _parse_jsonl(chunk, LOG_SCHEMA)
+        if len(t) == 0:
+            continue
+        if assign_lsn:
+            null_mask = pa.compute.is_null(t["lsn"]).to_numpy(zero_copy_only=False)
+            if null_mask.any():
+                vals = np.nan_to_num(
+                    t["lsn"].to_numpy(zero_copy_only=False).astype(np.float64),
+                    nan=0.0,
+                )
+                arrival = next_lsn + np.cumsum(null_mask) - 1
+                filled = np.where(null_mask, arrival, vals).astype(np.int64)
+                t = t.set_column(
+                    t.schema.get_field_index("lsn"), "lsn",
+                    pa.array(filled, pa.int64()),
+                )
+                next_lsn = int(next_lsn + null_mask.sum())
+        import pyarrow.parquet as pq
+
+        # schema (S) events are partition-global: the generated WAL carries one
+        # copy per part, so the spool replicates them to every part too —
+        # each part's timeline then sees the change at the same LSN
+        op = t["op"].to_numpy(zero_copy_only=False)
+        s_mask = op == "S"
+        s_rows = t.filter(pa.array(s_mask)) if s_mask.any() else None
+        data_t = t.filter(pa.array(~s_mask)) if s_mask.any() else t
+        parts = bucket_of_keys(data_t, ["conv_id"], num_parts)
+        target_parts = range(num_parts) if s_rows is not None else np.unique(parts)
+        for p in target_parts:
+            sub = data_t.filter(pa.array(parts == int(p)))
+            if s_rows is not None:
+                sub = pa.concat_tables([sub, s_rows])
+            if len(sub) == 0:
+                continue
+            pdir = os.path.join(spool_dir, f"part={int(p)}")
+            os.makedirs(pdir, exist_ok=True)
+            fpath = os.path.join(pdir, f"stream-{seq:06d}.parquet")
+            pq.write_table(sub, fpath, store_schema=False)
+            files.append(fpath)
+        lsn_max = int(pa.compute.max(t["lsn"]).as_py())
+        last_lsn = max(last_lsn, lsn_max)
+        next_lsn = max(next_lsn, lsn_max + 1)
+        n_events += len(t)
+        seq += 1
+    with open(state_path + ".tmp", "w") as f:
+        json.dump({"next_seq": seq, "next_lsn": next_lsn}, f)
+    os.replace(state_path + ".tmp", state_path)
+    return {
+        "n_events": n_events,
+        "files": files,
+        "last_lsn": last_lsn,
+        "next_seq": seq,
+    }
+
+
+def tail_stream(
+    stream: IO[bytes] | str,
+    out_dir: str,
+    *,
+    spool_dir: str,
+    num_parts: int = 8,
+    batch_rows: int = 65536,
+    rounds_per_apply: int = 1,
+    num_buckets: int | None = 16,
+    run_prefix: str = "stream",
+    heartbeat_interval_s: float = 0.0,
+) -> dict:
+    """Live pipe → lake upsert: read JSONL micro-batches from ``stream``
+    (``"-"`` = stdin), spool each into the WAL layout, and converge the
+    published table after every ``rounds_per_apply`` micro-batches via the
+    exactly-once incremental sink. The one reference CLI mode
+    (``DBpediaTKG.scala:106-133``) with no batch-file analog.
+
+    Resumable like everything else in the sink: the spool keeps its sequence
+    state on disk, applies are watermark-filtered, and publish is per-bucket
+    atomic — killing this loop mid-stream and re-piping the remainder
+    converges to the same table. ``heartbeat_interval_s > 0`` logs live
+    events/s through :class:`odibel_ray.monitor.ThroughputMonitor`.
+    """
+    from odibel_ray.cdc.sink import incremental_apply, load_manifests, replay_publish
+    from odibel_ray.monitor import ThroughputMonitor
+
+    if isinstance(stream, str):
+        stream = open_stream(stream)
+    os.makedirs(spool_dir, exist_ok=True)
+    applies: list[dict] = []
+    spooled_rounds = 0
+    total_events = 0
+    run_i = 0
+
+    def _apply() -> None:
+        nonlocal run_i
+        if not load_manifests(out_dir):
+            res = replay_publish(
+                spool_dir, out_dir, num_buckets=num_buckets,
+                run_id=f"{run_prefix}-bootstrap",
+            )
+            res["mode"] = "bootstrap"
+        else:
+            res = incremental_apply(
+                spool_dir, out_dir, run_id=f"{run_prefix}-{run_i}"
+            )
+            res["mode"] = "incremental"
+        run_i += 1
+        applies.append(res)
+
+    with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
+        for chunk in _read_line_chunks(stream, batch_rows):
+            info = spool_jsonl(
+                io.BytesIO(chunk), spool_dir,
+                num_parts=num_parts, batch_rows=batch_rows,
+            )
+            total_events += info["n_events"]
+            mon.add(info["n_events"])
+            spooled_rounds += 1
+            if spooled_rounds % rounds_per_apply == 0:
+                _apply()
+        if total_events and (spooled_rounds % rounds_per_apply != 0 or not applies):
+            _apply()
+        summary = mon.stop()
+
+    return {
+        "n_events": total_events,
+        "applies": len(applies),
+        "rows_total": applies[-1]["rows_total"] if applies else 0,
+        "throughput": summary,
+        "history": applies,
+    }
