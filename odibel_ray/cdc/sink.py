@@ -647,3 +647,89 @@ def incremental_apply(
         "rows_total": tman["rows_total"],
         "out_dir": out_dir,
     }
+
+
+def _generic_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
+    """Stage one pre-bucketed group of an arbitrary table (any schema,
+    including nested ``list<struct>`` columns) and emit its manifest row.
+    The write-audit-publish contract is identical to the transcript path:
+    deterministic staged filename, row-count audit, atomic publish."""
+    if len(t) == 0:
+        return _MANIFEST_SCHEMA.empty_table()
+    t = t.combine_chunks()
+    bucket = int(t["_bucket"][0].as_py())
+    out = t.drop_columns(["_bucket"])
+    fname = f"part-{bucket:06d}.parquet"
+    staged = os.path.join(staging, fname)
+    pq.write_table(out, staged)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows_out": pa.array([len(out)], pa.int64()),
+            "n_events": pa.array([len(out)], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "staged": pa.array([staged], pa.string()),
+            "watermarks": pa.array(["{}"], pa.string()),
+            "run_id": pa.array([run_id], pa.string()),
+            "feed_staged": pa.array([""], pa.string()),
+            "feed_final": pa.array([""], pa.string()),
+        }
+    )
+
+
+def publish_dataset(
+    ds,
+    out_dir: str,
+    *,
+    key_cols: list[str],
+    num_buckets: int = 16,
+    run_id: str = "run-0",
+    batch_size: int = 65536,
+) -> dict:
+    """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
+    hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
+    counts, publish atomically with per-bucket manifests. Resumable like
+    :func:`replay_publish` — already-manifested buckets are filtered out before
+    the shuffle, so a killed run re-stages only missing buckets. Read back with
+    ``read_published(out_dir, system=True)`` (generic tables carry no transcript
+    system columns).
+
+    This is the sink path nested pipelines use (e.g. ``nested.nest_turns``
+    output — the reference's ``RevisionTemplateInfo`` list-of-structs rows,
+    ``data/RevisionTemplateInfo.scala:3``)."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    staging = os.path.join(out_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+    done = load_manifests(out_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of_keys(t, key_cols, num_buckets)
+        t = t.append_column("_bucket", pa.array(b, pa.int64()))
+        if done:
+            keep = ~np.isin(b, np.array(sorted(done), dtype=np.int64))
+            t = t.filter(pa.array(keep))
+        return t
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+    manifest_ds = tagged.groupby("_bucket").map_groups(
+        partial(_generic_write_group, staging=staging, run_id=run_id),
+        batch_format="pyarrow",
+    )
+    published = _publish_stream(manifest_ds, out_dir)
+    all_manifests = load_manifests(out_dir)
+    tman = {
+        "num_buckets": num_buckets,
+        "buckets": sorted(all_manifests),
+        "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+        "last_run_id": run_id,
+        "generic": True,
+    }
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    return {
+        "published_now": len(published),
+        "published_total": len(all_manifests),
+        "rows_total": tman["rows_total"],
+        "out_dir": out_dir,
+    }

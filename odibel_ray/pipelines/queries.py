@@ -1706,6 +1706,37 @@ def q_rdf_subgraph(sf_dir: str):
     )
 
 
+def q_events_nested_roundtrip(sf_dir: str):
+    """Nested ``list<struct>`` end-to-end (SURVEY.md §1.2, reference
+    ``data/RevisionTemplateInfo.scala:3``): flat events → :func:`nest_turns`
+    (one key shuffle) into one row per user with
+    ``turns: list<struct<turn_idx, role, score>>`` → write-audit-publish
+    through the generic exactly-once sink → read manifested files →
+    streaming :func:`unnest_turns` back to flat rows. Hash-pinned against a
+    DuckDB ``list(struct_pack(...)) → UNNEST`` oracle, so the nested column
+    provably survives the full sink cycle losslessly."""
+    import shutil
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+    from odibel_ray.nested import nest_turns, unnest_turns
+    from odibel_ray.ops.relational import load_table
+
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["turn_idx", "conv_id", "role", "score"])
+
+    nested = nest_turns(
+        ds.map_batches(rename, batch_format="pyarrow"),
+        turn_cols=("turn_idx", "role", "score"),
+        num_buckets=16,
+    )
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_nested_published")
+    shutil.rmtree(out, ignore_errors=True)
+    publish_dataset(nested, out, key_cols=["conv_id"], num_buckets=16, run_id="query")
+    return unnest_turns(read_published(out, system=True))
+
+
 # ===========================================================================
 # registry + oracles
 # ===========================================================================
@@ -1790,6 +1821,7 @@ QUERIES: dict[str, Callable] = {
     "rdf_clean_types": q_rdf_clean_types,
     "rdf_schema_graph": q_rdf_schema_graph,
     "rdf_subgraph": q_rdf_subgraph,
+    "events_nested_roundtrip": q_events_nested_roundtrip,
 }
 
 
@@ -1992,6 +2024,15 @@ GROUP BY 1, 2, 3
     }
     return {
         **rdf_sqls,
+        "events_nested_roundtrip": """
+WITH nested AS (
+  SELECT user_id AS conv_id, count(*) AS n_turns,
+         list(struct_pack(turn_idx := event_id, role := event_type, score := value)
+              ORDER BY event_id) AS turns
+  FROM events GROUP BY user_id
+)
+SELECT conv_id, n_turns, unnest(turns, recursive := true) FROM nested
+""",
         "transcript_replay": t_final,
         "transcript_replay_bucketed": t_final,
         "transcript_replay_partitioned": t_final,
