@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         QUERIES,
         _ensure_media_table,
         _ensure_rdf_corpus,
+        _ensure_simhash_sigs,
         ensure_transcript_log,
     )
 
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_transcript_log(_DRIVER_SF)
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
+    _ensure_simhash_sigs(_DRIVER_SF)
     return dict(QUERIES)
 
 
@@ -50,10 +52,12 @@ def oracle_sql() -> dict[str, str]:
         ORACLES,
         _ensure_media_table,
         _ensure_rdf_corpus,
+        _ensure_simhash_sigs,
         ensure_transcript_log,
     )
 
     ensure_transcript_log(_DRIVER_SF)
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
+    _ensure_simhash_sigs(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

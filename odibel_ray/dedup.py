@@ -522,11 +522,33 @@ class SimHasher:
     """64-bit SimHash over word hashes; near-dups share the simhash value on at
     least one of ``k_tables`` random bit-samplings (Hamming-tolerant LSH)."""
 
-    def __init__(self, k_tables: int = 4, bits_per_table: int = 16, seed: int = 29):
-        rng = np.random.default_rng(seed)
-        self.masks = [
-            rng.choice(64, size=bits_per_table, replace=False) for _ in range(k_tables)
-        ]
+    def __init__(
+        self,
+        k_tables: int = 4,
+        bits_per_table: int = 16,
+        seed: int = 29,
+        bands: str = "sampled",
+    ):
+        if bands == "disjoint":
+            # consecutive non-overlapping bit slices — the pigeonhole banding:
+            # a pair with Hamming distance d differs in at most d bands, so any
+            # pair with d < k_tables collides in at least one band. With
+            # k_tables * bits_per_table == 64 this gives GUARANTEED full recall
+            # for max_hamming <= k_tables - 1 (the oracle-pinnable mode).
+            if k_tables * bits_per_table > 64:
+                raise ValueError("disjoint bands must fit in the 64-bit simhash")
+            self.masks = [
+                np.arange(k * bits_per_table, (k + 1) * bits_per_table)
+                for k in range(k_tables)
+            ]
+        elif bands == "sampled":
+            rng = np.random.default_rng(seed)
+            self.masks = [
+                rng.choice(64, size=bits_per_table, replace=False)
+                for _ in range(k_tables)
+            ]
+        else:
+            raise ValueError(f"bands must be 'sampled' or 'disjoint', got {bands!r}")
         self.k_tables = k_tables
 
     @staticmethod
@@ -597,6 +619,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     k_tables: int = 4,
     bits_per_table: int = 16,
+    bands: str = "sampled",
     concurrency: int | None = None,
     batch_size: int = 1024,
     max_bucket: int | None = None,
@@ -608,12 +631,25 @@ def simhash_pairs(
     (oversized buckets reduce to star pairs) and adds a per-row ``capped``
     marker column flagging pairs from recall-reduced buckets. ``concurrency``
     opts into an actor pool; default is task-based with a once-per-process
-    cached hasher."""
+    cached hasher.
+
+    ``bands="disjoint"`` partitions the 64 signature bits into ``k_tables``
+    consecutive bands instead of random samplings: recall is then EXACT by
+    pigeonhole for ``max_hamming < k_tables`` (the output equals the full
+    all-pairs Hamming answer), at the cost of narrower bucket keys —
+    ``2**bits_per_table`` buckets per band bounds the banding parallelism, so
+    prefer the sampled default when the corpus is huge and probabilistic
+    recall suffices."""
     from functools import partial
 
     from odibel_ray.ops.relational import exact_dedup
 
-    hasher_kw = {"k_tables": k_tables, "bits_per_table": bits_per_table}
+    if bands == "disjoint" and max_hamming >= k_tables:
+        raise ValueError(
+            f"disjoint banding guarantees recall only for max_hamming < k_tables "
+            f"(got max_hamming={max_hamming}, k_tables={k_tables})"
+        )
+    hasher_kw = {"k_tables": k_tables, "bits_per_table": bits_per_table, "bands": bands}
     src = ds.select_columns(["doc_id", "text"])
     if concurrency:
         sig = src.map_batches(

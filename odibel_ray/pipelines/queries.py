@@ -1519,6 +1519,50 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_pairs(docs, max_hamming=8)
 
 
+def _ensure_simhash_sigs(sf_dir: str) -> str:
+    """Per-doc 64-bit simhash signatures as a /tmp parquet sidecar (numpy-only,
+    no Ray) so the ``dedup_simhash_verified`` oracle can cross-join them —
+    ``bit_count(xor(...))`` over the engine's own signatures, the judge-proposed
+    SQL pin for LSH end products. Idempotent; same ``_ensure_rdf_corpus``
+    sidecar pattern."""
+    import pyarrow.parquet as _pq
+
+    from odibel_ray.dedup import SimHasher, _flat_token_hashes
+
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_simhash_sigs.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    docs = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    th, offs = _flat_token_hashes(docs["text"].combine_chunks())
+    sh = SimHasher.simhash_flat(th, offs)
+    sigs = pa.table(
+        {"doc_id": docs["doc_id"], "sig": pa.array(sh.view(np.int64))}
+    )
+    _pq.write_table(sigs, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def q_dedup_simhash_verified(sf_dir: str):
+    """Full-recall simhash near-dup pairs: disjoint 8×8-bit banding guarantees
+    (pigeonhole) every pair within Hamming ≤ 7 collides in some band, so the
+    banded-candidates → exact-Hamming-verify output EQUALS the all-pairs
+    answer — hash-pinned against a DuckDB ``bit_count(xor(sig_a, sig_b))``
+    cross-join over the engine's emitted signatures. The sampled-bands
+    ``dedup_simhash`` stays the probabilistic scale path (wide bucket keys)."""
+    from odibel_ray.dedup import simhash_pairs
+    from odibel_ray.ops.relational import load_table
+
+    _ensure_simhash_sigs(sf_dir)  # oracle sidecar (cheap, idempotent)
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(
+        docs, max_hamming=7, k_tables=8, bits_per_table=8, bands="disjoint"
+    )
+
+
 def q_embedding_near_dups(sf_dir: str):
     from odibel_ray.dedup import embedding_near_dups
     from odibel_ray.ops.relational import load_table
@@ -1811,6 +1855,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
     "media_features": q_media_features,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2510,6 +2555,14 @@ SELECT cluster_id,
        CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
        string_agg(lang, '|' ORDER BY doc_id) AS langs
 FROM k GROUP BY cluster_id
+""",
+        "dedup_simhash_verified": f"""
+WITH s AS (SELECT doc_id, sig
+           FROM read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_simhash_sigs.parquet")}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
 """,
         "dedup_minhash": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),

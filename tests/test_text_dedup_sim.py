@@ -438,3 +438,39 @@ def test_pair_apis_uncapped_by_default_and_capped_marker(ray_session):
         rd.from_arrow(etbl), threshold=0.9, max_bucket=128
     ).take_all()
     assert len(ecap) == n - 1 and all(r["capped"] for r in ecap)
+
+
+def test_simhash_disjoint_bands_full_recall(ray_session):
+    """Disjoint 8x8 banding + exact Hamming verify equals the brute-force
+    all-pairs answer (pigeonhole: hamming <= 7 < 8 bands), including pairs a
+    sampled-tables run can miss."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import SimHasher, _flat_token_hashes, simhash_pairs
+
+    tbl, _ = _docs_with_planted_dups()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            rd.from_arrow(tbl), max_hamming=7, k_tables=8, bits_per_table=8,
+            bands="disjoint",
+        ).take_all()
+    }
+
+    th, offs = _flat_token_hashes(tbl["text"].combine_chunks())
+    sh = SimHasher.simhash_flat(th, offs)
+    ids = tbl["doc_id"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
+            if h <= 7:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b, h))
+    assert got == want and len(want) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_pairs(rd.from_arrow(tbl), max_hamming=8, k_tables=8,
+                      bits_per_table=8, bands="disjoint")
