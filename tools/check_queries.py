@@ -41,19 +41,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     return "OK"
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
-    sys.path.insert(0, "/root/repo")
+def run_checks(sf_dir: str, only: set[str] | None = None) -> int:
+    """Run every (or ``only`` the named) registry query against its DuckDB
+    oracle; print one verdict line each; return the failure count. Ray must
+    already be initialised by the caller (CLI main below / pytest fixture)."""
     from odibel_ray.pipelines.queries import ORACLES, QUERIES, ensure_transcript_log
 
     ensure_transcript_log(sf_dir)
@@ -92,6 +83,22 @@ def main() -> int:
         if verdict != "OK":
             failures += 1
     return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    return run_checks(sf_dir, only)
 
 
 if __name__ == "__main__":
