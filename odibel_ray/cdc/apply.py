@@ -629,7 +629,7 @@ def replay_dataset_actor(
 def suggest_salt(
     log_dir: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     hot_ratio: float = 4.0,
     max_salt: int = 16,
 ) -> dict:
@@ -652,7 +652,9 @@ def suggest_salt(
     top = approx_heavy_hitters(ds, "conv_id", k=16).take_all()
     if not top or n_total == 0:
         return {"hot_keys": [], "salt": 0}
-    mean_per_bucket = n_total / num_buckets
+    from odibel_ray.tuning import default_num_buckets
+
+    mean_per_bucket = n_total / default_num_buckets(num_buckets)
     hottest = max(int(r["n"]) for r in top)
     n_keys = max(approx_count_distinct(ds, ["conv_id"]), 1)
     if hottest < hot_ratio * (n_total / n_keys):

@@ -38,8 +38,15 @@ INT64_MAX = (1 << 63) - 1
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix for key combining
 
 
-def bucket_of_keys(t: pa.Table, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+def bucket_of_keys(
+    t: pa.Table, keys: Sequence[str], num_buckets: int
+) -> np.ndarray:
     """Deterministic per-row bucket from one or more key columns (vectorized)."""
+    # num_buckets must be resolved DRIVER-SIDE (tuning.default_num_buckets)
+    # before this ships in a closure: resolving per-task would let a cluster
+    # resize mid-run split one key across two bucket values.
+    if num_buckets is None:
+        raise TypeError("num_buckets unresolved — call tuning.default_num_buckets driver-side")
     h = np.zeros(len(t), dtype=np.uint64)
     for k in keys:
         col = t[k].to_numpy(zero_copy_only=False)
@@ -78,7 +85,7 @@ def lww_latest(
     lsn_col: str = "lsn",
     op_col: str = "op",
     delete_op: str = "D",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     precompact: bool = True,
     batch_size: int = 65536,
     drop_op: bool = True,
@@ -97,6 +104,9 @@ def lww_latest(
     then stage 2 re-merges per bucket over the (≤ salt rows per key) residue.
     LWW keep-last is associative in LSN order, so the result is identical.
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     keys = list(keys)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -150,13 +160,16 @@ def change_windows(
     lsn_col: str = "lsn",
     op_col: str = "op",
     delete_op: str = "D",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Version-history windows: every non-delete event opens ``[lsn, next_lsn)``
     for its key; the live version carries ``lsn_end = INT64_MAX`` (open-window
     sentinel, ``TemporalWindowBuilder.scala:92``). Deletes close the previous
     window and emit no row."""
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     keys = list(keys)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -190,7 +203,7 @@ def change_feed(
     keys: Sequence[str],
     values: Sequence[str],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Row-level change-data-feed between two converged table states: one row
@@ -209,6 +222,9 @@ def change_feed(
     so at 100 TB the cost is one all-to-all over ``keys + values`` only.
     Both inputs must be converged states (at most one row per key per side).
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     keys, values = list(keys), list(values)
 
     def tag(side: int):
@@ -291,7 +307,7 @@ def outer_diff(
     keys: Sequence[str],
     compare: Sequence[str],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Full-outer-join diff of two keyed tables → one row per differing key with
@@ -303,6 +319,9 @@ def outer_diff(
     once on the key hash, and classify per group — one all-to-all instead of a
     join's two.
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     keys, compare = list(keys), list(compare)
 
     def tag(side: int):

@@ -682,7 +682,7 @@ def publish_dataset(
     out_dir: str,
     *,
     key_cols: list[str],
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     run_id: str = "run-0",
     batch_size: int = 65536,
 ) -> dict:
@@ -698,7 +698,9 @@ def publish_dataset(
     output — the reference's ``RevisionTemplateInfo`` list-of-structs rows,
     ``data/RevisionTemplateInfo.scala:3``)."""
     from odibel_ray.cdc.lww import bucket_of_keys
+    from odibel_ray.tuning import default_num_buckets
 
+    num_buckets = default_num_buckets(num_buckets)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)

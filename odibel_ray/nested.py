@@ -52,7 +52,7 @@ def nest_turns(
     ds: "ray.data.Dataset",
     *,
     turn_cols: Sequence[str] = DEFAULT_TURN_COLS,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Assemble flat per-turn rows into one row per conversation with a
@@ -65,6 +65,9 @@ def nest_turns(
     per-conversation Python. At 100 TB a conversation is bounded (thousands
     of turns), so the nested row stays worker-sized even when the table
     doesn't."""
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.cdc.lww import bucket_of_keys
 
     turn_cols = list(turn_cols)

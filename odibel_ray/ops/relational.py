@@ -278,7 +278,7 @@ def bucketed_join(
     on: Sequence[str] | str,
     *,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     suffix: str = "_r",
     batch_size: int = 65536,
     left_schema: pa.Schema | None = None,
@@ -312,6 +312,9 @@ def bucketed_join(
     ``Dataset.schema()`` on an unexecuted pipeline EXECUTES it to infer the
     schema (a full upstream shuffle, twice, just for column types).
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.cdc.lww import bucket_of_keys
 
     on = [on] if isinstance(on, str) else list(on)
@@ -388,7 +391,7 @@ def asof_join(
     ts_col: str,
     *,
     value_cols: Sequence[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
@@ -403,6 +406,9 @@ def asof_join(
     when the key has no right row at or before the timestamp). Right rows must
     be unique per (key, ts).
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.cdc.lww import bucket_of_keys
 
     on = [on] if isinstance(on, str) else list(on)
@@ -502,7 +508,7 @@ def range_join(
     end_col: str,
     *,
     payload_cols: Sequence[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 65536,
     points_schema: pa.Schema | None = None,
     intervals_schema: pa.Schema | None = None,
@@ -520,6 +526,9 @@ def range_join(
     at corpus scale add a coarse time-bucket to the key like
     :func:`odibel_ray.ops.aggregates.sliding_window_counts`).
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.cdc.lww import bucket_of_keys
 
     on = [on] if isinstance(on, str) else list(on)

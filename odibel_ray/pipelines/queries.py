@@ -255,10 +255,14 @@ def q_transcript_publish_read(sf_dir: str):
 
     from odibel_ray.cdc.sink import read_published, replay_publish
 
+    from odibel_ray.tuning import default_num_buckets
+
     log = ensure_transcript_log(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_published")
     shutil.rmtree(out, ignore_errors=True)
-    replay_publish(log, out, num_buckets=16, run_id="query")
+    # cluster-derived publish width — the old hard-coded 16 was the
+    # parallelism ceiling on a bigger cluster (VERDICT r3 task 8)
+    replay_publish(log, out, num_buckets=default_num_buckets(), run_id="query")
     return read_published(out)
 
 
@@ -719,6 +723,21 @@ def q_cdc_events_diff(sf_dir: str):
     snap = snapshot_at(ev, ["user_id", "event_type"], at, lsn_col="event_id")
     final = lww_latest(ev, ["user_id", "event_type"], lsn_col="event_id")
     return outer_diff(snap, final, ["user_id", "event_type"], ["value"])
+
+
+def q_cdc_events_change_feed(sf_dir: str):
+    """Generic-key change-data-feed (J6 generic path, ``lww.change_feed``):
+    row-level insert/update/delete with before/after ``value`` between the
+    60%-LSN snapshot and the converged state of the events binlog — the
+    key-agnostic single-exchange CDF the transcript pipeline's fused
+    ``replay_change_feed`` specializes."""
+    from odibel_ray.cdc.lww import change_feed, lww_latest, snapshot_at
+
+    at = math.floor(0.6 * _events_max_lsn(sf_dir))
+    ev = _events_as_changes(sf_dir)
+    snap = snapshot_at(ev, ["user_id", "event_type"], at, lsn_col="event_id")
+    final = lww_latest(ev, ["user_id", "event_type"], lsn_col="event_id")
+    return change_feed(snap, final, ["user_id", "event_type"], ["value"])
 
 
 def q_pricing_summary(sf_dir: str):
@@ -1815,6 +1834,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_events_snapshot": q_cdc_events_snapshot,
     "cdc_events_windows": q_cdc_events_windows,
     "cdc_events_diff": q_cdc_events_diff,
+    "cdc_events_change_feed": q_cdc_events_change_feed,
     "pricing_summary": q_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
     "customers_per_region": q_customers_per_region,
@@ -2016,6 +2036,32 @@ SELECT coalesce(s.user_id, f.user_id) AS user_id,
        CASE WHEN s.user_id IS NULL THEN 'added'
             WHEN f.user_id IS NULL THEN 'deleted'
             ELSE 'changed' END AS diff
+FROM snap s FULL OUTER JOIN fin f
+  ON s.user_id = f.user_id AND s.event_type = f.event_type
+WHERE s.user_id IS NULL OR f.user_id IS NULL
+   OR (s.value IS DISTINCT FROM f.value)
+"""
+    )
+    ev_cdf = (
+        _EVENTS_CDC_CTE
+        + """
+, snap AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_id <= (SELECT FLOOR(0.6 * max(event_id)) FROM events))
+  WHERE rn = 1 AND op <> 'D'
+), fin AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn FROM ev)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s.user_id, f.user_id) AS user_id,
+       coalesce(s.event_type, f.event_type) AS event_type,
+       CASE WHEN s.user_id IS NULL THEN 'insert'
+            WHEN f.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       s.value AS value_before,
+       f.value AS value_after
 FROM snap s FULL OUTER JOIN fin f
   ON s.user_id = f.user_id AND s.event_type = f.event_type
 WHERE s.user_id IS NULL OR f.user_id IS NULL
@@ -2290,6 +2336,7 @@ GROUP BY 1, 2
         "cdc_events_snapshot": ev_snap,
         "cdc_events_windows": ev_win,
         "cdc_events_diff": ev_diff,
+        "cdc_events_change_feed": ev_cdf,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

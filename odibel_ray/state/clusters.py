@@ -91,7 +91,7 @@ def connected_components_distributed(
     b_col: str = "doc_b",
     *,
     max_rounds: int = 20,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components by min-label propagation (hash-min).
 
@@ -104,6 +104,9 @@ def connected_components_distributed(
     Returns ``(node, component)`` with ``component`` = smallest node id in the
     group — bit-identical to :func:`connected_components`.
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from ray.data.aggregate import Min
 
     from odibel_ray.ops.relational import bucketed_join
@@ -228,7 +231,7 @@ def classify_links(
     sim_col: str = "sim",
     id_col: str = "id",
     resource_col: str = "resource",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     edge_schema: pa.Schema | None = None,
     vertex_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
@@ -262,6 +265,9 @@ def classify_links(
     3. one bucketed groupby on hash(undirected pair): segment-sum of the two
        directions' flags classifies each edge.
     """
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.cdc.lww import _same_next_key_mask, bucket_of_keys
     from odibel_ray.ops.relational import bucketed_join
 
@@ -378,7 +384,7 @@ def filter_links(
     vertices: "ray.data.Dataset",
     types: Sequence[str] = ("normal", "strong"),
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     edge_schema: pa.Schema | None = None,
     vertex_schema: pa.Schema | None = None,
     **classify_kw,
@@ -389,6 +395,9 @@ def filter_links(
     components of the surviving graph. Vertices that lose all their links
     become singleton clusters (the reference keeps all nodes in the pruned
     graph). Returns ``(node, component, resource)``."""
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
     from odibel_ray.ops.relational import bucketed_join
 
     id_col = classify_kw.get("id_col", "id")
