@@ -559,6 +559,109 @@ def replay_snapshot_stats(
     )
 
 
+def replay_summary_stats(
+    log_dir: str,
+    *,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Fused A11 TKG summary (``eval/OutputEval.scala:50-64``): facts, distinct
+    keys, distinct conversations, distinct versions, live rows — in ONE log
+    read and ONE key shuffle plus a micro-exchange over pre-deduped version
+    values (the naive composition replays the history then runs three separate
+    distinct-count shuffles over it).
+
+    Group-local exactness: the shuffle key is ``hash(conv_id)``, so distinct
+    ``(conv_id, turn_idx)`` and distinct ``conv_id`` partition across groups —
+    per-group counts sum exactly. Version values (window starts ∪ closed ends)
+    can collide ACROSS conversations (LSNs repeat across WAL partitions), so
+    they are deduped group-locally (ends duplicate same-key starts, the bulk
+    of the duplication) and finished with one exact distinct-count exchange
+    over the shrunken value stream."""
+    import ray
+    import ray.data as rd
+
+    from odibel_ray.cdc.schema import extract_timeline
+    from odibel_ray.ops.aggregates import count_distinct
+
+    tl = extract_timeline(log_dir)
+    ds = rd.read_parquet(log_dir)
+    ds = ds.map_batches(
+        prepare_events,
+        fn_kwargs={"timeline": tl, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def summary(t: pa.Table) -> pa.Table:
+        h = apply_group_history(t)
+        n = len(h)
+        if n == 0:
+            return pa.table({"stat": pa.array([], pa.string()),
+                             "val": pa.array([], pa.int64())})
+        conv, turn = h["conv_id"], h["turn_idx"]
+        same_key = np.zeros(n, dtype=bool)
+        same_conv = np.zeros(n, dtype=bool)
+        if n > 1:
+            # h preserves the (conv, turn, lsn) sort of apply_group_history
+            sc = pc.equal(conv.slice(1), conv.slice(0, n - 1))
+            sk = pc.and_(sc, pc.equal(turn.slice(1), turn.slice(0, n - 1)))
+            same_conv[: n - 1] = sc.to_numpy(zero_copy_only=False)
+            same_key[: n - 1] = sk.to_numpy(zero_copy_only=False)
+        lsn_s = h["lsn_start"].to_numpy(zero_copy_only=False)
+        lsn_e = h["lsn_end"].to_numpy(zero_copy_only=False)
+        versions = np.unique(np.concatenate([lsn_s, lsn_e[lsn_e != INT64_MAX]]))
+        stats = pa.table(
+            {
+                "stat": pa.array(["n_facts", "n_keys", "n_convs", "n_live"]),
+                "val": pa.array(
+                    [
+                        n,
+                        int((~same_key).sum()),
+                        int((~same_conv).sum()),
+                        int((lsn_e == INT64_MAX).sum()),
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        vrows = pa.table(
+            {
+                "stat": pa.array(np.full(len(versions), "v"), pa.string()),
+                "val": pa.array(versions, pa.int64()),
+            }
+        )
+        return pa.concat_tables([stats, vrows])
+
+    # materialized intermediate is two int-ish columns of pre-deduped values —
+    # orders of magnitude under the history table it replaces, and it must be
+    # pinned because it is consumed twice (stats sum + version distinct)
+    per_group = (
+        ds.groupby("bucket").map_groups(summary, batch_format="pyarrow").materialize()
+    )
+    n_versions = int(
+        count_distinct(per_group.filter(expr="stat == 'v'"), ["val"])
+        .take_all()[0]["n"]
+    )
+    tot = pa.concat_tables(
+        [ray.get(r) for r in per_group.filter(expr="stat != 'v'").to_arrow_refs()]
+    )
+    sums = {"n_facts": 0, "n_keys": 0, "n_convs": 0, "n_live": 0}
+    stat = tot["stat"].to_pylist()
+    val = tot["val"].to_pylist()
+    for s, v in zip(stat, val):
+        sums[s] += v
+    return pa.table(
+        {
+            "n_facts": pa.array([sums["n_facts"]], pa.int64()),
+            "n_keys": pa.array([sums["n_keys"]], pa.int64()),
+            "n_convs": pa.array([sums["n_convs"]], pa.int64()),
+            "n_versions": pa.array([n_versions], pa.int64()),
+            "n_live": pa.array([sums["n_live"]], pa.int64()),
+        }
+    )
+
+
 class UpsertApplier:
     """Stateful actor-pool upsert stage (SURVEY.md §2.3 T4/T5): used as the
     ``map_groups`` UDF with ``concurrency=k``, so each actor is constructed

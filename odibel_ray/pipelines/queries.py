@@ -537,36 +537,12 @@ def q_transcript_summary(sf_dir: str):
     """A11 TKG summary (``eval/OutputEval.scala:50-64``): distinct-count
     profile of the replay history — facts, keys, conversations, versions
     (union of window starts and closed ends), live rows."""
-    from odibel_ray.cdc.apply import replay_dataset
-    from odibel_ray.ops.aggregates import count_distinct
+    from odibel_ray.cdc.apply import replay_summary_stats
 
-    hist = replay_dataset(ensure_transcript_log(sf_dir), history=True)
-    proj = hist.select_columns(
-        ["conv_id", "turn_idx", "lsn_start", "lsn_end"]
-    ).materialize()
-    n_facts = proj.count()
-    n_keys = count_distinct(proj, ["conv_id", "turn_idx"]).take_all()[0]["n"]
-    n_convs = count_distinct(proj, ["conv_id"]).take_all()[0]["n"]
-
-    def versions(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        s = t["lsn_start"].to_numpy(zero_copy_only=False)
-        e = t["lsn_end"].to_numpy(zero_copy_only=False)
-        return pa.table({"v": pa.array(np.concatenate([s, e[e != INT64_MAX]]))})
-
-    n_versions = count_distinct(
-        proj.map_batches(versions, batch_format="pyarrow"), ["v"]
-    ).take_all()[0]["n"]
-    n_live = proj.filter(expr=f"lsn_end == {INT64_MAX}").count()
-    return pa.table(
-        {
-            "n_facts": pa.array([n_facts], pa.int64()),
-            "n_keys": pa.array([n_keys], pa.int64()),
-            "n_convs": pa.array([n_convs], pa.int64()),
-            "n_versions": pa.array([n_versions], pa.int64()),
-            "n_live": pa.array([n_live], pa.int64()),
-        }
-    )
+    # fused kernel: one log read + one key shuffle + a micro-exchange over
+    # pre-deduped version values (was: history materialize + 3 distinct-count
+    # shuffles + 2 extra passes)
+    return replay_summary_stats(ensure_transcript_log(sf_dir))
 
 
 def q_transcript_snapshot_stats(sf_dir: str):
