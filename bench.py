@@ -47,6 +47,17 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_publish_read",
     # prefix-publish + incremental variants of the timed incremental path
     "transcript_incremental_feed",
+    # micro-batch/maintenance variants of the timed publish+incremental path
+    "transcript_stream_tail",
+    "transcript_rebucket_read",
+    # snapshot_at == lww_latest + LSN filter; timed under cdc_events_lww
+    "cdc_events_snapshot",
+    # same verify kernel as dedup_minhash, over SQL-expressible blocking
+    "dedup_jaccard_verified",
+    # 1->k serializer twin of the timed transcript_named_graphs
+    "transcript_reification",
+    # anti-join twin of the timed customers_with_orders
+    "customers_without_orders",
 }
 
 
@@ -258,6 +269,9 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1950:  # driver capture window is ~2000 chars
             compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+            line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1950:  # last resort: whole seconds, never drop a query
+            compact["queries"] = {k: int(round(v)) for k, v in queries.items()}
             line = json.dumps(compact, separators=(",", ":"))
         print(line)
     ray.shutdown()

@@ -599,15 +599,15 @@ def replay_summary_stats(
         if n == 0:
             return pa.table({"stat": pa.array([], pa.string()),
                              "val": pa.array([], pa.int64())})
-        conv, turn = h["conv_id"], h["turn_idx"]
+        from odibel_ray.cdc.lww import _same_next_key_mask
+
+        # h preserves the (conv, turn, lsn) sort of apply_group_history
+        h = h.combine_chunks()
         same_key = np.zeros(n, dtype=bool)
         same_conv = np.zeros(n, dtype=bool)
         if n > 1:
-            # h preserves the (conv, turn, lsn) sort of apply_group_history
-            sc = pc.equal(conv.slice(1), conv.slice(0, n - 1))
-            sk = pc.and_(sc, pc.equal(turn.slice(1), turn.slice(0, n - 1)))
-            same_conv[: n - 1] = sc.to_numpy(zero_copy_only=False)
-            same_key[: n - 1] = sk.to_numpy(zero_copy_only=False)
+            same_conv[: n - 1] = _same_next_key_mask(h, ["conv_id"])
+            same_key[: n - 1] = _same_next_key_mask(h, ["conv_id", "turn_idx"])
         lsn_s = h["lsn_start"].to_numpy(zero_copy_only=False)
         lsn_e = h["lsn_end"].to_numpy(zero_copy_only=False)
         versions = np.unique(np.concatenate([lsn_s, lsn_e[lsn_e != INT64_MAX]]))
@@ -696,9 +696,9 @@ def replay_dataset_actor(
 ) -> "ray.data.Dataset":
     """Replay with the stateful actor-pool applier variant of the merge stage.
 
-    ``concurrency`` defaults to half the session CPUs (capped at 4) — an actor
-    pool equal to the CPU count starves the upstream read/prepare tasks and
-    deadlocks the streaming executor.
+    ``concurrency`` defaults to :func:`odibel_ray.tuning.default_pool_size`
+    (half the effective cores) — an actor pool equal to the CPU count starves
+    the upstream read/prepare tasks and deadlocks the streaming executor.
     """
     import ray
     import ray.data as rd
@@ -706,11 +706,9 @@ def replay_dataset_actor(
     from odibel_ray.cdc.schema import extract_timeline
 
     if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        concurrency = max(1, min(4, cpus // 2))
+        from odibel_ray.tuning import default_pool_size
+
+        concurrency = default_pool_size()
     tl = timeline or extract_timeline(log_dir)
     ds = rd.read_parquet(log_dir)
     ds = ds.map_batches(

@@ -160,7 +160,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "tail-stream":
         import logging
 
-        logging.getLogger("odibel_ray.monitor").setLevel(logging.INFO)
+        mon_log = logging.getLogger("odibel_ray.monitor")
+        mon_log.setLevel(logging.INFO)
+        if not mon_log.handlers:  # INFO records need a real handler to print
+            h = logging.StreamHandler()
+            h.setFormatter(logging.Formatter("%(message)s"))
+            mon_log.addHandler(h)
         from odibel_ray.sources.stream import tail_stream
 
         res = tail_stream(

@@ -88,7 +88,11 @@ class ThroughputMonitor:
         return self
 
     def stop(self) -> dict:
-        """Stop the reporter; returns the final summary (also logged)."""
+        """Stop the reporter; returns the final summary (also logged).
+        Idempotent — a second stop (e.g. ``__exit__`` after an explicit
+        ``stop()``) returns the first summary without re-emitting."""
+        if getattr(self, "_summary", None) is not None:
+            return self._summary
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=self.interval_s + 1.0)
@@ -103,6 +107,7 @@ class ThroughputMonitor:
             f"done: {total} {self.what} in {elapsed:.1f}s "
             f"({total / elapsed:,.0f} {self.what}/s)"
         )
+        self._summary = summary
         return summary
 
     def __enter__(self) -> "ThroughputMonitor":

@@ -139,15 +139,22 @@ def unnest_turns(
     def explode(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         lst = _single_chunk(t[list_col])
-        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        # null list rows explode to zero rows: pc.list_flatten drops null
+        # slots, so a 0 length keeps parent repeats aligned with the flat
+        # values (unify_to_schema produces all-null list columns for old
+        # files that predate the column)
+        lens = (
+            pc.fill_null(pc.list_value_length(lst), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         flat = pc.list_flatten(lst)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
         cols: dict = {}
         for name in t.column_names:
             if name == list_col or name in drop:
                 continue
-            arr = _single_chunk(t[name])
-            idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
-            cols[name] = arr.take(pa.array(idx))
+            cols[name] = _single_chunk(t[name]).take(idx)
         for field in lst.type.value_type:
             cols[field.name] = pc.struct_field(flat, field.name)
         return pa.table(cols)

@@ -277,8 +277,14 @@ def ensure_jsonl_stream(sf_dir: str) -> str:
     log = ensure_transcript_log(sf_dir)
     path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_stream.jsonl")
     marker = path + ".ok"
+    # invalidate when the underlying log is regenerated with other params
+    # (same guard ensure_transcript_log itself uses — a bare "ok" marker
+    # would serve a stale stream against a fresh oracle)
+    params = _json.dumps({**_LOG_PARAMS, "n_convs": _n_convs(sf_dir)}, sort_keys=True)
     if os.path.exists(marker) and os.path.exists(path):
-        return path
+        with open(marker) as f:
+            if f.read() == params:
+                return path
     tables = [
         pq.read_table(f)
         for f in sorted(_glob.glob(os.path.join(log, "part=*", "*.parquet")))
@@ -293,7 +299,7 @@ def ensure_jsonl_stream(sf_dir: str) -> str:
             f.write("\n")
     os.replace(path + ".tmp", path)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(params)
     return path
 
 

@@ -125,16 +125,16 @@ def spool_jsonl(
         stream = open_stream(stream)
     os.makedirs(spool_dir, exist_ok=True)
     state_path = os.path.join(spool_dir, "_spool_state.json")
+    st: dict = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
     if start_seq is None:
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                st = json.load(f)
-            start_seq = int(st["next_seq"])
-            next_lsn = int(st["next_lsn"])
-        else:
-            start_seq, next_lsn = 0, 0
-    else:
-        next_lsn = start_seq
+        start_seq = int(st.get("next_seq", 0))
+    # the LSN counter is independent of the file-sequence counter: an explicit
+    # start_seq renumbers files only — reusing it as the next LSN could
+    # collide with LSNs already spooled and silently flip LWW winners
+    next_lsn = int(st.get("next_lsn", 0))
 
     seq = start_seq
     n_events = 0
@@ -226,13 +226,24 @@ def tail_stream(
     if isinstance(stream, str):
         stream = open_stream(stream)
     os.makedirs(spool_dir, exist_ok=True)
+    import glob as _glob
+
+    archive_dir = spool_dir.rstrip("/") + "_applied"
     applies: list[dict] = []
+    # leftovers from a killed previous run are pending too — the first apply
+    # converges them (watermark-idempotent) and archives them with its batch
+    pending_files: list[str] = sorted(
+        _glob.glob(os.path.join(spool_dir, "part=*", "stream-*.parquet"))
+    )
     spooled_rounds = 0
     total_events = 0
     run_i = 0
 
     def _apply() -> None:
-        nonlocal run_i
+        nonlocal run_i, pending_files
+        if not pending_files:
+            return
+        consumed = list(pending_files)
         if not load_manifests(out_dir):
             res = replay_publish(
                 spool_dir, out_dir, num_buckets=num_buckets,
@@ -246,6 +257,17 @@ def tail_stream(
             res["mode"] = "incremental"
         run_i += 1
         applies.append(res)
+        # archive the micro-batch files this apply consumed so the next apply
+        # reads only NEW files — per-round ingest IO stays O(new events), not
+        # O(whole stream so far). Moving only after publish returns keeps the
+        # crash story: files still pending are re-read and watermark-filtered
+        # (idempotent); already-applied S events live on in the stored
+        # timeline the incremental path merges.
+        for f in consumed:
+            dst = os.path.join(archive_dir, os.path.relpath(f, spool_dir))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(f, dst)
+        pending_files = [f for f in pending_files if f not in set(consumed)]
 
     with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
         for chunk in _read_line_chunks(stream, batch_rows):
@@ -255,6 +277,7 @@ def tail_stream(
             )
             total_events += info["n_events"]
             mon.add(info["n_events"])
+            pending_files.extend(info["files"])
             spooled_rounds += 1
             if spooled_rounds % rounds_per_apply == 0:
                 _apply()

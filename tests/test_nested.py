@@ -255,3 +255,29 @@ def test_nested_publish_schema_evolution(ray_session, tmp_path):
     assert len(back) == len(flat)
     assert back[back.conv_id < "conv-005"]["tool_name"].isna().all()
     assert back[back.conv_id >= "conv-005"]["tool_name"].notna().any()
+
+
+def test_unnest_null_list_rows(ray_session):
+    """Rows whose list column is NULL (e.g. unify_to_schema widening a file
+    that predates the column) explode to zero rows instead of crashing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.nested import unnest_turns
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "b", "c"],
+            "turns": pa.array(
+                [
+                    [{"turn_idx": 0, "role": "u"}],
+                    None,
+                    [{"turn_idx": 0, "role": "u"}, {"turn_idx": 1, "role": "a"}],
+                ],
+                pa.large_list(pa.struct([("turn_idx", pa.int32()), ("role", pa.string())])),
+            ),
+        }
+    )
+    back = unnest_turns(rd.from_arrow(t)).to_pandas()
+    assert len(back) == 3
+    assert sorted(back["conv_id"]) == ["a", "c", "c"]

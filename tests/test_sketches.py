@@ -41,7 +41,10 @@ def test_suggest_salt_detects_zipf_hot_keys(ray_session, small_log):
     from odibel_ray.cdc.apply import replay_dataset, suggest_salt
 
     log = small_log["log_dir"]
-    s = suggest_salt(log)
+    # the advice is relative to the apply's bucket width (derived from the
+    # cluster by default — only 8 at the 4-CPU test session, where the hot
+    # key genuinely fits a mean bucket); pin the width the assertion assumes
+    s = suggest_salt(log, num_buckets=64)
     assert s["salt"] >= 1 and len(s["hot_keys"]) > 0
     plain = replay_dataset(log).count()
     salted = replay_dataset(log, num_buckets=8, salt=max(s["salt"], 2)).count()

@@ -89,13 +89,22 @@ def test_tail_stream_converges_to_oracle(ray_session, tmp_path):
     assert res["n_events"] == n_events
     assert res["applies"] >= 2  # several micro-batch rounds actually ran
 
+    # applied micro-batches are archived out of the spool (per-round IO stays
+    # O(new events)); the oracle replays the archive, which holds them all
+    archive = spool + "_applied"
+    assert os.path.isdir(archive) and not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(spool)
+        for f in fs
+    ), "applied stream files must move to the archive"
+
     got = (
         read_published(table)
         .to_pandas()
         .sort_values(["conv_id", "turn_idx"], ignore_index=True)
     )
     want = (
-        replay_oracle(spool)
+        replay_oracle(archive)
         .to_pandas()
         .sort_values(["conv_id", "turn_idx"], ignore_index=True)
     )
