@@ -1588,6 +1588,21 @@ def q_embedding_cosine_pairs(sf_dir: str):
     return cosine_pairs_exact(emb, threshold=0.4).select_columns(["vec_a", "vec_b"])
 
 
+def q_embedding_dup_clusters(sf_dir: str):
+    """Embedding-modality duplicate groups: EXACT cosine pair graph
+    (block-tiled all-pairs, complete recall) → distributed min-label
+    connected components — the embedding twin of ``dedup_minhash_clusters``,
+    oracle-pinned against a recursive-CTE reachability oracle over the same
+    ``list_cosine_similarity`` pair graph."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import cosine_pairs_exact
+    from odibel_ray.state import connected_components_distributed
+
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pairs_exact(emb, threshold=0.4).select_columns(["vec_a", "vec_b"])
+    return connected_components_distributed(pairs, a_col="vec_a", b_col="vec_b")
+
+
 def _query_vectors(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1859,6 +1874,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "media_features": q_media_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2573,6 +2589,21 @@ FROM documents
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "embedding_dup_clusters": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+),
+ed AS (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p),
+n AS (SELECT DISTINCT src AS node FROM ed),
+r(node, reach) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, ed.dst FROM r JOIN ed ON ed.src = r.reach
+)
+SELECT node, min(reach) AS component FROM r GROUP BY node
 """,
         "fusion_cluster_values": """
 WITH k AS (SELECT doc_id, text, lang,
