@@ -152,14 +152,11 @@ WITH ev AS (
 
 def _actor_conc(max_conc: int = 4) -> int:
     """Actor-pool size that leaves CPUs for upstream read tasks (an actor pool
-    equal to the session CPU count starves the producers and deadlocks)."""
-    try:
-        import ray
+    equal to the session CPU count starves the producers and deadlocks);
+    cluster derivation lives in :func:`odibel_ray.tuning.default_pool_size`."""
+    from odibel_ray.tuning import default_pool_size
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(1, min(max_conc, cpus // 2))
+    return default_pool_size(cap=max_conc)
 
 
 def _events_as_changes(sf_dir: str):
