@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from odibel_ray.pipelines.queries import (
         QUERIES,
+        _ensure_ivf_centroids,
         _ensure_media_table,
         _ensure_rdf_corpus,
         _ensure_simhash_sigs,
@@ -44,12 +45,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
+    _ensure_ivf_centroids(_DRIVER_SF)
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from odibel_ray.pipelines.queries import (
         ORACLES,
+        _ensure_ivf_centroids,
         _ensure_media_table,
         _ensure_rdf_corpus,
         _ensure_simhash_sigs,
@@ -60,4 +63,5 @@ def oracle_sql() -> dict[str, str]:
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
+    _ensure_ivf_centroids(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

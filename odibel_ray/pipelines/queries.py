@@ -1652,16 +1652,51 @@ def q_ann_cosine_topk(sf_dir: str):
     return cosine_topk(emb, _query_vectors(sf_dir), k=10)
 
 
+def _ensure_ivf_centroids(sf_dir: str) -> "np.ndarray":
+    """Fit (once) the seeded k-means centroids and persist them as a /tmp
+    parquet sidecar — the single source of truth BOTH the Ray query and the
+    DuckDB oracle read, so the oracle can replicate the IVF
+    probe/assign/scan exactly (same pattern as the simhash signature
+    sidecar). Returns the centroid matrix (float64, normalized)."""
+    import pyarrow.parquet as _pq
+
+    from odibel_ray.sim import fit_centroids
+
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ivf_centroids.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        sample = _pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        cent = fit_centroids(sample, n_lists=16).astype(np.float64)
+        t = pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }
+        )
+        _pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    t = _pq.read_table(path)
+    order = pc.sort_indices(t, sort_keys=[("list_id", "ascending")])
+    t = t.take(order)
+    return np.array(t["centroid"].to_pylist(), dtype=np.float64)
+
+
+def _ivf_pq(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ivf_centroids.parquet")
+
+
 def q_ann_ivf_topk(sf_dir: str):
-    import pyarrow.parquet as pq
-
+    """IVF approximate top-k, oracle-pinned: the fitted centroids are a /tmp
+    sidecar both sides read, so DuckDB replays the exact probe (top-6 lists
+    per query), multi-assignment (top-2 lists per vector), candidate union,
+    and final exact-cosine ranking — a full end-to-end pin of the IVF path,
+    not just a recall bar (the recall ≥ 0.9 pytest remains)."""
     from odibel_ray.ops.relational import load_table
-    from odibel_ray.sim import fit_centroids, ivf_topk
+    from odibel_ray.sim import ivf_topk
 
-    sample = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    cent = fit_centroids(sample, n_lists=16)
+    cent = _ensure_ivf_centroids(sf_dir)
     emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     # multi-assignment + wider probe: the synthetic embeddings are weakly
     # clustered, so recall >= 0.9 vs the exact oracle needs both knobs
@@ -2704,6 +2739,35 @@ SELECT media_id, kind,
                  WHEN kind = 'video' THEN octet_length(payload) - 24
                  ELSE (octet_length(payload) - 24) / 2 END AS BIGINT) AS n_samples
 FROM read_parquet('{media_pq}')
+""",
+        "ann_ivf_topk": f"""
+WITH c AS (SELECT list_id, centroid FROM read_parquet('{_ivf_pq(sf_dir)}')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC, c.list_id) AS r
+    FROM q CROSS JOIN c) WHERE r <= 6
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.list_id) AS r
+    FROM embeddings e CROSS JOIN c) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON p.list_id = a.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT cand.query_id, cand.vec_id,
+         row_number() OVER (PARTITION BY cand.query_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, cand.vec_id) - 1 AS rank
+  FROM cand JOIN q USING (query_id) JOIN embeddings e ON cand.vec_id = e.vec_id
+) WHERE rank < 10
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0)
