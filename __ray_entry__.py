@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from odibel_ray.pipelines.queries import (
         QUERIES,
         _ensure_ivf_centroids,
+        _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
         _ensure_simhash_sigs,
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
+    _ensure_lsh_planes(_DRIVER_SF)
     return dict(QUERIES)
 
 
@@ -53,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
     from odibel_ray.pipelines.queries import (
         ORACLES,
         _ensure_ivf_centroids,
+        _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
         _ensure_simhash_sigs,
@@ -64,4 +67,5 @@ def oracle_sql() -> dict[str, str]:
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
+    _ensure_lsh_planes(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

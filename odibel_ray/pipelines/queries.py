@@ -1561,12 +1561,55 @@ def q_dedup_simhash_verified(sf_dir: str):
     )
 
 
+def _ensure_lsh_planes(sf_dir: str) -> str:
+    """Persist the hyperplane-LSH normals (same seed/shape the engine derives
+    in-task) as a /tmp sidecar so the ``embedding_near_dups`` oracle can
+    replay the bucket assignment in SQL (``list_dot_product`` sign bits) —
+    third instance of the sidecar-pin pattern (simhash sigs, IVF centroids)."""
+    import pyarrow.parquet as _pq
+
+    k_tables, planes_per_table, seed = 12, 4, 47
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lsh_planes.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    first = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    dim = len(first["embedding"][0].as_py())
+    planes = np.random.default_rng(seed).standard_normal(
+        (k_tables, planes_per_table, dim)
+    )
+    t = pa.table(
+        {
+            "table_id": pa.array(
+                np.repeat(np.arange(k_tables, dtype=np.int64), planes_per_table)
+            ),
+            "plane_id": pa.array(
+                np.tile(np.arange(planes_per_table, dtype=np.int64), k_tables)
+            ),
+            "normal": pa.array(
+                list(planes.reshape(-1, dim)), pa.list_(pa.float64())
+            ),
+        }
+    )
+    _pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def q_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs, oracle-pinned end-to-end: the plane
+    normals are a /tmp sidecar, so DuckDB replays the sign-bit bucket keys
+    (``list_dot_product > 0``), the per-table candidate join, and the exact
+    cosine ≥ threshold verify. Pair set only — cosine VALUES are
+    float-order-sensitive across engines (see ``embedding_cosine_pairs``)."""
     from odibel_ray.dedup import embedding_near_dups
     from odibel_ray.ops.relational import load_table
 
+    _ensure_lsh_planes(sf_dir)  # oracle sidecar (cheap, idempotent)
     emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(emb, threshold=0.4)
+    return embedding_near_dups(emb, threshold=0.4).select_columns(["vec_a", "vec_b"])
 
 
 def q_embedding_cosine_pairs(sf_dir: str):
@@ -2621,6 +2664,25 @@ FROM documents
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "embedding_near_dups": f"""
+WITH ass AS (
+  SELECT e.vec_id, p.table_id,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.normal) > 0
+                  THEN (1 << p.plane_id) ELSE 0 END) AS bucket_key
+  FROM embeddings e CROSS JOIN read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lsh_planes.parquet")}') p
+  GROUP BY e.vec_id, p.table_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ass a JOIN ass b
+    ON a.table_id = b.table_id AND a.bucket_key = b.bucket_key
+   AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM cand
+JOIN embeddings x ON x.vec_id = vec_a
+JOIN embeddings y ON y.vec_id = vec_b
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
 """,
         "embedding_dup_clusters": """
 WITH RECURSIVE p AS (
