@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
+        _ensure_simhash_masks,
         _ensure_simhash_sigs,
         ensure_transcript_log,
     )
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
+    _ensure_simhash_masks(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
     _ensure_lsh_planes(_DRIVER_SF)
     return dict(QUERIES)
@@ -58,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
         _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
+        _ensure_simhash_masks,
         _ensure_simhash_sigs,
         ensure_transcript_log,
     )
@@ -66,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_rdf_corpus(_DRIVER_SF)
     _ensure_media_table(_DRIVER_SF)
     _ensure_simhash_sigs(_DRIVER_SF)
+    _ensure_simhash_masks(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
     _ensure_lsh_planes(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

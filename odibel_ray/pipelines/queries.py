@@ -1509,10 +1509,49 @@ def q_dedup_jaccard_verified(sf_dir: str):
     )
 
 
+def _ensure_simhash_masks(sf_dir: str) -> str:
+    """Persist the sampled-bit LSH masks (same seeded draw as ``SimHasher``)
+    so the ``dedup_simhash`` oracle can replay the bucket keys in SQL —
+    ``((sig >> bit_pos) & 1) << bit_i`` summed per table over the signature
+    sidecar. Fourth instance of the sidecar-pin pattern."""
+    import pyarrow.parquet as _pq
+
+    from odibel_ray.dedup import SimHasher
+
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_simhash_masks.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    masks = SimHasher().masks  # default k_tables=4, bits_per_table=16, seed=29
+    rows_t, rows_i, rows_p = [], [], []
+    for k, mask in enumerate(masks):
+        for bit_i, bit_pos in enumerate(mask):
+            rows_t.append(k)
+            rows_i.append(int(bit_i))
+            rows_p.append(int(bit_pos))
+    t = pa.table(
+        {
+            "table_id": pa.array(rows_t, pa.int64()),
+            "bit_i": pa.array(rows_i, pa.int64()),
+            "bit_pos": pa.array(rows_p, pa.int64()),
+        }
+    )
+    _pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def q_dedup_simhash(sf_dir: str):
+    """Sampled-bands simhash near-dups, oracle-pinned end-to-end: signatures
+    AND the seeded bit-sampling masks are /tmp sidecars, so DuckDB replays
+    the per-table bucket keys, the candidate join, and the exact Hamming
+    verify — the probabilistic scale path gets the same full
+    rows+schema+hash check as the disjoint-band variant."""
     from odibel_ray.dedup import simhash_pairs
     from odibel_ray.ops.relational import load_table
 
+    _ensure_simhash_sigs(sf_dir)
+    _ensure_simhash_masks(sf_dir)
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(docs, max_hamming=8)
 
@@ -2709,6 +2748,25 @@ SELECT cluster_id,
        CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
        string_agg(lang, '|' ORDER BY doc_id) AS langs
 FROM k GROUP BY cluster_id
+""",
+        "dedup_simhash": f"""
+WITH s AS (SELECT doc_id, sig
+           FROM read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_simhash_sigs.parquet")}')),
+ass AS (
+  SELECT s.doc_id, m.table_id,
+         sum(((s.sig >> m.bit_pos) & 1) << m.bit_i) AS bucket_key
+  FROM s CROSS JOIN read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_simhash_masks.parquet")}') m
+  GROUP BY s.doc_id, m.table_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ass a JOIN ass b
+    ON a.table_id = b.table_id AND a.bucket_key = b.bucket_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+WHERE bit_count(xor(x.sig, y.sig)) <= 8
 """,
         "dedup_simhash_verified": f"""
 WITH s AS (SELECT doc_id, sig
