@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from odibel_ray.pipelines.queries import (
         QUERIES,
         _ensure_ivf_centroids,
+        _ensure_lang_profiles,
         _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_simhash_masks(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
     _ensure_lsh_planes(_DRIVER_SF)
+    _ensure_lang_profiles(_DRIVER_SF)
     return dict(QUERIES)
 
 
@@ -57,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
     from odibel_ray.pipelines.queries import (
         ORACLES,
         _ensure_ivf_centroids,
+        _ensure_lang_profiles,
         _ensure_lsh_planes,
         _ensure_media_table,
         _ensure_rdf_corpus,
@@ -72,4 +75,5 @@ def oracle_sql() -> dict[str, str]:
     _ensure_simhash_masks(_DRIVER_SF)
     _ensure_ivf_centroids(_DRIVER_SF)
     _ensure_lsh_planes(_DRIVER_SF)
+    _ensure_lang_profiles(_DRIVER_SF)
     return ORACLES(_DRIVER_SF)

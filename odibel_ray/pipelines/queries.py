@@ -1430,14 +1430,57 @@ def q_rarity_sample_docs(sf_dir: str):
     return rarity_first_sample(docs, "lang", "doc_id", per_type=4)
 
 
+def _ensure_lang_profiles(sf_dir: str) -> str:
+    """Persist the fitted per-language byte profiles (row-normalized, exactly
+    what ``LanguageID`` scores against) as a /tmp sidecar keyed by the byte's
+    two-char hex, so the ``doc_lang_id`` oracle can rebuild per-doc byte
+    histograms in SQL (``hex(encode(text))`` pair extraction) and replay the
+    argmax scoring — fifth instance of the sidecar-pin pattern."""
+    import pyarrow.parquet as _pq
+
+    from odibel_ray.text import fit_language_profiles
+
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lang_profiles.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    sample = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    sample = sample.filter(pc.less(pc.bit_wise_and(sample["doc_id"], 7), 2))
+    profiles = fit_language_profiles(sample)
+    langs, hxs, weights = [], [], []
+    for lang in sorted(profiles):
+        w = profiles[lang].astype(np.float64)
+        w = w / max(float(np.linalg.norm(w)), 1e-12)
+        for byte in np.nonzero(w)[0]:
+            langs.append(lang)
+            hxs.append(f"{byte:02X}")
+            weights.append(float(w[byte]))
+    t = pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "hx": pa.array(hxs, pa.string()),
+            "weight": pa.array(weights, pa.float64()),
+        }
+    )
+    _pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def q_doc_lang_id(sf_dir: str):
     """Language ID via per-language byte-histogram profiles learned on a
-    deterministic sample (rows-only check; accuracy asserted in tests)."""
+    deterministic sample — oracle-pinned: the normalized profiles are a /tmp
+    sidecar and DuckDB rebuilds each doc's byte histogram from
+    ``hex(encode(text))`` pairs, replaying the argmax scoring exactly (doc
+    normalization cancels inside a doc's argmax)."""
     import pyarrow.parquet as pq
 
     from odibel_ray.ops.relational import load_table
     from odibel_ray.text import fit_language_profiles, language_id
 
+    _ensure_lang_profiles(sf_dir)  # oracle sidecar (cheap, idempotent)
     sample = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
@@ -2748,6 +2791,24 @@ SELECT cluster_id,
        CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
        string_agg(lang, '|' ORDER BY doc_id) AS langs
 FROM k GROUP BY cluster_id
+""",
+        "doc_lang_id": f"""
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> substring(hex(encode(text)), CAST(2*i - 1 AS INT), 2))) AS hx
+  FROM documents
+),
+cnt AS (SELECT doc_id, hx, count(*) AS n FROM b GROUP BY doc_id, hx),
+sc AS (
+  SELECT c.doc_id, p.lang, sum(c.n * p.weight) AS score
+  FROM cnt c JOIN read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lang_profiles.parquet")}') p USING (hx)
+  GROUP BY c.doc_id, p.lang
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+  FROM sc) WHERE r = 1
 """,
         "dedup_simhash": f"""
 WITH s AS (SELECT doc_id, sig
