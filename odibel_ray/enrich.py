@@ -110,12 +110,14 @@ class TurnEnricher:
         return out.filter(pa.array(keep))
 
 
-def enrich_turns(ds: "ray.data.Dataset", *, concurrency: int = 2,
+def enrich_turns(ds: "ray.data.Dataset", *, concurrency: int | None = None,
                  batch_size: int = 4096, max_retries: int = 3, **client_kwargs):
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
         TurnEnricher,
         fn_constructor_kwargs={"max_retries": max_retries, **client_kwargs},
-        concurrency=concurrency,
+        concurrency=default_pool_size(concurrency),
         batch_size=batch_size,
         batch_format="pyarrow",
     )

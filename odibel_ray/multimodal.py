@@ -406,24 +406,33 @@ class FrameSampler:
         )
 
 
-def sample_frames(ds: "ray.data.Dataset", stride: int = 4, *, concurrency: int = 2,
-                  batch_size: int = 64):
+def sample_frames(ds: "ray.data.Dataset", stride: int = 4, *,
+                  concurrency: int | None = None, batch_size: int = 64):
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
         FrameSampler, fn_constructor_kwargs={"stride": stride},
-        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
-    )
-
-
-def media_features(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 64):
-    return ds.map_batches(
-        MediaFeatures, concurrency=concurrency, batch_size=batch_size,
+        concurrency=default_pool_size(concurrency), batch_size=batch_size,
         batch_format="pyarrow",
     )
 
 
-def resize_images(ds: "ray.data.Dataset", target=(16, 16), *, concurrency: int = 2,
-                  batch_size: int = 64):
+def media_features(ds: "ray.data.Dataset", *, concurrency: int | None = None,
+                   batch_size: int = 64):
+    from odibel_ray.tuning import default_pool_size
+
+    return ds.map_batches(
+        MediaFeatures, concurrency=default_pool_size(concurrency),
+        batch_size=batch_size, batch_format="pyarrow",
+    )
+
+
+def resize_images(ds: "ray.data.Dataset", target=(16, 16), *,
+                  concurrency: int | None = None, batch_size: int = 64):
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
         ImageResizer, fn_constructor_kwargs={"target": target},
-        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
+        concurrency=default_pool_size(concurrency), batch_size=batch_size,
+        batch_format="pyarrow",
     )

@@ -114,10 +114,14 @@ class QualityScorer:
         )
 
 
-def quality_scores(ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 8192):
+def quality_scores(ds: "ray.data.Dataset", *, concurrency: int | None = None,
+                   batch_size: int = 8192):
     """Quality features via an actor pool (stateful-stage shape, SURVEY.md §2.3 T4)."""
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
-        QualityScorer, concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow"
+        QualityScorer, concurrency=default_pool_size(concurrency),
+        batch_size=batch_size, batch_format="pyarrow"
     )
 
 
@@ -203,11 +207,14 @@ def fit_language_profiles(sample: pa.Table, lang_col: str = "lang") -> dict[str,
 _DEFAULT_PROFILES: dict[str, np.ndarray] = {}
 
 
-def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int = 2, batch_size: int = 8192):
+def language_id(ds: "ray.data.Dataset", profiles, *, concurrency: int | None = None,
+                batch_size: int = 8192):
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
         LanguageID,
         fn_constructor_kwargs={"profiles": profiles},
-        concurrency=concurrency,
+        concurrency=default_pool_size(concurrency),
         batch_size=batch_size,
         batch_format="pyarrow",
     )
@@ -285,11 +292,14 @@ class TemplateExtractor:
 
 
 def extract_templates(ds: "ray.data.Dataset", prefix: str = "", *,
-                      concurrency: int = 2, batch_size: int = 8192):
+                      concurrency: int | None = None, batch_size: int = 8192):
     """1 row → k template rows (``flat_map`` shape) via an actor pool."""
+    from odibel_ray.tuning import default_pool_size
+
     return ds.map_batches(
         TemplateExtractor, fn_constructor_kwargs={"prefix": prefix},
-        concurrency=concurrency, batch_size=batch_size, batch_format="pyarrow",
+        concurrency=default_pool_size(concurrency), batch_size=batch_size,
+        batch_format="pyarrow",
     )
 
 
