@@ -157,6 +157,16 @@ def dead_letter_batch(batch: pa.Table) -> pa.Table:
     return out.filter(pa.array(reject))
 
 
+def _empty_log_table() -> pa.Table:
+    """Empty table shaped like one read batch of the partitioned WAL (the
+    file schema plus the hive ``part`` partition column)."""
+    from odibel_ray.datagen import LOG_SCHEMA
+
+    return LOG_SCHEMA.empty_table().append_column(
+        "part", pa.array([], pa.int64())
+    )
+
+
 def dead_letter_scan(
     log_dir: str,
     *,
@@ -172,9 +182,11 @@ def dead_letter_scan(
     whole log in the object store, so with ``quarantine_dir`` the reject
     stream is written straight to Parquet (streaming, no ``materialize``)
     and the returned Dataset re-reads the quarantine. The quarantine is
-    derived data: it is deleted and recreated per scan, so re-runs replace
-    rather than append (``write_parquet`` alone would add uniquely-named
-    files and double-count rejects)."""
+    derived data: each scan stages into a sibling ``.staging`` dir and swaps
+    it in only after the scan succeeds, so re-runs replace rather than
+    append (``write_parquet`` alone would add uniquely-named files and
+    double-count rejects) and a scan that dies mid-run leaves the previous
+    quarantine intact."""
     import shutil
 
     import ray.data as rd
@@ -183,9 +195,18 @@ def dead_letter_scan(
         dead_letter_batch, batch_format="pyarrow", batch_size=batch_size
     )
     if quarantine_dir:
+        quarantine_dir = quarantine_dir.rstrip("/")
+        staging = quarantine_dir + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        ds.write_parquet(staging)
         shutil.rmtree(quarantine_dir, ignore_errors=True)
-        os.makedirs(quarantine_dir, exist_ok=True)
-        ds.write_parquet(quarantine_dir)
+        os.replace(staging, quarantine_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(quarantine_dir)):
+            # zero rejects: write_parquet emits no files and read_parquet of
+            # an empty dir has no schema — return a typed empty Dataset so
+            # downstream select/filter on the dead-letter columns still works
+            return rd.from_arrow(dead_letter_batch(_empty_log_table()))
         return rd.read_parquet(quarantine_dir)
     return ds
 

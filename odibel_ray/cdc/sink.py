@@ -7,16 +7,19 @@ plus a row-count audit in its converters (``transform/CSVToParquet.scala:25-30``
 We generalize both (SURVEY.md §4):
 
 - **write**: each group task writes its bucket to a *deterministic* staging path
-  (``_staging/<run_id>/part-<bucket>.parquet``) — a retried task overwrites its
-  own output, never duplicates it (no wall-clock ids; the reference's
-  ``System.nanoTime()`` bnode ids at ``transform/CSVToRDFReification.scala:98``
-  are the anti-pattern we avoid);
+  (``_staging/<run_id>/part-<bucket>-<run_id>.parquet``) — a retried task
+  overwrites its own output, never duplicates it (no wall-clock ids; the
+  reference's ``System.nanoTime()`` bnode ids at
+  ``transform/CSVToRDFReification.scala:98`` are the anti-pattern we avoid);
 - **audit**: the driver checks the staged file's Parquet row count against the
   manifest row the task emitted;
-- **publish**: atomic ``os.replace`` of the data file into place, then atomic
-  write of ``_manifests/bucket-<k>.json``. Readers trust only manifested files,
-  so a kill at any point leaves either a fully-published bucket or an invisible
-  partial — never a torn read.
+- **publish**: copy-on-write — the data file moves into place under its
+  run-versioned name, then the atomic write of ``_manifests/bucket-<k>.json``
+  flips the bucket's pointer; superseded versions are swept afterwards.
+  Readers trust only manifested files, and the previous version stays live
+  and audited until the pointer flip, so a kill at any point leaves either a
+  fully-published bucket or the intact previous state — never a torn read
+  and never a manifest-less bucket.
 
 Published files carry system columns ``_lsn``/``_part``/``_bucket`` so an
 incremental run can LWW-merge new events onto the base (same-key comparisons are
@@ -126,7 +129,7 @@ def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
             "_bucket": t["bucket"],
         }
     )
-    fname = f"part-{bucket:06d}.parquet"
+    fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
 
@@ -143,6 +146,20 @@ def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
             "feed_final": pa.array([""], pa.string()),
         }
     )
+
+
+def _bucket_filename(bucket: int, run_id: str) -> str:
+    """Versioned data filename: ``part-<bucket>-<run>.parquet``. The run tag
+    makes publish copy-on-write — a new version lands under a NEW name and
+    the atomic manifest write is the only pointer flip. Replacing the bucket
+    file in place (the old ``part-<bucket>.parquet`` scheme) had a crash
+    window: die after the data ``os.replace`` but before the manifest write
+    and the old manifest fails its row-count audit, the bucket drops out of
+    ``read_published``, and an incremental resume over a tail-only log
+    rebuilds the bucket from new events alone — silent base-row loss.
+    Retries of the SAME run still overwrite their own file (idempotent)."""
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in run_id)
+    return f"part-{bucket:06d}-{safe}.parquet"
 
 
 def load_manifests(out_dir: str) -> dict[int, dict]:
@@ -178,10 +195,11 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
             )
         final_path = os.path.join(out_dir, row["file"])
         os.replace(staged, final_path)
-        # feed sidecar publishes with its bucket: it becomes visible only
-        # AFTER the data it describes (a crash between the two leaves the
-        # bucket manifest-less, so resume redoes both deterministically) —
-        # a mid-crash feed reader can never see phantom changes
+        # feed sidecar publishes with its bucket, just before the manifest
+        # pointer flip: a crash in between leaves the bucket's OLD manifest
+        # (and old data file) fully consistent, and the resume re-applies the
+        # same events — the feed's watermark-derived filename makes that an
+        # overwrite, never a duplicate
         if row.get("feed_staged"):
             os.makedirs(os.path.dirname(row["feed_final"]), exist_ok=True)
             os.replace(row["feed_staged"], row["feed_final"])
@@ -194,9 +212,25 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
             "run_id": row["run_id"],
             **(extra or {}),
         }
+        # the manifest write IS the publish: data lands under a versioned
+        # name first (copy-on-write), so until this atomic pointer flip the
+        # previous version of the bucket stays live and audited
         _atomic_write_json(
             os.path.join(out_dir, MANIFEST_DIR, f"bucket-{manifest['bucket']:06d}.json"), manifest
         )
+        # sweep superseded/orphaned versions of this bucket (the previous
+        # published file, plus any leftovers from crashed runs) — best-effort
+        # derived-data cleanup after the pointer flip
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(out_dir, f"part-{manifest['bucket']:06d}*.parquet")
+        ):
+            if os.path.basename(stale) != manifest["file"]:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         published.append(manifest)
     return published
 
@@ -495,12 +529,13 @@ def incremental_apply(
     ``feed_dir``: also emit the run's change-data-feed (row-level
     insert/update/delete with before/after ``text`` vs the base table, the
     lakehouse CDF a MERGE writes alongside the data) as partitioned Parquet
-    under ``feed_dir/bucket=<b>/<run_id>.parquet`` — computed inside the same
-    per-bucket apply task from state the merge already holds (base row +
-    winning event per key), so it costs no extra exchange or log read.
-    Re-running the same ``run_id`` overwrites its own feed files (derived
-    data, idempotent); keys in untouched buckets have no new events and thus
-    no feed rows.
+    under ``feed_dir/bucket=<b>/state-<watermark-hash>.parquet`` — computed inside the
+    same per-bucket apply task from state the merge already holds (base row
+    + winning event per key), so it costs no extra exchange or log read.
+    Feed filenames are keyed by the bucket's post-apply watermark map, so a
+    crash-resume under a *different* run_id still overwrites rather than
+    duplicates the crashed run's feed rows; keys in untouched buckets have
+    no new events and thus no feed rows.
     """
     import ray.data as rd
 
@@ -607,11 +642,25 @@ def incremental_apply(
             # so feed rows never describe state that isn't visible yet
             feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
             pq.write_table(feed, feed_staged)
-            feed_final = os.path.join(
-                feed_dir, f"bucket={bucket}", f"{run_id}.parquet"
-            )
             row = _apply_write_group(
                 t.drop_columns(["_base"]), staging=staging, run_id=run_id
+            )
+            # feed filename is derived from the bucket's post-apply watermark
+            # STATE, not the run_id: a crash between feed publish and the
+            # bucket manifest write makes the resume re-apply the same events
+            # (same watermark map) under a fresh run_id — a deterministic
+            # name means the resume OVERWRITES the crashed run's feed file
+            # instead of double-counting its change rows. Two different
+            # applies of a bucket always advance some part's max LSN, so the
+            # watermark map (hashed, since parts can also drop out when all
+            # their rows are deleted) uniquely tags each state transition.
+            import hashlib
+
+            tag = hashlib.sha1(
+                row["watermarks"][0].as_py().encode()
+            ).hexdigest()[:16]
+            feed_final = os.path.join(
+                feed_dir, f"bucket={bucket}", f"state-{tag}.parquet"
             )
             i_fs = row.schema.get_field_index("feed_staged")
             row = row.set_column(
@@ -659,7 +708,7 @@ def _generic_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
     t = t.combine_chunks()
     bucket = int(t["_bucket"][0].as_py())
     out = t.drop_columns(["_bucket"])
-    fname = f"part-{bucket:06d}.parquet"
+    fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
     return pa.table(
@@ -696,11 +745,42 @@ def publish_dataset(
 
     This is the sink path nested pipelines use (e.g. ``nested.nest_turns``
     output — the reference's ``RevisionTemplateInfo`` list-of-structs rows,
-    ``data/RevisionTemplateInfo.scala:3``)."""
+    ``data/RevisionTemplateInfo.scala:3``).
+
+    The resolved bucket layout is pinned in ``<out_dir>/_layout.json``
+    BEFORE any staging: the cluster-derived default ``num_buckets`` depends
+    on where the process runs, so a killed run resumed under a different
+    CPU count must reuse the original layout — re-hashing rows against a
+    different modulus while ``done`` holds old bucket ids silently drops
+    and duplicates rows. Changing the bucketing of a partially-published
+    table is an error (finish or wipe it, or use ``rebucket_published`` on
+    a complete one)."""
     from odibel_ray.cdc.lww import bucket_of_keys
     from odibel_ray.tuning import default_num_buckets
 
-    num_buckets = default_num_buckets(num_buckets)
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            layout = json.load(f)
+        if num_buckets is not None and int(layout["num_buckets"]) != num_buckets:
+            raise ValueError(
+                f"table at {out_dir} was laid out with num_buckets="
+                f"{layout['num_buckets']}; resuming with {num_buckets} would "
+                "corrupt it (rebucket_published resizes a complete table)"
+            )
+        if list(layout.get("key_cols", key_cols)) != list(key_cols):
+            raise ValueError(
+                f"table at {out_dir} was laid out with key_cols="
+                f"{layout['key_cols']}, not {list(key_cols)}"
+            )
+        num_buckets = int(layout["num_buckets"])
+    else:
+        num_buckets = default_num_buckets(num_buckets)
+        os.makedirs(out_dir, exist_ok=True)
+        _atomic_write_json(
+            layout_path,
+            {"num_buckets": num_buckets, "key_cols": list(key_cols)},
+        )
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)

@@ -166,15 +166,19 @@ def extract_templates_nested(
     ds: "ray.data.Dataset",
     prefix: str = "",
     *,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
     """Row-count-preserving template extraction: each input row gains
     ``templates: list<struct<name, body>>`` — the reference's
     ``RevisionTemplateInfo`` record shape (``data/RevisionTemplateInfo.scala:3``)
     instead of the exploded ``extract_templates`` rows. Actor pool: the brace
-    parser state compiles once per actor."""
+    parser state compiles once per actor; width defaults cluster-derived like
+    every other actor-pool stage (:func:`odibel_ray.tuning.default_pool_size`)."""
     from odibel_ray.text import TemplateExtractor
+    from odibel_ray.tuning import default_pool_size
+
+    concurrency = default_pool_size(concurrency)
 
     class NestedTemplates(TemplateExtractor):
         def __call__(self, t: pa.Table) -> pa.Table:  # type: ignore[override]

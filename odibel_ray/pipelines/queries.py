@@ -2804,11 +2804,21 @@ sc AS (
   SELECT c.doc_id, p.lang, sum(c.n * p.weight) AS score
   FROM cnt c JOIN read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lang_profiles.parquet")}') p USING (hx)
   GROUP BY c.doc_id, p.lang
+),
+win AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+    FROM sc) WHERE r = 1
 )
-SELECT doc_id, lang AS pred_lang FROM (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
-  FROM sc) WHERE r = 1
+-- LEFT JOIN from documents: a doc with empty/NULL text (or no byte pair in
+-- any profile) has no sc rows, but the engine still classifies it — a zero
+-- histogram scores 0 against every profile and argmax takes the FIRST
+-- sorted language, which is what the coalesce fallback replays
+SELECT d.doc_id,
+       coalesce(w.lang,
+                (SELECT min(lang) FROM read_parquet('{os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_lang_profiles.parquet")}'))) AS pred_lang
+FROM documents d LEFT JOIN win w USING (doc_id)
 """,
         "dedup_simhash": f"""
 WITH s AS (SELECT doc_id, sig

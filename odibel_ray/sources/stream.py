@@ -267,7 +267,7 @@ def tail_stream(
             dst = os.path.join(archive_dir, os.path.relpath(f, spool_dir))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(f, dst)
-        pending_files = [f for f in pending_files if f not in set(consumed)]
+        pending_files = []  # _apply always consumes the whole pending set
 
     with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
         for chunk in _read_line_chunks(stream, batch_rows):
@@ -281,7 +281,10 @@ def tail_stream(
             spooled_rounds += 1
             if spooled_rounds % rounds_per_apply == 0:
                 _apply()
-        if total_events and (spooled_rounds % rounds_per_apply != 0 or not applies):
+        # anything still pending converges here — including leftovers from a
+        # killed previous run when THIS stream contributed zero events (the
+        # "re-pipe the remainder, remainder is empty" resume case)
+        if pending_files:
             _apply()
         summary = mon.stop()
 

@@ -20,7 +20,28 @@ of values — bucketing is partitioning, not semantics).
 
 from __future__ import annotations
 
+import logging
 import os
+
+_log = logging.getLogger("odibel_ray.tuning")
+
+
+def _env_int(name: str) -> int | None:
+    """Parse an int env override; a malformed or non-positive value is
+    ignored with a warning instead of crashing every actor-pool setup deep
+    inside ``map_batches``."""
+    raw = os.environ.get(name)
+    if not raw:
+        return None
+    try:
+        val = int(raw)
+    except ValueError:
+        _log.warning("ignoring non-integer %s=%r", name, raw)
+        return None
+    if val < 1:
+        _log.warning("ignoring non-positive %s=%r", name, raw)
+        return None
+    return val
 
 
 def cluster_cpus() -> int:
@@ -46,9 +67,9 @@ def default_num_buckets(
     ``ODIBEL_NUM_BUCKETS`` so a bucket's converged rows fit a worker)."""
     if num_buckets is not None:
         return num_buckets
-    env = os.environ.get("ODIBEL_NUM_BUCKETS")
-    if env:
-        return int(env)
+    env = _env_int("ODIBEL_NUM_BUCKETS")
+    if env is not None:
+        return env  # deliberate: the override may exceed ``hi`` at 100 TB
     return min(hi, max(lo, per_cpu * cluster_cpus()))
 
 
@@ -58,5 +79,5 @@ def default_pool_size(pool: int | None = None, *, cap: int = 64) -> int:
     see ray-data pitfalls in BASELINE.md), capped."""
     if pool is not None:
         return pool
-    eff = int(os.environ.get("ODIBEL_EFFECTIVE_CORES", "0")) or cluster_cpus()
+    eff = _env_int("ODIBEL_EFFECTIVE_CORES") or cluster_cpus()
     return min(cap, max(1, min(eff, cluster_cpus()) // 2))

@@ -198,6 +198,41 @@ def test_nested_publish_dataset_roundtrip(ray_session, tmp_path):
     )
 
 
+def test_publish_dataset_pins_bucket_layout(ray_session, tmp_path):
+    """The resolved bucket layout is persisted before staging: a resume under
+    a different cluster-derived default must reuse the original num_buckets
+    (re-hashing against a new modulus while `done` holds old bucket ids drops
+    and duplicates rows), and an explicit conflicting num_buckets or key set
+    is an error, not silent corruption."""
+    import json
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset
+    from odibel_ray.nested import nest_turns
+
+    flat = _flat_table()
+    cols = ("turn_idx", "role", "text", "tool_name", "score")
+    out = str(tmp_path / "pinned")
+    nested = nest_turns(rd.from_arrow(flat), turn_cols=cols, num_buckets=4)
+    publish_dataset(nested, out, key_cols=["conv_id"], num_buckets=4)
+    layout = json.load(open(os.path.join(out, "_layout.json")))
+    assert layout == {"num_buckets": 4, "key_cols": ["conv_id"]}
+
+    # resume with the default (None) reuses the pinned layout even though the
+    # cluster-derived default would differ from 4
+    nested2 = nest_turns(rd.from_arrow(flat), turn_cols=cols, num_buckets=4)
+    res = publish_dataset(nested2, out, key_cols=["conv_id"], run_id="run-1")
+    assert res["published_now"] == 0
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        publish_dataset(nested2, out, key_cols=["conv_id"], num_buckets=8)
+    with pytest.raises(ValueError, match="key_cols"):
+        publish_dataset(nested2, out, key_cols=["conv_id", "n_turns"])
+
+
 def test_nested_publish_schema_evolution(ray_session, tmp_path):
     """Two published generations of a nested table (struct gained a child)
     unify through unify_to_schema after read_published."""

@@ -46,6 +46,53 @@ def test_second_run_is_noop(ray_session, small_log, tmp_path):
     assert res2["published_total"] == 4
 
 
+def test_publish_is_copy_on_write(ray_session, small_log, oracle_final, tmp_path):
+    """Publish must never invalidate the previous version of a bucket before
+    the manifest pointer flip: data lands under a run-versioned filename, the
+    old file + manifest stay consistent up to the atomic manifest write, and
+    superseded/orphaned versions are swept after. Guards against the
+    crash-window where an in-place data replace broke the old manifest's
+    row-count audit and the bucket silently vanished from the base (an
+    incremental resume over a tail-only log then rebuilt it from new events
+    alone — base-row loss)."""
+    import shutil
+
+    log = small_log["log_dir"]
+    prefix = str(tmp_path / "prefix")
+    split_log(log, prefix, frac=0.6)
+    out = str(tmp_path / "tbl")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=4, run_id="r1")
+    before = load_manifests(out)
+    before_table = _published_table(out)
+
+    # simulate a crashed publish: a NEW versioned data file exists for every
+    # bucket but no manifest was flipped — readers must still see the old,
+    # audited state, not a torn or missing bucket
+    for b, m in before.items():
+        shutil.copyfile(
+            os.path.join(out, m["file"]),
+            os.path.join(out, f"part-{b:06d}-crashed.parquet"),
+        )
+    assert load_manifests(out).keys() == before.keys()
+    assert _published_table(out).equals(before_table)
+
+    # resume: the incremental apply converges and sweeps the orphans of
+    # every bucket it republished
+    res = incremental_apply(log, out, run_id="r2")
+    assert _published_table(out).equals(oracle_final)
+    after = load_manifests(out)
+    republished = {b for b, m in after.items() if m["run_id"] == "r2"}
+    assert republished  # the tail touched at least one bucket
+    root_files = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert root_files == {m["file"] for m in after.values()} | {
+        f"part-{b:06d}-crashed.parquet" for b in after if b not in republished
+    }
+    # superseded r1 versions of republished buckets are gone
+    for b in republished:
+        assert not os.path.exists(os.path.join(out, before[b]["file"]))
+    assert res["published_total"] == 4
+
+
 def test_rebucket_published_round_trip(ray_session, small_log, oracle_final, tmp_path):
     """Out-of-place rebucket: destination at a different bucket count reads
     identical to the source (and to the replay oracle); source untouched;
@@ -259,7 +306,7 @@ def test_retried_group_write_is_idempotent(tmp_path):
     m1 = _apply_write_group(t, staging=str(staging), run_id="r")
     m2 = _apply_write_group(t, staging=str(staging), run_id="r")  # simulated retry
     assert m1.equals(m2)
-    assert os.listdir(staging) == ["part-000005.parquet"]
+    assert os.listdir(staging) == ["part-000005-r.parquet"]
     assert m1["rows_out"][0].as_py() == 2  # 'a' upserted, 'b' deleted, 'c' live
     # empty group (all events invalid upstream) publishes nothing, no error
     assert len(_apply_write_group(t.slice(0, 0), staging=str(staging), run_id="r")) == 0

@@ -146,6 +146,38 @@ def test_tail_stream_resume_mid_pipe(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_tail_stream_applies_leftover_spool_on_empty_repipe(ray_session, tmp_path):
+    """Killed-after-spool resume: micro-batches sit in the spool but were
+    never applied, and the re-piped remainder is EMPTY. tail_stream must
+    still converge the leftovers (the final apply keys off pending files,
+    not off this stream's event count)."""
+    import pandas as pd
+
+    from odibel_ray.cdc.sink import read_published
+    from odibel_ray.sources.stream import spool_jsonl, tail_stream
+
+    log_dir, _ = _fixture_log(tmp_path)
+    payload = _jsonl_from_log(log_dir)
+    spool = str(tmp_path / "spool")
+    table = str(tmp_path / "table")
+    # simulate the killed run: events spooled, no apply ever happened
+    spool_jsonl(io.BytesIO(payload), spool, num_parts=4, batch_rows=400)
+    res = tail_stream(io.BytesIO(b""), table, spool_dir=spool, num_parts=4,
+                      batch_rows=400, num_buckets=8)
+    assert res["n_events"] == 0 and res["applies"] == 1
+    assert res["rows_total"] > 0
+
+    spool2 = str(tmp_path / "spool2")
+    table2 = str(tmp_path / "table2")
+    tail_stream(io.BytesIO(payload), table2, spool_dir=spool2, num_parts=4,
+                batch_rows=400, num_buckets=8)
+    a = read_published(table).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    b = read_published(table2).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_spool_assigns_arrival_lsn(ray_session, tmp_path):
     """A feed without binlog positions gets monotone arrival-order LSNs."""
     from odibel_ray.sources.stream import spool_jsonl

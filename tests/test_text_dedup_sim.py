@@ -91,6 +91,24 @@ def test_lang_id_query_runs(ray_session):
     assert all(r["pred_lang"] for r in rows)
 
 
+def test_language_id_empty_and_null_text():
+    """A zero byte histogram (empty or NULL text) scores 0 against every
+    profile; argmax then picks the FIRST sorted language — the deterministic
+    fallback the doc_lang_id oracle SQL replays via coalesce(min(lang))."""
+    from odibel_ray.text import LanguageID
+
+    profiles = {"en": np.ones(256), "de": np.arange(256, dtype=np.float64)}
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", None, "the quick brown fox"]),
+        }
+    )
+    out = LanguageID(profiles)(t).to_pydict()
+    assert out["pred_lang"][:2] == ["de", "de"]  # min(sorted langs)
+    assert out["pred_lang"][2] == "en"
+
+
 def test_fingerprint_deterministic(ray_session):
     import ray.data as rd
 
