@@ -95,8 +95,13 @@ _MANIFEST_SCHEMA = pa.schema(
 )
 
 
-def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
-    """Final apply + deterministic staged write; returns ONE manifest row."""
+def _apply_write_group(
+    t: pa.Table, *, staging: str, run_id: str, metrics: str | None = None
+) -> pa.Table:
+    """Final apply + deterministic staged write; returns ONE manifest row.
+    ``metrics``: name of a live-counter actor to fire task-side progress
+    into (:func:`odibel_ray.monitor.record_task_metrics`) — events applied,
+    rows staged, buckets finished, visible mid-replay from any process."""
     if len(t) == 0:
         # a shard whose events all failed prepare's validity filter publishes
         # nothing — skip, don't IndexError the whole run
@@ -133,6 +138,12 @@ def _apply_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
 
+    if metrics:
+        from odibel_ray.monitor import record_task_metrics
+
+        record_task_metrics(
+            metrics, events=n_events, rows=len(out), buckets_staged=1
+        )
     return pa.table(
         {
             "bucket": pa.array([bucket], pa.int64()),
@@ -236,7 +247,8 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
 
 
 def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: str,
-                       run_id: str, done: frozenset[int]) -> pa.Table:
+                       run_id: str, done: frozenset[int],
+                       metrics: str | None = None) -> pa.Table:
     """Shuffle-free sink path: one task per WAL partition — ordered read of the
     shard's files → prepare → LWW apply → staged write + manifest row. Valid
     because the log is key-aligned (bucket == part); see
@@ -256,7 +268,7 @@ def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: st
         t = pa.concat_tables(tables, promote_options="default").combine_chunks()
         t = t.append_column("part", pa.array(np.full(len(t), part, np.int64)))
         ev = _prep(t, timeline, num_buckets=None)
-        outs.append(_apply_write_group(ev, staging=staging, run_id=run_id))
+        outs.append(_apply_write_group(ev, staging=staging, run_id=run_id, metrics=metrics))
     if not outs:
         return _MANIFEST_SCHEMA.empty_table()
     return pa.concat_tables(outs)
@@ -272,6 +284,7 @@ def replay_publish(
     batch_size: int = 65536,
     partitioned: bool = False,
     task_cpus: float = 1,
+    metrics: str | None = None,
 ) -> dict:
     """Full replay with the exactly-once sink. Resumable: already-published
     buckets (valid manifest + audited file) are filtered out *before* the
@@ -305,7 +318,7 @@ def replay_publish(
         # node's real parallel capacity so tasks don't thrash.
         manifest_ds = shard_ds.map_batches(
             partial(_shard_apply_write, timeline=timeline, staging=staging,
-                    run_id=run_id, done=frozenset(done)),
+                    run_id=run_id, done=frozenset(done), metrics=metrics),
             batch_format="pyarrow",
             batch_size=1,
             num_cpus=task_cpus,
@@ -348,7 +361,8 @@ def replay_publish(
         ds = ds.map_batches(compact_batch, batch_format="pyarrow", batch_size=batch_size)
 
     manifest_ds = ds.groupby("bucket").map_groups(
-        partial(_apply_write_group, staging=staging, run_id=run_id), batch_format="pyarrow"
+        partial(_apply_write_group, staging=staging, run_id=run_id, metrics=metrics),
+        batch_format="pyarrow",
     )
     published = _publish_stream(manifest_ds, out_dir)
 
@@ -383,6 +397,71 @@ def read_published(out_dir: str, *, system: bool = False, parallelism: int = -1)
     if not system:
         ds = ds.select_columns(LOGICAL_COLUMNS)
     return ds
+
+
+def lookup_key(
+    out_dir: str,
+    conv_id: str,
+    *,
+    turn_idx: int | None = None,
+    columns: list[str] | None = None,
+    system: bool = False,
+) -> pa.Table:
+    """Point read of one key from a published table — the payoff of the
+    hash-bucketed layout: at 100 TB this opens ONE bucket file (or, for
+    part-aligned layouts, prunes by Parquet footer stats) instead of
+    scanning the table, so a CDC-serving lookup is O(one row group), not a
+    distributed job. Driver-side on purpose: the result is a handful of
+    rows.
+
+    Layouts:
+    - hash-bucketed tables (``num_buckets`` in the table manifest): the
+      bucket id is recomputed from ``conv_id`` with the same hash the sink
+      used, and exactly that bucket's manifested file is read;
+    - partitioned tables (``num_buckets`` None — bucket == WAL part, whose
+      assignment belonged to the upstream producer): every bucket file's
+      footer is consulted, but bucket files are sorted by ``conv_id``
+      (``_SORT_KEYS``), so Parquet row-group statistics prune all
+      non-matching row groups before any data is read.
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    manifests = load_manifests(out_dir)
+    num_buckets = tman.get("num_buckets")
+    if num_buckets:
+        b = int(
+            bucket_of_keys(pa.table({"k": [conv_id]}), ["k"], int(num_buckets))[0]
+        )
+        candidates = [manifests[b]] if b in manifests else []
+    else:
+        candidates = list(manifests.values())
+    filters = [("conv_id", "==", conv_id)]
+    if turn_idx is not None:
+        filters.append(("turn_idx", "==", turn_idx))
+    tables = [
+        pq.read_table(
+            os.path.join(out_dir, m["file"]), columns=columns, filters=filters
+        )
+        for m in candidates
+    ]
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        # typed empty result from any manifested file's schema
+        any_m = next(iter(manifests.values()), None)
+        if any_m is None:
+            raise FileNotFoundError(f"no published buckets under {out_dir}")
+        schema = pq.read_schema(os.path.join(out_dir, any_m["file"]))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        out = schema.empty_table()
+    else:
+        out = pa.concat_tables(tables, promote_options="default")
+    if not system and columns is None:
+        keep = [c for c in LOGICAL_COLUMNS if c in out.column_names]
+        out = out.select(keep)
+    return out
 
 
 def lineage_table(out_dir: str) -> pa.Table:
@@ -514,6 +593,7 @@ def incremental_apply(
     run_id: str = "run-inc",
     batch_size: int = 65536,
     feed_dir: str | None = None,
+    metrics: str | None = None,
 ) -> dict:
     """Apply new change-log events (``lsn`` beyond each bucket's per-partition
     watermark) onto the published base table; untouched buckets are left as-is.
@@ -643,7 +723,8 @@ def incremental_apply(
             feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
             pq.write_table(feed, feed_staged)
             row = _apply_write_group(
-                t.drop_columns(["_base"]), staging=staging, run_id=run_id
+                t.drop_columns(["_base"]), staging=staging, run_id=run_id,
+                metrics=metrics,
             )
             # feed filename is derived from the bucket's post-apply watermark
             # STATE, not the run_id: a crash between feed publish and the
@@ -673,7 +754,9 @@ def incremental_apply(
 
         group_fn = _apply_with_feed
     else:
-        group_fn = partial(_apply_write_group, staging=staging, run_id=run_id)
+        group_fn = partial(
+            _apply_write_group, staging=staging, run_id=run_id, metrics=metrics
+        )
     manifest_ds = merged.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")
     published = _publish_stream(manifest_ds, out_dir)
 
@@ -698,7 +781,9 @@ def incremental_apply(
     }
 
 
-def _generic_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
+def _generic_write_group(
+    t: pa.Table, *, staging: str, run_id: str, metrics: str | None = None
+) -> pa.Table:
     """Stage one pre-bucketed group of an arbitrary table (any schema,
     including nested ``list<struct>`` columns) and emit its manifest row.
     The write-audit-publish contract is identical to the transcript path:
@@ -711,6 +796,10 @@ def _generic_write_group(t: pa.Table, *, staging: str, run_id: str) -> pa.Table:
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
+    if metrics:
+        from odibel_ray.monitor import record_task_metrics
+
+        record_task_metrics(metrics, rows=len(out), buckets_staged=1)
     return pa.table(
         {
             "bucket": pa.array([bucket], pa.int64()),
@@ -734,6 +823,7 @@ def publish_dataset(
     num_buckets: int | None = None,
     run_id: str = "run-0",
     batch_size: int = 65536,
+    metrics: str | None = None,
 ) -> dict:
     """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
     hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
@@ -796,7 +886,7 @@ def publish_dataset(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
     manifest_ds = tagged.groupby("_bucket").map_groups(
-        partial(_generic_write_group, staging=staging, run_id=run_id),
+        partial(_generic_write_group, staging=staging, run_id=run_id, metrics=metrics),
         batch_format="pyarrow",
     )
     published = _publish_stream(manifest_ds, out_dir)

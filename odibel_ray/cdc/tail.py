@@ -25,6 +25,7 @@ def tail_log(
     stop_when_idle: int = 1,
     run_prefix: str = "tail",
     heartbeat_interval_s: float = 0.0,
+    metrics: str | None = None,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -32,7 +33,12 @@ def tail_log(
 
     ``heartbeat_interval_s > 0`` logs live applied-events/s through
     :class:`odibel_ray.monitor.ThroughputMonitor` (the reference prints the
-    same signal every 10 s, ``log/HeartbeatMonitor.scala:54-70``)."""
+    same signal every 10 s, ``log/HeartbeatMonitor.scala:54-70``).
+    ``metrics``: name of a live counter actor the distributed apply tasks
+    update as they stage buckets (:func:`odibel_ray.monitor.metrics_actor`)
+    — unlike the driver-side heartbeat, its counters advance *inside* a
+    round, so an operator (or another process) can watch a long apply make
+    progress bucket by bucket."""
     from odibel_ray.monitor import ThroughputMonitor
 
     rounds = []
@@ -41,13 +47,15 @@ def tail_log(
         for i in range(max_rounds):
             if not load_manifests(out_dir):
                 res = replay_publish(log_dir, out_dir, partitioned=True,
-                                     run_id=f"{run_prefix}-bootstrap")
+                                     run_id=f"{run_prefix}-bootstrap",
+                                     metrics=metrics)
                 res["round"] = i
                 res["mode"] = "bootstrap"
                 mon.add(res.get("n_events_applied", 0))
                 rounds.append(res)
                 continue
-            res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}")
+            res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}",
+                                    metrics=metrics)
             res["round"] = i
             res["mode"] = "incremental"
             mon.add(res.get("n_events_applied", 0))

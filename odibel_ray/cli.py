@@ -90,6 +90,17 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--num-buckets", type=int, default=16)
     t.add_argument("--heartbeat", type=float, default=10.0,
                    help="live events/s report interval in seconds (0 = off)")
+    t.add_argument("--metrics", default=None,
+                   help="name of a live counter actor the distributed apply "
+                        "tasks update bucket-by-bucket (watch it from another "
+                        "process via odibel_ray.monitor.metrics_actor)")
+
+    lk = sub.add_parser(
+        "lookup", help="point-read one conv_id from a published table"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--conv-id", required=True)
+    lk.add_argument("--turn-idx", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -150,6 +161,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res))
         return 0
 
+    if args.cmd == "lookup":
+        from odibel_ray.cdc.sink import lookup_key
+
+        t = lookup_key(args.table, args.conv_id, turn_idx=args.turn_idx)
+        for row in t.to_pylist():
+            print(json.dumps(row, default=str))
+        return 0
+
     if args.cmd == "incremental":
         from odibel_ray.cdc.sink import incremental_apply
 
@@ -173,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
             num_parts=args.num_parts, batch_rows=args.batch_rows,
             num_buckets=args.num_buckets,
             heartbeat_interval_s=args.heartbeat,
+            metrics=args.metrics,
         )
         res.pop("history", None)
         print(json.dumps(res))

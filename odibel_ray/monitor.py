@@ -21,6 +21,69 @@ import time
 _log = logging.getLogger("odibel_ray.monitor")
 
 
+class _MetricsActor:
+    """Named zero-CPU counter actor updated from INSIDE distributed sink
+    tasks (events applied, rows published, buckets committed) — the
+    cluster-grade version of the reference's heartbeat counters
+    (``log/HeartbeatMonitor.scala:54-70``): on a 256-node cluster the driver
+    cannot observe per-task progress any other way; a named actor gives one
+    O(counters) mailbox every task can fire-and-forget into."""
+
+    def __init__(self) -> None:
+        import time as _time
+
+        self._c: dict[str, int] = {}
+        self._t0 = _time.monotonic()
+
+    def add(self, **counts: int) -> None:
+        for k, v in counts.items():
+            self._c[k] = self._c.get(k, 0) + int(v)
+
+    def snapshot(self) -> dict:
+        import time as _time
+
+        out = dict(self._c)
+        elapsed = _time.monotonic() - self._t0
+        out["elapsed_s"] = round(elapsed, 3)
+        if elapsed > 0 and out.get("events"):
+            out["events_per_sec"] = round(out["events"] / elapsed, 1)
+        return out
+
+
+def metrics_actor(name: str, *, create: bool = True):
+    """Get (or create) the named metrics actor. ``get_if_exists`` makes
+    concurrent creation from many tasks race-free; ``create=False`` raises
+    ``ValueError`` when the actor does not exist (a poller's probe).
+
+    The actor is **detached**: its first creator is usually a short-lived
+    map task whose fire-and-forget handle drops the moment the task returns
+    — a reference-counted actor would be garbage-collected before the
+    counters are ever read. Detached means it lives until ``ray.kill`` (or
+    ``ray.shutdown``); long-running services should kill actors they no
+    longer poll."""
+    import ray
+
+    if not create:
+        return ray.get_actor(name)
+    return (
+        ray.remote(num_cpus=0)(_MetricsActor)
+        .options(name=name, get_if_exists=True, lifetime="detached")
+        .remote()
+    )
+
+
+def record_task_metrics(name: str | None, **counts: int) -> None:
+    """Fire-and-forget counter update from inside a distributed task.
+    No-op when ``name`` is None or Ray is unreachable — metrics must never
+    fail a data task."""
+    if not name:
+        return
+    try:
+        metrics_actor(name).add.remote(**counts)
+    except Exception:  # pragma: no cover - metrics are best-effort
+        _log.debug("metrics update to %r failed", name, exc_info=True)
+
+
 class ThroughputMonitor:
     """Background reporter: logs total events and window events/s every
     ``interval_s`` while work is running.

@@ -263,6 +263,49 @@ def q_transcript_publish_read(sf_dir: str):
     return read_published(out)
 
 
+#: Deterministic key for the point-lookup query — present in the converged
+#: final state at every test scale factor (verified sf0.001/0.01/0.1).
+_LOOKUP_CONV = "conv_00000007"
+
+
+def ensure_full_published(sf_dir: str) -> str:
+    """Publish (once, cached) the FULL transcript log through the
+    exactly-once sink at a pinned hash-bucket layout — the serving table the
+    point-lookup query reads. Cached so the timed/checked path is the lookup
+    itself, not the publish."""
+    import json
+
+    from odibel_ray.cdc.sink import replay_publish
+
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_fullpub")
+    marker = os.path.join(base, "_ok.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir), "buckets": 16}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return base
+    import shutil
+
+    log = ensure_transcript_log(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    replay_publish(log, base, num_buckets=16, run_id="fullpub")
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return base
+
+
+def q_transcript_point_lookup(sf_dir: str):
+    """CDC-serving point read: the hash-bucketed layout lets ``lookup_key``
+    recompute one key's bucket and open ONLY that bucket's manifested file
+    (row-group-pruned by Parquet stats inside it) — O(one row group) per
+    lookup where a layoutless table would scan everything. The published
+    fixture is cached; this times/checks the lookup path itself."""
+    from odibel_ray.cdc.sink import lookup_key
+
+    table = ensure_full_published(sf_dir)
+    return lookup_key(table, _LOOKUP_CONV)
+
+
 def ensure_jsonl_stream(sf_dir: str) -> str:
     """Serialize the cached change log once into an LSN-ordered JSONL file —
     the deterministic stand-in for a live binlog pipe."""
@@ -1979,6 +2022,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
+    "transcript_point_lookup": q_transcript_point_lookup,
     "transcript_stream_tail": q_transcript_stream_tail,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
@@ -2285,6 +2329,9 @@ SELECT conv_id, n_turns, unnest(turns, recursive := true) FROM nested
         "transcript_replay_actor": t_final,
         "transcript_replay_salted": t_final,
         "transcript_publish_read": t_final,
+        "transcript_point_lookup": (
+            f"SELECT * FROM ({t_final}) WHERE conv_id = '{_LOOKUP_CONV}'"
+        ),
         "transcript_stream_tail": t_final,
         "transcript_incremental": t_final,
         "transcript_rebucket_read": t_final,

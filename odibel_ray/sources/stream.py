@@ -207,6 +207,7 @@ def tail_stream(
     num_buckets: int | None = 16,
     run_prefix: str = "stream",
     heartbeat_interval_s: float = 0.0,
+    metrics: str | None = None,
 ) -> dict:
     """Live pipe → lake upsert: read JSONL micro-batches from ``stream``
     (``"-"`` = stdin), spool each into the WAL layout, and converge the
@@ -218,7 +219,9 @@ def tail_stream(
     state on disk, applies are watermark-filtered, and publish is per-bucket
     atomic — killing this loop mid-stream and re-piping the remainder
     converges to the same table. ``heartbeat_interval_s > 0`` logs live
-    events/s through :class:`odibel_ray.monitor.ThroughputMonitor`.
+    events/s through :class:`odibel_ray.monitor.ThroughputMonitor`;
+    ``metrics`` names a live counter actor the distributed apply tasks
+    update bucket-by-bucket (:func:`odibel_ray.monitor.metrics_actor`).
     """
     from odibel_ray.cdc.sink import incremental_apply, load_manifests, replay_publish
     from odibel_ray.monitor import ThroughputMonitor
@@ -247,12 +250,13 @@ def tail_stream(
         if not load_manifests(out_dir):
             res = replay_publish(
                 spool_dir, out_dir, num_buckets=num_buckets,
-                run_id=f"{run_prefix}-bootstrap",
+                run_id=f"{run_prefix}-bootstrap", metrics=metrics,
             )
             res["mode"] = "bootstrap"
         else:
             res = incremental_apply(
-                spool_dir, out_dir, run_id=f"{run_prefix}-{run_i}"
+                spool_dir, out_dir, run_id=f"{run_prefix}-{run_i}",
+                metrics=metrics,
             )
             res["mode"] = "incremental"
         run_i += 1

@@ -1,0 +1,91 @@
+"""CLI surface: registry listing, point lookup, pipe ingest with metrics."""
+
+import json
+import os
+
+from odibel_ray.cli import main
+
+
+def test_cli_list_queries(capsys):
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "transcript_replay" in out
+    assert "transcript_point_lookup" in out
+    # every line is classified
+    kinds = {line.split()[-1] for line in out.strip().splitlines()}
+    assert kinds <= {"sql-oracle", "rows-only"}
+
+
+def test_cli_lookup_point_read(ray_session, small_log, oracle_final, tmp_path, capsys):
+    from odibel_ray.cdc.sink import replay_publish
+
+    out_dir = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], out_dir, num_buckets=4, run_id="r1")
+    conv = oracle_final["conv_id"][0].as_py()
+    want = len(
+        [c for c in oracle_final["conv_id"].to_pylist() if c == conv]
+    )
+
+    assert main(["lookup", "--table", out_dir, "--conv-id", conv]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == want
+    assert all(r["conv_id"] == conv for r in rows)
+
+    # single-turn variant
+    turn = rows[0]["turn_idx"]
+    assert main(
+        ["lookup", "--table", out_dir, "--conv-id", conv, "--turn-idx", str(turn)]
+    ) == 0
+    one = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(one) == 1 and one[0]["turn_idx"] == turn
+
+
+def test_cli_tail_stream_with_metrics(ray_session, small_log, tmp_path, capsys):
+    """tail-stream over a pipe converges the table and the task-side metrics
+    actor ends with the applied-event totals."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from odibel_ray.cdc.sink import read_published
+    from odibel_ray.monitor import metrics_actor
+
+    # serialize the log to JSONL, LSN-ordered (the deterministic pipe)
+    files = sorted(glob.glob(os.path.join(small_log["log_dir"], "part=*", "*.parquet")))
+    rows = []
+    for f in files:
+        part = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            r["part"] = part
+            rows.append(r)
+    rows.sort(key=lambda r: (r["lsn"], r["part"]))
+    payload = "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
+    pipe = str(tmp_path / "events.jsonl")
+    with open(pipe, "w") as f:
+        f.write(payload)
+
+    table = str(tmp_path / "table")
+    spool = str(tmp_path / "spool")
+    rc = main([
+        "tail-stream", "--in", pipe, "--table", table, "--spool", spool,
+        "--num-parts", "4", "--num-buckets", "4", "--heartbeat", "0",
+        "--metrics", "cli-tail-metrics",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_total"] == read_published(table).count() > 0
+
+    import time
+
+    snap = {}
+    for _ in range(100):  # fire-and-forget updates may still be in flight
+        snap = ray.get(metrics_actor("cli-tail-metrics").snapshot.remote())
+        if snap.get("buckets_staged", 0) >= 4:
+            break
+        time.sleep(0.05)
+    assert snap["buckets_staged"] >= 4
+    assert snap["events"] > 0 and snap["rows"] > 0
+    ray.kill(metrics_actor("cli-tail-metrics"))
