@@ -158,9 +158,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, REPO)
     import pyarrow as pa
 
-    from odibel_ray.pipelines.queries import QUERIES, ensure_transcript_log
+    from odibel_ray.pipelines.queries import (
+        QUERIES,
+        ensure_full_published,
+        ensure_transcript_log,
+    )
 
     ensure_transcript_log(sf_dir)
+    ensure_full_published(sf_dir)  # point-lookup serving table, cached
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in SKIP_QUERY_TIMINGS:

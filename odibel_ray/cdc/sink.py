@@ -485,6 +485,59 @@ def lineage_table(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def vacuum(
+    out_dir: str,
+    *,
+    feed_dir: str | None = None,
+    keep_feed_states: int = 3,
+) -> dict:
+    """Maintenance sweep of a published table — the lakehouse ``VACUUM``:
+
+    - **staging**: ``_staging/<run_id>/`` dirs are working space; whatever a
+      crashed run left there was either re-staged by the resume or is
+      superseded — always removable (single-writer sink).
+    - **orphan data files**: root ``part-*.parquet`` not referenced by any
+      bucket manifest (crash leftovers the per-bucket sweep didn't reach,
+      e.g. a bucket never republished after a crashed run).
+    - **feed retention** (``feed_dir``): each bucket keeps its newest
+      ``keep_feed_states`` change-feed files; older state transitions are
+      dropped. Feed files are named by watermark-state hash, so "newest" is
+      by mtime (the publish order on one writer).
+
+    Run this only while no publish is in flight — it removes the working
+    state an in-flight run is about to promote. Returns removal counts."""
+    import glob as _glob
+    import shutil
+
+    removed = {"staging_dirs": 0, "orphan_files": 0, "feed_files": 0}
+    sdir = os.path.join(out_dir, STAGING_DIR)
+    if os.path.isdir(sdir):
+        for run_dir in os.listdir(sdir):
+            shutil.rmtree(os.path.join(sdir, run_dir), ignore_errors=True)
+            removed["staging_dirs"] += 1
+    live = {m["file"] for m in load_manifests(out_dir).values()}
+    for f in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        if os.path.basename(f) not in live:
+            try:
+                os.remove(f)
+                removed["orphan_files"] += 1
+            except OSError:
+                pass
+    if feed_dir and os.path.isdir(feed_dir):
+        for bdir in _glob.glob(os.path.join(feed_dir, "bucket=*")):
+            files = sorted(
+                _glob.glob(os.path.join(bdir, "*.parquet")),
+                key=os.path.getmtime,
+            )
+            for f in files[: max(0, len(files) - keep_feed_states)]:
+                try:
+                    os.remove(f)
+                    removed["feed_files"] += 1
+                except OSError:
+                    pass
+    return removed
+
+
 def rebucket_published(
     src_dir: str,
     dst_dir: str,

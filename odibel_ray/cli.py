@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--conv-id", required=True)
     lk.add_argument("--turn-idx", type=int, default=None)
 
+    v = sub.add_parser(
+        "vacuum",
+        help="sweep staging dirs/orphan data files; prune old feed states",
+    )
+    v.add_argument("--table", required=True)
+    v.add_argument("--feed", default=None)
+    v.add_argument("--keep-feed-states", type=int, default=3)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "datagen":
@@ -112,6 +120,15 @@ def main(argv: list[str] | None = None) -> int:
             num_parts=args.num_parts, seed=args.seed,
         )
         print(json.dumps(info))
+        return 0
+
+    if args.cmd == "vacuum":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.sink import vacuum
+
+        print(json.dumps(vacuum(
+            args.table, feed_dir=args.feed,
+            keep_feed_states=args.keep_feed_states,
+        )))
         return 0
 
     if args.cmd == "list-queries":

@@ -433,3 +433,51 @@ def test_metrics_actor_advances_during_replay(ray_session, small_log, tmp_path):
     # the replay was running — progress was visible DURING the job
     assert any(v < want_events for v in seen)
     ray.kill(actor)
+
+
+def test_vacuum_sweeps_staging_orphans_and_feed(
+    ray_session, small_log, oracle_final, tmp_path
+):
+    """vacuum removes crash leftovers (staging dirs, unreferenced root data
+    files) and prunes old change-feed states per bucket, without touching
+    manifested data."""
+    import pyarrow.parquet as pq
+
+    from odibel_ray.cdc.sink import vacuum
+
+    log = small_log["log_dir"]
+    prefix = str(tmp_path / "prefix")
+    split_log(log, prefix, frac=0.5)
+    out = str(tmp_path / "tbl")
+    feed = str(tmp_path / "feed")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=4, run_id="r1")
+    incremental_apply(log, out, run_id="r2", feed_dir=feed)
+
+    # plant crash leftovers: a staged file and an unreferenced root file
+    stag = os.path.join(out, "_staging", "crashed-run")
+    os.makedirs(stag, exist_ok=True)
+    open(os.path.join(stag, "part-000000-crashed-run.parquet"), "wb").close()
+    orphan = os.path.join(out, "part-000002-zombie.parquet")
+    open(orphan, "wb").close()
+    # age an extra fake feed state so retention has something to prune
+    bdirs = [d for d in os.listdir(feed) if d.startswith("bucket=")]
+    extra = []
+    for d in bdirs:
+        for i in range(3):
+            p = os.path.join(feed, d, f"state-old{i}.parquet")
+            open(p, "wb").close()
+            old = time.time() - 1000 - i
+            os.utime(p, (old, old))
+            extra.append(p)
+
+    before = _published_table(out)
+    removed = vacuum(out, feed_dir=feed, keep_feed_states=1)
+    assert removed["staging_dirs"] >= 1
+    assert removed["orphan_files"] >= 1 and not os.path.exists(orphan)
+    assert removed["feed_files"] >= len(extra)  # fakes pruned first (oldest)
+    # manifested data untouched; table still equals the oracle
+    assert _published_table(out).equals(before)
+    assert before.equals(oracle_final)
+    for d in bdirs:  # newest state per bucket survives
+        left = os.listdir(os.path.join(feed, d))
+        assert len(left) == 1 and left[0].startswith("state-")
