@@ -8,11 +8,13 @@ The driver calls ``ray.init`` itself before importing this module; nothing here
   call), returning the converged transcript table as a ``ray.data.Dataset``.
 - ``queries()`` — one named callable per implemented operator/pipeline
   (SURVEY.md §2 inventory + the training-data ops: dedup, ANN, text analysis).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for each SQL-expressible query at
-  sf=0.01 (the driver's comparison scale). Transcript-CDC oracles read the
-  same /tmp Parquet change log via ``read_parquet`` with full schema-evolution
-  semantics in SQL; non-SQL-expressible ops (MinHash/SimHash near-dup,
-  language ID, IVF ANN) are omitted → rows-only check.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (84/84; zero
+  rows-only). Transcript-CDC oracles read the same /tmp Parquet change log
+  via ``read_parquet`` with full schema-evolution semantics in SQL;
+  model-state ops (MinHash/SimHash near-dup, language ID, IVF ANN,
+  hyperplane LSH) are pinned via the sidecar pattern — the engine persists
+  its deterministic fitted state to /tmp parquet and the SQL replays the
+  pipeline from that state.
 """
 
 from __future__ import annotations

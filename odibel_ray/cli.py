@@ -59,11 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=None)
     p.add_argument("--partitioned", action="store_true")
     p.add_argument("--run-id", default="cli-run")
+    p.add_argument("--metrics", default=None,
+                   help="named live counter actor for task-side progress")
 
     i = sub.add_parser("incremental", help="apply new log events onto a published table")
     i.add_argument("--log", required=True)
     i.add_argument("--table", required=True)
     i.add_argument("--run-id", default="cli-inc")
+    i.add_argument("--metrics", default=None,
+                   help="named live counter actor for task-side progress")
 
     a = sub.add_parser("advise", help="detect hot keys and suggest a salt factor")
     a.add_argument("--log", required=True)
@@ -174,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         res = replay_publish(
             args.log, args.table, num_buckets=args.num_buckets,
             partitioned=args.partitioned, run_id=args.run_id,
+            metrics=args.metrics,
         )
         print(json.dumps(res))
         return 0
@@ -189,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "incremental":
         from odibel_ray.cdc.sink import incremental_apply
 
-        res = incremental_apply(args.log, args.table, run_id=args.run_id)
+        res = incremental_apply(args.log, args.table, run_id=args.run_id,
+                                metrics=args.metrics)
         print(json.dumps(res))
         return 0
 
