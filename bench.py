@@ -48,8 +48,11 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # prefix-publish + incremental variants of the timed incremental path
     "transcript_incremental_feed",
     # micro-batch/maintenance variants of the timed publish+incremental path
+    # (the merge-on-read apply itself, transcript_incremental_mor, IS timed —
+    # its delta between runs vs transcript_incremental is the MOR win)
     "transcript_stream_tail",
     "transcript_rebucket_read",
+    "transcript_compacted_read",
     # snapshot_at == lww_latest + LSN filter; timed under cdc_events_lww
     "cdc_events_snapshot",
     # same verify kernel as dedup_minhash, over SQL-expressible blocking

@@ -8,9 +8,15 @@ from odibel_ray.cdc.apply import (
     compact_batch,
 )
 from odibel_ray.cdc.lww import change_feed
-from odibel_ray.cdc.sink import replay_publish, incremental_apply, read_published
+from odibel_ray.cdc.sink import (
+    compact_published,
+    incremental_apply,
+    read_published,
+    replay_publish,
+)
 
 __all__ = [
+    "compact_published",
     "SchemaTimeline",
     "extract_timeline",
     "replay_dataset",

@@ -79,8 +79,17 @@ class SchemaTimeline:
         return tl
 
     def merged_with(self, other: "SchemaTimeline") -> "SchemaTimeline":
+        """Union of two timelines, deduplicated: a crash-resume can re-extract
+        an S event the stored timeline already holds (the timeline is
+        persisted BEFORE bucket watermarks advance, so it may run ahead of a
+        failed apply) — merging must be idempotent."""
         tl = SchemaTimeline()
+        seen: set[str] = set()
         for rec in self.changes + other.changes:
+            key = json.dumps(rec, sort_keys=True)
+            if key in seen:
+                continue
+            seen.add(key)
             tl.add_change(rec["part"], rec["lsn"], json.dumps(rec))
         return tl
 

@@ -173,6 +173,180 @@ def _bucket_filename(bucket: int, run_id: str) -> str:
     return f"part-{bucket:06d}-{safe}.parquet"
 
 
+_MERGE_SORT_KEYS = [
+    ("conv_id", "ascending"),
+    ("turn_idx", "ascending"),
+    ("_lsn", "ascending"),
+]
+
+
+def merge_base_deltas(base: pa.Table | None, deltas: list[pa.Table]) -> pa.Table:
+    """LWW-merge one bucket's base table with its merge-on-read delta files:
+    keep the max-``_lsn`` row per key across base ∪ deltas, drop tombstones.
+    Base rows are implicit inserts; delta rows carry ``_op`` (``D`` rows are
+    tombstones that must shadow older base/delta rows). Same-key comparisons
+    are within one WAL partition (a key's events live in one part), where LSN
+    is totally ordered — the same convergence argument as
+    :func:`incremental_apply`. Output keeps the base column layout (no
+    ``_op``)."""
+    parts = []
+    if base is not None and len(base):
+        if "_op" not in base.column_names:
+            base = base.append_column(
+                "_op", pa.array(np.full(len(base), "I"), pa.string())
+            )
+        parts.append(base)
+    parts.extend(d for d in deltas if len(d))
+    if not parts:
+        out = base if base is not None else pa.table({})
+        return out.drop_columns(["_op"]) if "_op" in out.column_names else out
+    t = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=_MERGE_SORT_KEYS))
+    n = len(t)
+    mask = np.ones(n, dtype=bool)
+    if n > 1:
+        conv, turn = t["conv_id"], t["turn_idx"]
+        same_next = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+        )
+        mask[: n - 1] = ~same_next.to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(mask))
+    t = t.filter(pc.not_equal(t["_op"], "D"))
+    return t.drop_columns(["_op"])
+
+
+def _merged_watermarks(old: dict[str, int] | None, new: dict[str, int]) -> dict[str, int]:
+    out = dict(old or {})
+    for p, l in new.items():
+        out[p] = max(int(l), int(out.get(p, -1)))
+    return out
+
+
+def _delta_write_group(
+    t: pa.Table,
+    *,
+    staging: str,
+    run_id: str,
+    base_buckets: frozenset[int],
+    base_wms: dict[int, dict[str, int]],
+    metrics: str | None = None,
+) -> pa.Table:
+    """Merge-on-read apply: stage one bucket's NEW events as a delta file —
+    no base read, no base rewrite (the write-amplification win over the
+    copy-on-write path at high update frequency). Tombstones are RETAINED
+    (``_op = 'D'``) so the reader's merge can shadow base rows. A bucket with
+    no published base yet degenerates to an ordinary base write.
+
+    The delta filename is derived from the bucket's post-apply watermark
+    STATE (not the run_id), so a crash-resume that re-applies the same events
+    under a fresh run_id overwrites the crashed run's delta instead of
+    stacking a duplicate."""
+    if len(t) == 0:
+        return _MANIFEST_SCHEMA.empty_table()
+    t = t.combine_chunks()
+    bucket = int(t["bucket"][0].as_py())
+    if bucket not in base_buckets:
+        return _apply_write_group(t, staging=staging, run_id=run_id, metrics=metrics)
+    n_events = len(t)
+    merged_wm = _merged_watermarks(base_wms.get(bucket), _bucket_watermarks(t))
+
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    t = t.filter(pa.array(_keep_last_mask(t)))
+    out = pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "tool_name": t["tool_name"],
+            "score": t["score"],
+            "ts": t["ts"],
+            "_lsn": t["lsn"],
+            "_part": t["part"],
+            "_bucket": t["bucket"],
+            "_op": t["op"],
+        }
+    )
+    import hashlib
+
+    tag = hashlib.sha1(
+        json.dumps(merged_wm, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    fname = f"delta-{bucket:06d}-{tag}.parquet"
+    staged = os.path.join(staging, fname)
+    pq.write_table(out, staged)
+    if metrics:
+        from odibel_ray.monitor import record_task_metrics
+
+        record_task_metrics(metrics, events=n_events, rows=len(out), buckets_staged=1)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows_out": pa.array([len(out)], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "staged": pa.array([staged], pa.string()),
+            "watermarks": pa.array([json.dumps(merged_wm)], pa.string()),
+            "run_id": pa.array([run_id], pa.string()),
+            "feed_staged": pa.array([""], pa.string()),
+            "feed_final": pa.array([""], pa.string()),
+        }
+    )
+
+
+def _publish_mor_stream(manifest_ds, out_dir: str) -> list[dict]:
+    """Publish stream for merge-on-read applies: ``delta-*`` rows append a
+    delta descriptor to the bucket's existing manifest (and advance its
+    effective watermarks); base rows (buckets with no published base yet) go
+    through the ordinary copy-on-write base publish."""
+    published = []
+    publish_delay = float(os.environ.get("ODIBEL_TEST_PUBLISH_DELAY", "0"))
+    for row in manifest_ds.iter_rows():
+        if publish_delay:  # test hook (see _publish_stream)
+            import time
+
+            time.sleep(publish_delay)
+        if not row["file"].startswith("delta-"):
+            published.append(_publish_base_row(row, out_dir))
+            continue
+        staged = _audit_staged(row)
+        final_path = os.path.join(out_dir, row["file"])
+        os.replace(staged, final_path)
+        mpath = os.path.join(out_dir, MANIFEST_DIR, f"bucket-{int(row['bucket']):06d}.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        deltas = manifest.setdefault("deltas", [])
+        if not any(d["file"] == row["file"] for d in deltas):
+            deltas.append(
+                {
+                    "file": row["file"],
+                    "rows_out": int(row["rows_out"]),
+                    "n_events": int(row["n_events"]),
+                    "run_id": row["run_id"],
+                }
+            )
+        # effective watermarks: merged(base, every delta) — keeps
+        # _watermark_matrix and the next run's idempotence filter exact
+        manifest["watermarks"] = json.loads(row["watermarks"])
+        manifest["last_delta_run_id"] = row["run_id"]
+        # the manifest write IS the publish (atomic pointer flip); the delta
+        # file landed first, so a crash in between leaves an orphan file
+        # (vacuumed later), never a dangling reference
+        _atomic_write_json(mpath, manifest)
+        published.append(
+            {
+                "bucket": int(row["bucket"]),
+                "kind": "delta",
+                "file": row["file"],
+                "rows_out": int(row["rows_out"]),
+                "n_events": int(row["n_events"]),
+                "run_id": row["run_id"],
+            }
+        )
+    return published
+
+
 def load_manifests(out_dir: str) -> dict[int, dict]:
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     got: dict[int, dict] = {}
@@ -182,11 +356,81 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
         if fn.startswith("bucket-") and fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
                 m = json.load(f)
-            # trust only manifests whose data file exists with matching rows
+            # trust only manifests whose data files (base AND every
+            # merge-on-read delta) exist with matching rows
             fpath = os.path.join(out_dir, m["file"])
-            if os.path.exists(fpath) and pq.read_metadata(fpath).num_rows == m["rows_out"]:
+            ok = os.path.exists(fpath) and pq.read_metadata(fpath).num_rows == m["rows_out"]
+            for d in m.get("deltas", []):
+                dpath = os.path.join(out_dir, d["file"])
+                ok = ok and os.path.exists(dpath) and (
+                    pq.read_metadata(dpath).num_rows == d["rows_out"]
+                )
+            if ok:
                 got[int(m["bucket"])] = m
     return got
+
+
+def _audit_staged(row) -> str:
+    """Row-count audit of one staged file (CSVToParquet.scala:25-30 analog);
+    returns the staged path."""
+    staged = row["staged"]
+    meta_rows = pq.read_metadata(staged).num_rows
+    if meta_rows != row["rows_out"]:
+        raise RuntimeError(
+            f"audit failed for bucket {row['bucket']}: staged {meta_rows} != manifest {row['rows_out']}"
+        )
+    return staged
+
+
+def _sweep_bucket_versions(out_dir: str, bucket: int, keep: set[str]) -> None:
+    """Best-effort removal of this bucket's superseded data/delta files
+    (everything not in ``keep``) after a manifest pointer flip."""
+    import glob as _glob
+
+    for pat in (f"part-{bucket:06d}*.parquet", f"delta-{bucket:06d}*.parquet"):
+        for stale in _glob.glob(os.path.join(out_dir, pat)):
+            if os.path.basename(stale) not in keep:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+
+
+def _publish_base_row(row, out_dir: str, extra: dict | None = None) -> dict:
+    """Audit + atomically publish one bucket's BASE manifest row: move the
+    data file into place, flip the manifest pointer, sweep old versions
+    (including any merge-on-read deltas the fresh base supersedes)."""
+    staged = _audit_staged(row)
+    final_path = os.path.join(out_dir, row["file"])
+    os.replace(staged, final_path)
+    # feed sidecar publishes with its bucket, just before the manifest
+    # pointer flip: a crash in between leaves the bucket's OLD manifest
+    # (and old data file) fully consistent, and the resume re-applies the
+    # same events — the feed's watermark-derived filename makes that an
+    # overwrite, never a duplicate
+    if row.get("feed_staged"):
+        os.makedirs(os.path.dirname(row["feed_final"]), exist_ok=True)
+        os.replace(row["feed_staged"], row["feed_final"])
+    manifest = {
+        "bucket": int(row["bucket"]),
+        "rows_out": int(row["rows_out"]),
+        "n_events": int(row["n_events"]),
+        "file": row["file"],
+        "watermarks": json.loads(row["watermarks"]),
+        "run_id": row["run_id"],
+        **(extra or {}),
+    }
+    # the manifest write IS the publish: data lands under a versioned
+    # name first (copy-on-write), so until this atomic pointer flip the
+    # previous version of the bucket stays live and audited
+    _atomic_write_json(
+        os.path.join(out_dir, MANIFEST_DIR, f"bucket-{manifest['bucket']:06d}.json"), manifest
+    )
+    # sweep superseded/orphaned versions of this bucket (the previous
+    # published file + deltas it folded in, plus any leftovers from crashed
+    # runs) — best-effort derived-data cleanup after the pointer flip
+    _sweep_bucket_versions(out_dir, manifest["bucket"], {manifest["file"]})
+    return manifest
 
 
 def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> list[dict]:
@@ -198,51 +442,7 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
             import time
 
             time.sleep(publish_delay)
-        staged = row["staged"]
-        meta_rows = pq.read_metadata(staged).num_rows
-        if meta_rows != row["rows_out"]:  # audit (CSVToParquet.scala:25-30 analog)
-            raise RuntimeError(
-                f"audit failed for bucket {row['bucket']}: staged {meta_rows} != manifest {row['rows_out']}"
-            )
-        final_path = os.path.join(out_dir, row["file"])
-        os.replace(staged, final_path)
-        # feed sidecar publishes with its bucket, just before the manifest
-        # pointer flip: a crash in between leaves the bucket's OLD manifest
-        # (and old data file) fully consistent, and the resume re-applies the
-        # same events — the feed's watermark-derived filename makes that an
-        # overwrite, never a duplicate
-        if row.get("feed_staged"):
-            os.makedirs(os.path.dirname(row["feed_final"]), exist_ok=True)
-            os.replace(row["feed_staged"], row["feed_final"])
-        manifest = {
-            "bucket": int(row["bucket"]),
-            "rows_out": int(row["rows_out"]),
-            "n_events": int(row["n_events"]),
-            "file": row["file"],
-            "watermarks": json.loads(row["watermarks"]),
-            "run_id": row["run_id"],
-            **(extra or {}),
-        }
-        # the manifest write IS the publish: data lands under a versioned
-        # name first (copy-on-write), so until this atomic pointer flip the
-        # previous version of the bucket stays live and audited
-        _atomic_write_json(
-            os.path.join(out_dir, MANIFEST_DIR, f"bucket-{manifest['bucket']:06d}.json"), manifest
-        )
-        # sweep superseded/orphaned versions of this bucket (the previous
-        # published file, plus any leftovers from crashed runs) — best-effort
-        # derived-data cleanup after the pointer flip
-        import glob as _glob
-
-        for stale in _glob.glob(
-            os.path.join(out_dir, f"part-{manifest['bucket']:06d}*.parquet")
-        ):
-            if os.path.basename(stale) != manifest["file"]:
-                try:
-                    os.remove(stale)
-                except OSError:
-                    pass
-        published.append(manifest)
+        published.append(_publish_base_row(row, out_dir, extra))
     return published
 
 
@@ -386,14 +586,51 @@ def replay_publish(
 
 
 def read_published(out_dir: str, *, system: bool = False, parallelism: int = -1):
-    """Dataset over manifested files only (readers never see unpublished data)."""
+    """Dataset over manifested files only (readers never see unpublished data).
+
+    Buckets with merge-on-read deltas are LWW-merged per bucket inside a map
+    task (one task per delta-bearing bucket — base + deltas of one bucket are
+    co-read and merged locally, no shuffle); delta-free buckets stream through
+    a plain Parquet read. A fully compacted table takes only the plain path."""
     import ray.data as rd
 
     manifests = load_manifests(out_dir)
-    paths = [os.path.join(out_dir, m["file"]) for _, m in sorted(manifests.items())]
-    if not paths:
+    if not manifests:
         raise FileNotFoundError(f"no published buckets under {out_dir}")
-    ds = rd.read_parquet(paths)
+    plain = [
+        os.path.join(out_dir, m["file"])
+        for _, m in sorted(manifests.items())
+        if not m.get("deltas")
+    ]
+    mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
+    pieces = []
+    if plain:
+        pieces.append(rd.read_parquet(plain))
+    if mor:
+        descs = [
+            {
+                "base": os.path.join(out_dir, m["file"]),
+                "deltas": [os.path.join(out_dir, d["file"]) for d in m["deltas"]],
+            }
+            for m in mor
+        ]
+
+        def _merge_bucket(batch: pa.Table) -> pa.Table:
+            from odibel_ray.cdc.apply import limit_arrow_threads
+
+            limit_arrow_threads()
+            outs = []
+            for row in batch.to_pylist():
+                base = pq.read_table(row["base"])
+                deltas = [pq.read_table(f) for f in row["deltas"]]
+                outs.append(merge_base_deltas(base, deltas))
+            return pa.concat_tables(outs, promote_options="default")
+
+        merged = rd.from_items(descs).map_batches(
+            _merge_bucket, batch_format="pyarrow", batch_size=1
+        )
+        pieces.append(merged)
+    ds = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
     if not system:
         ds = ds.select_columns(LOGICAL_COLUMNS)
     return ds
@@ -440,12 +677,38 @@ def lookup_key(
     filters = [("conv_id", "==", conv_id)]
     if turn_idx is not None:
         filters.append(("turn_idx", "==", turn_idx))
-    tables = [
-        pq.read_table(
-            os.path.join(out_dir, m["file"]), columns=columns, filters=filters
+    # buckets with merge-on-read deltas LWW-merge base ∪ deltas for the key
+    # (the merge needs the key + _lsn/_op columns even when the caller asked
+    # for fewer — read the superset, project at the end)
+    merge_cols = None
+    if columns is not None:
+        merge_cols = list(
+            dict.fromkeys(
+                c for c in [*columns, "conv_id", "turn_idx", "_lsn"] if c != "_op"
+            )
         )
-        for m in candidates
-    ]
+    tables = []
+    for m in candidates:
+        base_t = pq.read_table(
+            os.path.join(out_dir, m["file"]),
+            columns=merge_cols if m.get("deltas") else columns,
+            filters=filters,
+        )
+        if m.get("deltas"):
+            delta_ts = [
+                pq.read_table(
+                    os.path.join(out_dir, d["file"]),
+                    columns=None if merge_cols is None else [*merge_cols, "_op"],
+                    filters=filters,
+                )
+                for d in m["deltas"]
+            ]
+            t = merge_base_deltas(base_t, delta_ts)
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        else:
+            tables.append(base_t)
     tables = [t for t in tables if len(t)]
     if not tables:
         # typed empty result from any manifested file's schema
@@ -515,14 +778,18 @@ def vacuum(
         for run_dir in os.listdir(sdir):
             shutil.rmtree(os.path.join(sdir, run_dir), ignore_errors=True)
             removed["staging_dirs"] += 1
-    live = {m["file"] for m in load_manifests(out_dir).values()}
-    for f in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
-        if os.path.basename(f) not in live:
-            try:
-                os.remove(f)
-                removed["orphan_files"] += 1
-            except OSError:
-                pass
+    live: set[str] = set()
+    for m in load_manifests(out_dir).values():
+        live.add(m["file"])
+        live.update(d["file"] for d in m.get("deltas", []))
+    for pat in ("part-*.parquet", "delta-*.parquet"):
+        for f in _glob.glob(os.path.join(out_dir, pat)):
+            if os.path.basename(f) not in live:
+                try:
+                    os.remove(f)
+                    removed["orphan_files"] += 1
+                except OSError:
+                    pass
     if feed_dir and os.path.isdir(feed_dir):
         for bdir in _glob.glob(os.path.join(feed_dir, "bucket=*")):
             files = sorted(
@@ -626,6 +893,113 @@ def rebucket_published(
     }
 
 
+def compact_published(
+    out_dir: str,
+    *,
+    run_id: str = "compact-0",
+    min_deltas: int = 1,
+    metrics: str | None = None,
+) -> dict:
+    """Fold merge-on-read deltas back into their buckets' base files — the
+    lakehouse compaction that bounds a MOR table's read amplification. One
+    task per delta-bearing bucket: read base + deltas, LWW-merge (drop
+    tombstones), stage a fresh base under this run's name, then the ordinary
+    write-audit-publish pointer flip clears the manifest's delta list and
+    sweeps the folded files. Resumable: a killed compaction left either the
+    old manifest (deltas intact — recompact) or the new one (already clean);
+    ``min_deltas`` skips buckets not worth rewriting yet."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    manifests = load_manifests(out_dir)
+    targets = {
+        b: m for b, m in manifests.items() if len(m.get("deltas", [])) >= min_deltas
+    }
+    if not targets:
+        return {
+            "compacted": 0,
+            "published_total": len(manifests),
+            "rows_total": tman["rows_total"],
+            "out_dir": out_dir,
+        }
+    staging = os.path.join(out_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+    descs = [
+        {
+            "bucket": int(b),
+            "base": os.path.join(out_dir, m["file"]),
+            "deltas": [os.path.join(out_dir, d["file"]) for d in m["deltas"]],
+            # events that ever contributed to this bucket (lineage continuity)
+            "n_events": int(m["n_events"])
+            + sum(int(d["n_events"]) for d in m["deltas"]),
+            # effective watermarks are already merged over base ∪ deltas —
+            # carried verbatim, so the next incremental filter stays exact
+            "watermarks": json.dumps(m["watermarks"]),
+        }
+        for b, m in sorted(targets.items())
+    ]
+
+    def _compact_bucket(batch: pa.Table) -> pa.Table:
+        from odibel_ray.cdc.apply import limit_arrow_threads
+
+        limit_arrow_threads()
+        outs = []
+        for row in batch.to_pylist():
+            bucket = int(row["bucket"])
+            base = pq.read_table(row["base"])
+            deltas = [pq.read_table(f) for f in row["deltas"]]
+            out = merge_base_deltas(base, deltas)
+            fname = _bucket_filename(bucket, run_id)
+            staged = os.path.join(staging, fname)
+            pq.write_table(out, staged)
+            if metrics:
+                from odibel_ray.monitor import record_task_metrics
+
+                record_task_metrics(metrics, rows=len(out), buckets_staged=1)
+            outs.append(
+                pa.table(
+                    {
+                        "bucket": pa.array([bucket], pa.int64()),
+                        "rows_out": pa.array([len(out)], pa.int64()),
+                        "n_events": pa.array([int(row["n_events"])], pa.int64()),
+                        "file": pa.array([fname], pa.string()),
+                        "staged": pa.array([staged], pa.string()),
+                        "watermarks": pa.array([row["watermarks"]], pa.string()),
+                        "run_id": pa.array([run_id], pa.string()),
+                        "feed_staged": pa.array([""], pa.string()),
+                        "feed_final": pa.array([""], pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    manifest_ds = rd.from_items(descs).map_batches(
+        _compact_bucket, batch_format="pyarrow", batch_size=1
+    )
+    published = _publish_stream(manifest_ds, out_dir)
+
+    all_manifests = load_manifests(out_dir)
+    tman.update(
+        {
+            "buckets": sorted(all_manifests),
+            "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+            "mor_deltas": int(
+                sum(len(m.get("deltas", [])) for m in all_manifests.values())
+            ),
+            "last_run_id": run_id,
+        }
+    )
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    return {
+        "compacted": len(published),
+        "published_total": len(all_manifests),
+        "rows_total": tman["rows_total"],
+        "deltas_total": tman["mor_deltas"],
+        "out_dir": out_dir,
+    }
+
+
 def _watermark_matrix(manifests: dict[int, dict]) -> np.ndarray:
     nb = max(manifests) + 1 if manifests else 0
     nparts = 0
@@ -647,6 +1021,7 @@ def incremental_apply(
     batch_size: int = 65536,
     feed_dir: str | None = None,
     metrics: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Apply new change-log events (``lsn`` beyond each bucket's per-partition
     watermark) onto the published base table; untouched buckets are left as-is.
@@ -669,8 +1044,29 @@ def incremental_apply(
     crash-resume under a *different* run_id still overwrites rather than
     duplicates the crashed run's feed rows; keys in untouched buckets have
     no new events and thus no feed rows.
+
+    ``mode``: ``"cow"`` (default) rewrites each touched bucket from
+    ``base ∪ new-events`` — read-optimized, but at high apply frequency every
+    run re-reads and re-writes whole buckets its events barely touch.
+    ``"mor"`` (merge-on-read) stages only the compacted new events as a
+    per-bucket DELTA file (tombstones retained) and appends a delta
+    descriptor to the bucket manifest in the same atomic pointer flip —
+    write cost is O(new events), no base read at all; readers
+    (:func:`read_published`, :func:`lookup_key`) LWW-merge base ∪ deltas per
+    bucket, and :func:`compact_published` folds deltas back into the base.
+    The Hudi/Delta MOR trade expressed over this sink's manifests. CDF
+    (``feed_dir``) requires the base row for before-values, so it is
+    CoW-only.
     """
     import ray.data as rd
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if mode == "mor" and feed_dir:
+        raise ValueError(
+            "change-data-feed needs the base row for before-values; "
+            "use mode='cow' with feed_dir"
+        )
 
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
@@ -685,6 +1081,22 @@ def incremental_apply(
     per_part_max = {p: int(wm[:, p].max()) for p in range(wm.shape[1])}
     new_tl = extract_timeline(log_dir, min_lsn_by_part=per_part_max)
     timeline = old_tl.merged_with(new_tl)
+
+    # persist the merged timeline BEFORE any bucket publish: per-bucket
+    # watermarks advance as buckets flip, and a crash in between would
+    # otherwise strand S events at-or-below the new per_part_max — the
+    # resume's extract_timeline skips them ("folded into the stored timeline
+    # already") but the stored timeline never got them, silently un-mapping
+    # every later event's schema. Writing it early is safe: timeline merge is
+    # a deduplicated monotone union, so a timeline that runs ahead of a fully
+    # failed apply only pre-records S events the next run re-merges
+    # idempotently.
+    if len(timeline.changes) != len(old_tl.changes):
+        tman_early = dict(tman)
+        tman_early["timeline"] = timeline.to_json()
+        tman_early["schema_version"] = len(timeline.changes)
+        _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman_early)
+        tman = tman_early
 
     # materialized once: both the touched-bucket scan and the merge consume it
     # from the object store — without this the full log would be read and
@@ -702,6 +1114,51 @@ def incremental_apply(
     if len(touched) == 0:
         return {"published_now": 0, "published_total": len(manifests), "touched": 0,
                 "rows_total": tman["rows_total"], "out_dir": out_dir}
+
+    if mode == "mor":
+        staging = os.path.join(out_dir, STAGING_DIR, run_id)
+        os.makedirs(staging, exist_ok=True)
+        base_wms = {b: dict(m["watermarks"]) for b, m in manifests.items()}
+        merged = new_ev.map_batches(
+            compact_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+        manifest_ds = merged.groupby("bucket").map_groups(
+            partial(
+                _delta_write_group,
+                staging=staging,
+                run_id=run_id,
+                base_buckets=frozenset(manifests),
+                base_wms=base_wms,
+                metrics=metrics,
+            ),
+            batch_format="pyarrow",
+        )
+        published = _publish_mor_stream(manifest_ds, out_dir)
+        all_manifests = load_manifests(out_dir)
+        tman.update(
+            {
+                "buckets": sorted(all_manifests),
+                # base rows only — the logical count of a MOR table needs the
+                # merge; compact_published restores the exact figure
+                "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+                "mor_deltas": int(
+                    sum(len(m.get("deltas", [])) for m in all_manifests.values())
+                ),
+                "timeline": timeline.to_json(),
+                "schema_version": len(timeline.changes),
+                "last_run_id": run_id,
+            }
+        )
+        _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+        return {
+            "published_now": len(published),
+            "published_total": len(all_manifests),
+            "touched": int(len(touched)),
+            "n_events_applied": int(sum(p["n_events"] for p in published)),
+            "rows_total": tman["rows_total"],
+            "deltas_total": tman["mor_deltas"],
+            "out_dir": out_dir,
+        }
 
     base = read_published(out_dir, system=True)
 

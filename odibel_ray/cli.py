@@ -68,6 +68,19 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--run-id", default="cli-inc")
     i.add_argument("--metrics", default=None,
                    help="named live counter actor for task-side progress")
+    i.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                   help="cow rewrites touched buckets; mor stages per-bucket "
+                        "delta files (merge-on-read) — fold them back with "
+                        "'compact'")
+
+    co = sub.add_parser(
+        "compact", help="fold merge-on-read deltas back into bucket base files"
+    )
+    co.add_argument("--table", required=True)
+    co.add_argument("--run-id", default="cli-compact")
+    co.add_argument("--min-deltas", type=int, default=1)
+    co.add_argument("--metrics", default=None,
+                    help="named live counter actor for task-side progress")
 
     a = sub.add_parser("advise", help="detect hot keys and suggest a salt factor")
     a.add_argument("--log", required=True)
@@ -195,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
         from odibel_ray.cdc.sink import incremental_apply
 
         res = incremental_apply(args.log, args.table, run_id=args.run_id,
+                                metrics=args.metrics, mode=args.mode)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "compact":
+        from odibel_ray.cdc.sink import compact_published
+
+        res = compact_published(args.table, run_id=args.run_id,
+                                min_deltas=args.min_deltas,
                                 metrics=args.metrics)
         print(json.dumps(res))
         return 0

@@ -413,6 +413,50 @@ def q_transcript_incremental(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_incremental_mor(sf_dir: str):
+    """Merge-on-read incremental apply: same base fixture as
+    ``transcript_incremental``, but the run stages only per-bucket DELTA
+    files (no base read or rewrite — O(new events) write cost) and the
+    reader LWW-merges base ∪ deltas; the merged read must equal the same
+    from-scratch replay oracle. The Hudi/Delta MOR trade over this sink's
+    manifests."""
+    import shutil
+
+    from odibel_ray.cdc.sink import incremental_apply, read_published
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incmor", "table")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    shutil.copytree(cached, out)
+    incremental_apply(log, out, run_id="r2", mode="mor")
+    return read_published(out)
+
+
+def q_transcript_compacted_read(sf_dir: str):
+    """MOR apply → compaction → read: folding the delta files back into the
+    bucket bases must preserve the exact merged state (same replay oracle),
+    leave zero deltas, and restore the plain single-file-per-bucket read
+    path."""
+    import shutil
+
+    from odibel_ray.cdc.sink import (
+        compact_published,
+        incremental_apply,
+        read_published,
+    )
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inccompact", "table")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    shutil.copytree(cached, out)
+    incremental_apply(log, out, run_id="r2", mode="mor")
+    res = compact_published(out, run_id="c1")
+    assert res["deltas_total"] == 0
+    return read_published(out)
+
+
 def q_transcript_incremental_feed(sf_dir: str):
     """CDF emitted by the sink itself: publish a 60% LSN prefix, incrementally
     apply the full log with ``feed_dir`` set, and return the change-data-feed
@@ -2026,6 +2070,8 @@ QUERIES: dict[str, Callable] = {
     "transcript_stream_tail": q_transcript_stream_tail,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
+    "transcript_incremental_mor": q_transcript_incremental_mor,
+    "transcript_compacted_read": q_transcript_compacted_read,
     "transcript_rebucket_read": q_transcript_rebucket_read,
     "cdc_dead_letters": q_cdc_dead_letters,
     "cdc_events_lww": q_cdc_events_lww,
@@ -2334,6 +2380,8 @@ SELECT conv_id, n_turns, unnest(turns, recursive := true) FROM nested
         ),
         "transcript_stream_tail": t_final,
         "transcript_incremental": t_final,
+        "transcript_incremental_mor": t_final,
+        "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,
         "cdc_dead_letters": f"""
 SELECT CAST(part AS BIGINT) AS part, lsn, op, conv_id,
