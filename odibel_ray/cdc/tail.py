@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import time
 
-from odibel_ray.cdc.sink import incremental_apply, load_manifests, replay_publish
+from odibel_ray.cdc.sink import (
+    compact_published,
+    incremental_apply,
+    load_manifests,
+    replay_publish,
+)
 
 
 def tail_log(
@@ -26,6 +31,8 @@ def tail_log(
     run_prefix: str = "tail",
     heartbeat_interval_s: float = 0.0,
     metrics: str | None = None,
+    mode: str = "cow",
+    compact_every: int = 0,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -38,11 +45,28 @@ def tail_log(
     update as they stage buckets (:func:`odibel_ray.monitor.metrics_actor`)
     — unlike the driver-side heartbeat, its counters advance *inside* a
     round, so an operator (or another process) can watch a long apply make
-    progress bucket by bucket."""
+    progress bucket by bucket.
+
+    ``mode="mor"`` applies each round as merge-on-read deltas — the natural
+    fit for a high-frequency tailer, where copy-on-write would rewrite every
+    touched bucket every few seconds; ``compact_every=k`` then folds the
+    accumulated deltas back into the bucket bases after every k applying
+    rounds (bounding read amplification), plus once at loop exit."""
     from odibel_ray.monitor import ThroughputMonitor
 
     rounds = []
     idle = 0
+    applied_since_compact = 0
+
+    def _compact(i: int) -> None:
+        nonlocal applied_since_compact
+        cres = compact_published(
+            out_dir, run_id=f"{run_prefix}-compact-{i}", metrics=metrics
+        )
+        cres.update({"round": i, "mode": "compact", "touched": 0})
+        rounds.append(cres)
+        applied_since_compact = 0
+
     with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
         for i in range(max_rounds):
             if not load_manifests(out_dir):
@@ -55,11 +79,15 @@ def tail_log(
                 rounds.append(res)
                 continue
             res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}",
-                                    metrics=metrics)
+                                    metrics=metrics, mode=mode)
             res["round"] = i
             res["mode"] = "incremental"
             mon.add(res.get("n_events_applied", 0))
             rounds.append(res)
+            if res.get("touched", 0) > 0 and mode == "mor" and compact_every:
+                applied_since_compact += 1
+                if applied_since_compact >= compact_every:
+                    _compact(i)
             if res.get("touched", 0) == 0:
                 idle += 1
                 if idle >= stop_when_idle:
@@ -68,10 +96,17 @@ def tail_log(
                 idle = 0
             if poll_interval_s:
                 time.sleep(poll_interval_s)
+        # exit compaction: don't leave the table with unbounded deltas just
+        # because the loop went idle
+        if mode == "mor" and compact_every and applied_since_compact:
+            _compact(max_rounds)
         throughput = mon.stop()
     return {
         "rounds": len(rounds),
-        "applied_rounds": sum(1 for r in rounds if r.get("touched", 1)),
+        "applied_rounds": sum(
+            1 for r in rounds if r.get("touched", 1) and r["mode"] != "compact"
+        ),
+        "compactions": sum(1 for r in rounds if r["mode"] == "compact"),
         "rows_total": rounds[-1]["rows_total"] if rounds else 0,
         "throughput": throughput,
         "history": rounds,

@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="name of a live counter actor the distributed apply "
                         "tasks update bucket-by-bucket (watch it from another "
                         "process via odibel_ray.monitor.metrics_actor)")
+    t.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                   help="mor upserts each micro-batch as merge-on-read deltas")
+    t.add_argument("--compact-every", type=int, default=0,
+                   help="with --mode mor: fold deltas into the bases after "
+                        "every K applies (and at stream end)")
 
     lk = sub.add_parser(
         "lookup", help="point-read one conv_id from a published table"
@@ -238,6 +243,8 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.num_buckets,
             heartbeat_interval_s=args.heartbeat,
             metrics=args.metrics,
+            mode=args.mode,
+            compact_every=args.compact_every,
         )
         res.pop("history", None)
         print(json.dumps(res))

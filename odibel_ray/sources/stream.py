@@ -208,6 +208,8 @@ def tail_stream(
     run_prefix: str = "stream",
     heartbeat_interval_s: float = 0.0,
     metrics: str | None = None,
+    mode: str = "cow",
+    compact_every: int = 0,
 ) -> dict:
     """Live pipe → lake upsert: read JSONL micro-batches from ``stream``
     (``"-"`` = stdin), spool each into the WAL layout, and converge the
@@ -222,8 +224,18 @@ def tail_stream(
     events/s through :class:`odibel_ray.monitor.ThroughputMonitor`;
     ``metrics`` names a live counter actor the distributed apply tasks
     update bucket-by-bucket (:func:`odibel_ray.monitor.metrics_actor`).
+
+    ``mode="mor"`` upserts each micro-batch as merge-on-read deltas (no
+    bucket rewrite per apply — the right trade when applies are frequent and
+    small); ``compact_every=k`` folds deltas back into the bases after every
+    k applies, plus once at stream end.
     """
-    from odibel_ray.cdc.sink import incremental_apply, load_manifests, replay_publish
+    from odibel_ray.cdc.sink import (
+        compact_published,
+        incremental_apply,
+        load_manifests,
+        replay_publish,
+    )
     from odibel_ray.monitor import ThroughputMonitor
 
     if isinstance(stream, str):
@@ -256,11 +268,22 @@ def tail_stream(
         else:
             res = incremental_apply(
                 spool_dir, out_dir, run_id=f"{run_prefix}-{run_i}",
-                metrics=metrics,
+                metrics=metrics, mode=mode,
             )
             res["mode"] = "incremental"
         run_i += 1
         applies.append(res)
+        if (
+            mode == "mor"
+            and compact_every
+            and sum(1 for a in applies if a["mode"] == "incremental") % compact_every == 0
+            and res["mode"] == "incremental"
+        ):
+            cres = compact_published(
+                out_dir, run_id=f"{run_prefix}-compact-{run_i}", metrics=metrics
+            )
+            cres["mode"] = "compact"
+            applies.append(cres)
         # archive the micro-batch files this apply consumed so the next apply
         # reads only NEW files — per-round ingest IO stays O(new events), not
         # O(whole stream so far). Moving only after publish returns keeps the
@@ -290,11 +313,20 @@ def tail_stream(
         # "re-pipe the remainder, remainder is empty" resume case)
         if pending_files:
             _apply()
+        # stream-end compaction so the table isn't left carrying deltas
+        if mode == "mor" and compact_every and applies:
+            cres = compact_published(
+                out_dir, run_id=f"{run_prefix}-compact-final", metrics=metrics
+            )
+            if cres.get("compacted", 0):
+                cres["mode"] = "compact"
+                applies.append(cres)
         summary = mon.stop()
 
     return {
         "n_events": total_events,
-        "applies": len(applies),
+        "applies": sum(1 for a in applies if a["mode"] != "compact"),
+        "compactions": sum(1 for a in applies if a["mode"] == "compact"),
         "rows_total": applies[-1]["rows_total"] if applies else 0,
         "throughput": summary,
         "history": applies,

@@ -278,6 +278,53 @@ def test_cow_on_top_of_mor_folds_deltas(ray_session, small_log, oracle_final, tm
     assert _published_table(out).equals(oracle_final)
 
 
+def test_tail_log_mor_with_periodic_compaction(ray_session, small_log, oracle_final, tmp_path):
+    """The tailer's natural MOR shape: bootstrap from a prefix, tail the full
+    log as merge-on-read deltas, compact on the configured cadence — the
+    table converges to the replay oracle and ends delta-free."""
+    import shutil
+
+    from odibel_ray.cdc.tail import tail_log
+
+    live = str(tmp_path / "live_log")
+    split_log(small_log["log_dir"], str(tmp_path / "pfx"), frac=0.5)
+    shutil.copytree(os.path.join(str(tmp_path / "pfx"), "change_log"), live)
+    out = str(tmp_path / "tbl")
+    tail_log(live, out, max_rounds=2, mode="mor", compact_every=1)
+
+    shutil.rmtree(live)
+    shutil.copytree(small_log["log_dir"], live)
+    res = tail_log(live, out, max_rounds=4, stop_when_idle=1, mode="mor", compact_every=1)
+    assert res["compactions"] >= 1
+    manifests = load_manifests(out)
+    assert all(not m.get("deltas") for m in manifests.values())
+    assert _published_table(out).equals(oracle_final)
+
+
+def test_tail_stream_mor_compacts_at_end(ray_session, tmp_path):
+    import io
+
+    from odibel_ray.oracle import replay_oracle
+    from odibel_ray.sources.stream import tail_stream
+    from tests.test_stream_source import _fixture_log, _jsonl_from_log
+
+    log_dir, n_events = _fixture_log(tmp_path)
+    payload = _jsonl_from_log(log_dir)
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "tbl")
+    res = tail_stream(
+        io.BytesIO(payload), out, spool_dir=spool, num_parts=4,
+        batch_rows=150, num_buckets=8, mode="mor", compact_every=2,
+    )
+    assert res["n_events"] == n_events
+    assert res["applies"] >= 2 and res["compactions"] >= 1
+    manifests = load_manifests(out)
+    assert all(not m.get("deltas") for m in manifests.values())
+    got = collect_sorted(read_published(out), KEYS)
+    want = replay_oracle(spool + "_applied")
+    assert got.equals(want)
+
+
 def test_mor_rejects_feed_dir(ray_session, small_log, tmp_path):
     out, _ = _mor_base(small_log, tmp_path, frac=0.5)
     with pytest.raises(ValueError, match="cow"):
