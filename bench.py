@@ -185,6 +185,128 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_mor_compare(sf_dir: str, num_cpus: int, *, n_slices: int = 8,
+                    base_frac: float = 0.5) -> dict:
+    """Write-amplification evidence for the merge-on-read sink path: publish
+    a base table from a 50% LSN prefix, then apply the remaining log as
+    ``n_slices`` consecutive tail slices TWICE — once copy-on-write, once
+    merge-on-read (+ one final compaction) — on identical inputs, and report
+    wall time and bytes physically written per mode. At 10^10 events with
+    frequent small applies, bytes-written is the cost that dominates; the
+    ratio here is the measured justification for ``mode="mor"``."""
+    import ray
+
+    log_dir, n_events = ensure_bench_log(sf_dir)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = "sort_shuffle_push_based"
+    sys.path.insert(0, REPO)
+    import shutil
+
+    from odibel_ray.cdc.sink import compact_published, incremental_apply, replay_publish
+    from odibel_ray.datagen import slice_log, split_log
+
+    # fixtures, cached: 50% prefix base + consecutive tail slices
+    fx = os.path.join(BENCH_CACHE, _sf_name(sf_dir) + "_morcmp")
+    marker = os.path.join(fx, "_ok.json")
+    params = {"base_frac": base_frac, "n_slices": n_slices}
+    if not (os.path.exists(marker) and json.load(open(marker)) == params):
+        shutil.rmtree(fx, ignore_errors=True)
+        split_log(log_dir, os.path.join(fx, "prefix"), frac=base_frac)
+        fracs = [base_frac + (1.0 - base_frac) * (k + 1) / n_slices
+                 for k in range(n_slices)]
+        slice_log(log_dir, os.path.join(fx, "slices"), fracs)
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    prefix_log = os.path.join(fx, "prefix", "change_log")
+    slices = [os.path.join(fx, "slices", f"slice-{k:03d}", "change_log")
+              for k in range(n_slices)]
+
+    def _new_bytes(out_dir: str, seen: set) -> int:
+        total = 0
+        for root, _, files in os.walk(out_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    if p not in seen:
+                        seen.add(p)
+                        total += os.path.getsize(p)
+        return total
+
+    report: dict = {"metric": "mor_vs_cow_incremental", "n_slices": n_slices,
+                    "sf": _sf_name(sf_dir), "num_cpus": num_cpus}
+    base_out = os.path.join(fx, "base_table")
+    if not os.path.isdir(base_out):
+        replay_publish(prefix_log, base_out, num_buckets=32, run_id="base")
+    for mode in ("cow", "mor"):
+        out = os.path.join(fx, f"tbl_{mode}")
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base_out, out)
+        seen: set = set()
+        _new_bytes(out, seen)  # baseline: don't count the copied base
+        t0 = time.time()
+        applied = 0
+        apply_bytes = 0
+        for k, s in enumerate(slices):
+            res = incremental_apply(s, out, run_id=f"{mode}-{k}", mode=mode)
+            # post-combiner rows that reached the per-bucket apply (CoW counts
+            # re-shuffled base rows too — that's its cost, shown honestly)
+            applied += res.get("n_events_applied", 0)
+            # measured PER APPLY: CoW sweeps each superseded bucket version on
+            # the next rewrite, so a single end-of-loop scan would only see
+            # the last version and under-count CoW's writes ~n_slices-fold
+            apply_bytes += _new_bytes(out, seen)
+        apply_wall = time.time() - t0
+        entry = {
+            "apply_wall_sec": round(apply_wall, 2),
+            "apply_bytes_written": apply_bytes,
+            "rows_applied": applied,
+        }
+        if mode == "mor":
+            t0 = time.time()
+            compact_published(out, run_id="cmp")
+            entry["compact_wall_sec"] = round(time.time() - t0, 2)
+            entry["compact_bytes_written"] = _new_bytes(out, seen)
+        report[mode] = entry
+    # both modes must converge to the identical logical table
+    from odibel_ray.cdc.sink import read_published
+
+    def _fingerprint(out_dir: str) -> tuple:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def fp(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "rows": pa.array([len(t)], pa.int64()),
+                "text_bytes": pa.array(
+                    [pc.sum(pc.utf8_length(t["text"])).as_py() or 0], pa.int64()),
+                "turn_sum": pa.array([pc.sum(t["turn_idx"]).as_py() or 0], pa.int64()),
+            })
+
+        parts = read_published(out_dir).map_batches(fp, batch_format="pyarrow").take_all()
+        return (sum(p["rows"] for p in parts),
+                sum(p["text_bytes"] for p in parts),
+                sum(p["turn_sum"] for p in parts))
+
+    fp_cow = _fingerprint(os.path.join(fx, "tbl_cow"))
+    fp_mor = _fingerprint(os.path.join(fx, "tbl_mor"))
+    if fp_cow != fp_mor:
+        raise RuntimeError(f"mode divergence: cow={fp_cow} mor={fp_mor}")
+    report["rows_final"] = fp_cow[0]
+    report["apply_bytes_ratio_cow_over_mor"] = round(
+        report["cow"]["apply_bytes_written"]
+        / max(report["mor"]["apply_bytes_written"], 1), 2)
+    report["apply_wall_ratio_cow_over_mor"] = round(
+        report["cow"]["apply_wall_sec"]
+        / max(report["mor"]["apply_wall_sec"], 1e-9), 2)
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -194,10 +316,23 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mult", type=int, default=1)
     ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument("--mor-compare", action="store_true",
+                    help="measure CoW vs merge-on-read incremental applies "
+                         "(wall + bytes written) over the same tail slices")
+    ap.add_argument("--mor-slices", type=int, default=8,
+                    help="tail slice count for --mor-compare (higher = more "
+                         "frequent applies; CoW bytes stay O(table) per "
+                         "apply, MOR bytes shrink with the slice)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.mor_compare:
+        print(json.dumps(
+            run_mor_compare(sf_dir, num_cpus, n_slices=args.mor_slices),
+            separators=(",", ":")))
+        return
 
     if args.scaling:
         # N vs 4N CPUs in fresh processes on the same (larger) input — the

@@ -323,3 +323,50 @@ def split_log(log_dir: str, out_prefix_dir: str, frac: float = 0.7, *, overwrite
         os.makedirs(pdir, exist_ok=True)
         pq.write_table(chunk, os.path.join(pdir, "log-00000.parquet"))
     return cutoff
+
+
+def slice_log(
+    log_dir: str, out_dir: str, fracs: list[float], *, overwrite: bool = True
+) -> list[str]:
+    """Split a change log into CONSECUTIVE LSN-range slices — the shape a
+    live tail consumes (each slice holds only the events that "landed" since
+    the previous one, unlike :func:`split_log`'s cumulative prefix). Slice k
+    covers ``(cutoff(fracs[k-1]), cutoff(fracs[k])]``; the first slice starts
+    from the smallest LSN. The ``_schema_events.parquet`` sidecar is copied
+    into every slice verbatim: schema thresholds are compared per-event LSN,
+    so pre-recording a future S event is harmless, and the incremental
+    apply's timeline merge is deduplicated.
+
+    Returns the slice directories (each a valid hive-partitioned log dir).
+    Driver-side materialization like ``split_log`` — a test/bench fixture
+    tool, not an engine path."""
+    import pyarrow.dataset as pads
+
+    src = pads.dataset(log_dir, format="parquet", partitioning="hive")
+    tbl = src.to_table()
+    lsns = np.sort(tbl["lsn"].to_numpy(zero_copy_only=False))
+    cutoffs = [int(lsns[int(f * (len(lsns) - 1))]) for f in fracs]
+    parts = np.unique(pc.cast(tbl["part"], pa.int64()).to_numpy(zero_copy_only=False))
+    sidecar = os.path.join(log_dir, "_schema_events.parquet")
+    out_dirs = []
+    prev = int(lsns[0]) - 1
+    for k, cut in enumerate(cutoffs):
+        sdir = os.path.join(out_dir, f"slice-{k:03d}", "change_log")
+        if overwrite and os.path.exists(sdir):
+            shutil.rmtree(sdir)
+        in_range = pc.and_(pc.greater(tbl["lsn"], prev), pc.less_equal(tbl["lsn"], cut))
+        sl = tbl.filter(in_range)
+        for p in parts:
+            chunk = (
+                sl.filter(pc.equal(pc.cast(sl["part"], pa.int64()), int(p)))
+                .sort_by("lsn")
+                .drop(["part"])
+            )
+            pdir = os.path.join(sdir, f"part={int(p)}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(chunk, os.path.join(pdir, "log-00000.parquet"))
+        if os.path.exists(sidecar):
+            shutil.copyfile(sidecar, os.path.join(sdir, "_schema_events.parquet"))
+        out_dirs.append(sdir)
+        prev = cut
+    return out_dirs
