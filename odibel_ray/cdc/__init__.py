@@ -9,13 +9,17 @@ from odibel_ray.cdc.apply import (
 )
 from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.sink import (
+    ConcurrentWriterError,
     compact_published,
     incremental_apply,
     read_published,
     replay_publish,
+    table_lock,
 )
 
 __all__ = [
+    "ConcurrentWriterError",
+    "table_lock",
     "compact_published",
     "SchemaTimeline",
     "extract_timeline",

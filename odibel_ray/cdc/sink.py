@@ -59,6 +59,147 @@ TABLE_MANIFEST = "_TABLE_MANIFEST.json"
 LOGICAL_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool_name", "score", "ts"]
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another live writer holds the table lock."""
+
+
+class table_lock:
+    """Advisory single-writer lease for a published table.
+
+    The sink's correctness story assumes one writer per table (per-bucket
+    manifest flips are atomic, but `vacuum`/`compact_published` racing an
+    in-flight apply can sweep its staging or fold deltas mid-append). This
+    lease makes the assumption enforced instead of documented: writers take
+    ``with table_lock(out_dir, owner="tailer-1"):`` and a second concurrent
+    writer fails fast with :class:`ConcurrentWriterError`.
+
+    Mechanics: ``_LOCK.json`` is created with ``O_CREAT|O_EXCL`` (atomic on
+    POSIX and object stores with if-none-match semantics). A crashed writer's
+    lock is reclaimed when (a) its pid is dead — only trusted when the
+    hostname matches, a pid number means nothing across nodes — or (b) the
+    lease file is older than ``ttl_s`` (the cross-host fallback; long writers
+    should ``refresh()`` periodically, which bumps the file's mtime).
+    Reclaim uses a second ``O_EXCL`` create of a takeover file then an
+    ``os.replace``, so two reclaimers can't both win."""
+
+    def __init__(self, out_dir: str, *, owner: str = "writer", ttl_s: float = 3600.0):
+        self.path = os.path.join(out_dir, "_LOCK.json")
+        self.out_dir = out_dir
+        self.owner = owner
+        self.ttl_s = float(ttl_s)
+        self._held = False
+
+    def _payload(self) -> bytes:
+        import socket
+
+        return json.dumps(
+            {
+                "owner": self.owner,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "ttl_s": self.ttl_s,
+            }
+        ).encode()
+
+    def _try_create(self, path: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(self._payload())
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+    def _is_stale(self) -> bool:
+        import socket
+
+        try:
+            with open(self.path) as f:
+                cur = json.load(f)
+            mtime = os.path.getmtime(self.path)
+        except (OSError, ValueError):
+            return True  # torn/missing lock file — reclaimable
+        import time
+
+        if time.time() - mtime > float(cur.get("ttl_s", self.ttl_s)):
+            return True
+        if cur.get("host") == socket.gethostname():
+            try:
+                os.kill(int(cur["pid"]), 0)
+            except (OSError, ValueError):
+                return True  # same host, pid gone — crashed writer
+        return False
+
+    def acquire(self) -> "table_lock":
+        os.makedirs(self.out_dir, exist_ok=True)
+        if self._try_create(self.path):
+            self._held = True
+            return self
+        if self._is_stale():
+            takeover = self.path + ".takeover"
+            if self._try_create(takeover):
+                os.replace(takeover, self.path)
+                self._held = True
+                return self
+        try:
+            with open(self.path) as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            cur = {}
+        raise ConcurrentWriterError(
+            f"table {self.out_dir} is locked by "
+            f"{cur.get('owner')!r} (pid {cur.get('pid')} on {cur.get('host')}); "
+            "single-writer sink — wait for it or reclaim after its TTL"
+        )
+
+    def refresh(self) -> None:
+        """Bump the lease mtime (long writers call this between rounds)."""
+        if self._held:
+            os.utime(self.path, None)
+
+    def release(self) -> None:
+        if self._held:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+            self._held = False
+
+    def __enter__(self) -> "table_lock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _single_writer(out_arg: str, owner_arg: str = "run_id"):
+    """Wrap a table-mutating op in :class:`table_lock` on its ``out_arg``
+    directory — every publish/compact/vacuum entry point is one lease, so
+    two concurrent writers (or a vacuum racing an apply) fail fast instead
+    of corrupting staging/deltas. Released on any exit, including errors; a
+    SIGKILLed holder is reclaimed by pid-liveness (same host) or TTL."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            bound.apply_defaults()
+            out_dir = bound.arguments[out_arg]
+            owner = str(bound.arguments.get(owner_arg) or fn.__name__)
+            with table_lock(out_dir, owner=owner):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -474,6 +615,7 @@ def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: st
     return pa.concat_tables(outs)
 
 
+@_single_writer("out_dir")
 def replay_publish(
     log_dir: str,
     out_dir: str,
@@ -748,6 +890,7 @@ def lineage_table(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+@_single_writer("out_dir", owner_arg="")
 def vacuum(
     out_dir: str,
     *,
@@ -805,6 +948,7 @@ def vacuum(
     return removed
 
 
+@_single_writer("dst_dir")
 def rebucket_published(
     src_dir: str,
     dst_dir: str,
@@ -893,6 +1037,7 @@ def rebucket_published(
     }
 
 
+@_single_writer("out_dir")
 def compact_published(
     out_dir: str,
     *,
@@ -1013,6 +1158,7 @@ def _watermark_matrix(manifests: dict[int, dict]) -> np.ndarray:
     return wm
 
 
+@_single_writer("out_dir")
 def incremental_apply(
     log_dir: str,
     out_dir: str,
@@ -1325,6 +1471,7 @@ def _generic_write_group(
     )
 
 
+@_single_writer("out_dir")
 def publish_dataset(
     ds,
     out_dir: str,

@@ -333,3 +333,51 @@ def test_mor_rejects_feed_dir(ray_session, small_log, tmp_path):
         )
     with pytest.raises(ValueError, match="mode"):
         incremental_apply(small_log["log_dir"], out, run_id="x", mode="nope")
+
+
+def test_table_lock_blocks_live_writer_and_reclaims_dead(ray_session, small_log, tmp_path):
+    """Single-writer enforcement: a second writer fails fast while the
+    holder's pid is alive, reclaims instantly once it's dead (the SIGKILL
+    resume story), and reclaims by TTL for cross-host locks."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from odibel_ray.cdc import ConcurrentWriterError, table_lock
+
+    out, _ = _mor_base(small_log, tmp_path, frac=0.5)
+
+    # a live foreign holder (real process so the pid-liveness probe is honest)
+    holder = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(60)"])
+    lock_path = os.path.join(out, "_LOCK.json")
+    with open(lock_path, "w") as f:
+        json.dump({"owner": "other", "pid": holder.pid,
+                   "host": socket.gethostname(), "ttl_s": 3600}, f)
+    with pytest.raises(ConcurrentWriterError, match="other"):
+        incremental_apply(small_log["log_dir"], out, run_id="blocked", mode="mor")
+
+    # holder dies -> same-host pid probe reclaims immediately
+    holder.kill()
+    holder.wait()
+    res = incremental_apply(small_log["log_dir"], out, run_id="reclaim", mode="mor")
+    assert res["touched"] > 0
+    assert not os.path.exists(lock_path)  # released after the op
+
+    # cross-host lock (pid probe not trusted): blocks until TTL expires
+    with open(lock_path, "w") as f:
+        json.dump({"owner": "remote", "pid": 1, "host": "elsewhere", "ttl_s": 3600}, f)
+    with pytest.raises(ConcurrentWriterError):
+        compact_published(out, run_id="blocked2")
+    old = time.time() - 7200
+    os.utime(lock_path, (old, old))
+    res = compact_published(out, run_id="c-ttl")
+    assert res["compacted"] >= 1
+    assert not os.path.exists(lock_path)
+
+    # context-manager reentry from a second lock object fails while held
+    with table_lock(out, owner="a"):
+        with pytest.raises(ConcurrentWriterError):
+            table_lock(out, owner="b").acquire()
+    # released cleanly on exit
+    with table_lock(out, owner="c"):
+        pass
