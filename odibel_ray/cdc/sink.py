@@ -890,6 +890,61 @@ def lineage_table(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def table_stats(out_dir: str) -> dict:
+    """Physical health report of a published table — the operator's
+    ``DESCRIBE``: logical/physical row counts, bytes, merge-on-read delta
+    backlog, bucket skew, watermark spread. Metadata-only (manifests +
+    Parquet footers; no data read, no Ray session), so it is cheap at any
+    table size and safe to run concurrently with a writer."""
+    with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    manifests = load_manifests(out_dir)
+    buckets = []
+    for b, m in sorted(manifests.items()):
+        base_path = os.path.join(out_dir, m["file"])
+        deltas = m.get("deltas", [])
+        delta_rows = sum(int(d["rows_out"]) for d in deltas)
+        delta_bytes = sum(
+            os.path.getsize(os.path.join(out_dir, d["file"])) for d in deltas
+        )
+        wms = [int(v) for v in m.get("watermarks", {}).values()]
+        buckets.append(
+            {
+                "bucket": int(b),
+                "base_rows": int(m["rows_out"]),
+                "base_bytes": os.path.getsize(base_path),
+                "n_deltas": len(deltas),
+                "delta_rows": delta_rows,
+                "delta_bytes": delta_bytes,
+                "max_lsn": max(wms, default=-1),
+            }
+        )
+    base_rows = [b["base_rows"] for b in buckets]
+    total_rows = sum(base_rows)
+    mean_rows = total_rows / len(buckets) if buckets else 0.0
+    return {
+        "out_dir": out_dir,
+        "num_buckets": tman.get("num_buckets"),
+        "published_buckets": len(buckets),
+        "rows_base": total_rows,
+        "rows_delta": sum(b["delta_rows"] for b in buckets),
+        "bytes_base": sum(b["base_bytes"] for b in buckets),
+        "bytes_delta": sum(b["delta_bytes"] for b in buckets),
+        "deltas_total": sum(b["n_deltas"] for b in buckets),
+        # buckets carrying deltas pay the merge on read — compaction signal
+        "buckets_with_deltas": sum(1 for b in buckets if b["n_deltas"]),
+        # skew: a bucket K× the mean serializes its stage at cluster scale
+        "bucket_skew_max_over_mean": round(
+            max(base_rows, default=0) / mean_rows, 3
+        )
+        if mean_rows
+        else 0.0,
+        "schema_version": tman.get("schema_version"),
+        "last_run_id": tman.get("last_run_id"),
+        "buckets": buckets,
+    }
+
+
 @_single_writer("out_dir", owner_arg="")
 def vacuum(
     out_dir: str,

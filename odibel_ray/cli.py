@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--feed", default=None)
     v.add_argument("--keep-feed-states", type=int, default=3)
 
+    de = sub.add_parser(
+        "describe",
+        help="physical table health: rows/bytes, delta backlog, bucket skew",
+    )
+    de.add_argument("--table", required=True)
+    de.add_argument("--buckets", action="store_true",
+                    help="include the per-bucket breakdown")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "datagen":
@@ -151,6 +159,15 @@ def main(argv: list[str] | None = None) -> int:
             args.table, feed_dir=args.feed,
             keep_feed_states=args.keep_feed_states,
         )))
+        return 0
+
+    if args.cmd == "describe":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.sink import table_stats
+
+        stats = table_stats(args.table)
+        if not args.buckets:
+            stats.pop("buckets", None)
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "list-queries":

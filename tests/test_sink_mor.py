@@ -381,3 +381,24 @@ def test_table_lock_blocks_live_writer_and_reclaims_dead(ray_session, small_log,
     # released cleanly on exit
     with table_lock(out, owner="c"):
         pass
+
+
+def test_table_stats_reports_delta_backlog(ray_session, small_log, tmp_path):
+    from odibel_ray.cdc.sink import table_stats
+
+    out, _ = _mor_base(small_log, tmp_path, frac=0.5)
+    s0 = table_stats(out)
+    assert s0["deltas_total"] == 0 and s0["rows_delta"] == 0
+    assert s0["published_buckets"] == 8 and s0["rows_base"] > 0
+    assert s0["bytes_base"] > 0 and s0["bucket_skew_max_over_mean"] >= 1.0
+
+    incremental_apply(small_log["log_dir"], out, run_id="m1", mode="mor")
+    s1 = table_stats(out)
+    assert s1["deltas_total"] > 0 and s1["rows_delta"] > 0
+    assert s1["buckets_with_deltas"] > 0 and s1["bytes_delta"] > 0
+    assert s1["rows_base"] == s0["rows_base"]  # bases untouched by MOR
+
+    compact_published(out, run_id="c1")
+    s2 = table_stats(out)
+    assert s2["deltas_total"] == 0 and s2["buckets_with_deltas"] == 0
+    assert len(s2["buckets"]) == 8
