@@ -11,7 +11,10 @@ from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
     compact_published,
+    enable_snapshots,
+    expire_snapshots,
     incremental_apply,
+    list_snapshots,
     read_published,
     replay_publish,
     table_lock,
@@ -21,6 +24,9 @@ __all__ = [
     "ConcurrentWriterError",
     "table_lock",
     "compact_published",
+    "enable_snapshots",
+    "expire_snapshots",
+    "list_snapshots",
     "SchemaTimeline",
     "extract_timeline",
     "replay_dataset",

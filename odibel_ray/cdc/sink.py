@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from functools import partial
 
 import numpy as np
@@ -55,6 +56,8 @@ from odibel_ray.cdc.schema import SchemaTimeline, extract_timeline
 MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 TABLE_MANIFEST = "_TABLE_MANIFEST.json"
+SNAPSHOT_DIR = "_snapshots"
+SNAPSHOT_POLICY = "_POLICY.json"
 
 LOGICAL_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool_name", "score", "ts"]
 
@@ -443,13 +446,12 @@ def _publish_mor_stream(manifest_ds, out_dir: str) -> list[dict]:
     through the ordinary copy-on-write base publish."""
     published = []
     publish_delay = float(os.environ.get("ODIBEL_TEST_PUBLISH_DELAY", "0"))
+    retained = _retained_files(out_dir)
     for row in manifest_ds.iter_rows():
         if publish_delay:  # test hook (see _publish_stream)
-            import time
-
             time.sleep(publish_delay)
         if not row["file"].startswith("delta-"):
-            published.append(_publish_base_row(row, out_dir))
+            published.append(_publish_base_row(row, out_dir, retained=retained))
             continue
         staged = _audit_staged(row)
         final_path = os.path.join(out_dir, row["file"])
@@ -511,6 +513,154 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
     return got
 
 
+# ---------------------------------------------------------------------------
+# Table snapshots (time travel): an opt-in retention policy over the
+# copy-on-write publish. Every publish op already lands bucket data under a
+# run-versioned filename and flips only the per-bucket manifest pointer; a
+# *snapshot* is a frozen copy of the whole manifest set taken after the op,
+# so "the table as of version V" is just "read V's file list". Retention is
+# deliberate (Delta/Iceberg-style): each retained snapshot pins up to one
+# extra file version per bucket it differs in, which at 10^10 events is real
+# disk — so snapshots are off unless `enable_snapshots` (or `snapshots=k` on
+# a publish op) turns them on, and `expire_snapshots` / `vacuum` bound them.
+# ---------------------------------------------------------------------------
+
+
+def enable_snapshots(out_dir: str, keep_last: int = 2) -> None:
+    """Turn on snapshot retention for a table: every subsequent publish op
+    (replay/incremental/compact/publish_dataset) records a table version and
+    the newest ``keep_last`` versions stay readable via
+    ``read_published(..., version=V)``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    sdir = os.path.join(out_dir, SNAPSHOT_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    _atomic_write_json(os.path.join(sdir, SNAPSHOT_POLICY), {"keep_last": int(keep_last)})
+    # enabling on an already-published table pins its CURRENT state as the
+    # first version — otherwise the next apply's per-bucket sweep would
+    # remove exactly the files time travel back to "before that apply" needs
+    if not list_snapshots(out_dir) and load_manifests(out_dir):
+        record_snapshot(out_dir, "bootstrap")
+
+
+def snapshot_policy(out_dir: str) -> int | None:
+    """The table's ``keep_last`` retention, or None when snapshots are off."""
+    p = os.path.join(out_dir, SNAPSHOT_DIR, SNAPSHOT_POLICY)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["keep_last"])
+
+
+def _snapshot_path(out_dir: str, version: int) -> str:
+    return os.path.join(out_dir, SNAPSHOT_DIR, f"v-{version:06d}.json")
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """All retained snapshots, oldest first: ``{version, op, run_id,
+    rows_total, buckets}`` (buckets = frozen per-bucket manifests)."""
+    sdir = os.path.join(out_dir, SNAPSHOT_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(sdir)):
+        if fn.startswith("v-") and fn.endswith(".json"):
+            with open(os.path.join(sdir, fn)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda s: s["version"])
+
+
+def snapshot_manifests(out_dir: str, version: int) -> dict[int, dict]:
+    """The frozen per-bucket manifest set of one retained version."""
+    path = _snapshot_path(out_dir, version)
+    if not os.path.exists(path):
+        have = [s["version"] for s in list_snapshots(out_dir)]
+        raise FileNotFoundError(
+            f"snapshot v{version} not retained under {out_dir} (have: {have})"
+        )
+    with open(path) as f:
+        snap = json.load(f)
+    return {int(b): m for b, m in snap["buckets"].items()}
+
+
+def _manifest_files(manifests: dict[int, dict] | dict[str, dict]) -> set[str]:
+    files: set[str] = set()
+    for m in manifests.values():
+        files.add(m["file"])
+        files.update(d["file"] for d in m.get("deltas", []))
+    return files
+
+
+def _retained_files(out_dir: str) -> frozenset[str]:
+    """Every data/delta filename referenced by a retained snapshot — the
+    per-bucket publish sweep and vacuum must keep these. One tiny JSON read
+    per retained snapshot (metadata only)."""
+    files: set[str] = set()
+    for snap in list_snapshots(out_dir):
+        files.update(_manifest_files(snap["buckets"]))
+    return frozenset(files)
+
+
+def record_snapshot(out_dir: str, op: str) -> dict | None:
+    """Freeze the table's current manifest set as the next version (no-op
+    unless snapshots are enabled), then expire beyond the policy's
+    ``keep_last``. Called by every publish op after its last manifest flip;
+    a crash before this point simply means the next successful op records
+    the state — retained files from prior snapshots are never at risk
+    because the in-publish sweep keeps everything ``_retained_files`` lists."""
+    keep_last = snapshot_policy(out_dir)
+    if keep_last is None:
+        return None
+    manifests = load_manifests(out_dir)
+    if not manifests:
+        return None
+    snaps = list_snapshots(out_dir)
+    version = snaps[-1]["version"] + 1 if snaps else 1
+    snap = {
+        "version": version,
+        "op": op,
+        "unix_ts": time.time(),
+        "rows_total": int(sum(m["rows_out"] for m in manifests.values())),
+        "buckets": {str(b): m for b, m in manifests.items()},
+    }
+    _atomic_write_json(_snapshot_path(out_dir, version), snap)
+    expire_snapshots(out_dir, keep_last)
+    return {"version": version, "op": op}
+
+
+def expire_snapshots(out_dir: str, keep_last: int | None = None) -> dict:
+    """Drop snapshots beyond the newest ``keep_last`` (default: the table's
+    policy) and sweep data/delta files no longer referenced by either the
+    live manifests or a retained snapshot. Runs inside every publish op
+    (which holds the table lease); run it standalone only while no writer is
+    live."""
+    if keep_last is None:
+        keep_last = snapshot_policy(out_dir) or 0
+    snaps = list_snapshots(out_dir)
+    drop = snaps[: max(0, len(snaps) - keep_last)] if keep_last >= 0 else []
+    removed = {"snapshots": 0, "files": 0}
+    for s in drop:
+        try:
+            os.remove(_snapshot_path(out_dir, s["version"]))
+            removed["snapshots"] += 1
+        except OSError:
+            pass
+    if not removed["snapshots"]:
+        return removed
+    import glob as _glob
+
+    keep = _manifest_files(load_manifests(out_dir)) | _retained_files(out_dir)
+    for pat in ("part-*.parquet", "delta-*.parquet"):
+        for f in _glob.glob(os.path.join(out_dir, pat)):
+            if os.path.basename(f) not in keep:
+                try:
+                    os.remove(f)
+                    removed["files"] += 1
+                except OSError:
+                    pass
+    return removed
+
+
 def _audit_staged(row) -> str:
     """Row-count audit of one staged file (CSVToParquet.scala:25-30 analog);
     returns the staged path."""
@@ -537,7 +687,9 @@ def _sweep_bucket_versions(out_dir: str, bucket: int, keep: set[str]) -> None:
                     pass
 
 
-def _publish_base_row(row, out_dir: str, extra: dict | None = None) -> dict:
+def _publish_base_row(
+    row, out_dir: str, extra: dict | None = None, retained: frozenset[str] = frozenset()
+) -> dict:
     """Audit + atomically publish one bucket's BASE manifest row: move the
     data file into place, flip the manifest pointer, sweep old versions
     (including any merge-on-read deltas the fresh base supersedes)."""
@@ -569,8 +721,9 @@ def _publish_base_row(row, out_dir: str, extra: dict | None = None) -> dict:
     )
     # sweep superseded/orphaned versions of this bucket (the previous
     # published file + deltas it folded in, plus any leftovers from crashed
-    # runs) — best-effort derived-data cleanup after the pointer flip
-    _sweep_bucket_versions(out_dir, manifest["bucket"], {manifest["file"]})
+    # runs) — best-effort derived-data cleanup after the pointer flip.
+    # Files pinned by a retained snapshot are kept (time travel).
+    _sweep_bucket_versions(out_dir, manifest["bucket"], {manifest["file"]} | retained)
     return manifest
 
 
@@ -578,12 +731,11 @@ def _publish_stream(manifest_ds, out_dir: str, extra: dict | None = None) -> lis
     """Stream manifest rows as groups finish; audit + atomically publish each."""
     published = []
     publish_delay = float(os.environ.get("ODIBEL_TEST_PUBLISH_DELAY", "0"))
+    retained = _retained_files(out_dir)
     for row in manifest_ds.iter_rows():
         if publish_delay:  # test hook: lets the kill-resume test land mid-publish
-            import time
-
             time.sleep(publish_delay)
-        published.append(_publish_base_row(row, out_dir, extra))
+        published.append(_publish_base_row(row, out_dir, extra, retained))
     return published
 
 
@@ -627,6 +779,7 @@ def replay_publish(
     partitioned: bool = False,
     task_cpus: float = 1,
     metrics: str | None = None,
+    snapshots: int | None = None,
 ) -> dict:
     """Full replay with the exactly-once sink. Resumable: already-published
     buckets (valid manifest + audited file) are filtered out *before* the
@@ -634,10 +787,15 @@ def replay_publish(
 
     ``partitioned=True`` (requires ``num_buckets is None``): shuffle-free shard
     path — one task per WAL partition applies and stages its own bucket; the
-    groupby path remains for re-bucketing."""
+    groupby path remains for re-bucketing.
+
+    ``snapshots=k`` enables snapshot retention (see :func:`enable_snapshots`);
+    the run records a table version on completion."""
     import ray.data as rd
 
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    if snapshots is not None:
+        enable_snapshots(out_dir, keep_last=snapshots)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)
 
@@ -718,25 +876,36 @@ def replay_publish(
         "last_run_id": run_id,
     }
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), table_manifest)
+    snap = record_snapshot(out_dir, "replay_publish")
     return {
         "published_now": len(published),
         "published_total": len(all_manifests),
         "n_events_applied": int(sum(p["n_events"] for p in published)),
         "rows_total": table_manifest["rows_total"],
+        "snapshot": snap["version"] if snap else None,
         "out_dir": out_dir,
     }
 
 
-def read_published(out_dir: str, *, system: bool = False, parallelism: int = -1):
+def read_published(
+    out_dir: str, *, system: bool = False, parallelism: int = -1, version: int | None = None
+):
     """Dataset over manifested files only (readers never see unpublished data).
 
     Buckets with merge-on-read deltas are LWW-merged per bucket inside a map
     task (one task per delta-bearing bucket — base + deltas of one bucket are
     co-read and merged locally, no shuffle); delta-free buckets stream through
-    a plain Parquet read. A fully compacted table takes only the plain path."""
+    a plain Parquet read. A fully compacted table takes only the plain path.
+
+    ``version=V`` time-travels: the read resolves bucket files from retained
+    snapshot V (see :func:`enable_snapshots`) instead of the live manifests —
+    identical merge semantics, including any merge-on-read deltas the
+    snapshot carried."""
     import ray.data as rd
 
-    manifests = load_manifests(out_dir)
+    manifests = (
+        snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
+    )
     if not manifests:
         raise FileNotFoundError(f"no published buckets under {out_dir}")
     plain = [
@@ -941,6 +1110,11 @@ def table_stats(out_dir: str) -> dict:
         else 0.0,
         "schema_version": tman.get("schema_version"),
         "last_run_id": tman.get("last_run_id"),
+        "snapshot_policy": snapshot_policy(out_dir),
+        "snapshots": [
+            {"version": s["version"], "op": s["op"], "rows_total": s["rows_total"]}
+            for s in list_snapshots(out_dir)
+        ],
         "buckets": buckets,
     }
 
@@ -951,6 +1125,7 @@ def vacuum(
     *,
     feed_dir: str | None = None,
     keep_feed_states: int = 3,
+    keep_snapshots: int | None = None,
 ) -> dict:
     """Maintenance sweep of a published table — the lakehouse ``VACUUM``:
 
@@ -970,7 +1145,11 @@ def vacuum(
     import glob as _glob
     import shutil
 
-    removed = {"staging_dirs": 0, "orphan_files": 0, "feed_files": 0}
+    removed = {"staging_dirs": 0, "orphan_files": 0, "feed_files": 0, "snapshots": 0}
+    if keep_snapshots is not None:
+        # tighten retention first so the orphan scan below sees the final
+        # retained set (``keep_snapshots=0`` drops time travel entirely)
+        removed["snapshots"] = expire_snapshots(out_dir, keep_snapshots)["snapshots"]
     sdir = os.path.join(out_dir, STAGING_DIR)
     if os.path.isdir(sdir):
         for run_dir in os.listdir(sdir):
@@ -980,6 +1159,8 @@ def vacuum(
     for m in load_manifests(out_dir).values():
         live.add(m["file"])
         live.update(d["file"] for d in m.get("deltas", []))
+    # files pinned by retained snapshots are not orphans (time travel)
+    live |= _retained_files(out_dir)
     for pat in ("part-*.parquet", "delta-*.parquet"):
         for f in _glob.glob(os.path.join(out_dir, pat)):
             if os.path.basename(f) not in live:
@@ -1099,6 +1280,7 @@ def compact_published(
     run_id: str = "compact-0",
     min_deltas: int = 1,
     metrics: str | None = None,
+    snapshots: int | None = None,
 ) -> dict:
     """Fold merge-on-read deltas back into their buckets' base files — the
     lakehouse compaction that bounds a MOR table's read amplification. One
@@ -1110,6 +1292,8 @@ def compact_published(
     ``min_deltas`` skips buckets not worth rewriting yet."""
     import ray.data as rd
 
+    if snapshots is not None:
+        enable_snapshots(out_dir, keep_last=snapshots)
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
     manifests = load_manifests(out_dir)
@@ -1191,10 +1375,12 @@ def compact_published(
         }
     )
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    snap = record_snapshot(out_dir, "compact_published")
     return {
         "compacted": len(published),
         "published_total": len(all_manifests),
         "rows_total": tman["rows_total"],
+        "snapshot": snap["version"] if snap else None,
         "deltas_total": tman["mor_deltas"],
         "out_dir": out_dir,
     }
@@ -1223,6 +1409,7 @@ def incremental_apply(
     feed_dir: str | None = None,
     metrics: str | None = None,
     mode: str = "cow",
+    snapshots: int | None = None,
 ) -> dict:
     """Apply new change-log events (``lsn`` beyond each bucket's per-partition
     watermark) onto the published base table; untouched buckets are left as-is.
@@ -1269,6 +1456,8 @@ def incremental_apply(
             "use mode='cow' with feed_dir"
         )
 
+    if snapshots is not None:
+        enable_snapshots(out_dir, keep_last=snapshots)
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
     num_buckets = tman["num_buckets"]
@@ -1313,8 +1502,9 @@ def incremental_apply(
     touched_vals = new_ev.select_columns(["bucket"]).unique("bucket") or []
     touched = np.array(sorted(int(b) for b in touched_vals), dtype=np.int64)
     if len(touched) == 0:
+        # nothing applied → table state unchanged → no new snapshot version
         return {"published_now": 0, "published_total": len(manifests), "touched": 0,
-                "rows_total": tman["rows_total"], "out_dir": out_dir}
+                "rows_total": tman["rows_total"], "snapshot": None, "out_dir": out_dir}
 
     if mode == "mor":
         staging = os.path.join(out_dir, STAGING_DIR, run_id)
@@ -1351,12 +1541,14 @@ def incremental_apply(
             }
         )
         _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+        snap = record_snapshot(out_dir, "incremental_apply_mor")
         return {
             "published_now": len(published),
             "published_total": len(all_manifests),
             "touched": int(len(touched)),
             "n_events_applied": int(sum(p["n_events"] for p in published)),
             "rows_total": tman["rows_total"],
+            "snapshot": snap["version"] if snap else None,
             "deltas_total": tman["mor_deltas"],
             "out_dir": out_dir,
         }
@@ -1482,12 +1674,14 @@ def incremental_apply(
         }
     )
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    snap = record_snapshot(out_dir, "incremental_apply")
     return {
         "published_now": len(published),
         "published_total": len(all_manifests),
         "touched": int(len(touched)),
         "n_events_applied": int(sum(p["n_events"] for p in published)),
         "rows_total": tman["rows_total"],
+        "snapshot": snap["version"] if snap else None,
         "out_dir": out_dir,
     }
 
@@ -1536,6 +1730,7 @@ def publish_dataset(
     run_id: str = "run-0",
     batch_size: int = 65536,
     metrics: str | None = None,
+    snapshots: int | None = None,
 ) -> dict:
     """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
     hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
@@ -1560,6 +1755,9 @@ def publish_dataset(
     from odibel_ray.cdc.lww import bucket_of_keys
     from odibel_ray.tuning import default_num_buckets
 
+    if snapshots is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        enable_snapshots(out_dir, keep_last=snapshots)
     layout_path = os.path.join(out_dir, "_layout.json")
     if os.path.exists(layout_path):
         with open(layout_path) as f:
@@ -1611,9 +1809,11 @@ def publish_dataset(
         "generic": True,
     }
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    snap = record_snapshot(out_dir, "publish_dataset")
     return {
         "published_now": len(published),
         "published_total": len(all_manifests),
         "rows_total": tman["rows_total"],
+        "snapshot": snap["version"] if snap else None,
         "out_dir": out_dir,
     }

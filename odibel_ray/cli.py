@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="cli-run")
     p.add_argument("--metrics", default=None,
                    help="named live counter actor for task-side progress")
+    p.add_argument("--snapshots", type=int, default=None,
+                   help="enable time travel: retain the newest N table versions")
 
     i = sub.add_parser("incremental", help="apply new log events onto a published table")
     i.add_argument("--log", required=True)
@@ -72,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="cow rewrites touched buckets; mor stages per-bucket "
                         "delta files (merge-on-read) — fold them back with "
                         "'compact'")
+    i.add_argument("--snapshots", type=int, default=None,
+                   help="enable time travel: retain the newest N table versions")
 
     co = sub.add_parser(
         "compact", help="fold merge-on-read deltas back into bucket base files"
@@ -131,6 +135,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--feed", default=None)
     v.add_argument("--keep-feed-states", type=int, default=3)
+    v.add_argument("--keep-snapshots", type=int, default=None,
+                   help="also expire retained table versions beyond the newest N")
+
+    sn = sub.add_parser(
+        "snapshots", help="list a table's retained time-travel versions"
+    )
+    sn.add_argument("--table", required=True)
 
     de = sub.add_parser(
         "describe",
@@ -158,7 +169,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(vacuum(
             args.table, feed_dir=args.feed,
             keep_feed_states=args.keep_feed_states,
+            keep_snapshots=args.keep_snapshots,
         )))
+        return 0
+
+    if args.cmd == "snapshots":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.sink import list_snapshots, snapshot_policy
+
+        print(json.dumps({
+            "keep_last": snapshot_policy(args.table),
+            "versions": [
+                {k: s[k] for k in ("version", "op", "unix_ts", "rows_total")}
+                for s in list_snapshots(args.table)
+            ],
+        }))
         return 0
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed
@@ -213,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         res = replay_publish(
             args.log, args.table, num_buckets=args.num_buckets,
             partitioned=args.partitioned, run_id=args.run_id,
-            metrics=args.metrics,
+            metrics=args.metrics, snapshots=args.snapshots,
         )
         print(json.dumps(res))
         return 0
@@ -230,7 +254,8 @@ def main(argv: list[str] | None = None) -> int:
         from odibel_ray.cdc.sink import incremental_apply
 
         res = incremental_apply(args.log, args.table, run_id=args.run_id,
-                                metrics=args.metrics, mode=args.mode)
+                                metrics=args.metrics, mode=args.mode,
+                                snapshots=args.snapshots)
         print(json.dumps(res))
         return 0
 

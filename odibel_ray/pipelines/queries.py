@@ -413,6 +413,29 @@ def q_transcript_incremental(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_version_read(sf_dir: str):
+    """Snapshot time travel over the exactly-once sink: copy the cached
+    60%-prefix base, enable snapshot retention (which bootstrap-pins the
+    base as table version 1), incrementally apply the full log (version 2),
+    then read the table AS OF version 1 — the Delta/Iceberg ``VERSION AS
+    OF`` over this sink's copy-on-write manifests. The result must equal a
+    from-scratch replay of the prefix log; the SQL oracle re-derives
+    ``split_log``'s index-based LSN cutoff (sorted-LSN position
+    ``floor(0.6*(n-1))``) and replays below it."""
+    import shutil
+
+    from odibel_ray.cdc.sink import enable_snapshots, incremental_apply, read_published
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ttr", "table")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    shutil.copytree(cached, out)
+    enable_snapshots(out, keep_last=2)  # pins the prefix base as v1
+    incremental_apply(log, out, run_id="r2")  # records v2
+    return read_published(out, version=1)
+
+
 def q_transcript_incremental_mor(sf_dir: str):
     """Merge-on-read incremental apply: same base fixture as
     ``transcript_incremental``, but the run stages only per-bucket DELTA
@@ -2070,6 +2093,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_stream_tail": q_transcript_stream_tail,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
+    "transcript_version_read": q_transcript_version_read,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
     "transcript_rebucket_read": q_transcript_rebucket_read,
@@ -2380,6 +2404,16 @@ SELECT conv_id, n_turns, unnest(turns, recursive := true) FROM nested
         ),
         "transcript_stream_tail": t_final,
         "transcript_incremental": t_final,
+        # time travel to v1 = the 60% prefix base; re-derive split_log's
+        # index-based cutoff (sorted-LSN position floor(0.6*(n-1))) in SQL
+        "transcript_version_read": _TRANSCRIPT_FINAL_SQL.format(
+            glob=glob,
+            where=f"""WHERE lsn <= (
+  SELECT lsn FROM (
+    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn, count(*) OVER () AS n
+    FROM read_parquet('{glob}', hive_partitioning=1))
+  WHERE rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT))""",
+        ),
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,

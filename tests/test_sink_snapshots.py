@@ -1,0 +1,116 @@
+"""Snapshot retention + time travel over the copy-on-write sink."""
+
+import os
+
+import pytest
+
+from odibel_ray.cdc import (
+    compact_published,
+    enable_snapshots,
+    incremental_apply,
+    list_snapshots,
+    read_published,
+    replay_publish,
+)
+from odibel_ray.cdc.sink import snapshot_policy, table_stats, vacuum
+from odibel_ray.datagen import split_log
+from odibel_ray.oracle import replay_oracle
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _read(out, **kw):
+    return collect_sorted(read_published(out, **kw), KEYS)
+
+
+@pytest.fixture()
+def prefixed(small_log, tmp_path):
+    """60%-prefix log + its replay oracle."""
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    plog = os.path.join(prefix, "change_log")
+    return {"log": small_log["log_dir"], "plog": plog, "poracle": replay_oracle(plog)}
+
+
+def test_time_travel_round_trip(ray_session, prefixed, oracle_final, tmp_path):
+    """Publish prefix with snapshots on (v1), apply the tail (v2): version 1
+    must keep reading as the prefix replay while the live table converges."""
+    out = str(tmp_path / "tbl")
+    r1 = replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=2)
+    assert r1["snapshot"] == 1
+    r2 = incremental_apply(prefixed["log"], out, run_id="r2")
+    assert r2["snapshot"] == 2
+    assert _read(out).equals(oracle_final)
+    assert _read(out, version=1).equals(prefixed["poracle"])
+    assert _read(out, version=2).equals(oracle_final)
+    assert [s["version"] for s in list_snapshots(out)] == [1, 2]
+    st = table_stats(out)
+    assert st["snapshot_policy"] == 2
+    assert [s["version"] for s in st["snapshots"]] == [1, 2]
+
+
+def test_enable_on_existing_table_bootstraps(ray_session, prefixed, oracle_final, tmp_path):
+    """Enabling retention on an already-published table pins its CURRENT
+    state as v1 — the next apply must not sweep the files v1 needs."""
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1")  # snapshots off
+    enable_snapshots(out, keep_last=2)
+    assert [s["op"] for s in list_snapshots(out)] == ["bootstrap"]
+    incremental_apply(prefixed["log"], out, run_id="r2")
+    assert _read(out, version=1).equals(prefixed["poracle"])
+    assert _read(out).equals(oracle_final)
+
+
+def test_expiry_and_vacuum_respect_retention(ray_session, prefixed, oracle_final, tmp_path):
+    """keep_last=1: the apply's new version evicts the bootstrap version and
+    sweeps its files; vacuum never removes retained-snapshot files."""
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=1)
+    v1_files = {m["file"] for m in list_snapshots(out)[0]["buckets"].values()}
+    incremental_apply(prefixed["log"], out, run_id="r2")
+    assert [s["version"] for s in list_snapshots(out)] == [2]
+    with pytest.raises(FileNotFoundError):
+        read_published(out, version=1)
+    # superseded v1 files of republished buckets are swept by expiry
+    live = {m["file"] for m in list_snapshots(out)[0]["buckets"].values()}
+    for f in v1_files - live:
+        assert not os.path.exists(os.path.join(out, f))
+    assert _read(out).equals(oracle_final)
+    # vacuum keeps everything the retained snapshot references
+    vacuum(out)
+    assert _read(out, version=2).equals(oracle_final)
+    # dropping retention entirely via vacuum removes time travel
+    res = vacuum(out, keep_snapshots=0)
+    assert res["snapshots"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_published(out, version=2)
+    assert _read(out).equals(oracle_final)
+
+
+def test_mor_snapshot_survives_compaction(ray_session, prefixed, oracle_final, tmp_path):
+    """A version captured while buckets carried merge-on-read deltas must
+    read identically after compaction folds the deltas away (the snapshot
+    pins base + delta files; the in-publish sweep keeps them)."""
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=3)
+    r2 = incremental_apply(prefixed["log"], out, run_id="r2", mode="mor")
+    assert r2["snapshot"] == 2
+    c = compact_published(out, run_id="c1")
+    assert c["snapshot"] == 3
+    assert _read(out).equals(oracle_final)
+    # v2 still merges base ∪ (now-compacted-away) deltas
+    assert _read(out, version=2).equals(oracle_final)
+    assert _read(out, version=1).equals(prefixed["poracle"])
+    assert snapshot_policy(out) == 3
+
+
+def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
+    """Without enable_snapshots the sink behaves exactly as before: no
+    versions recorded, version reads fail."""
+    out = str(tmp_path / "tbl")
+    r = replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1")
+    assert r["snapshot"] is None
+    assert list_snapshots(out) == []
+    with pytest.raises(FileNotFoundError):
+        read_published(out, version=1)
