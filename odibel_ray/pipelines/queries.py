@@ -1623,19 +1623,21 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_minhash_clusters(sf_dir: str):
-    """Near-dup pairs → duplicate groups via distributed min-label propagation
-    (S11 corpus-scale connected components; driver holds no forest).
+    """Near-dup pairs → duplicate groups via size-adaptive connected
+    components (S11 corpus-scale clustering): bounded pair sets take the
+    one-pass union-find, unbounded ones the distributed min-label
+    propagation (driver holds no forest) — identical output either way.
     Oracle-pinned against a recursive-CTE reachability oracle over the exact
     all-pairs Jaccard graph."""
     from odibel_ray.dedup import minhash_lsh_pairs
     from odibel_ray.ops.relational import load_table
-    from odibel_ray.state import connected_components_distributed
+    from odibel_ray.state import connected_components_auto
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
     # emit="spanning": per-bucket spanning edges — a clique of k near-dups
     # feeds CC k-1 edge rows instead of k²/2, shrinking every CC round's
     # all-to-all while producing identical components
-    return connected_components_distributed(
+    return connected_components_auto(
         minhash_lsh_pairs(docs, threshold=0.4, emit="spanning")
     )
 
@@ -1822,17 +1824,17 @@ def q_embedding_cosine_pairs(sf_dir: str):
 
 def q_embedding_dup_clusters(sf_dir: str):
     """Embedding-modality duplicate groups: EXACT cosine pair graph
-    (block-tiled all-pairs, complete recall) → distributed min-label
-    connected components — the embedding twin of ``dedup_minhash_clusters``,
+    (block-tiled all-pairs, complete recall) → size-adaptive connected
+    components — the embedding twin of ``dedup_minhash_clusters``,
     oracle-pinned against a recursive-CTE reachability oracle over the same
     ``list_cosine_similarity`` pair graph."""
     from odibel_ray.ops.relational import load_table
     from odibel_ray.sim import cosine_pairs_exact
-    from odibel_ray.state import connected_components_distributed
+    from odibel_ray.state import connected_components_auto
 
     emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = cosine_pairs_exact(emb, threshold=0.4).select_columns(["vec_a", "vec_b"])
-    return connected_components_distributed(pairs, a_col="vec_a", b_col="vec_b")
+    return connected_components_auto(pairs, a_col="vec_a", b_col="vec_b")
 
 
 def _query_vectors(sf_dir: str):

@@ -89,7 +89,7 @@ def gradoop_clusters(
     (``reader.py:66-77``); here both the membership filter and the component
     computation are keyed shuffles."""
     from odibel_ray.ops.relational import bucketed_join
-    from odibel_ray.state.clusters import connected_components_distributed
+    from odibel_ray.state.clusters import connected_components_auto
 
     edges = read_gradoop_edges(edge_path)
     if min_sim > 0.0:
@@ -116,6 +116,4 @@ def gradoop_clusters(
         left_schema=edge_schema,
         right_schema=id_schema("dst"),
     )
-    return connected_components_distributed(
-        edges, "src", "dst", num_buckets=num_buckets
-    )
+    return connected_components_auto(edges, "src", "dst", num_buckets=num_buckets)

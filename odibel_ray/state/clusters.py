@@ -69,6 +69,38 @@ def connected_components(
     )
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def connected_components_auto(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    driver_edge_limit: int = DRIVER_CC_MAX_EDGES,
+    **distributed_kw,
+) -> "ray.data.Dataset":
+    """Size-adaptive connected components (the AQE-style strategy choice the
+    broadcast joins already make): a pair set small enough to be bounded
+    (≤ ``driver_edge_limit`` edges) runs the one-pass O(E α(E)) union-find —
+    a graph that size would spend its entire wall-time on the distributed
+    loop's fixed per-exchange cost — while anything larger takes
+    :func:`connected_components_distributed` (min-label propagation +
+    pointer jumping; driver holds no forest). Output is bit-identical either
+    way: ``(node, component)``, component = smallest node id of the group.
+
+    The size probe is one ``count()`` over the materialized pair stream; at
+    100-TB LSH scale the stream blows past the limit and the probe costs one
+    metadata read — the distributed path's own ``edges.materialize()`` pays
+    the equivalent pinning anyway."""
+    import ray.data as rd
+
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_edge_limit:
+        return rd.from_arrow(connected_components(pairs, a_col, b_col))
+    return connected_components_distributed(pairs, a_col, b_col, **distributed_kw)
+
+
 def _label_checksum(labels: "ray.data.Dataset") -> int:
     """Order/partition-independent multiset checksum of the label column:
     per-block wraparound sums of 64-bit hashes; only one tiny partial row per
@@ -417,7 +449,7 @@ def filter_links(
         lambda t: t.filter(pc.is_in(t["link_type"], keep)),
         batch_format="pyarrow",
     )
-    comps = connected_components_distributed(
+    comps = connected_components_auto(
         kept, src_col, dst_col, num_buckets=num_buckets
     )
     if edge_schema is None:

@@ -47,6 +47,29 @@ def test_distributed_cc_matches_union_find(ray_session):
     assert got == want
 
 
+def test_cc_auto_picks_path_by_size(ray_session):
+    """connected_components_auto: below the edge limit it returns the
+    union-find answer; forcing the limit to 0 routes the SAME pairs through
+    the distributed loop — and both must be bit-identical."""
+    import ray.data as rd
+
+    from odibel_ray.state import connected_components, connected_components_auto
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": [1, 2, 5, 8, 9, 20], "doc_b": [2, 3, 6, 9, 10, 21]})
+    )
+    want = connected_components(pairs)
+    small = connected_components_auto(pairs).to_pandas().sort_values("node", ignore_index=True)
+    big = (
+        connected_components_auto(pairs, driver_edge_limit=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    ref = want.to_pandas().sort_values("node", ignore_index=True)
+    assert small.equals(ref)
+    assert big.equals(ref)
+
+
 def test_gradoop_reader_and_clusters(ray_session, tmp_path):
     """FAMER JSONL vertex/edge files → Datasets → distributed clusters
     (S11; unknown-endpoint edges dropped as in the reference)."""
