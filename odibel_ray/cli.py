@@ -120,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--compact-every", type=int, default=0,
                    help="with --mode mor: fold deltas into the bases after "
                         "every K applies (and at stream end)")
+    t.add_argument("--format", dest="fmt", choices=("native", "debezium"),
+                   default="native",
+                   help="debezium: ingest Debezium change-event envelopes "
+                        "(op c/u/d/r, before/after row images, source.lsn)")
 
     lk = sub.add_parser(
         "lookup", help="point-read one conv_id from a published table"
@@ -287,6 +291,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics=args.metrics,
             mode=args.mode,
             compact_every=args.compact_every,
+            fmt=args.fmt,
         )
         res.pop("history", None)
         print(json.dumps(res))

@@ -343,6 +343,83 @@ def ensure_jsonl_stream(sf_dir: str) -> str:
     return path
 
 
+def ensure_debezium_stream(sf_dir: str) -> str:
+    """Serialize the cached change log once as Debezium change-event
+    envelopes (op c/u/d, before/after row images, ``source.lsn``, ``ts_ms``;
+    S events ride the inline ``schema_change`` extension) — the
+    deterministic stand-in for a connector topic dump."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    log = ensure_transcript_log(sf_dir)
+    path = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_debezium.jsonl")
+    marker = path + ".ok"
+    params = _json.dumps({**_LOG_PARAMS, "n_convs": _n_convs(sf_dir)}, sort_keys=True)
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read() == params:
+                return path
+    tables = [
+        pq.read_table(f)
+        for f in sorted(_glob.glob(os.path.join(log, "part=*", "*.parquet")))
+    ]
+    t = pa.concat_tables(tables, promote_options="default")
+    t = t.take(pc.sort_indices(t, sort_keys=[("lsn", "ascending")]))
+    # ts → epoch ms from the raw µs value (naive-datetime .timestamp() would
+    # apply the host timezone); the log's 1s-step timestamps are ms-lossless
+    t = t.append_column(
+        "ts_ms", pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1000, pa.int64()))
+    )
+    row_fields = ("conv_id", "turn_idx", "role", "text", "tool", "tool_name", "score")
+    op_map = {"I": "c", "U": "u", "D": "d"}
+    with open(path + ".tmp", "w") as f:
+        for r in t.to_pylist():
+            env = {
+                "op": op_map.get(r["op"], "c"),
+                "source": {"lsn": r["lsn"]},
+                "ts_ms": r["ts_ms"],
+            }
+            img = {k: r[k] for k in row_fields if r.get(k) is not None}
+            if r["op"] == "D":
+                env["before"] = img  # a Debezium delete carries only before
+            elif r["op"] in ("I", "U"):
+                env["after"] = img
+            if r.get("schema_change"):
+                env["schema_change"] = r["schema_change"]
+            f.write(_json.dumps({k: v for k, v in env.items() if v is not None}))
+            f.write("\n")
+    os.replace(path + ".tmp", path)
+    with open(marker, "w") as f:
+        f.write(params)
+    return path
+
+
+def q_transcript_debezium_stream(sf_dir: str):
+    """Debezium-envelope ingest: the change log serialized as connector
+    change events (c/u/d ops, before/after row images, ``source.lsn``) is
+    piped through the same spool → micro-batch upsert loop with
+    ``fmt="debezium"``; the converged table must equal the batch replay of
+    the native log (same SQL oracle) — proving the envelope mapping is
+    lossless."""
+    import shutil
+
+    from odibel_ray.cdc.sink import read_published
+    from odibel_ray.sources.stream import tail_stream
+
+    payload = ensure_debezium_stream(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dbz")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "table")
+    tail_stream(
+        payload, table, spool_dir=os.path.join(base, "spool"),
+        num_parts=8, batch_rows=10000, num_buckets=16, run_prefix="dz",
+        fmt="debezium",
+    )
+    return read_published(table)
+
+
 def q_transcript_stream_tail(sf_dir: str):
     """Stdin/pipe ingest (reference ``DBpediaTKG.scala:106-133`` '-' mode):
     the change log serialized as a JSONL stream is piped through the spool →
@@ -2093,6 +2170,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_publish_read": q_transcript_publish_read,
     "transcript_point_lookup": q_transcript_point_lookup,
     "transcript_stream_tail": q_transcript_stream_tail,
+    "transcript_debezium_stream": q_transcript_debezium_stream,
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
     "transcript_version_read": q_transcript_version_read,
@@ -2405,6 +2483,8 @@ SELECT conv_id, n_turns, unnest(turns, recursive := true) FROM nested
             f"SELECT * FROM ({t_final}) WHERE conv_id = '{_LOOKUP_CONV}'"
         ),
         "transcript_stream_tail": t_final,
+        # the Debezium-envelope ingest converges to the same final table
+        "transcript_debezium_stream": t_final,
         "transcript_incremental": t_final,
         # time travel to v1 = the 60% prefix base; re-derive split_log's
         # index-based cutoff (sorted-LSN position floor(0.6*(n-1))) in SQL

@@ -70,6 +70,90 @@ def _parse_jsonl(chunk: bytes, schema: pa.Schema) -> pa.Table:
     return raw.cast(schema)
 
 
+def _debezium_schema() -> pa.Schema:
+    """Wire schema of a (flattened) Debezium change-event envelope over the
+    transcript table: ``op`` c/u/d/r, row images in ``before``/``after``,
+    binlog position in ``source.lsn``, event time in ``ts_ms``. This is the
+    shape Debezium's JSON converter emits with ``schemas.enable=false`` (the
+    common deployment; with the preamble enabled, strip to ``payload`` before
+    piping). ``schema_change`` is this engine's inline extension — the analog
+    of Debezium's schema-history topic folded into the same stream."""
+    from odibel_ray.datagen import LOG_SCHEMA
+
+    row = pa.struct(
+        [
+            (n, LOG_SCHEMA.field(n).type)
+            for n in ("conv_id", "turn_idx", "role", "text", "tool", "tool_name", "score")
+        ]
+    )
+    return pa.schema(
+        [
+            ("op", pa.string()),
+            ("before", row),
+            ("after", row),
+            ("source", pa.struct([("lsn", pa.int64())])),
+            ("ts_ms", pa.int64()),
+            ("schema_change", pa.string()),
+        ]
+    )
+
+
+def debezium_to_log(t: pa.Table) -> pa.Table:
+    """Vectorized Debezium envelope → native change-log rows:
+
+    - ``op``: c (create) / r (snapshot read) → I, u → U, d → D; any message
+      carrying ``schema_change`` becomes an S event regardless of its op;
+    - row columns come from ``after`` for c/u/r and from ``before`` for d
+      (a Debezium delete's ``after`` is null — the key lives in ``before``);
+    - ``lsn`` comes from ``source.lsn`` (null → the spool assigns arrival
+      order, same as the native path); ``ts`` is ``ts_ms`` widened to µs.
+
+    All Arrow compute kernels — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from odibel_ray.datagen import LOG_SCHEMA
+
+    t = t.combine_chunks()
+    is_del = pc.equal(t["op"], "d")
+
+    def pick(field: str) -> pa.Array:
+        return pc.if_else(
+            is_del,
+            pc.struct_field(t["before"], field),
+            pc.struct_field(t["after"], field),
+        )
+
+    opn = t["op"].to_numpy(zero_copy_only=False)
+    log_op = np.where(opn == "d", "D", np.where(opn == "u", "U", "I"))
+    sc = t["schema_change"]
+    is_schema = pc.and_(pc.is_valid(sc), pc.not_equal(pc.coalesce(sc, ""), ""))
+    log_op = np.where(is_schema.to_numpy(zero_copy_only=False), "S", log_op)
+    ts = pc.cast(
+        pc.multiply_checked(t["ts_ms"], pa.scalar(1000, pa.int64())), pa.timestamp("us")
+    )
+    cols = {
+        "op": pa.array(log_op, pa.string()),
+        "lsn": pc.struct_field(t["source"], "lsn"),
+        "conv_id": pick("conv_id"),
+        "turn_idx": pick("turn_idx"),
+        "role": pick("role"),
+        "text": pick("text"),
+        "tool": pick("tool"),
+        "tool_name": pick("tool_name"),
+        "score": pick("score"),
+        "ts": ts,
+        "schema_change": sc,
+    }
+    return pa.table(cols).cast(LOG_SCHEMA)
+
+
+def _parse_debezium(chunk: bytes) -> pa.Table:
+    return debezium_to_log(_parse_jsonl(chunk, _debezium_schema()))
+
+
+STREAM_FORMATS = {"native": None, "debezium": _parse_debezium}
+
+
 def _read_line_chunks(stream: IO[bytes], batch_rows: int) -> Iterator[bytes]:
     """Yield byte chunks of up to ``batch_rows`` complete lines. Reads in
     64 KiB blocks and splits on the last newline — O(block) per iteration,
@@ -105,6 +189,7 @@ def spool_jsonl(
     batch_rows: int = 65536,
     start_seq: int | None = None,
     assign_lsn: bool = True,
+    fmt: str = "native",
 ) -> dict:
     """Spool a JSONL change-event stream into the WAL layout the engine's
     sinks consume (``part=<k>/stream-<seq>.parquet``). Returns
@@ -116,11 +201,15 @@ def spool_jsonl(
     ``assign_lsn``: rows with a null ``lsn`` get the next arrival-order
     sequence number (resumed from the spool's own max when ``start_seq`` is
     None), so a raw event feed without binlog positions still replays
-    deterministically.
+    deterministically. ``fmt="debezium"`` accepts Debezium change-event
+    envelopes instead of native log rows (see :func:`debezium_to_log`).
     """
     from odibel_ray.cdc.lww import bucket_of_keys
     from odibel_ray.datagen import LOG_SCHEMA
 
+    if fmt not in STREAM_FORMATS:
+        raise ValueError(f"unknown stream format {fmt!r} (have {sorted(STREAM_FORMATS)})")
+    parse = STREAM_FORMATS[fmt] or (lambda c: _parse_jsonl(c, LOG_SCHEMA))
     if isinstance(stream, str):
         stream = open_stream(stream)
     os.makedirs(spool_dir, exist_ok=True)
@@ -141,7 +230,7 @@ def spool_jsonl(
     files: list[str] = []
     last_lsn = -1
     for chunk in _read_line_chunks(stream, batch_rows):
-        t = _parse_jsonl(chunk, LOG_SCHEMA)
+        t = parse(chunk)
         if len(t) == 0:
             continue
         if assign_lsn:
@@ -210,6 +299,7 @@ def tail_stream(
     metrics: str | None = None,
     mode: str = "cow",
     compact_every: int = 0,
+    fmt: str = "native",
 ) -> dict:
     """Live pipe → lake upsert: read JSONL micro-batches from ``stream``
     (``"-"`` = stdin), spool each into the WAL layout, and converge the
@@ -228,7 +318,9 @@ def tail_stream(
     ``mode="mor"`` upserts each micro-batch as merge-on-read deltas (no
     bucket rewrite per apply — the right trade when applies are frequent and
     small); ``compact_every=k`` folds deltas back into the bases after every
-    k applies, plus once at stream end.
+    k applies, plus once at stream end. ``fmt="debezium"`` ingests Debezium
+    change-event envelopes (see :func:`debezium_to_log`) — pipe a connector's
+    topic dump straight in.
     """
     from odibel_ray.cdc.sink import (
         compact_published,
@@ -300,7 +392,7 @@ def tail_stream(
         for chunk in _read_line_chunks(stream, batch_rows):
             info = spool_jsonl(
                 io.BytesIO(chunk), spool_dir,
-                num_parts=num_parts, batch_rows=batch_rows,
+                num_parts=num_parts, batch_rows=batch_rows, fmt=fmt,
             )
             total_events += info["n_events"]
             mon.add(info["n_events"])

@@ -203,6 +203,82 @@ def test_spool_assigns_arrival_lsn(ray_session, tmp_path):
     assert sorted(got) == [(i, i) for i in range(20)]
 
 
+def test_debezium_envelope_mapping(ray_session):
+    """debezium_to_log: c/r→I, u→U, d→D with the row image taken from
+    `before` on deletes; source.lsn carried; ts_ms widened to µs; a
+    schema_change message becomes an S event."""
+    from odibel_ray.sources.stream import _parse_debezium
+
+    rows = [
+        {"op": "c", "after": {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "hi"},
+         "source": {"lsn": 5}, "ts_ms": 1700000000000},
+        {"op": "r", "after": {"conv_id": "b", "turn_idx": 1, "role": "tool", "text": "snap"},
+         "source": {"lsn": 6}, "ts_ms": 1700000001000},
+        {"op": "u", "after": {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "hi2"},
+         "source": {"lsn": 7}, "ts_ms": 1700000002000},
+        {"op": "d", "before": {"conv_id": "b", "turn_idx": 1},
+         "source": {"lsn": 8}, "ts_ms": 1700000003000},
+        {"op": "c", "schema_change": '{"rename": {"tool": "tool_name"}}',
+         "source": {"lsn": 9}, "ts_ms": 1700000004000},
+    ]
+    payload = ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
+    t = _parse_debezium(payload)
+    assert t["op"].to_pylist() == ["I", "I", "U", "D", "S"]
+    assert t["lsn"].to_pylist() == [5, 6, 7, 8, 9]
+    # delete's key comes from `before`; its non-key columns are null
+    assert t["conv_id"].to_pylist() == ["a", "b", "a", "b", None]
+    assert t["turn_idx"].to_pylist() == [0, 1, 0, 1, None]
+    assert t["text"].to_pylist() == ["hi", "snap", "hi2", None, None]
+    assert t["ts"].to_pylist()[0].isoformat() == "2023-11-14T22:13:20"
+    assert t["schema_change"].to_pylist()[-1] == '{"rename": {"tool": "tool_name"}}'
+
+
+def test_debezium_stream_tail_matches_replay(ray_session, small_log, oracle_final, tmp_path):
+    """End-to-end: the native log re-encoded as Debezium envelopes, piped
+    through tail_stream(fmt='debezium'), converges to the batch-replay
+    oracle — the envelope mapping is lossless."""
+    import glob
+
+    import pyarrow.compute as pc
+
+    from odibel_ray.cdc.sink import read_published
+    from odibel_ray.sources.stream import tail_stream
+    from tests.conftest import collect_sorted
+
+    tables = [
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(small_log["log_dir"], "part=*", "*.parquet")))
+    ]
+    t = pa.concat_tables(tables, promote_options="default")
+    t = t.take(pc.sort_indices(t, sort_keys=[("lsn", "ascending")]))
+    t = t.append_column(
+        "ts_ms", pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1000, pa.int64()))
+    )
+    op_map = {"I": "c", "U": "u", "D": "d"}
+    fields = ("conv_id", "turn_idx", "role", "text", "tool", "tool_name", "score")
+    lines = []
+    for r in t.to_pylist():
+        env = {"op": op_map.get(r["op"], "c"), "source": {"lsn": r["lsn"]}, "ts_ms": r["ts_ms"]}
+        img = {k: r[k] for k in fields if r.get(k) is not None}
+        if r["op"] == "D":
+            env["before"] = img
+        elif r["op"] in ("I", "U"):
+            env["after"] = img
+        if r.get("schema_change"):
+            env["schema_change"] = r["schema_change"]
+        lines.append(json.dumps(env))
+    payload = str(tmp_path / "dbz.jsonl")
+    with open(payload, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    out = str(tmp_path / "tbl")
+    res = tail_stream(
+        payload, out, spool_dir=str(tmp_path / "spool"),
+        num_parts=4, batch_rows=500, num_buckets=4, fmt="debezium",
+    )
+    assert res["n_events"] == t.num_rows
+    assert collect_sorted(read_published(out), ["conv_id", "turn_idx"]).equals(oracle_final)
+
+
 def test_throughput_monitor_reports():
     import time
 
