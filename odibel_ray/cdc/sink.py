@@ -888,7 +888,12 @@ def replay_publish(
 
 
 def read_published(
-    out_dir: str, *, system: bool = False, parallelism: int = -1, version: int | None = None
+    out_dir: str,
+    *,
+    system: bool = False,
+    parallelism: int = -1,
+    version: int | None = None,
+    columns: list[str] | None = None,
 ):
     """Dataset over manifested files only (readers never see unpublished data).
 
@@ -896,6 +901,12 @@ def read_published(
     task (one task per delta-bearing bucket — base + deltas of one bucket are
     co-read and merged locally, no shuffle); delta-free buckets stream through
     a plain Parquet read. A fully compacted table takes only the plain path.
+
+    ``columns=[...]`` prunes at the scan (only those columns leave storage);
+    without it a non-``system`` read already prunes to the logical columns —
+    the ``_lsn``/``_op`` system columns never leave the Parquet files unless
+    asked for. Merge-on-read buckets read the key+``_lsn`` superset the LWW
+    merge needs, then project.
 
     ``version=V`` time-travels: the read resolves bucket files from retained
     snapshot V (see :func:`enable_snapshots`) instead of the live manifests —
@@ -908,6 +919,12 @@ def read_published(
     )
     if not manifests:
         raise FileNotFoundError(f"no published buckets under {out_dir}")
+    if columns is not None:
+        final_cols = list(columns)
+    elif not system:
+        final_cols = list(LOGICAL_COLUMNS)
+    else:
+        final_cols = None
     plain = [
         os.path.join(out_dir, m["file"])
         for _, m in sorted(manifests.items())
@@ -916,8 +933,17 @@ def read_published(
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
     pieces = []
     if plain:
-        pieces.append(rd.read_parquet(plain))
+        pieces.append(rd.read_parquet(plain, columns=final_cols))
     if mor:
+        # the per-bucket LWW merge needs the key + _lsn (base) and _op
+        # (deltas) even when the caller projected them away
+        merge_cols = None
+        if final_cols is not None:
+            merge_cols = list(
+                dict.fromkeys(
+                    c for c in [*final_cols, "conv_id", "turn_idx", "_lsn"] if c != "_op"
+                )
+            )
         descs = [
             {
                 "base": os.path.join(out_dir, m["file"]),
@@ -932,9 +958,15 @@ def read_published(
             limit_arrow_threads()
             outs = []
             for row in batch.to_pylist():
-                base = pq.read_table(row["base"])
-                deltas = [pq.read_table(f) for f in row["deltas"]]
-                outs.append(merge_base_deltas(base, deltas))
+                base = pq.read_table(row["base"], columns=merge_cols)
+                deltas = [
+                    pq.read_table(
+                        f, columns=None if merge_cols is None else [*merge_cols, "_op"]
+                    )
+                    for f in row["deltas"]
+                ]
+                t = merge_base_deltas(base, deltas)
+                outs.append(t.select(final_cols) if final_cols is not None else t)
             return pa.concat_tables(outs, promote_options="default")
 
         merged = rd.from_items(descs).map_batches(
@@ -942,8 +974,8 @@ def read_published(
         )
         pieces.append(merged)
     ds = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
-    if not system:
-        ds = ds.select_columns(LOGICAL_COLUMNS)
+    if final_cols is not None:
+        ds = ds.select_columns(final_cols)
     return ds
 
 
@@ -954,6 +986,7 @@ def lookup_key(
     turn_idx: int | None = None,
     columns: list[str] | None = None,
     system: bool = False,
+    version: int | None = None,
 ) -> pa.Table:
     """Point read of one key from a published table — the payoff of the
     hash-bucketed layout: at 100 TB this opens ONE bucket file (or, for
@@ -971,12 +1004,17 @@ def lookup_key(
       footer is consulted, but bucket files are sorted by ``conv_id``
       (``_SORT_KEYS``), so Parquet row-group statistics prune all
       non-matching row groups before any data is read.
+
+    ``version=V`` answers the lookup from retained snapshot V (time travel;
+    see :func:`enable_snapshots`) — same single-file access pattern.
     """
     from odibel_ray.cdc.lww import bucket_of_keys
 
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
-    manifests = load_manifests(out_dir)
+    manifests = (
+        snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
+    )
     num_buckets = tman.get("num_buckets")
     if num_buckets:
         b = int(

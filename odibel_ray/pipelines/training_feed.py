@@ -36,7 +36,8 @@ def training_dataset(
     from odibel_ray.cdc.sink import read_published
     from odibel_ray.text import add_token_count
 
-    ds = read_published(out_dir).select_columns(["conv_id", "turn_idx", "role", "text"])
+    # column pruning at the scan — score/ts never leave the Parquet files
+    ds = read_published(out_dir, columns=["conv_id", "turn_idx", "role", "text"])
 
     def keep(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()

@@ -105,6 +105,36 @@ def test_mor_snapshot_survives_compaction(ray_session, prefixed, oracle_final, t
     assert snapshot_policy(out) == 3
 
 
+def test_read_columns_pruning_and_versioned_lookup(ray_session, prefixed, oracle_final, tmp_path):
+    """read_published(columns=...) prunes at the scan on both the plain and
+    merge-on-read paths; lookup_key(version=...) answers from a retained
+    snapshot."""
+    from odibel_ray.cdc.sink import lookup_key
+
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=2)
+    incremental_apply(prefixed["log"], out, run_id="r2", mode="mor")  # MOR buckets + v2
+    want = oracle_final.select(["conv_id", "text"]).sort_by(
+        [("conv_id", "ascending"), ("text", "ascending")]
+    )
+    got = collect_sorted(read_published(out, columns=["conv_id", "text"]), ["conv_id", "text"])
+    assert got.equals(want)
+    # versioned point lookup: pick a key whose text changed between v1 and v2
+    pre = {
+        (c, i): t
+        for c, i, t in zip(*(prefixed["poracle"][k].to_pylist() for k in ("conv_id", "turn_idx", "text")))
+    }
+    post = {
+        (c, i): t
+        for c, i, t in zip(*(oracle_final[k].to_pylist() for k in ("conv_id", "turn_idx", "text")))
+    }
+    changed = next(k for k in pre if k in post and pre[k] != post[k])
+    old = lookup_key(out, changed[0], turn_idx=changed[1], version=1)
+    new = lookup_key(out, changed[0], turn_idx=changed[1])
+    assert old["text"][0].as_py() == pre[changed]
+    assert new["text"][0].as_py() == post[changed]
+
+
 def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     """Without enable_snapshots the sink behaves exactly as before: no
     versions recorded, version reads fail."""
