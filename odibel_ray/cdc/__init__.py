@@ -17,6 +17,7 @@ from odibel_ray.cdc.sink import (
     list_snapshots,
     read_published,
     replay_publish,
+    table_changes,
     table_lock,
 )
 
@@ -37,4 +38,5 @@ __all__ = [
     "replay_publish",
     "incremental_apply",
     "read_published",
+    "table_changes",
 ]

@@ -1076,6 +1076,41 @@ def lookup_key(
     return out
 
 
+def table_changes(
+    out_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    values: list[str] | None = None,
+    keys: list[str] | None = None,
+) -> "object":
+    """Row-level diff between two retained table versions — the Delta
+    ``table_changes`` / CDF read expressed over snapshots, so "what changed
+    between v1 and v2" needs no feed to have been enabled at write time.
+
+    ``to_version=None`` diffs against the live table. Keys default to the
+    table's pinned ``_layout.json`` key columns (generic tables) or the
+    transcript key; ``values`` defaults to ``["text"]`` for transcript
+    tables. One hash exchange over keys+values total
+    (:func:`odibel_ray.cdc.lww.change_feed`); each side's scan prunes to
+    exactly those columns."""
+    from odibel_ray.cdc.lww import change_feed
+
+    if keys is None:
+        layout_path = os.path.join(out_dir, "_layout.json")
+        if os.path.exists(layout_path):
+            with open(layout_path) as f:
+                keys = list(json.load(f)["key_cols"])
+        else:
+            keys = ["conv_id", "turn_idx"]
+    if values is None:
+        values = ["text"]
+    cols = keys + values
+    old = read_published(out_dir, version=from_version, columns=cols, system=True)
+    new = read_published(out_dir, version=to_version, columns=cols, system=True)
+    return change_feed(old, new, keys, values)
+
+
 def lineage_table(out_dir: str) -> pa.Table:
     """Per-partition lineage + metrics from the commit manifests (the north
     rule's checkpoint record): bucket, rows_out, n_events, max applied LSN,

@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--table", required=True)
 
+    df = sub.add_parser(
+        "diff", help="row-level changes between two retained table versions"
+    )
+    df.add_argument("--table", required=True)
+    df.add_argument("--from-version", type=int, required=True)
+    df.add_argument("--to-version", type=int, default=None,
+                    help="default: the live table")
+    df.add_argument("--limit", type=int, default=20)
+
     de = sub.add_parser(
         "describe",
         help="physical table health: rows/bytes, delta backlog, bucket skew",
@@ -251,6 +260,14 @@ def main(argv: list[str] | None = None) -> int:
 
         t = lookup_key(args.table, args.conv_id, turn_idx=args.turn_idx)
         for row in t.to_pylist():
+            print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "diff":
+        from odibel_ray.cdc.sink import table_changes
+
+        ds = table_changes(args.table, args.from_version, args.to_version)
+        for row in ds.take(args.limit):
             print(json.dumps(row, default=str))
         return 0
 

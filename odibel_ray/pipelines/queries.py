@@ -513,6 +513,26 @@ def q_transcript_version_read(sf_dir: str):
     return read_published(out, version=1)
 
 
+def q_transcript_version_diff(sf_dir: str):
+    """Delta-style ``table_changes`` between two retained snapshots: v1 (the
+    60% prefix base) → v2 (fully applied), computed purely from the
+    snapshots — no change feed needed at write time. One hash exchange
+    (``lww.change_feed`` under the hood); same full-outer-join SQL oracle as
+    the write-time incremental feed, proving both CDF paths agree."""
+    import shutil
+
+    from odibel_ray.cdc.sink import enable_snapshots, incremental_apply, table_changes
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ttd", "table")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    shutil.copytree(cached, out)
+    enable_snapshots(out, keep_last=2)  # pins the prefix base as v1
+    incremental_apply(log, out, run_id="r2")  # records v2
+    return table_changes(out, 1, 2)
+
+
 def q_transcript_incremental_mor(sf_dir: str):
     """Merge-on-read incremental apply: same base fixture as
     ``transcript_incremental``, but the run stages only per-bucket DELTA
@@ -2174,6 +2194,7 @@ QUERIES: dict[str, Callable] = {
     "table_lineage": q_table_lineage,
     "transcript_incremental": q_transcript_incremental,
     "transcript_version_read": q_transcript_version_read,
+    "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
     "transcript_rebucket_read": q_transcript_rebucket_read,
@@ -2462,6 +2483,44 @@ LEFT JOIN ty tob ON d.o = tob.s
 GROUP BY 1, 2, 3
 """,
     }
+    # full-outer-join CDF between the 60%-prefix state and the final
+    # state — shared by the write-time feed and the snapshot-diff oracle
+    t_inc_feed = f"""
+WITH lall AS (
+  SELECT lsn FROM read_parquet('{glob}', hive_partitioning=1)
+),
+cut AS (
+  SELECT lsn AS c FROM (
+    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn FROM lall)
+  WHERE rn = (SELECT CAST(FLOOR(0.6 * (count(*) - 1)) AS BIGINT) FROM lall)
+),
+valid AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, lsn, op
+  FROM read_parquet('{glob}', hive_partitioning=1)
+  WHERE op IN ('I','U','D') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
+),
+snap AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid WHERE lsn <= (SELECT c FROM cut))
+  WHERE rn = 1 AND op <> 'D'
+),
+fin AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s.conv_id, f.conv_id) AS conv_id,
+       coalesce(s.turn_idx, f.turn_idx) AS turn_idx,
+       CASE WHEN s.conv_id IS NULL THEN 'insert'
+            WHEN f.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       s.text AS text_before, f.text AS text_after
+FROM snap s FULL OUTER JOIN fin f
+  ON s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
+WHERE s.conv_id IS NULL OR f.conv_id IS NULL OR s.text IS DISTINCT FROM f.text
+"""
     return {
         **rdf_sqls,
         "events_nested_roundtrip": """
@@ -2541,42 +2600,10 @@ FROM snap s FULL OUTER JOIN fin f
   ON s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
 WHERE s.conv_id IS NULL OR f.conv_id IS NULL OR s.text IS DISTINCT FROM f.text
 """,
-        "transcript_incremental_feed": f"""
-WITH lall AS (
-  SELECT lsn FROM read_parquet('{glob}', hive_partitioning=1)
-),
-cut AS (
-  SELECT lsn AS c FROM (
-    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn FROM lall)
-  WHERE rn = (SELECT CAST(FLOOR(0.6 * (count(*) - 1)) AS BIGINT) FROM lall)
-),
-valid AS (
-  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, lsn, op
-  FROM read_parquet('{glob}', hive_partitioning=1)
-  WHERE op IN ('I','U','D') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
-),
-snap AS (
-  SELECT conv_id, turn_idx, text FROM (
-    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
-    FROM valid WHERE lsn <= (SELECT c FROM cut))
-  WHERE rn = 1 AND op <> 'D'
-),
-fin AS (
-  SELECT conv_id, turn_idx, text FROM (
-    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
-    FROM valid)
-  WHERE rn = 1 AND op <> 'D'
-)
-SELECT coalesce(s.conv_id, f.conv_id) AS conv_id,
-       coalesce(s.turn_idx, f.turn_idx) AS turn_idx,
-       CASE WHEN s.conv_id IS NULL THEN 'insert'
-            WHEN f.conv_id IS NULL THEN 'delete'
-            ELSE 'update' END AS change,
-       s.text AS text_before, f.text AS text_after
-FROM snap s FULL OUTER JOIN fin f
-  ON s.conv_id = f.conv_id AND s.turn_idx = f.turn_idx
-WHERE s.conv_id IS NULL OR f.conv_id IS NULL OR s.text IS DISTINCT FROM f.text
-""",
+        # the snapshot-diff (table_changes v1→v2) sees exactly the changes
+        # the write-time incremental feed emitted — same SQL oracle
+        "transcript_version_diff": t_inc_feed,
+        "transcript_incremental_feed": t_inc_feed,
         "transcript_time_travel": (
             _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
             + _hist_cte

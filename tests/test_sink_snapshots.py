@@ -135,6 +135,44 @@ def test_read_columns_pruning_and_versioned_lookup(ray_session, prefixed, oracle
     assert new["text"][0].as_py() == post[changed]
 
 
+def test_table_changes_between_versions(ray_session, prefixed, oracle_final, tmp_path):
+    """table_changes(v1, v2) recovers the exact insert/update/delete set
+    between the prefix state and the final state, computed purely from
+    snapshots (no write-time feed)."""
+    from odibel_ray.cdc import table_changes
+
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=2)
+    incremental_apply(prefixed["log"], out, run_id="r2")
+    got = collect_sorted(table_changes(out, 1, 2), ["conv_id", "turn_idx"])
+    pre = {
+        (c, i): t
+        for c, i, t in zip(*(prefixed["poracle"][k].to_pylist() for k in ("conv_id", "turn_idx", "text")))
+    }
+    post = {
+        (c, i): t
+        for c, i, t in zip(*(oracle_final[k].to_pylist() for k in ("conv_id", "turn_idx", "text")))
+    }
+    want = {}
+    for k in pre.keys() | post.keys():
+        if k not in pre:
+            want[k] = ("insert", None, post[k])
+        elif k not in post:
+            want[k] = ("delete", pre[k], None)
+        elif pre[k] != post[k]:
+            want[k] = ("update", pre[k], post[k])
+    rows = {
+        (c, i): (ch, b, a)
+        for c, i, ch, b, a in zip(
+            *(got[k].to_pylist() for k in ("conv_id", "turn_idx", "change", "text_before", "text_after"))
+        )
+    }
+    assert rows == want
+    # diff against the live table (to_version=None) is the same set
+    live = collect_sorted(table_changes(out, 1), ["conv_id", "turn_idx"])
+    assert live.equals(got)
+
+
 def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     """Without enable_snapshots the sink behaves exactly as before: no
     versions recorded, version reads fail."""
