@@ -17,6 +17,7 @@ from odibel_ray.cdc.sink import (
     list_snapshots,
     read_published,
     replay_publish,
+    restore_snapshot,
     table_changes,
     table_lock,
 )
@@ -38,5 +39,6 @@ __all__ = [
     "replay_publish",
     "incremental_apply",
     "read_published",
+    "restore_snapshot",
     "table_changes",
 ]

@@ -1076,6 +1076,56 @@ def lookup_key(
     return out
 
 
+@_single_writer("out_dir")
+def restore_snapshot(out_dir: str, version: int, *, run_id: str = "restore-0") -> dict:
+    """Roll the live table back to retained snapshot ``version`` (the Delta
+    ``RESTORE``): flip every bucket manifest to the snapshot's frozen copy
+    and drop buckets born after it. Metadata-only — the snapshot's data
+    files are on disk by the retention invariant (validated here), so no
+    data moves. Per-bucket flips are atomic and re-runnable; history moves
+    FORWARD: the restore records a new version rather than erasing the ones
+    after the target, so a restore is itself restorable. The stored schema
+    timeline deliberately keeps post-snapshot S events — a timeline that
+    runs ahead is safe (monotone idempotent union; see incremental_apply),
+    and the next apply re-derives watermarks from the restored manifests."""
+    target = snapshot_manifests(out_dir, version)
+    for m in target.values():
+        for f in [m["file"], *(d["file"] for d in m.get("deltas", []))]:
+            if not os.path.exists(os.path.join(out_dir, f)):
+                raise FileNotFoundError(
+                    f"snapshot v{version} data file {f} missing — retention was "
+                    "broken (expire/vacuum raced a writer?); restore aborted"
+                )
+    live = load_manifests(out_dir)
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for b, m in sorted(target.items()):
+        _atomic_write_json(os.path.join(mdir, f"bucket-{b:06d}.json"), m)
+    for b in set(live) - set(target):
+        try:
+            os.remove(os.path.join(mdir, f"bucket-{b:06d}.json"))
+        except OSError:
+            pass
+    with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+        tman = json.load(f)
+    tman.update(
+        {
+            "buckets": sorted(target),
+            "rows_total": int(sum(m["rows_out"] for m in target.values())),
+            "mor_deltas": int(sum(len(m.get("deltas", [])) for m in target.values())),
+            "last_run_id": run_id,
+        }
+    )
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    snap = record_snapshot(out_dir, "restore")
+    return {
+        "restored_to": int(version),
+        "published_total": len(target),
+        "rows_total": tman["rows_total"],
+        "snapshot": snap["version"] if snap else None,
+        "out_dir": out_dir,
+    }
+
+
 def table_changes(
     out_dir: str,
     from_version: int,

@@ -147,6 +147,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--table", required=True)
 
+    rs = sub.add_parser(
+        "restore", help="roll the live table back to a retained version"
+    )
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--version", type=int, required=True)
+    rs.add_argument("--run-id", default="cli-restore")
+
     df = sub.add_parser(
         "diff", help="row-level changes between two retained table versions"
     )
@@ -196,6 +203,12 @@ def main(argv: list[str] | None = None) -> int:
                 for s in list_snapshots(args.table)
             ],
         }))
+        return 0
+
+    if args.cmd == "restore":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.sink import restore_snapshot
+
+        print(json.dumps(restore_snapshot(args.table, args.version, run_id=args.run_id)))
         return 0
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed

@@ -173,6 +173,29 @@ def test_table_changes_between_versions(ray_session, prefixed, oracle_final, tmp
     assert live.equals(got)
 
 
+def test_restore_snapshot_rolls_back_and_reapplies(ray_session, prefixed, oracle_final, tmp_path):
+    """RESTORE: after applying the tail, rolling back to v1 serves the
+    prefix state again (metadata-only flip), records a NEW version (history
+    moves forward — the restore is itself restorable), and a subsequent
+    incremental apply re-converges to the final state."""
+    from odibel_ray.cdc import restore_snapshot
+
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=4)
+    incremental_apply(prefixed["log"], out, run_id="r2")
+    assert _read(out).equals(oracle_final)
+    res = restore_snapshot(out, 1, run_id="rb")
+    assert res["restored_to"] == 1 and res["snapshot"] == 3
+    assert _read(out).equals(prefixed["poracle"])
+    assert [s["op"] for s in list_snapshots(out)][-1] == "restore"
+    # the rolled-back table accepts the tail again and re-converges
+    r = incremental_apply(prefixed["log"], out, run_id="r3")
+    assert r["touched"] > 0
+    assert _read(out).equals(oracle_final)
+    # and the pre-restore final state (v2) is still readable
+    assert _read(out, version=2).equals(oracle_final)
+
+
 def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     """Without enable_snapshots the sink behaves exactly as before: no
     versions recorded, version reads fail."""
