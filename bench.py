@@ -51,6 +51,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # (the merge-on-read apply itself, transcript_incremental_mor, IS timed —
     # its delta between runs vs transcript_incremental is the MOR win)
     "transcript_stream_tail",
+    # same micro-batch pipe loop as stream_tail, debezium-parsed
+    "transcript_debezium_stream",
     "transcript_rebucket_read",
     "transcript_compacted_read",
     # snapshot_at == lww_latest + LSN filter; timed under cdc_events_lww
@@ -163,12 +165,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     from odibel_ray.pipelines.queries import (
         QUERIES,
+        ensure_debezium_stream,
         ensure_full_published,
+        ensure_incremental_base,
         ensure_transcript_log,
     )
 
     ensure_transcript_log(sf_dir)
     ensure_full_published(sf_dir)  # point-lookup serving table, cached
+    ensure_incremental_base(sf_dir)  # prefix base for incremental/version queries
+    ensure_debezium_stream(sf_dir)  # envelope serialization is one-time fixture cost
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in SKIP_QUERY_TIMINGS:

@@ -33,6 +33,7 @@ def tail_log(
     metrics: str | None = None,
     mode: str = "cow",
     compact_every: int = 0,
+    snapshots: int | None = None,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -51,7 +52,11 @@ def tail_log(
     fit for a high-frequency tailer, where copy-on-write would rewrite every
     touched bucket every few seconds; ``compact_every=k`` then folds the
     accumulated deltas back into the bucket bases after every k applying
-    rounds (bounding read amplification), plus once at loop exit."""
+    rounds (bounding read amplification), plus once at loop exit.
+
+    ``snapshots=k`` enables time travel on the tailed table: each applying
+    round records a version and the newest k stay readable — "the table as
+    of N rounds ago" for a continuously-converging lake table."""
     from odibel_ray.monitor import ThroughputMonitor
 
     rounds = []
@@ -72,14 +77,15 @@ def tail_log(
             if not load_manifests(out_dir):
                 res = replay_publish(log_dir, out_dir, partitioned=True,
                                      run_id=f"{run_prefix}-bootstrap",
-                                     metrics=metrics)
+                                     metrics=metrics, snapshots=snapshots)
                 res["round"] = i
                 res["mode"] = "bootstrap"
                 mon.add(res.get("n_events_applied", 0))
                 rounds.append(res)
                 continue
             res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}",
-                                    metrics=metrics, mode=mode)
+                                    metrics=metrics, mode=mode,
+                                    snapshots=snapshots)
             res["round"] = i
             res["mode"] = "incremental"
             mon.add(res.get("n_events_applied", 0))

@@ -124,6 +124,8 @@ def main(argv: list[str] | None = None) -> int:
                    default="native",
                    help="debezium: ingest Debezium change-event envelopes "
                         "(op c/u/d/r, before/after row images, source.lsn)")
+    t.add_argument("--snapshots", type=int, default=None,
+                   help="retain the newest N table versions while tailing")
 
     lk = sub.add_parser(
         "lookup", help="point-read one conv_id from a published table"
@@ -322,6 +324,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             compact_every=args.compact_every,
             fmt=args.fmt,
+            snapshots=args.snapshots,
         )
         res.pop("history", None)
         print(json.dumps(res))

@@ -300,6 +300,7 @@ def tail_stream(
     mode: str = "cow",
     compact_every: int = 0,
     fmt: str = "native",
+    snapshots: int | None = None,
 ) -> dict:
     """Live pipe → lake upsert: read JSONL micro-batches from ``stream``
     (``"-"`` = stdin), spool each into the WAL layout, and converge the
@@ -355,12 +356,13 @@ def tail_stream(
             res = replay_publish(
                 spool_dir, out_dir, num_buckets=num_buckets,
                 run_id=f"{run_prefix}-bootstrap", metrics=metrics,
+                snapshots=snapshots,
             )
             res["mode"] = "bootstrap"
         else:
             res = incremental_apply(
                 spool_dir, out_dir, run_id=f"{run_prefix}-{run_i}",
-                metrics=metrics, mode=mode,
+                metrics=metrics, mode=mode, snapshots=snapshots,
             )
             res["mode"] = "incremental"
         run_i += 1

@@ -196,6 +196,21 @@ def test_restore_snapshot_rolls_back_and_reapplies(ray_session, prefixed, oracle
     assert _read(out, version=2).equals(oracle_final)
 
 
+def test_tail_log_records_version_per_round(ray_session, prefixed, tmp_path):
+    """A tailer with snapshots=k keeps 'the table as of N rounds ago'
+    readable: bootstrap and each applying round record a version."""
+    from odibel_ray.cdc.tail import tail_log
+
+    out = str(tmp_path / "tbl")
+    tail_log(prefixed["plog"], out, max_rounds=2, stop_when_idle=1, snapshots=3)
+    v_after_prefix = [s["version"] for s in list_snapshots(out)]
+    assert len(v_after_prefix) >= 1
+    tail_log(prefixed["log"], out, max_rounds=3, stop_when_idle=1, snapshots=3)
+    snaps = list_snapshots(out)
+    assert len(snaps) > len(v_after_prefix)
+    assert _read(out, version=v_after_prefix[-1]).equals(prefixed["poracle"])
+
+
 def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     """Without enable_snapshots the sink behaves exactly as before: no
     versions recorded, version reads fail."""
