@@ -615,13 +615,17 @@ def record_snapshot(out_dir: str, op: str) -> dict | None:
     if not manifests:
         return None
     snaps = list_snapshots(out_dir)
+    buckets = {str(b): m for b, m in manifests.items()}
+    if snaps and snaps[-1]["buckets"] == buckets:
+        # no-op resume / idle compact: state unchanged → no duplicate version
+        return None
     version = snaps[-1]["version"] + 1 if snaps else 1
     snap = {
         "version": version,
         "op": op,
         "unix_ts": time.time(),
         "rows_total": int(sum(m["rows_out"] for m in manifests.values())),
-        "buckets": {str(b): m for b, m in manifests.items()},
+        "buckets": buckets,
     }
     _atomic_write_json(_snapshot_path(out_dir, version), snap)
     expire_snapshots(out_dir, keep_last)

@@ -211,6 +211,22 @@ def test_tail_log_records_version_per_round(ray_session, prefixed, tmp_path):
     assert _read(out, version=v_after_prefix[-1]).equals(prefixed["poracle"])
 
 
+def test_noop_publish_records_no_duplicate_version(ray_session, prefixed, tmp_path):
+    """A no-op resume (nothing republished) and an idle compact must not
+    spam identical snapshot versions."""
+    from odibel_ray.cdc import compact_published
+
+    out = str(tmp_path / "tbl")
+    replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r1", snapshots=3)
+    r2 = replay_publish(prefixed["plog"], out, num_buckets=4, run_id="r2")
+    assert r2["published_now"] == 0 and r2["snapshot"] is None
+    r3 = incremental_apply(prefixed["plog"], out, run_id="r3")  # watermark no-op
+    assert r3["snapshot"] is None
+    c = compact_published(out, run_id="c0")  # nothing to compact
+    assert c.get("snapshot") is None
+    assert [s["version"] for s in list_snapshots(out)] == [1]
+
+
 def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     """Without enable_snapshots the sink behaves exactly as before: no
     versions recorded, version reads fail."""
