@@ -8,6 +8,7 @@ from odibel_ray.cdc.apply import (
     compact_batch,
 )
 from odibel_ray.cdc.lww import change_feed
+from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
     compact_published,
@@ -20,6 +21,7 @@ from odibel_ray.cdc.sink import (
     restore_snapshot,
     table_changes,
     table_lock,
+    upsert_published,
 )
 
 __all__ = [
@@ -41,4 +43,9 @@ __all__ = [
     "read_published",
     "restore_snapshot",
     "table_changes",
+    "upsert_published",
+    "create_view",
+    "refresh_view",
+    "read_view",
+    "aggregate_groups",
 ]

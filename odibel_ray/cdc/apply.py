@@ -28,7 +28,7 @@ monotonic, so any key-aligned bucketing (``part`` itself, or
 from __future__ import annotations
 
 import os
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Sequence
 
 import numpy as np
 import pandas as pd
@@ -405,28 +405,32 @@ def replay_change_feed(
     )
 
 
-_FEED_SCHEMA = pa.schema(
-    [
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int64()),
-        ("change", pa.string()),
-        ("text_before", pa.string()),
-        ("text_after", pa.string()),
-    ]
-)
-
-
-def feed_table(t: pa.Table, *, cut: int | None = None, mask_col: str | None = None) -> pa.Table:
+def feed_table(
+    t: pa.Table,
+    *,
+    cut: int | None = None,
+    mask_col: str | None = None,
+    values: Sequence[str] = ("text",),
+) -> pa.Table:
     """Group-local change-feed rows from one key-complete event group: per key
     classify insert/update/delete between the before-state (max-LSN event on
     the before side) and the after-state (max-LSN event overall). The before
-    side is ``lsn <= cut`` or a boolean ``mask_col`` column."""
+    side is ``lsn <= cut`` or a boolean ``mask_col`` column.
+
+    ``values`` picks which columns the feed carries (and compares for update
+    detection) as ``{v}_before``/``{v}_after`` — the default matches the
+    north-rule invariant (per-turn ``text``); a materialized view's refresh
+    asks for the columns its aggregates read (``odibel_ray.cdc.mview``)."""
+    values = list(values)
     if len(t) == 0:
-        return _FEED_SCHEMA.empty_table()
-    t, starts, bi, ends, live_b, live_a, neq = _feed_states(t, cut=cut, mask_col=mask_col)
-    txt = t["text"]
-    tb = txt.take(pa.array(bi))
-    ta = txt.take(pa.array(ends))
+        fields = [("conv_id", pa.string()), ("turn_idx", pa.int64()), ("change", pa.string())]
+        for v in values:
+            vt = t.schema.field(v).type if v in t.column_names else pa.string()
+            fields += [(f"{v}_before", vt), (f"{v}_after", vt)]
+        return pa.schema(fields).empty_table()
+    t, starts, bi, ends, live_b, live_a, neq = _feed_states(
+        t, cut=cut, mask_col=mask_col, values=values
+    )
     upd = live_b & live_a & neq
     dele = live_b & ~live_a
     ins = ~live_b & live_a
@@ -434,16 +438,19 @@ def feed_table(t: pa.Table, *, cut: int | None = None, mask_col: str | None = No
     sel = pa.array(np.flatnonzero(keep))
     label = np.where(ins, "insert", np.where(dele, "delete", "update"))[keep]
     lb, la = pa.array(live_b[keep]), pa.array(live_a[keep])
-    null_s = pa.scalar(None, pa.string())
-    return pa.table(
-        {
-            "conv_id": t["conv_id"].take(pa.array(starts)).take(sel),
-            "turn_idx": t["turn_idx"].take(pa.array(starts)).take(sel).cast(pa.int64()),
-            "change": pa.array(label, pa.string()),
-            "text_before": pc.if_else(lb, tb.take(sel), null_s),
-            "text_after": pc.if_else(la, ta.take(sel), null_s),
-        }
-    )
+    cols = {
+        "conv_id": t["conv_id"].take(pa.array(starts)).take(sel),
+        "turn_idx": t["turn_idx"].take(pa.array(starts)).take(sel).cast(pa.int64()),
+        "change": pa.array(label, pa.string()),
+    }
+    for v in values:
+        col = t[v]
+        vb = col.take(pa.array(bi)).take(sel)
+        va = col.take(pa.array(ends)).take(sel)
+        null_v = pa.scalar(None, col.type)
+        cols[f"{v}_before"] = pc.if_else(lb, vb, null_v)
+        cols[f"{v}_after"] = pc.if_else(la, va, null_v)
+    return pa.table(cols)
 
 
 def _compact_sides(t: pa.Table, *, cut: int) -> pa.Table:
@@ -467,13 +474,18 @@ def _compact_sides(t: pa.Table, *, cut: int) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
-def _feed_states(t: pa.Table, cut: int | None = None, mask_col: str | None = None):
+def _feed_states(
+    t: pa.Table,
+    cut: int | None = None,
+    mask_col: str | None = None,
+    values: Sequence[str] = ("text",),
+):
     """Group-local two-state decomposition: sort the group's events, find per
     key the max-LSN event on the *before side* (``lsn <= cut``, or rows where
     the boolean ``mask_col`` is true) and overall (after-state), and whether
-    the ``text`` differs null-safely. Returns ``(sorted_table, starts,
-    before_idx, after_idx, live_b, live_a, neq)`` with the index arrays per
-    key segment."""
+    any of the ``values`` columns differs null-safely. Returns
+    ``(sorted_table, starts, before_idx, after_idx, live_b, live_a, neq)``
+    with the index arrays per key segment."""
     t = t.combine_chunks()
     t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
     n = len(t)
@@ -498,11 +510,13 @@ def _feed_states(t: pa.Table, cut: int | None = None, mask_col: str | None = Non
     is_del = pc.equal(t["op"], "D").to_numpy(zero_copy_only=False)
     live_b = has_b & ~is_del[bi]
     live_a = ~is_del[ends]
-    tb = t["text"].take(pa.array(bi))
-    ta = t["text"].take(pa.array(ends))
-    eq = pc.fill_null(pc.equal(tb, ta), False)
-    both_null = pc.and_(pc.is_null(tb), pc.is_null(ta))
-    neq = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+    neq = np.zeros(len(starts), dtype=bool)
+    for v in values:
+        vb = t[v].take(pa.array(bi))
+        va = t[v].take(pa.array(ends))
+        eq = pc.fill_null(pc.equal(vb, va), False)
+        both_null = pc.and_(pc.is_null(vb), pc.is_null(va))
+        neq |= ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
     return t, starts, bi, ends, live_b, live_a, neq
 
 

@@ -1534,6 +1534,7 @@ def incremental_apply(
     run_id: str = "run-inc",
     batch_size: int = 65536,
     feed_dir: str | None = None,
+    feed_values: list[str] | None = None,
     metrics: str | None = None,
     mode: str = "cow",
     snapshots: int | None = None,
@@ -1746,7 +1747,7 @@ def incremental_apply(
             if len(t) == 0:
                 return _MANIFEST_SCHEMA.empty_table()
             bucket = int(t["bucket"][0].as_py())
-            feed = feed_table(t, mask_col="_base")
+            feed = feed_table(t, mask_col="_base", values=feed_values or ("text",))
             # stage the feed next to the bucket's staged data; _publish_stream
             # moves it into feed_dir inside the bucket's atomic publish step,
             # so feed rows never describe state that isn't visible yet
@@ -1939,6 +1940,169 @@ def publish_dataset(
     snap = record_snapshot(out_dir, "publish_dataset")
     return {
         "published_now": len(published),
+        "published_total": len(all_manifests),
+        "rows_total": tman["rows_total"],
+        "snapshot": snap["version"] if snap else None,
+        "out_dir": out_dir,
+    }
+
+
+def _upsert_write_group(
+    t: pa.Table,
+    *,
+    staging: str,
+    run_id: str,
+    out_dir: str,
+    bucket_files: dict[int, str],
+    key_cols: list[str],
+    metrics: str | None = None,
+) -> pa.Table:
+    """Rewrite ONE bucket under upsert semantics: current published rows whose
+    key appears in this group's updates are dropped, surviving updates are
+    appended, and the result stages under a run-versioned name (idempotent —
+    re-running the same updates over an already-updated bucket converges to
+    the same file contents)."""
+    from odibel_ray.cdc.apply import limit_arrow_threads
+
+    if len(t) == 0:
+        return _MANIFEST_SCHEMA.empty_table()
+    limit_arrow_threads()
+    t = t.combine_chunks()
+    bucket = int(t["_bucket"][0].as_py())
+    touched = t.select(key_cols).group_by(key_cols).aggregate([])
+    dmask = pc.fill_null(t["_delete"], False)
+    ups = t.filter(pc.invert(dmask)).drop_columns(["_bucket", "_delete"])
+    old_file = bucket_files.get(bucket)
+    if old_file is not None:
+        old = pq.read_table(os.path.join(out_dir, old_file))
+        old = old.join(touched, keys=key_cols, join_type="left anti")
+        new = pa.concat_tables([old, ups], promote_options="default")
+    else:
+        new = ups
+    new = new.combine_chunks()
+    fname = _bucket_filename(bucket, run_id)
+    staged = os.path.join(staging, fname)
+    pq.write_table(new, staged)
+    if metrics:
+        from odibel_ray.monitor import record_task_metrics
+
+        record_task_metrics(metrics, rows=len(new), buckets_staged=1)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows_out": pa.array([len(new)], pa.int64()),
+            "n_events": pa.array([len(t)], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "staged": pa.array([staged], pa.string()),
+            "watermarks": pa.array(["{}"], pa.string()),
+            "run_id": pa.array([run_id], pa.string()),
+            "feed_staged": pa.array([""], pa.string()),
+            "feed_final": pa.array([""], pa.string()),
+        }
+    )
+
+
+@_single_writer("out_dir")
+def upsert_published(
+    updates,
+    out_dir: str,
+    *,
+    deletes=None,
+    run_id: str = "upsert-0",
+    batch_size: int = 65536,
+    metrics: str | None = None,
+) -> dict:
+    """Key-level upsert/delete into a GENERIC published table (one laid out by
+    :func:`publish_dataset`): only buckets containing touched keys are
+    rewritten, copy-on-write under the same write-audit-publish contract —
+    the downstream-table maintenance primitive (a materialized view's refresh
+    writes through this; `odibel_ray.cdc.mview`).
+
+    ``updates`` rows are full replacement rows for their key (at most one row
+    per key); ``deletes`` is an optional Dataset carrying (at least) the key
+    columns of rows to remove. Untouched buckets keep their current files.
+    Idempotent: re-running the same updates/deletes over an already-updated
+    table converges to the same state, so a crash-resume just re-runs.
+    Cost is O(touched buckets), never O(table).
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if not os.path.exists(layout_path):
+        raise FileNotFoundError(
+            f"{out_dir} is not a generic published table (no _layout.json; "
+            "upsert_published only targets publish_dataset tables)"
+        )
+    with open(layout_path) as f:
+        layout = json.load(f)
+    key_cols = list(layout["key_cols"])
+    num_buckets = int(layout["num_buckets"])
+    manifests = load_manifests(out_dir)
+    if any(m.get("deltas") for m in manifests.values()):
+        raise ValueError("upsert_published does not support merge-on-read tables; compact first")
+    bucket_files = {b: m["file"] for b, m in manifests.items()}
+    if bucket_files:
+        canon = pq.read_schema(os.path.join(out_dir, next(iter(sorted(bucket_files.values())))))
+    else:
+        canon = updates.schema().base_schema
+    canon_names = list(canon.names)
+
+    staging = os.path.join(out_dir, STAGING_DIR, run_id)
+    os.makedirs(staging, exist_ok=True)
+
+    def tag_updates(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        missing = [c for c in canon_names if c not in t.column_names]
+        if missing:
+            raise ValueError(f"update rows missing table columns {missing}")
+        t = t.select(canon_names)
+        b = bucket_of_keys(t, key_cols, num_buckets)
+        t = t.append_column("_bucket", pa.array(b, pa.int64()))
+        return t.append_column("_delete", pa.array(np.zeros(len(t), dtype=bool)))
+
+    def tag_deletes(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cols = {}
+        for name in canon_names:
+            f = canon.field(name)
+            cols[name] = (
+                t[name].cast(f.type) if name in key_cols else pa.nulls(len(t), f.type)
+            )
+        padded = pa.table(cols)
+        b = bucket_of_keys(padded, key_cols, num_buckets)
+        padded = padded.append_column("_bucket", pa.array(b, pa.int64()))
+        return padded.append_column("_delete", pa.array(np.ones(len(t), dtype=bool)))
+
+    tagged = updates.map_batches(tag_updates, batch_format="pyarrow", batch_size=batch_size)
+    if deletes is not None:
+        tagged = tagged.union(
+            deletes.map_batches(tag_deletes, batch_format="pyarrow", batch_size=batch_size)
+        )
+    manifest_ds = tagged.groupby("_bucket").map_groups(
+        partial(
+            _upsert_write_group,
+            staging=staging,
+            run_id=run_id,
+            out_dir=out_dir,
+            bucket_files=bucket_files,
+            key_cols=key_cols,
+            metrics=metrics,
+        ),
+        batch_format="pyarrow",
+    )
+    published = _publish_stream(manifest_ds, out_dir)
+    all_manifests = load_manifests(out_dir)
+    tman = {
+        "num_buckets": num_buckets,
+        "buckets": sorted(all_manifests),
+        "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
+        "last_run_id": run_id,
+        "generic": True,
+    }
+    _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+    snap = record_snapshot(out_dir, "upsert_published")
+    return {
+        "buckets_rewritten": len(published),
         "published_total": len(all_manifests),
         "rows_total": tman["rows_total"],
         "snapshot": snap["version"] if snap else None,

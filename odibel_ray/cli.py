@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
                         "'compact'")
     i.add_argument("--snapshots", type=int, default=None,
                    help="enable time travel: retain the newest N table versions")
+    i.add_argument("--feed-dir", default=None,
+                   help="also emit the run's change-data-feed here (a "
+                        "materialized view's delta refresh consumes it)")
+    i.add_argument("--feed-values", default=None,
+                   help="comma-separated columns the feed carries/compares "
+                        "(default: text)")
 
     co = sub.add_parser(
         "compact", help="fold merge-on-read deltas back into bucket base files"
@@ -172,6 +178,31 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--table", required=True)
     de.add_argument("--buckets", action="store_true",
                     help="include the per-bucket breakdown")
+
+    cv = sub.add_parser(
+        "create-view",
+        help="materialize an aggregate view over a published table",
+    )
+    cv.add_argument("--table", required=True, help="base table directory")
+    cv.add_argument("--view", required=True, help="view output directory")
+    cv.add_argument("--group-keys", required=True, help="comma-separated")
+    cv.add_argument(
+        "--aggs", required=True,
+        help='JSON, e.g. \'{"n": ["count", ""], "s": ["sum", "score"]}\'',
+    )
+    cv.add_argument("--num-buckets", type=int, default=None)
+    cv.add_argument("--run-id", default="cli-view")
+
+    rv = sub.add_parser(
+        "refresh-view",
+        help="incrementally converge a view to the base's latest state",
+    )
+    rv.add_argument("--view", required=True)
+    rv.add_argument("--strategy", choices=("rescan", "delta"), default="rescan")
+    rv.add_argument("--feed", default=None,
+                    help="write-time CDF dir (incremental --feed-dir); "
+                         "default: snapshot diff")
+    rv.add_argument("--run-id", default="cli-refresh")
 
     args = ap.parse_args(argv)
 
@@ -289,9 +320,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "incremental":
         from odibel_ray.cdc.sink import incremental_apply
 
-        res = incremental_apply(args.log, args.table, run_id=args.run_id,
-                                metrics=args.metrics, mode=args.mode,
-                                snapshots=args.snapshots)
+        res = incremental_apply(
+            args.log, args.table, run_id=args.run_id,
+            metrics=args.metrics, mode=args.mode, snapshots=args.snapshots,
+            feed_dir=args.feed_dir,
+            feed_values=(
+                [c.strip() for c in args.feed_values.split(",")]
+                if args.feed_values else None
+            ),
+        )
         print(json.dumps(res))
         return 0
 
@@ -327,6 +364,26 @@ def main(argv: list[str] | None = None) -> int:
             snapshots=args.snapshots,
         )
         res.pop("history", None)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "create-view":
+        from odibel_ray.cdc.mview import create_view
+
+        res = create_view(
+            args.table, args.view,
+            group_keys=[k.strip() for k in args.group_keys.split(",")],
+            aggs=json.loads(args.aggs),
+            num_buckets=args.num_buckets, run_id=args.run_id,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "refresh-view":
+        from odibel_ray.cdc.mview import refresh_view
+
+        res = refresh_view(args.view, run_id=args.run_id,
+                           strategy=args.strategy, feed=args.feed)
         print(json.dumps(res))
         return 0
 
