@@ -63,6 +63,9 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_reification",
     # anti-join twin of the timed customers_with_orders
     "customers_without_orders",
+    # same apply+refresh loop as the timed transcript_derived (rescan);
+    # the feed-strategy delta is visible in its own pytest timings
+    "transcript_derived_feed",
 }
 
 

@@ -8,6 +8,7 @@ from odibel_ray.cdc.apply import (
     compact_batch,
 )
 from odibel_ray.cdc.lww import change_feed
+from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
@@ -48,4 +49,7 @@ __all__ = [
     "refresh_view",
     "read_view",
     "aggregate_groups",
+    "create_derived",
+    "refresh_derived",
+    "read_derived",
 ]

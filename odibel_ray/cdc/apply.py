@@ -411,6 +411,7 @@ def feed_table(
     cut: int | None = None,
     mask_col: str | None = None,
     values: Sequence[str] = ("text",),
+    with_lsn: bool = False,
 ) -> pa.Table:
     """Group-local change-feed rows from one key-complete event group: per key
     classify insert/update/delete between the before-state (max-LSN event on
@@ -420,13 +421,21 @@ def feed_table(
     ``values`` picks which columns the feed carries (and compares for update
     detection) as ``{v}_before``/``{v}_after`` — the default matches the
     north-rule invariant (per-turn ``text``); a materialized view's refresh
-    asks for the columns its aggregates read (``odibel_ray.cdc.mview``)."""
+    asks for the columns its aggregates read (``odibel_ray.cdc.mview``).
+
+    ``with_lsn=True`` appends ``_lsn`` — the after-state event's LSN (the
+    delete event's for deletes). Per key it strictly advances across
+    successive state transitions, so a consumer of TELESCOPED feeds (several
+    applies' state files read together) can resolve "latest transition per
+    key" without any file ordering (``odibel_ray.cdc.derived``)."""
     values = list(values)
     if len(t) == 0:
         fields = [("conv_id", pa.string()), ("turn_idx", pa.int64()), ("change", pa.string())]
         for v in values:
             vt = t.schema.field(v).type if v in t.column_names else pa.string()
             fields += [(f"{v}_before", vt), (f"{v}_after", vt)]
+        if with_lsn:
+            fields.append(("_lsn", pa.int64()))
         return pa.schema(fields).empty_table()
     t, starts, bi, ends, live_b, live_a, neq = _feed_states(
         t, cut=cut, mask_col=mask_col, values=values
@@ -450,6 +459,8 @@ def feed_table(
         null_v = pa.scalar(None, col.type)
         cols[f"{v}_before"] = pc.if_else(lb, vb, null_v)
         cols[f"{v}_after"] = pc.if_else(la, va, null_v)
+    if with_lsn:
+        cols["_lsn"] = t["lsn"].take(pa.array(ends)).take(sel).cast(pa.int64())
     return pa.table(cols)
 
 

@@ -1535,6 +1535,7 @@ def incremental_apply(
     batch_size: int = 65536,
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
+    feed_lsn: bool = False,
     metrics: str | None = None,
     mode: str = "cow",
     snapshots: int | None = None,
@@ -1559,7 +1560,11 @@ def incremental_apply(
     Feed filenames are keyed by the bucket's post-apply watermark map, so a
     crash-resume under a *different* run_id still overwrites rather than
     duplicates the crashed run's feed rows; keys in untouched buckets have
-    no new events and thus no feed rows.
+    no new events and thus no feed rows. ``feed_lsn=True`` adds an ``_lsn``
+    ordering column to the feed (see :func:`odibel_ray.cdc.apply.feed_table`)
+    so consumers can resolve the latest transition per key across telescoped
+    state files — required by ``refresh_derived(strategy='feed')`` when
+    several applies run between refreshes.
 
     ``mode``: ``"cow"`` (default) rewrites each touched bucket from
     ``base ∪ new-events`` — read-optimized, but at high apply frequency every
@@ -1747,7 +1752,10 @@ def incremental_apply(
             if len(t) == 0:
                 return _MANIFEST_SCHEMA.empty_table()
             bucket = int(t["bucket"][0].as_py())
-            feed = feed_table(t, mask_col="_base", values=feed_values or ("text",))
+            feed = feed_table(
+                t, mask_col="_base", values=feed_values or ("text",),
+                with_lsn=feed_lsn,
+            )
             # stage the feed next to the bucket's staged data; _publish_stream
             # moves it into feed_dir inside the bucket's atomic publish step,
             # so feed rows never describe state that isn't visible yet

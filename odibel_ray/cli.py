@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--feed-values", default=None,
                    help="comma-separated columns the feed carries/compares "
                         "(default: text)")
+    i.add_argument("--feed-lsn", action="store_true",
+                   help="add the _lsn ordering column to the feed (lets "
+                        "refresh-derived --strategy feed consume telescoped "
+                        "state files)")
 
     co = sub.add_parser(
         "compact", help="fold merge-on-read deltas back into bucket base files"
@@ -203,6 +207,31 @@ def main(argv: list[str] | None = None) -> int:
                     help="write-time CDF dir (incremental --feed-dir); "
                          "default: snapshot diff")
     rv.add_argument("--run-id", default="cli-refresh")
+
+    cd = sub.add_parser(
+        "create-derived",
+        help="materialize a row-level derived (filter/project/derive) table",
+    )
+    cd.add_argument("--table", required=True, help="base table directory")
+    cd.add_argument("--out", required=True, help="derived table output directory")
+    cd.add_argument(
+        "--transform", required=True,
+        help='JSON, e.g. \'{"where": [["score", ">=", 0.5]], '
+             '"columns": ["role"], "derive": {"text_len": ["len", "text"]}}\'',
+    )
+    cd.add_argument("--num-buckets", type=int, default=None)
+    cd.add_argument("--run-id", default="cli-derived")
+
+    rd_ = sub.add_parser(
+        "refresh-derived",
+        help="incrementally converge a derived table to the base's latest state",
+    )
+    rd_.add_argument("--out", required=True, help="derived table directory")
+    rd_.add_argument("--strategy", choices=("rescan", "feed"), default="rescan")
+    rd_.add_argument("--feed", default=None,
+                     help="write-time CDF dir (incremental --feed-dir); "
+                          "default: snapshot diff")
+    rd_.add_argument("--run-id", default="cli-refresh")
 
     args = ap.parse_args(argv)
 
@@ -328,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
                 [c.strip() for c in args.feed_values.split(",")]
                 if args.feed_values else None
             ),
+            feed_lsn=args.feed_lsn,
         )
         print(json.dumps(res))
         return 0
@@ -384,6 +414,24 @@ def main(argv: list[str] | None = None) -> int:
 
         res = refresh_view(args.view, run_id=args.run_id,
                            strategy=args.strategy, feed=args.feed)
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "create-derived":
+        from odibel_ray.cdc.derived import create_derived
+
+        res = create_derived(
+            args.table, args.out, transform=json.loads(args.transform),
+            num_buckets=args.num_buckets, run_id=args.run_id,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "refresh-derived":
+        from odibel_ray.cdc.derived import refresh_derived
+
+        res = refresh_derived(args.out, run_id=args.run_id,
+                              strategy=args.strategy, feed=args.feed)
         print(json.dumps(res))
         return 0
 

@@ -205,6 +205,96 @@ def q_transcript_mview_delta(sf_dir: str):
     return read_view(os.path.join(work, "view_role"))
 
 
+_DERIVED_SPEC = {
+    "where": [["score", ">=", 0.5]],
+    "columns": ["role", "score"],
+    "derive": {"text_len": ["len", "text"], "role_uc": ["upper", "role"]},
+}
+_DERIVED_FEED_VALUES = ["role", "score", "text"]  # everything the transform reads
+
+
+def ensure_derived_base(sf_dir: str) -> str:
+    """Build (once per sf) the derived-table fixture: the cached 60%-prefix
+    base plus a derived (filter+project+scalar-derive) table created at its
+    version-1 state. The derived queries copy this and time only the engine
+    path (incremental apply + derived refresh)."""
+    import json
+    import shutil
+
+    from odibel_ray.cdc.derived import create_derived
+
+    cached_base = ensure_incremental_base(sf_dir)
+    root = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dtbase")
+    marker = os.path.join(root, "_ok.json")
+    params = {
+        **_LOG_PARAMS,
+        "n_convs": _n_convs(sf_dir),
+        "frac": 0.6,
+        "buckets": 16,
+        "derived_rev": 1,  # bump when _DERIVED_SPEC changes (fixture cache key)
+    }
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "table")
+    shutil.copytree(cached_base, table)
+    create_derived(table, os.path.join(root, "derived"), transform=_DERIVED_SPEC, run_id="d0")
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return root
+
+
+def q_transcript_derived(sf_dir: str):
+    """Incremental row-level derived-table maintenance (rescan strategy): a
+    filtered/projected/column-derived silver table created at the 60%-prefix
+    state; the full log applies (emitting a write-time change feed) and one
+    ``refresh_derived`` converges it re-reading ONLY dirty base keys — the
+    result must equal the transform over the from-scratch replay."""
+    import shutil
+
+    from odibel_ray.cdc.derived import read_derived, refresh_derived
+    from odibel_ray.cdc.sink import incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_derived_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dt")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(
+        log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
+        feed_values=_DERIVED_FEED_VALUES,
+    )
+    refresh_derived(os.path.join(work, "derived"), run_id="d1", strategy="rescan", feed=feed)
+    return read_derived(os.path.join(work, "derived"))
+
+
+def q_transcript_derived_feed(sf_dir: str):
+    """The O(feed) path: the write-time CDF carries the transform's input
+    after-images plus the ``_lsn`` ordering column (``feed_lsn=True``) and
+    ``refresh_derived(strategy='feed')`` transforms them directly — NO base
+    read at all — same oracle as a full recompute."""
+    import shutil
+
+    from odibel_ray.cdc.derived import read_derived, refresh_derived
+    from odibel_ray.cdc.sink import incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_derived_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dtf")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(
+        log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
+        feed_values=_DERIVED_FEED_VALUES, feed_lsn=True,
+    )
+    refresh_derived(os.path.join(work, "derived"), run_id="d1", strategy="feed", feed=feed)
+    return read_derived(os.path.join(work, "derived"))
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
@@ -2296,6 +2386,8 @@ QUERIES: dict[str, Callable] = {
     "transcript_incremental": q_transcript_incremental,
     "transcript_mview": q_transcript_mview,
     "transcript_mview_delta": q_transcript_mview_delta,
+    "transcript_derived": q_transcript_derived,
+    "transcript_derived_feed": q_transcript_derived_feed,
     "transcript_version_read": q_transcript_version_read,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
@@ -2657,6 +2749,15 @@ FROM ({t_final}) GROUP BY conv_id""",
 SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
        sum(score) AS sum_score, avg(score) AS avg_score
 FROM ({t_final}) GROUP BY role""",
+        # derived silver tables must equal the transform over the final replay
+        "transcript_derived": f"""
+SELECT conv_id, turn_idx, role, score,
+       CAST(LENGTH(text) AS BIGINT) AS text_len, UPPER(role) AS role_uc
+FROM ({t_final}) WHERE score >= 0.5""",
+        "transcript_derived_feed": f"""
+SELECT conv_id, turn_idx, role, score,
+       CAST(LENGTH(text) AS BIGINT) AS text_len, UPPER(role) AS role_uc
+FROM ({t_final}) WHERE score >= 0.5""",
         # time travel to v1 = the 60% prefix base; re-derive split_log's
         # index-based cutoff (sorted-LSN position floor(0.6*(n-1))) in SQL
         "transcript_version_read": _TRANSCRIPT_FINAL_SQL.format(

@@ -89,3 +89,41 @@ def test_cli_tail_stream_with_metrics(ray_session, small_log, tmp_path, capsys):
     assert snap["buckets_staged"] >= 4
     assert snap["events"] > 0 and snap["rows"] > 0
     ray.kill(metrics_actor("cli-tail-metrics"))
+
+
+def test_cli_derived_create_and_refresh(ray_session, small_log, tmp_path, capsys):
+    """create-derived then incremental --feed-lsn then refresh-derived
+    --strategy feed: the CLI covers the whole derived-table lifecycle."""
+    from odibel_ray.cdc.sink import replay_publish
+    from odibel_ray.datagen import split_log
+    from odibel_ray.oracle import replay_oracle
+
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    base = str(tmp_path / "base")
+    replay_publish(os.path.join(prefix, "change_log"), base, num_buckets=4, run_id="r1")
+    out = str(tmp_path / "dt")
+    transform = json.dumps(
+        {"where": [["score", ">=", 0.5]], "columns": ["role", "score"],
+         "derive": {"text_len": ["len", "text"]}}
+    )
+    assert main(["create-derived", "--table", base, "--out", out,
+                 "--transform", transform, "--num-buckets", "4"]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["base_version"] == 1
+
+    feed = str(tmp_path / "feed")
+    assert main(["incremental", "--log", small_log["log_dir"], "--table", base,
+                 "--feed-dir", feed, "--feed-values", "role,score,text",
+                 "--feed-lsn"]) == 0
+    capsys.readouterr()
+    assert main(["refresh-derived", "--out", out, "--strategy", "feed",
+                 "--feed", feed]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["refreshed"] and res["strategy"] == "feed"
+
+    from odibel_ray.cdc.derived import read_derived
+
+    got = read_derived(out).to_pandas()
+    oracle = replay_oracle(small_log["log_dir"]).to_pandas()
+    assert len(got) == int((oracle["score"] >= 0.5).sum())
