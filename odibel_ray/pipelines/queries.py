@@ -246,6 +246,78 @@ def ensure_derived_base(sf_dir: str) -> str:
     return root
 
 
+_MEDALLION_GOLD_SPEC = {
+    "group_keys": ["role_uc"],
+    "aggs": {
+        "n_rows": ("count", ""),
+        "sum_score": ("sum", "score"),
+        "avg_len": ("mean", "text_len"),
+    },
+}
+
+
+def ensure_medallion_base(sf_dir: str) -> str:
+    """Build (once per sf) the medallion fixture: the cached derived (silver)
+    fixture plus a gold aggregate view created over the SILVER table at its
+    version-1 state — derived tables and views are both generic published
+    tables, so each can be the other's base."""
+    import json
+    import shutil
+
+    from odibel_ray.cdc.mview import create_view
+
+    cached = ensure_derived_base(sf_dir)
+    root = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_medbase")
+    marker = os.path.join(root, "_ok.json")
+    params = {
+        **_LOG_PARAMS,
+        "n_convs": _n_convs(sf_dir),
+        "frac": 0.6,
+        "buckets": 16,
+        "medallion_rev": 1,  # bump when the gold/silver specs change
+    }
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(cached, root)
+    create_view(
+        os.path.join(root, "derived"), os.path.join(root, "gold"),
+        **_MEDALLION_GOLD_SPEC, run_id="g0",
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return root
+
+
+def q_transcript_medallion(sf_dir: str):
+    """Medallion composition, all hops incremental: the full log applies to
+    BRONZE (write-time change feed), SILVER (filter+derive) refreshes O(feed)
+    with no base read, GOLD (aggregate view over silver) delta-folds the
+    silver snapshot diff — the result must equal the gold GROUP BY over the
+    silver transform of a from-scratch replay. No hop recomputes."""
+    import shutil
+
+    from odibel_ray.cdc.derived import refresh_derived
+    from odibel_ray.cdc.mview import read_view, refresh_view
+    from odibel_ray.cdc.sink import incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_medallion_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_med")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(
+        log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
+        feed_values=_DERIVED_FEED_VALUES, feed_lsn=True,
+    )
+    refresh_derived(os.path.join(work, "derived"), run_id="s1", strategy="feed", feed=feed)
+    refresh_view(os.path.join(work, "gold"), run_id="g1", strategy="delta")
+    return read_view(os.path.join(work, "gold"))
+
+
 def q_transcript_derived(sf_dir: str):
     """Incremental row-level derived-table maintenance (rescan strategy): a
     filtered/projected/column-derived silver table created at the 60%-prefix
@@ -2388,6 +2460,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_mview_delta": q_transcript_mview_delta,
     "transcript_derived": q_transcript_derived,
     "transcript_derived_feed": q_transcript_derived_feed,
+    "transcript_medallion": q_transcript_medallion,
     "transcript_version_read": q_transcript_version_read,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
@@ -2758,6 +2831,11 @@ FROM ({t_final}) WHERE score >= 0.5""",
 SELECT conv_id, turn_idx, role, score,
        CAST(LENGTH(text) AS BIGINT) AS text_len, UPPER(role) AS role_uc
 FROM ({t_final}) WHERE score >= 0.5""",
+        # gold view of the medallion chain = GROUP BY over the silver transform
+        "transcript_medallion": f"""
+SELECT UPPER(role) AS role_uc, CAST(count(*) AS BIGINT) AS n_rows,
+       sum(score) AS sum_score, avg(CAST(LENGTH(text) AS BIGINT)) AS avg_len
+FROM ({t_final}) WHERE score >= 0.5 GROUP BY UPPER(role)""",
         # time travel to v1 = the 60% prefix base; re-derive split_log's
         # index-based cutoff (sorted-LSN position floor(0.6*(n-1))) in SQL
         "transcript_version_read": _TRANSCRIPT_FINAL_SQL.format(
