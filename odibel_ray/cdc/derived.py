@@ -118,7 +118,9 @@ def _where_mask(t: pa.Table, where: Sequence[Sequence]) -> pa.ChunkedArray | pa.
         elif op == "in":
             m = pc.is_in(c, value_set=pa.array(val))
         elif op == "not_in":
-            m = pc.invert(pc.is_in(c, value_set=pa.array(val)))
+            # SQL: NULL NOT IN (...) is NULL → fails; is_in maps NULL to
+            # false, which would invert to true
+            m = pc.and_(pc.is_valid(c), pc.invert(pc.is_in(c, value_set=pa.array(val))))
         elif op == "is_null":
             m = pc.is_null(c)
         else:  # not_null

@@ -898,6 +898,8 @@ def read_published(
     parallelism: int = -1,
     version: int | None = None,
     columns: list[str] | None = None,
+    where: list | None = None,
+    prune_stats: dict | None = None,
 ):
     """Dataset over manifested files only (readers never see unpublished data).
 
@@ -915,14 +917,33 @@ def read_published(
     ``version=V`` time-travels: the read resolves bucket files from retained
     snapshot V (see :func:`enable_snapshots`) instead of the live manifests —
     identical merge semantics, including any merge-on-read deltas the
-    snapshot carried."""
+    snapshot carried.
+
+    ``where=[(col, op, value), ...]`` is a conjunctive predicate with SQL
+    NULL semantics (ops ``== != < <= > >= in not_in is_null not_null``)
+    applied with zone-map data skipping: files whose Parquet footer
+    statistics cannot satisfy it are never opened, surviving files get the
+    predicate pushed into the scan (row-group pruning + row filter), and
+    merge-on-read buckets filter AFTER their LWW merge (a superseded base
+    row must not win). Pruning bites when the layout correlates with the
+    predicate column — see ``publish_dataset(cluster_by=...)``. Pass a
+    dict as ``prune_stats`` to receive ``{files_total, files_read}``."""
     import ray.data as rd
+
+    from odibel_ray.cdc.skipping import (
+        check_where,
+        file_may_match,
+        filter_table,
+        where_expr,
+    )
 
     manifests = (
         snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
     )
     if not manifests:
         raise FileNotFoundError(f"no published buckets under {out_dir}")
+    if where is not None:
+        where = check_where(where)
     if columns is not None:
         final_cols = list(columns)
     elif not system:
@@ -935,17 +956,46 @@ def read_published(
         if not m.get("deltas")
     ]
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
+    files_total = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
+    schema_src = plain[0] if plain else os.path.join(out_dir, mor[0]["file"])
+    if where:
+        plain = [p for p in plain if file_may_match(p, where)]
+        # a MOR bucket is prunable only when base AND every delta fail the
+        # stats check (the merge never synthesizes values, so no file with
+        # a possible match ⇒ no merged match)
+        mor = [
+            m
+            for m in mor
+            if file_may_match(os.path.join(out_dir, m["file"]), where)
+            or any(
+                file_may_match(os.path.join(out_dir, d["file"]), where)
+                for d in m["deltas"]
+            )
+        ]
+    if prune_stats is not None:
+        prune_stats["files_total"] = files_total
+        prune_stats["files_read"] = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
+    if not plain and not mor:
+        # everything pruned: a typed empty Dataset from a manifested schema
+        schema = pq.read_schema(schema_src)
+        if final_cols is not None:
+            schema = pa.schema([schema.field(c) for c in final_cols])
+        return rd.from_arrow(schema.empty_table())
     pieces = []
     if plain:
-        pieces.append(rd.read_parquet(plain, columns=final_cols))
+        kw = {"filter": where_expr(where)} if where else {}
+        pieces.append(rd.read_parquet(plain, columns=final_cols, **kw))
     if mor:
         # the per-bucket LWW merge needs the key + _lsn (base) and _op
         # (deltas) even when the caller projected them away
         merge_cols = None
         if final_cols is not None:
+            where_cols = [c for c, _, _ in where] if where else []
             merge_cols = list(
                 dict.fromkeys(
-                    c for c in [*final_cols, "conv_id", "turn_idx", "_lsn"] if c != "_op"
+                    c
+                    for c in [*final_cols, *where_cols, "conv_id", "turn_idx", "_lsn"]
+                    if c != "_op"
                 )
             )
         descs = [
@@ -970,6 +1020,8 @@ def read_published(
                     for f in row["deltas"]
                 ]
                 t = merge_base_deltas(base, deltas)
+                if where:
+                    t = filter_table(t, where)
                 outs.append(t.select(final_cols) if final_cols is not None else t)
             return pa.concat_tables(outs, promote_options="default")
 
@@ -1823,17 +1875,22 @@ def incremental_apply(
 
 
 def _generic_write_group(
-    t: pa.Table, *, staging: str, run_id: str, metrics: str | None = None
+    t: pa.Table, *, staging: str, run_id: str, metrics: str | None = None,
+    sort_by: str | None = None,
 ) -> pa.Table:
     """Stage one pre-bucketed group of an arbitrary table (any schema,
     including nested ``list<struct>`` columns) and emit its manifest row.
     The write-audit-publish contract is identical to the transcript path:
-    deterministic staged filename, row-count audit, atomic publish."""
+    deterministic staged filename, row-count audit, atomic publish.
+    ``sort_by`` (range-clustered layouts) sorts the bucket file by the
+    cluster column so its Parquet row-group stats stay tight."""
     if len(t) == 0:
         return _MANIFEST_SCHEMA.empty_table()
     t = t.combine_chunks()
     bucket = int(t["_bucket"][0].as_py())
     out = t.drop_columns(["_bucket"])
+    if sort_by is not None:
+        out = out.take(pc.sort_indices(out, sort_keys=[(sort_by, "ascending")]))
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
@@ -1867,6 +1924,7 @@ def publish_dataset(
     batch_size: int = 65536,
     metrics: str | None = None,
     snapshots: int | None = None,
+    cluster_by: str | None = None,
 ) -> dict:
     """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
     hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
@@ -1887,8 +1945,19 @@ def publish_dataset(
     different modulus while ``done`` holds old bucket ids silently drops
     and duplicates rows. Changing the bucketing of a partially-published
     table is an error (finish or wipe it, or use ``rebucket_published`` on
-    a complete one)."""
+    a complete one).
+
+    ``cluster_by="col"`` publishes a RANGE-CLUSTERED, read-optimized layout
+    instead of hash buckets (the Delta ``OPTIMIZE ZORDER`` / Iceberg
+    sort-order analog): bucket boundaries come from a bounded distributed
+    sample of the column (pinned in ``_layout.json`` before staging, so a
+    resume reuses them), each bucket file is sorted by the column, and
+    ``read_published(where=[(col, ...)])`` then prunes whole files by
+    footer stats. Clustered tables are serving copies: ``upsert_published``
+    refuses them (a key's bucket is not derivable from the key) — maintain
+    the hash-bucketed primary and republish the copy."""
     from odibel_ray.cdc.lww import bucket_of_keys
+    from odibel_ray.cdc.skipping import bucket_of_range, cluster_bounds
     from odibel_ray.tuning import default_num_buckets
 
     if snapshots is not None:
@@ -1909,21 +1978,32 @@ def publish_dataset(
                 f"table at {out_dir} was laid out with key_cols="
                 f"{layout['key_cols']}, not {list(key_cols)}"
             )
+        if layout.get("cluster_by") != cluster_by:
+            raise ValueError(
+                f"table at {out_dir} was laid out with cluster_by="
+                f"{layout.get('cluster_by')!r}, not {cluster_by!r}"
+            )
         num_buckets = int(layout["num_buckets"])
+        bounds = layout.get("bounds")
     else:
         num_buckets = default_num_buckets(num_buckets)
         os.makedirs(out_dir, exist_ok=True)
-        _atomic_write_json(
-            layout_path,
-            {"num_buckets": num_buckets, "key_cols": list(key_cols)},
-        )
+        layout = {"num_buckets": num_buckets, "key_cols": list(key_cols)}
+        bounds = None
+        if cluster_by is not None:
+            bounds = cluster_bounds(ds, cluster_by, num_buckets)
+            layout.update({"cluster_by": cluster_by, "bounds": bounds})
+        _atomic_write_json(layout_path, layout)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)
     done = load_manifests(out_dir)
 
     def tag(t: pa.Table) -> pa.Table:
-        b = bucket_of_keys(t, key_cols, num_buckets)
+        if cluster_by is not None:
+            b = bucket_of_range(t, cluster_by, bounds)
+        else:
+            b = bucket_of_keys(t, key_cols, num_buckets)
         t = t.append_column("_bucket", pa.array(b, pa.int64()))
         if done:
             keep = ~np.isin(b, np.array(sorted(done), dtype=np.int64))
@@ -1932,18 +2012,29 @@ def publish_dataset(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
     manifest_ds = tagged.groupby("_bucket").map_groups(
-        partial(_generic_write_group, staging=staging, run_id=run_id, metrics=metrics),
+        partial(
+            _generic_write_group,
+            staging=staging,
+            run_id=run_id,
+            metrics=metrics,
+            sort_by=cluster_by,
+        ),
         batch_format="pyarrow",
     )
     published = _publish_stream(manifest_ds, out_dir)
     all_manifests = load_manifests(out_dir)
     tman = {
-        "num_buckets": num_buckets,
+        # clustered layouts advertise no key-hash modulus: a key's bucket is
+        # not derivable from the key, so lookup_key falls back to its
+        # footer-stats pruning path over all buckets
+        "num_buckets": None if cluster_by is not None else num_buckets,
         "buckets": sorted(all_manifests),
         "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
         "last_run_id": run_id,
         "generic": True,
     }
+    if cluster_by is not None:
+        tman["cluster_by"] = cluster_by
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
     snap = record_snapshot(out_dir, "publish_dataset")
     return {
@@ -2043,6 +2134,12 @@ def upsert_published(
         )
     with open(layout_path) as f:
         layout = json.load(f)
+    if layout.get("cluster_by"):
+        raise ValueError(
+            "upsert_published cannot target a range-clustered table (a key's "
+            "bucket is not derivable from the key); maintain the hash-bucketed "
+            "primary and republish the clustered serving copy"
+        )
     key_cols = list(layout["key_cols"])
     num_buckets = int(layout["num_buckets"])
     manifests = load_manifests(out_dir)

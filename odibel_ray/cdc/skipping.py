@@ -1,0 +1,237 @@
+"""Zone-map data skipping over published tables.
+
+The reference re-scans the whole TKG for every filtered report
+(``eval/PropertyEval.scala:40-60`` and the other ``eval/*.scala`` jobs each
+re-read the full table and filter in the job); here a conjunctive ``where``
+on :func:`odibel_ray.cdc.sink.read_published` prunes at THREE levels before
+any data moves:
+
+1. **file level** — each manifested bucket file's Parquet footer statistics
+   (min/max/null-count per column, already written by every publish path)
+   are checked on the driver; files that cannot contain a matching row are
+   never opened. Footer reads are metadata-only — ``load_manifests``
+   already pays one per file for the row-count audit.
+2. **row-group level** — surviving files are scanned with the predicate
+   pushed into the PyArrow scan (``filter=``), which applies the same
+   min/max check per row group inside the read task.
+3. **row level** — the scan (or, for merge-on-read buckets, a post-merge
+   Arrow mask) applies the exact predicate with SQL NULL semantics.
+
+Pruning only BITES when the table layout correlates with the predicate
+column: hash-bucketed CDC tables spread every value range across every
+bucket (by design — upserts need the hash), so serving copies meant for
+range predicates should be published with
+``publish_dataset(cluster_by="col")`` — a range-clustered, read-optimized
+layout (the Delta ``OPTIMIZE ... ZORDER BY`` / Iceberg sort-order analog)
+whose bucket boundaries come from a bounded distributed sample and whose
+bucket files are sorted by the cluster column so row-group stats stay
+tight.
+
+The ``where`` spec is the same conjunctive tuple language as
+``odibel_ray.cdc.derived``: ``(col, op, value)`` with ops ``== != < <= >
+>= in not_in is_null not_null``; every comparison fails on NULL (SQL
+WHERE). All three levels agree on that semantics: a row a footer check
+keeps but the predicate rejects is dropped by the scan filter, never
+returned.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "not_in", "is_null", "not_null"}
+
+
+def check_where(where: Sequence[Sequence]) -> list[tuple]:
+    """Validate a conjunctive where spec; returns normalized 3-tuples."""
+    out = []
+    for cond in where:
+        if len(cond) == 2:
+            col, op, val = cond[0], cond[1], None
+        else:
+            col, op, val = cond
+        if op not in _OPS:
+            raise ValueError(f"unsupported where op {op!r} (have {sorted(_OPS)})")
+        if op in ("in", "not_in") and not isinstance(val, (list, tuple, set)):
+            raise ValueError(f"where op {op!r} needs a list value")
+        out.append((col, op, list(val) if op in ("in", "not_in") else val))
+    return out
+
+
+def where_expr(where: Sequence[Sequence]):
+    """The spec as a ``pyarrow.dataset`` expression for scan pushdown (the
+    scanner prunes row groups by statistics, then filters rows; NULL
+    comparisons evaluate to null, which the scanner drops — SQL WHERE)."""
+    import pyarrow.dataset as pds
+
+    e = None
+    for col, op, val in check_where(where):
+        f = pds.field(col)
+        if op == "==":
+            c = f == val
+        elif op == "!=":
+            c = f != val
+        elif op == "<":
+            c = f < val
+        elif op == "<=":
+            c = f <= val
+        elif op == ">":
+            c = f > val
+        elif op == ">=":
+            c = f >= val
+        elif op == "in":
+            c = f.isin(val)
+        elif op == "not_in":
+            # SQL: NULL NOT IN (...) is NULL (row dropped); pyarrow's is_in
+            # maps NULL to false, which would invert to kept
+            c = f.is_valid() & ~f.isin(val)
+        elif op == "is_null":
+            c = f.is_null()
+        else:  # not_null
+            c = f.is_valid()
+        e = c if e is None else e & c
+    return e
+
+
+def filter_table(t: pa.Table, where: Sequence[Sequence]) -> pa.Table:
+    """Exact row-level filter over an in-memory table (the merge-on-read
+    path applies the predicate AFTER the LWW merge — pushing it into the
+    base/delta file reads would let a superseded base row win)."""
+    from odibel_ray.cdc.derived import _where_mask
+
+    return t.filter(_where_mask(t, check_where(where)))
+
+
+def _rg_may_match(stats, op: str, val) -> bool:
+    """Can any row of a row group satisfy one conjunct, judging only by its
+    column statistics? True when undecidable (missing stats, type
+    mismatch) — pruning must never drop a possible match."""
+    if stats is None:
+        return True
+    nulls = stats.null_count if stats.has_null_count else None
+    n_vals = stats.num_values  # non-null count
+    if op == "is_null":
+        return nulls is None or nulls > 0
+    if op == "not_null":
+        return n_vals is None or n_vals > 0
+    # every remaining op fails on NULL, so a row group of only nulls never
+    # matches
+    if n_vals == 0:
+        return False
+    if not stats.has_min_max:
+        return True
+    lo, hi = stats.min, stats.max
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "!=":
+            return not (lo == hi == val)
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+        # not_in: pruned only when the group is a single value inside the set
+        return not (lo == hi and lo in val)
+    except TypeError:
+        return True  # incomparable literal (e.g. str vs int stats)
+
+
+def file_may_match(path: str, where: Sequence[Sequence], metadata=None) -> bool:
+    """Can any row of one Parquet file satisfy the whole conjunction? A file
+    survives if ANY row group may match ALL conjuncts. Footer-only — no
+    data pages are read. Conjuncts on columns the file lacks (schema
+    evolution) are undecidable for old files only when the reader would
+    null-fill them: a missing column reads as NULL, so value comparisons
+    cannot match but ``is_null`` can."""
+    where = check_where(where)
+    md = metadata if metadata is not None else pq.read_metadata(path)
+    cols = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    per_col = {}
+    for col, op, val in where:
+        if col not in cols:
+            # absent column null-fills: only null-ops can match
+            if op not in ("is_null",):
+                return False
+            continue
+        per_col.setdefault(cols[col], []).append((op, val))
+    if not per_col:
+        return True
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        ok = True
+        for idx, conds in per_col.items():
+            stats = g.column(idx).statistics
+            if not all(_rg_may_match(stats, op, val) for op, val in conds):
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def prune_files(paths: list[str], where: Sequence[Sequence]) -> list[str]:
+    """File-level zone-map prune: the manifested files that may hold a
+    matching row."""
+    return [p for p in paths if file_may_match(p, where)]
+
+
+def cluster_bounds(ds, cluster_by: str, num_buckets: int, sample_cap: int = 262144) -> list:
+    """Range-bucket boundaries for a clustered publish: approximate
+    quantiles of ``cluster_by`` from a bounded uniform sample. One
+    column-pruned pass; per-batch reservoir-ish thinning keeps at most
+    ``sample_cap`` values on the driver regardless of table size."""
+    import numpy as np
+
+    cap_per_batch = max(64, sample_cap // 256)
+
+    def thin(t: pa.Table) -> pa.Table:
+        col = t.column(cluster_by).combine_chunks()
+        col = col.drop_null()
+        if len(col) > cap_per_batch:
+            idx = np.linspace(0, len(col) - 1, cap_per_batch).astype(np.int64)
+            col = col.take(pa.array(idx))
+        return pa.table({cluster_by: col})
+
+    samples = ds.select_columns([cluster_by]).map_batches(
+        thin, batch_format="pyarrow"
+    ).take_all()
+    vals = sorted(s[cluster_by] for s in samples)
+    if len(vals) > sample_cap:
+        idx = np.linspace(0, len(vals) - 1, sample_cap).astype(np.int64)
+        vals = [vals[i] for i in idx]
+    if not vals:
+        return []
+    # num_buckets-1 interior split points (deduplicated — skewed columns
+    # collapse to fewer, larger buckets rather than empty ones)
+    pos = [int(round(q * (len(vals) - 1))) for q in
+           (i / num_buckets for i in range(1, num_buckets))]
+    bounds = []
+    for p in pos:
+        v = vals[p]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return bounds
+
+
+def bucket_of_range(t: pa.Table, cluster_by: str, bounds: list) -> "np.ndarray":
+    """Range-bucket assignment: ``searchsorted`` over the pinned boundaries
+    (bucket b holds bounds[b-1] < v <= bounds[b]); NULLs land in bucket 0."""
+    import numpy as np
+
+    col = t.column(cluster_by).combine_chunks()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    vals = col.to_numpy(zero_copy_only=False)
+    b = np.zeros(len(t), dtype=np.int64)
+    if bounds and valid.any():
+        arr = np.asarray(bounds, dtype=object)
+        b[valid] = np.searchsorted(arr, vals[valid], side="left")
+    return b

@@ -144,6 +144,19 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--conv-id", required=True)
     lk.add_argument("--turn-idx", type=int, default=None)
 
+    sc = sub.add_parser(
+        "scan",
+        help="read a published table with zone-map data skipping "
+             "(footer-stats file pruning + scan predicate pushdown)",
+    )
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--where", default=None,
+                    help='conjunctive predicate as JSON, e.g. '
+                         '\'[["conv_id","<","conv_00000010"],["score",">=",0.5]]\'')
+    sc.add_argument("--columns", default=None, help="comma-separated projection")
+    sc.add_argument("--version", type=int, default=None, help="time travel")
+    sc.add_argument("--limit", type=int, default=10, help="rows to print (0: none)")
+
     v = sub.add_parser(
         "vacuum",
         help="sweep staging dirs/orphan data files; prune old feed states",
@@ -336,6 +349,23 @@ def main(argv: list[str] | None = None) -> int:
         t = lookup_key(args.table, args.conv_id, turn_idx=args.turn_idx)
         for row in t.to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "scan":
+        from odibel_ray.cdc.sink import read_published
+
+        stats: dict = {}
+        ds = read_published(
+            args.table,
+            system=True,
+            where=json.loads(args.where) if args.where else None,
+            columns=args.columns.split(",") if args.columns else None,
+            version=args.version,
+            prune_stats=stats if args.where else None,
+        )
+        for row in ds.take(args.limit) if args.limit else ():
+            print(json.dumps(row, default=str))
+        print(json.dumps({"rows": ds.count(), **stats}))
         return 0
 
     if args.cmd == "diff":

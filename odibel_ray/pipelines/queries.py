@@ -526,6 +526,41 @@ def q_transcript_publish_read(sf_dir: str):
     return read_published(out)
 
 
+def _cluster_cutoff(sf_dir: str) -> str:
+    """Deterministic range-predicate cutoff: the first ~10% of conv ids."""
+    return f"conv_{max(1, _n_convs(sf_dir) // 10):08d}"
+
+
+def q_transcript_clustered_read(sf_dir: str):
+    """Zone-map data skipping: publish a range-clustered serving copy
+    (``cluster_by='conv_id'`` — bucket bounds from a distributed sample,
+    bucket files sorted by the cluster column) and read it back with a
+    range ``where`` — footer stats prune whole files, the scan prunes row
+    groups, and the result equals the plain SQL filter."""
+    import shutil
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published, replay_publish
+    from odibel_ray.tuning import default_num_buckets
+
+    log = ensure_transcript_log(sf_dir)
+    base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_clbase")
+    serving = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_clustered")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(serving, ignore_errors=True)
+    replay_publish(log, base, num_buckets=default_num_buckets(), run_id="query")
+    publish_dataset(
+        read_published(base),
+        serving,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=default_num_buckets(),
+        cluster_by="conv_id",
+        run_id="cl1",
+    )
+    return read_published(
+        serving, system=True, where=[("conv_id", "<", _cluster_cutoff(sf_dir))]
+    )
+
+
 #: Deterministic key for the point-lookup query — present in the converged
 #: final state at every test scale factor (verified sf0.001/0.01/0.1).
 _LOOKUP_CONV = "conv_00000007"
@@ -2451,6 +2486,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
+    "transcript_clustered_read": q_transcript_clustered_read,
     "transcript_point_lookup": q_transcript_point_lookup,
     "transcript_stream_tail": q_transcript_stream_tail,
     "transcript_debezium_stream": q_transcript_debezium_stream,
@@ -2846,6 +2882,9 @@ FROM ({t_final}) WHERE score >= 0.5 GROUP BY UPPER(role)""",
     FROM read_parquet('{glob}', hive_partitioning=1))
   WHERE rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT))""",
         ),
+        # clustered serving copy + zone-map pruned range read = plain filter
+        "transcript_clustered_read": f"""
+SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,

@@ -127,3 +127,19 @@ def test_cli_derived_create_and_refresh(ray_session, small_log, tmp_path, capsys
     got = read_derived(out).to_pandas()
     oracle = replay_oracle(small_log["log_dir"]).to_pandas()
     assert len(got) == int((oracle["score"] >= 0.5).sum())
+
+
+def test_cli_scan_with_where(ray_session, small_log, tmp_path, capsys):
+    """scan --where prints matching rows plus a prune-stats summary line."""
+    from odibel_ray.cdc.sink import replay_publish
+
+    base = str(tmp_path / "base")
+    replay_publish(small_log["log_dir"], base, num_buckets=4, run_id="r1")
+    assert main(["scan", "--table", base,
+                 "--where", '[["score",">=",0.5],["turn_idx","<",2]]',
+                 "--columns", "conv_id,turn_idx,score", "--limit", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["files_total"] == 4 and summary["rows"] > 0
+    for row in (json.loads(ln) for ln in lines[:-1]):
+        assert row["score"] >= 0.5 and row["turn_idx"] < 2
