@@ -66,6 +66,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # same apply+refresh loop as the timed transcript_derived (rescan);
     # the feed-strategy delta is visible in its own pytest timings
     "transcript_derived_feed",
+    # pin-then-read twin of the timed transcript_version_read
+    "transcript_savepoint_read",
 }
 
 

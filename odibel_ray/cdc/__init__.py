@@ -9,6 +9,7 @@ from odibel_ray.cdc.apply import (
 )
 from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
+from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint, read_savepoint
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
@@ -52,4 +53,7 @@ __all__ = [
     "create_derived",
     "refresh_derived",
     "read_derived",
+    "create_savepoint",
+    "read_savepoint",
+    "drop_savepoint",
 ]

@@ -1,0 +1,148 @@
+"""Cross-table savepoints: one consistent version pin across MANY published
+tables.
+
+Per-table snapshots (``sink.enable_snapshots``) give time travel within one
+table; a pipeline that publishes several related tables (bronze + silver +
+gold of a medallion chain, or a training-data release of documents +
+embeddings + labels) needs a CONSISTENT cut across all of them — "the set
+of versions that belong together" — that survives each table's retention
+policy. The reference has no analog (its eval jobs re-derive everything
+from the source dump each run); this is the Delta/Iceberg tag/branch idea
+expressed over this sink's snapshot files.
+
+A savepoint is:
+
+1. one **pin file** per member table, ``_snapshots/pins/<name>.json`` —
+   ``expire_snapshots`` (and thus every publish op and ``vacuum``) keeps
+   pinned versions and their data files no matter how far past
+   ``keep_last`` they fall;
+2. one **savepoint manifest**, ``<path>.json``, mapping table label →
+   (directory, pinned version), the single artifact a consumer needs.
+
+``create_savepoint`` first calls ``record_snapshot`` on every member (a
+no-op when the table's latest snapshot already equals its live state), so
+the pinned cut is each table's CURRENT state at call time. With the
+single-writer lease held by any concurrent publish, calling this between
+writer runs yields a cut no mid-flight apply can straddle.
+
+Reading back: ``read_savepoint(path, label)`` is
+``read_published(dir, version=pinned)`` — identical merge semantics,
+merge-on-read deltas included. Dropping: ``drop_savepoint`` removes the
+pins and the manifest; the next retention pass may then expire the
+versions normally. All metadata-only: no data is copied at any point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+PINS_DIR = "pins"
+
+
+def _pins_dir(out_dir: str) -> str:
+    from odibel_ray.cdc.sink import SNAPSHOT_DIR
+
+    return os.path.join(out_dir, SNAPSHOT_DIR, PINS_DIR)
+
+
+def pinned_versions(out_dir: str) -> dict[int, list[str]]:
+    """version → savepoint names pinning it (consulted by expiry)."""
+    d = _pins_dir(out_dir)
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(d):
+        return out
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                pin = json.load(f)
+            out.setdefault(int(pin["version"]), []).append(pin["name"])
+    return out
+
+
+def create_savepoint(
+    path: str,
+    tables: dict[str, str],
+    *,
+    name: str | None = None,
+) -> dict:
+    """Pin every table's current state under one savepoint.
+
+    ``tables`` maps a label (how consumers will ask for the table) to its
+    published directory. ``path`` is where the savepoint manifest lands
+    (``.json`` appended if missing); ``name`` defaults to the manifest's
+    basename. Snapshot retention is enabled on members that lack it.
+    Re-running with the same name overwrites the pins (idempotent)."""
+    from odibel_ray.cdc.sink import (
+        _atomic_write_json,
+        enable_snapshots,
+        list_snapshots,
+        record_snapshot,
+        snapshot_policy,
+    )
+
+    if not tables:
+        raise ValueError("savepoint needs at least one table")
+    if not path.endswith(".json"):
+        path = path + ".json"
+    name = name or os.path.splitext(os.path.basename(path))[0]
+    members = {}
+    for label, out_dir in tables.items():
+        if snapshot_policy(out_dir) is None:
+            enable_snapshots(out_dir)
+        record_snapshot(out_dir, f"savepoint:{name}")
+        snaps = list_snapshots(out_dir)
+        if not snaps:
+            raise FileNotFoundError(f"table {out_dir!r} has no published state")
+        version = snaps[-1]["version"]
+        os.makedirs(_pins_dir(out_dir), exist_ok=True)
+        _atomic_write_json(
+            os.path.join(_pins_dir(out_dir), f"{name}.json"),
+            {"name": name, "version": version, "unix_ts": time.time()},
+        )
+        members[label] = {"dir": os.path.abspath(out_dir), "version": version}
+    sp = {"name": name, "unix_ts": time.time(), "tables": members}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    _atomic_write_json(path, sp)
+    return sp
+
+
+def load_savepoint(path: str) -> dict:
+    if not path.endswith(".json"):
+        path = path + ".json"
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_savepoint(path: str, label: str, **read_kwargs):
+    """Dataset over one member table AS OF the savepoint's pinned version.
+    Extra kwargs pass through to ``read_published`` (``columns=``,
+    ``where=``, ``system=`` …)."""
+    from odibel_ray.cdc.sink import read_published
+
+    sp = load_savepoint(path)
+    if label not in sp["tables"]:
+        raise KeyError(f"savepoint {sp['name']!r} has no table {label!r} "
+                       f"(have: {sorted(sp['tables'])})")
+    m = sp["tables"][label]
+    return read_published(m["dir"], version=m["version"], **read_kwargs)
+
+
+def drop_savepoint(path: str) -> dict:
+    """Remove the savepoint's pins and manifest (metadata-only). The pinned
+    versions become ordinary snapshots; the next retention pass may expire
+    them."""
+    sp = load_savepoint(path)
+    dropped = 0
+    for m in sp["tables"].values():
+        pin = os.path.join(_pins_dir(m["dir"]), f"{sp['name']}.json")
+        try:
+            os.remove(pin)
+            dropped += 1
+        except OSError:
+            pass
+    if not path.endswith(".json"):
+        path = path + ".json"
+    os.remove(path)
+    return {"name": sp["name"], "pins_dropped": dropped}

@@ -635,13 +635,18 @@ def record_snapshot(out_dir: str, op: str) -> dict | None:
 def expire_snapshots(out_dir: str, keep_last: int | None = None) -> dict:
     """Drop snapshots beyond the newest ``keep_last`` (default: the table's
     policy) and sweep data/delta files no longer referenced by either the
-    live manifests or a retained snapshot. Runs inside every publish op
-    (which holds the table lease); run it standalone only while no writer is
-    live."""
+    live manifests or a retained snapshot. Versions pinned by a savepoint
+    (``odibel_ray.cdc.savepoint``) are kept regardless of ``keep_last``.
+    Runs inside every publish op (which holds the table lease); run it
+    standalone only while no writer is live."""
+    from odibel_ray.cdc.savepoint import pinned_versions
+
     if keep_last is None:
         keep_last = snapshot_policy(out_dir) or 0
     snaps = list_snapshots(out_dir)
+    pinned = pinned_versions(out_dir)
     drop = snaps[: max(0, len(snaps) - keep_last)] if keep_last >= 0 else []
+    drop = [s for s in drop if s["version"] not in pinned]
     removed = {"snapshots": 0, "files": 0}
     for s in drop:
         try:
@@ -947,7 +952,15 @@ def read_published(
     if columns is not None:
         final_cols = list(columns)
     elif not system:
-        final_cols = list(LOGICAL_COLUMNS)
+        # transcript tables hide their _lsn/_op system columns by default;
+        # GENERIC published tables (views, derived/clustered copies — any
+        # schema) have no system columns to hide, so a plain read is full
+        tman_path = os.path.join(out_dir, TABLE_MANIFEST)
+        generic = False
+        if os.path.exists(tman_path):
+            with open(tman_path) as f:
+                generic = bool(json.load(f).get("generic"))
+        final_cols = None if generic else list(LOGICAL_COLUMNS)
     else:
         final_cols = None
     plain = [

@@ -172,6 +172,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--table", required=True)
 
+    sp = sub.add_parser(
+        "savepoint",
+        help="pin one consistent version cut across several published tables "
+             "(pinned versions survive retention until the savepoint is dropped)",
+    )
+    sp.add_argument("--path", required=True, help="savepoint manifest path")
+    sp.add_argument("--table", action="append", default=[],
+                    help="label=dir member (repeatable)")
+    sp.add_argument("--drop", action="store_true", help="release the pins instead")
+
     rs = sub.add_parser(
         "restore", help="roll the live table back to a retained version"
     )
@@ -349,6 +359,16 @@ def main(argv: list[str] | None = None) -> int:
         t = lookup_key(args.table, args.conv_id, turn_idx=args.turn_idx)
         for row in t.to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "savepoint":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint
+
+        if args.drop:
+            print(json.dumps(drop_savepoint(args.path)))
+            return 0
+        tables = dict(kv.split("=", 1) for kv in args.table)
+        print(json.dumps(create_savepoint(args.path, tables)))
         return 0
 
     if args.cmd == "scan":

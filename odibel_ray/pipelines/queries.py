@@ -811,6 +811,33 @@ def q_transcript_version_read(sf_dir: str):
     return read_published(out, version=1)
 
 
+def q_transcript_savepoint_read(sf_dir: str):
+    """Cross-table savepoint: pin a consistent cut over the 60%-prefix bronze
+    AND a derived silver table, keep applying to both, then read bronze back
+    THROUGH the savepoint — retention (keep_last=1 would expire the pinned
+    version) must not sweep it. Equals a from-scratch replay of the prefix."""
+    import shutil
+
+    from odibel_ray.cdc.derived import refresh_derived
+    from odibel_ray.cdc.savepoint import create_savepoint, read_savepoint
+    from odibel_ray.cdc.sink import enable_snapshots, incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_derived_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_spr")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    table, derived = os.path.join(work, "table"), os.path.join(work, "derived")
+    enable_snapshots(table, keep_last=1)
+    sp = os.path.join(work, "release-1")
+    create_savepoint(sp, {"bronze": table, "silver": derived})
+    feed = os.path.join(work, "feed")
+    incremental_apply(log, table, run_id="r2", feed_dir=feed,
+                      feed_values=_DERIVED_FEED_VALUES)
+    refresh_derived(derived, run_id="d1", feed=feed)
+    return read_savepoint(sp, "bronze")
+
+
 def q_transcript_version_diff(sf_dir: str):
     """Delta-style ``table_changes`` between two retained snapshots: v1 (the
     60% prefix base) → v2 (fully applied), computed purely from the
@@ -2498,6 +2525,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_derived_feed": q_transcript_derived_feed,
     "transcript_medallion": q_transcript_medallion,
     "transcript_version_read": q_transcript_version_read,
+    "transcript_savepoint_read": q_transcript_savepoint_read,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -2567,6 +2595,14 @@ QUERIES: dict[str, Callable] = {
 def _oracles_for(sf_dir: str) -> dict[str, str]:
     glob = _log_glob(sf_dir)
     t_final = _TRANSCRIPT_FINAL_SQL.format(glob=glob, where="")
+    t_prefix60 = _TRANSCRIPT_FINAL_SQL.format(
+        glob=glob,
+        where=f"""WHERE lsn <= (
+  SELECT lsn FROM (
+    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn, count(*) OVER () AS n
+    FROM read_parquet('{glob}', hive_partitioning=1))
+  WHERE rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT))""",
+    )
     snap_where = (
         "WHERE lsn <= (SELECT CAST(FLOOR(0.5 * max(lsn)) AS BIGINT) "
         f"FROM read_parquet('{glob}', hive_partitioning=1))"
@@ -2874,14 +2910,10 @@ SELECT UPPER(role) AS role_uc, CAST(count(*) AS BIGINT) AS n_rows,
 FROM ({t_final}) WHERE score >= 0.5 GROUP BY UPPER(role)""",
         # time travel to v1 = the 60% prefix base; re-derive split_log's
         # index-based cutoff (sorted-LSN position floor(0.6*(n-1))) in SQL
-        "transcript_version_read": _TRANSCRIPT_FINAL_SQL.format(
-            glob=glob,
-            where=f"""WHERE lsn <= (
-  SELECT lsn FROM (
-    SELECT lsn, row_number() OVER (ORDER BY lsn) - 1 AS rn, count(*) OVER () AS n
-    FROM read_parquet('{glob}', hive_partitioning=1))
-  WHERE rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT))""",
-        ),
+        "transcript_version_read": t_prefix60,
+        # savepoint-pinned bronze = the same 60%-prefix replay, read through
+        # the cross-table pin after later applies (keep_last=1 retention)
+        "transcript_savepoint_read": t_prefix60,
         # clustered serving copy + zone-map pruned range read = plain filter
         "transcript_clustered_read": f"""
 SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",

@@ -143,3 +143,16 @@ def test_cli_scan_with_where(ray_session, small_log, tmp_path, capsys):
     assert summary["files_total"] == 4 and summary["rows"] > 0
     for row in (json.loads(ln) for ln in lines[:-1]):
         assert row["score"] >= 0.5 and row["turn_idx"] < 2
+
+
+def test_cli_savepoint_lifecycle(ray_session, small_log, tmp_path, capsys):
+    from odibel_ray.cdc.sink import replay_publish
+
+    base = str(tmp_path / "base")
+    replay_publish(small_log["log_dir"], base, num_buckets=4, run_id="r1")
+    sp = str(tmp_path / "rel1")
+    assert main(["savepoint", "--path", sp, "--table", f"bronze={base}"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["tables"]["bronze"]["version"] == 1
+    assert main(["savepoint", "--path", sp, "--drop"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["pins_dropped"] == 1
