@@ -8,6 +8,7 @@ from odibel_ray.cdc.apply import (
     compact_batch,
 )
 from odibel_ray.cdc.lww import change_feed
+from odibel_ray.cdc.ddl import alter_published
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
 from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint, read_savepoint
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
@@ -56,4 +57,5 @@ __all__ = [
     "create_savepoint",
     "read_savepoint",
     "drop_savepoint",
+    "alter_published",
 ]

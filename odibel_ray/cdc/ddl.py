@@ -1,0 +1,199 @@
+"""Metadata-only schema DDL for GENERIC published tables.
+
+The transcript pipeline evolves its schema through the change log itself
+(in-band ``op='S'`` events, ``cdc/schema.py`` — the reference's analog is
+re-running the whole extraction when the dump schema moves). Generic
+published tables — materialized views, derived/clustered serving copies,
+arbitrary ``publish_dataset`` output — had no evolution story. This module
+is the Delta Lake column-mapping idea over this sink's manifests:
+
+``alter_published(out_dir, add= / rename= / drop=)`` appends operations to
+an ordered log in ``<table>/_schema.json``. NO data file is touched:
+
+- **add**    — the column exists logically, reads as NULL everywhere until
+  a full rewrite materializes it. Upserts that carry a non-null value for
+  an unmaterialized column fail loudly (the value would be silently lost).
+- **rename** — pure read-time mapping: data files keep the original
+  physical name forever (new upserts translate logical→physical on write,
+  so every file in the table keeps ONE physical schema — no per-file
+  column-ID resolution needed at scan time).
+- **drop**   — logical removal; bytes stay until a rewrite, readers never
+  see the column (and may not reference it).
+
+``read_published`` resolves the operation log against the physical schema
+once per read (driver-side, one footer), then runs its normal zone-map /
+pushdown machinery entirely in PHYSICAL column space — predicates on
+renamed columns still prune files and row groups — and re-labels batches
+to the logical schema in a zero-copy ``map_batches`` step. Simplification
+vs Delta: the mapping is not versioned — a time-travel read applies the
+CURRENT mapping to the old files.
+
+Key columns are pinned by the layout (``_layout.json``) and cannot be
+renamed or dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+SCHEMA_OPS = "_schema.json"
+
+
+def _ops_path(out_dir: str) -> str:
+    return os.path.join(out_dir, SCHEMA_OPS)
+
+
+def load_schema_ops(out_dir: str) -> list[dict]:
+    p = _ops_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["ops"]
+
+
+class SchemaMap:
+    """The operation log folded over a physical file schema.
+
+    ``fields``: ordered logical fields (renames keep position, drops remove,
+    adds append). ``to_physical``: logical → physical name for file-backed
+    columns. ``added``: logical → type for metadata-only columns (read as
+    NULL until a rewrite materializes them).
+    """
+
+    def __init__(self, physical: pa.Schema, ops: list[dict]):
+        # (logical_name, physical_name | None, type)
+        cols: list[list] = [[f.name, f.name, f.type] for f in physical]
+
+        def idx(name: str) -> int:
+            for i, c in enumerate(cols):
+                if c[0] == name:
+                    return i
+            raise KeyError(f"no such column {name!r} (have {[c[0] for c in cols]})")
+
+        for op in ops:
+            if op["kind"] == "add":
+                if any(c[0] == op["name"] for c in cols):
+                    raise ValueError(f"add: column {op['name']!r} already exists")
+                cols.append([op["name"], None, pa.type_for_alias(op["type"])])
+            elif op["kind"] == "rename":
+                if any(c[0] == op["to"] for c in cols):
+                    raise ValueError(f"rename: column {op['to']!r} already exists")
+                cols[idx(op["from"])][0] = op["to"]
+            elif op["kind"] == "drop":
+                cols.pop(idx(op["name"]))
+            else:  # pragma: no cover - guarded at alter time
+                raise ValueError(f"unknown schema op kind {op['kind']!r}")
+        self.fields = [pa.field(n, t) for n, _, t in cols]
+        self.to_physical = {n: p for n, p, _ in cols if p is not None}
+        self.added = {n: t for n, p, t in cols if p is None}
+
+    @property
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def logical_schema(self, columns: list[str] | None = None) -> pa.Schema:
+        by = {f.name: f for f in self.fields}
+        names = self.names if columns is None else columns
+        return pa.schema([by[n] for n in names])
+
+    def check_columns(self, columns: list[str]) -> None:
+        missing = [c for c in columns if c not in self.to_physical and c not in self.added]
+        if missing:
+            raise KeyError(f"no such column(s) {missing} (have {self.names})")
+
+    def physical_columns(self, columns: list[str] | None = None) -> list[str]:
+        names = self.names if columns is None else columns
+        return [self.to_physical[c] for c in names if c in self.to_physical]
+
+    def translate_where(self, where: list) -> tuple[list, bool]:
+        """Predicate in physical column space. Conjuncts on unmaterialized
+        (added) columns evaluate against their all-NULL reality: ``is_null``
+        is vacuously true (conjunct removed), every other op cannot match —
+        returns ``(_, False)`` meaning the whole read is provably empty."""
+        out = []
+        for col, op, val in where:
+            self.check_columns([col])
+            if col in self.added:
+                if op == "is_null":
+                    continue
+                return [], False
+            out.append((self.to_physical[col], op, val))
+        return out, True
+
+    def adapt(self, t: pa.Table, columns: list[str] | None = None) -> pa.Table:
+        """Physical-named batch → logical schema (zero-copy: renames are
+        relabels, added columns are null arrays)."""
+        names = self.names if columns is None else columns
+        cols = {}
+        for n in names:
+            if n in self.to_physical:
+                cols[n] = t[self.to_physical[n]]
+            else:
+                cols[n] = pa.nulls(len(t), self.added[n])
+        return pa.table(cols)
+
+
+def schema_map(out_dir: str, physical: pa.Schema) -> SchemaMap | None:
+    ops = load_schema_ops(out_dir)
+    return SchemaMap(physical, ops) if ops else None
+
+
+def alter_published(
+    out_dir: str,
+    *,
+    add: dict[str, str] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """Append schema operations (applied in add → rename → drop order within
+    one call; call repeatedly for other orders). Metadata-only and validated
+    against the CURRENT logical schema before anything is written."""
+    from odibel_ray.cdc.sink import TABLE_MANIFEST, _atomic_write_json, load_manifests
+
+    tman_path = os.path.join(out_dir, TABLE_MANIFEST)
+    if not os.path.exists(tman_path):
+        raise FileNotFoundError(f"no published table under {out_dir}")
+    with open(tman_path) as f:
+        if not json.load(f).get("generic"):
+            raise ValueError(
+                "alter_published targets GENERIC published tables; transcript "
+                "tables evolve through in-log schema-change events"
+            )
+    with open(os.path.join(out_dir, "_layout.json")) as f:
+        key_cols = set(json.load(f)["key_cols"])
+
+    manifests = load_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no published buckets under {out_dir}")
+    import pyarrow.parquet as pq
+
+    physical = pq.read_schema(
+        os.path.join(out_dir, next(iter(sorted(m["file"] for m in manifests.values()))))
+    )
+    ops = load_schema_ops(out_dir)
+    new_ops = []
+    for name, typ in (add or {}).items():
+        pa.type_for_alias(typ)  # validate early
+        new_ops.append({"kind": "add", "name": name, "type": typ})
+    for src, dst in (rename or {}).items():
+        if src in key_cols:
+            raise ValueError(f"cannot rename key column {src!r} (layout-pinned)")
+        new_ops.append({"kind": "rename", "from": src, "to": dst})
+    for name in drop or ():
+        if name in key_cols:
+            raise ValueError(f"cannot drop key column {name!r} (layout-pinned)")
+        new_ops.append({"kind": "drop", "name": name})
+    if not new_ops:
+        raise ValueError("nothing to alter (pass add=/rename=/drop=)")
+    combined = ops + new_ops
+    m = SchemaMap(physical, combined)  # validates the whole log folds cleanly
+    _atomic_write_json(_ops_path(out_dir), {"ops": combined})
+    return {"ops_applied": len(new_ops), "logical_columns": m.names}
+
+
+def _ddl_adapt(t: pa.Table, *, smap: SchemaMap, columns: list[str] | None) -> pa.Table:
+    """map_batches hook for read_published (module-level for pickling)."""
+    return smap.adapt(t, columns)

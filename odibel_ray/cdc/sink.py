@@ -971,6 +971,27 @@ def read_published(
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
     files_total = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
     schema_src = plain[0] if plain else os.path.join(out_dir, mor[0]["file"])
+    # metadata-only DDL (generic tables): resolve the op log once, then run
+    # the whole prune/pushdown machinery in PHYSICAL column space and
+    # re-label batches to the logical schema at the end (cdc/ddl.py)
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+
+    smap = None
+    logical_cols = None
+    if os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
+        smap = schema_map(out_dir, pq.read_schema(schema_src))
+    if smap is not None:
+        logical_cols = final_cols if final_cols is not None else smap.names
+        smap.check_columns(logical_cols)
+        if where:
+            where, feasible = smap.translate_where(where)
+            if not feasible:  # value predicate on an unmaterialized column
+                if prune_stats is not None:
+                    prune_stats["files_total"] = files_total
+                    prune_stats["files_read"] = 0
+                return rd.from_arrow(smap.logical_schema(logical_cols).empty_table())
+            where = where or None
+        final_cols = smap.physical_columns(logical_cols)
     if where:
         plain = [p for p in plain if file_may_match(p, where)]
         # a MOR bucket is prunable only when base AND every delta fail the
@@ -990,9 +1011,12 @@ def read_published(
         prune_stats["files_read"] = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
     if not plain and not mor:
         # everything pruned: a typed empty Dataset from a manifested schema
-        schema = pq.read_schema(schema_src)
-        if final_cols is not None:
-            schema = pa.schema([schema.field(c) for c in final_cols])
+        if smap is not None:
+            schema = smap.logical_schema(logical_cols)
+        else:
+            schema = pq.read_schema(schema_src)
+            if final_cols is not None:
+                schema = pa.schema([schema.field(c) for c in final_cols])
         return rd.from_arrow(schema.empty_table())
     pieces = []
     if plain:
@@ -1043,7 +1067,16 @@ def read_published(
         )
         pieces.append(merged)
     ds = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
-    if final_cols is not None:
+    if smap is not None:
+        from odibel_ray.cdc.ddl import _ddl_adapt
+
+        # zero-copy relabel physical → logical (renames are relabels, added
+        # columns are null arrays)
+        ds = ds.map_batches(
+            partial(_ddl_adapt, smap=smap, columns=logical_cols),
+            batch_format="pyarrow",
+        )
+    elif final_cols is not None:
         ds = ds.select_columns(final_cols)
     return ds
 
@@ -1079,22 +1112,47 @@ def lookup_key(
     """
     from odibel_ray.cdc.lww import bucket_of_keys
 
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
     manifests = (
         snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
     )
+    smap = None
+    if manifests and os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
+        any_file = os.path.join(out_dir, next(iter(manifests.values()))["file"])
+        smap = schema_map(out_dir, pq.read_schema(any_file))
+    logical_cols = None
+    if smap is not None:
+        # requested columns are logical; files carry physical names (keys
+        # are layout-pinned so the filters below stay valid)
+        logical_cols = list(columns) if columns is not None else smap.names
+        smap.check_columns(logical_cols)
+        columns = smap.physical_columns(logical_cols) or None
     num_buckets = tman.get("num_buckets")
-    if num_buckets:
+    # generic tables pin their key columns in the layout; the transcript
+    # path's keys are (conv_id, turn_idx) — the positional args map onto
+    # the first (and optional second) key column either way
+    key_cols = ["conv_id", "turn_idx"]
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            key_cols = list(json.load(f)["key_cols"])
+    # generic tables hash ALL key columns into the bucket id — recomputing
+    # it from the first key alone would open the wrong file, so composite-key
+    # generic tables take the footer-pruned scan over all candidates
+    single_key_hash = num_buckets and not (tman.get("generic") and len(key_cols) > 1)
+    if single_key_hash:
         b = int(
             bucket_of_keys(pa.table({"k": [conv_id]}), ["k"], int(num_buckets))[0]
         )
         candidates = [manifests[b]] if b in manifests else []
     else:
         candidates = list(manifests.values())
-    filters = [("conv_id", "==", conv_id)]
-    if turn_idx is not None:
-        filters.append(("turn_idx", "==", turn_idx))
+    filters = [(key_cols[0], "==", conv_id)]
+    if turn_idx is not None and len(key_cols) > 1:
+        filters.append((key_cols[1], "==", turn_idx))
     # buckets with merge-on-read deltas LWW-merge base ∪ deltas for the key
     # (the merge needs the key + _lsn/_op columns even when the caller asked
     # for fewer — read the superset, project at the end)
@@ -1139,6 +1197,8 @@ def lookup_key(
         out = schema.empty_table()
     else:
         out = pa.concat_tables(tables, promote_options="default")
+    if smap is not None:
+        return smap.adapt(out, logical_cols)
     if not system and columns is None:
         keep = [c for c in LOGICAL_COLUMNS if c in out.column_names]
         out = out.select(keep)
@@ -2059,6 +2119,29 @@ def publish_dataset(
     }
 
 
+def _to_physical_update(t: pa.Table, smap, canon: pa.Schema) -> pa.Table:
+    """Logical-named upsert rows → the table's ONE physical schema: renames
+    map back, dropped physical columns null-pad (bytes still live in the
+    files), unmaterialized added columns must be all-NULL (their values
+    would silently vanish) and are removed."""
+    cols = {}
+    for name in canon.names:
+        # the logical name this physical column currently carries (if any)
+        logical = next((ln for ln, pn in smap.to_physical.items() if pn == name), None)
+        if logical is not None and logical in t.column_names:
+            cols[name] = t[logical]
+        else:
+            cols[name] = pa.nulls(len(t), canon.field(name).type)  # dropped col
+    for added in smap.added:
+        if added in t.column_names and t[added].null_count != len(t):
+            raise ValueError(
+                f"column {added!r} is metadata-only (added by alter_published) "
+                "and not materialized in the data files yet; upserting non-null "
+                "values would lose them — rewrite the table first"
+            )
+    return pa.table(cols)
+
+
 def _upsert_write_group(
     t: pa.Table,
     *,
@@ -2164,12 +2247,23 @@ def upsert_published(
     else:
         canon = updates.schema().base_schema
     canon_names = list(canon.names)
+    # metadata-only DDL: updates arrive with LOGICAL names; files keep ONE
+    # physical schema, so translate logical→physical on write (cdc/ddl.py)
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+
+    smap = (
+        schema_map(out_dir, canon)
+        if bucket_files and os.path.exists(os.path.join(out_dir, SCHEMA_OPS))
+        else None
+    )
 
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)
 
     def tag_updates(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        if smap is not None:
+            t = _to_physical_update(t, smap, canon)
         missing = [c for c in canon_names if c not in t.column_names]
         if missing:
             raise ValueError(f"update rows missing table columns {missing}")

@@ -172,6 +172,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--table", required=True)
 
+    al = sub.add_parser(
+        "alter",
+        help="metadata-only schema DDL on a generic published table "
+             "(add/rename/drop without touching data files)",
+    )
+    al.add_argument("--table", required=True)
+    al.add_argument("--add", action="append", default=[], help="name:type (repeatable)")
+    al.add_argument("--rename", action="append", default=[], help="old=new (repeatable)")
+    al.add_argument("--drop", action="append", default=[], help="column (repeatable)")
+
     sp = sub.add_parser(
         "savepoint",
         help="pin one consistent version cut across several published tables "
@@ -359,6 +369,17 @@ def main(argv: list[str] | None = None) -> int:
         t = lookup_key(args.table, args.conv_id, turn_idx=args.turn_idx)
         for row in t.to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "alter":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.ddl import alter_published
+
+        print(json.dumps(alter_published(
+            args.table,
+            add=dict(kv.split(":", 1) for kv in args.add) or None,
+            rename=dict(kv.split("=", 1) for kv in args.rename) or None,
+            drop=args.drop or None,
+        )))
         return 0
 
     if args.cmd == "savepoint":  # metadata-only, no Ray session needed

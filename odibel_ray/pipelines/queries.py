@@ -811,6 +811,37 @@ def q_transcript_version_read(sf_dir: str):
     return read_published(out, version=1)
 
 
+def q_transcript_ddl_read(sf_dir: str):
+    """Metadata-only schema DDL over the silver derived table: converge it
+    (apply + feed refresh), then rename/add/drop WITHOUT touching a data
+    file — the read applies the mapping (rename is a relabel, the added
+    column is NULL, the dropped one vanishes) and must equal the renamed
+    SQL projection of the full replay."""
+    import shutil
+
+    from odibel_ray.cdc.ddl import alter_published
+    from odibel_ray.cdc.derived import read_derived, refresh_derived
+    from odibel_ray.cdc.sink import incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_derived_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ddl")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(
+        log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
+        feed_values=_DERIVED_FEED_VALUES, feed_lsn=True,
+    )
+    derived = os.path.join(work, "derived")
+    refresh_derived(derived, run_id="d1", strategy="feed", feed=feed)
+    alter_published(
+        derived, rename={"score": "quality"}, add={"reviewed": "string"},
+        drop=["role_uc"],
+    )
+    return read_derived(derived)
+
+
 def q_transcript_savepoint_read(sf_dir: str):
     """Cross-table savepoint: pin a consistent cut over the 60%-prefix bronze
     AND a derived silver table, keep applying to both, then read bronze back
@@ -2526,6 +2557,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_medallion": q_transcript_medallion,
     "transcript_version_read": q_transcript_version_read,
     "transcript_savepoint_read": q_transcript_savepoint_read,
+    "transcript_ddl_read": q_transcript_ddl_read,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -2914,6 +2946,13 @@ FROM ({t_final}) WHERE score >= 0.5 GROUP BY UPPER(role)""",
         # savepoint-pinned bronze = the same 60%-prefix replay, read through
         # the cross-table pin after later applies (keep_last=1 retention)
         "transcript_savepoint_read": t_prefix60,
+        # DDL over the silver table: rename score→quality, add reviewed
+        # (NULL), drop role_uc — pure projection over the derived oracle
+        "transcript_ddl_read": f"""
+SELECT conv_id, turn_idx, role, score AS quality,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       CAST(NULL AS VARCHAR) AS reviewed
+FROM ({t_final}) WHERE score >= 0.5""",
         # clustered serving copy + zone-map pruned range read = plain filter
         "transcript_clustered_read": f"""
 SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",

@@ -156,3 +156,19 @@ def test_cli_savepoint_lifecycle(ray_session, small_log, tmp_path, capsys):
     assert info["tables"]["bronze"]["version"] == 1
     assert main(["savepoint", "--path", sp, "--drop"]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["pins_dropped"] == 1
+
+
+def test_cli_alter_published(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    out = str(tmp_path / "t")
+    publish_dataset(rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]})), out,
+                    key_cols=["k"], num_buckets=2, run_id="p1")
+    assert main(["alter", "--table", out, "--rename", "v=value",
+                 "--add", "note:string"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["logical_columns"] == ["k", "value", "note"]
+    assert read_published(out).schema().names == ["k", "value", "note"]
