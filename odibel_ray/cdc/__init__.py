@@ -10,6 +10,7 @@ from odibel_ray.cdc.apply import (
 from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.ddl import alter_published
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
+from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
 from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint, read_savepoint
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
@@ -58,4 +59,7 @@ __all__ = [
     "read_savepoint",
     "drop_savepoint",
     "alter_published",
+    "create_join_view",
+    "refresh_join_view",
+    "read_join_view",
 ]

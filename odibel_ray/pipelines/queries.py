@@ -246,6 +246,109 @@ def ensure_derived_base(sf_dir: str) -> str:
     return root
 
 
+def ensure_joinview_base(sf_dir: str) -> str:
+    """Build (once per sf) the join-view fixture: the cached 60%-prefix fact
+    table, a tool dimension (one generic published row per distinct
+    ``tool_name`` of the FULL converged state — deterministic, so the SQL
+    oracle reproduces it with a DISTINCT), and the fact⟕dim view created at
+    the prefix state. Queries copy this and time only the engine path
+    (incremental apply + join-view refresh)."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.joinview import create_join_view
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    cached_base = ensure_incremental_base(sf_dir)
+    full = ensure_full_published(sf_dir)
+    root = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_jvbase")
+    marker = os.path.join(root, "_ok.json")
+    params = {
+        **_LOG_PARAMS,
+        "n_convs": _n_convs(sf_dir),
+        "frac": 0.6,
+        "buckets": 16,
+        "joinview_rev": 1,  # bump when the view spec changes (fixture cache key)
+    }
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "table")
+    shutil.copytree(cached_base, table)
+    # the dimension: a handful of rows, but built DISTRIBUTEDLY the way a real
+    # one would be (distinct over a pruned scan), attrs derived from the key
+    tools = sorted(
+        t
+        for t in set(
+            read_published(full, columns=["tool_name"])
+            .unique("tool_name")
+        )
+        if t is not None
+    )
+    dim = pa.table(
+        {
+            "tool_name": tools,
+            "tool_kind": [t.upper() for t in tools],
+            "weight": pa.array([len(t) for t in tools], pa.int64()),
+        }
+    )
+    publish_dataset(
+        rd.from_arrow(dim), os.path.join(root, "dim"),
+        key_cols=["tool_name"], num_buckets=2, run_id="p1",
+    )
+    create_join_view(
+        table, os.path.join(root, "dim"), os.path.join(root, "view"),
+        on="tool_name", how="left", left_columns=["role", "score"],
+        num_buckets=16, run_id="j0",
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return root
+
+
+def q_transcript_join_view(sf_dir: str):
+    """Incremental JOIN-view maintenance, both sides dirty in one refresh:
+    the fact⟕dim view was created at the 60%-prefix state; the full log
+    applies to the fact table (write-time feed → dirty left keys), one
+    dimension row is updated and another deleted (snapshot diff → reverse fk
+    lookup), and a single ``refresh_join_view`` converges — the result must
+    equal the left join of the from-scratch replay against the post-update
+    dimension."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.joinview import read_join_view, refresh_join_view
+    from odibel_ray.cdc.sink import incremental_apply, upsert_published
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_joinview_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_jv")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(log, os.path.join(work, "table"), run_id="r2", feed_dir=feed)
+    # upsert-or-insert 'python' (CHANGED/100), delete 'editor' — tools no
+    # fact references cancel out, so the oracle's CASE form stays exact
+    upsert_published(
+        rd.from_arrow(pa.table({
+            "tool_name": ["python"], "tool_kind": ["CHANGED"],
+            "weight": pa.array([100], pa.int64()),
+        })),
+        os.path.join(work, "dim"),
+        deletes=rd.from_arrow(pa.table({"tool_name": ["editor"]})),
+        run_id="u1",
+    )
+    refresh_join_view(os.path.join(work, "view"), run_id="j1", left_feed=feed)
+    return read_join_view(os.path.join(work, "view"))
+
+
 _MEDALLION_GOLD_SPEC = {
     "group_keys": ["role_uc"],
     "aggs": {
@@ -2558,6 +2661,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_version_read": q_transcript_version_read,
     "transcript_savepoint_read": q_transcript_savepoint_read,
     "transcript_ddl_read": q_transcript_ddl_read,
+    "transcript_join_view": q_transcript_join_view,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -2953,6 +3057,21 @@ SELECT conv_id, turn_idx, role, score AS quality,
        CAST(LENGTH(text) AS BIGINT) AS text_len,
        CAST(NULL AS VARCHAR) AS reviewed
 FROM ({t_final}) WHERE score >= 0.5""",
+        # incrementally-maintained join view = the replayed fact table left-
+        # joined to the post-update tool dimension (dim rows derive from the
+        # key, so the upsert/delete are CASE/WHERE-expressible)
+        "transcript_join_view": f"""
+SELECT f.conv_id, f.turn_idx, f.role, f.score, f.tool_name, d.tool_kind, d.weight
+FROM ({t_final}) f
+LEFT JOIN (
+  SELECT tool_name,
+         CASE WHEN tool_name = 'python' THEN 'CHANGED'
+              ELSE UPPER(tool_name) END AS tool_kind,
+         CAST(CASE WHEN tool_name = 'python' THEN 100
+                   ELSE LENGTH(tool_name) END AS BIGINT) AS weight
+  FROM (SELECT DISTINCT tool_name FROM ({t_final}) WHERE tool_name IS NOT NULL)
+  WHERE tool_name <> 'editor'
+) d USING (tool_name)""",
         # clustered serving copy + zone-map pruned range read = plain filter
         "transcript_clustered_read": f"""
 SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",
