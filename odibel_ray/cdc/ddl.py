@@ -19,6 +19,13 @@ an ordered log in ``<table>/_schema.json``. NO data file is touched:
   column-ID resolution needed at scan time).
 - **drop**   — logical removal; bytes stay until a rewrite, readers never
   see the column (and may not reference it).
+- **widen**  — value-preserving type promotion (int up the signed/unsigned
+  chain, ``float32→float64``, exactly-representable ints → ``float64``):
+  files keep the narrow physical type, reads cast the column batch-side
+  (Arrow compares across widths correctly, so zone-map pruning and scan
+  pushdown still run against the narrow column untranslated), and upserts
+  safe-cast logical→physical — a value that no longer fits the physical
+  type fails loudly until a rewrite materializes the wider type.
 
 ``read_published`` resolves the operation log against the physical schema
 once per read (driver-side, one footer), then runs its normal zone-map /
@@ -40,6 +47,28 @@ import os
 import pyarrow as pa
 
 SCHEMA_OPS = "_schema.json"
+
+# value-preserving promotions (Delta-style type widening); float64 accepts
+# only integer types it represents exactly
+_INT_BITS = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
+_UINT_BITS = {"uint8": 8, "uint16": 16, "uint32": 32, "uint64": 64}
+
+
+def _can_widen(src: pa.DataType, dst: pa.DataType) -> bool:
+    s, d = str(src), str(dst)
+    if s in _INT_BITS and d in _INT_BITS:
+        return _INT_BITS[d] > _INT_BITS[s]
+    if s in _UINT_BITS and d in _UINT_BITS:
+        return _UINT_BITS[d] > _UINT_BITS[s]
+    if s in _UINT_BITS and d in _INT_BITS:  # uint8→int16 … uint32→int64
+        return _INT_BITS[d] > _UINT_BITS[s]
+    if s == "float" and d == "double":
+        return True
+    if d == "double":  # ints float64 represents exactly (≤ 2^53)
+        return _INT_BITS.get(s, 64) <= 32 or _UINT_BITS.get(s, 64) <= 32
+    if d == "float" and (_INT_BITS.get(s, 32) <= 16 or _UINT_BITS.get(s, 32) <= 16):
+        return True
+    return False
 
 
 def _ops_path(out_dir: str) -> str:
@@ -84,6 +113,15 @@ class SchemaMap:
                 cols[idx(op["from"])][0] = op["to"]
             elif op["kind"] == "drop":
                 cols.pop(idx(op["name"]))
+            elif op["kind"] == "widen":
+                c = cols[idx(op["name"])]
+                new = pa.type_for_alias(op["type"])
+                if not _can_widen(c[2], new):
+                    raise ValueError(
+                        f"widen: {op['name']!r} {c[2]} → {new} is not a "
+                        "value-preserving promotion"
+                    )
+                c[2] = new
             else:  # pragma: no cover - guarded at alter time
                 raise ValueError(f"unknown schema op kind {op['kind']!r}")
         self.fields = [pa.field(n, t) for n, _, t in cols]
@@ -127,10 +165,14 @@ class SchemaMap:
         """Physical-named batch → logical schema (zero-copy: renames are
         relabels, added columns are null arrays)."""
         names = self.names if columns is None else columns
+        logical = {f.name: f.type for f in self.fields}
         cols = {}
         for n in names:
             if n in self.to_physical:
-                cols[n] = t[self.to_physical[n]]
+                c = t[self.to_physical[n]]
+                if c.type != logical[n]:  # widened: cast narrow file → logical
+                    c = c.cast(logical[n])
+                cols[n] = c
             else:
                 cols[n] = pa.nulls(len(t), self.added[n])
         return pa.table(cols)
@@ -147,10 +189,12 @@ def alter_published(
     add: dict[str, str] | None = None,
     rename: dict[str, str] | None = None,
     drop: list[str] | None = None,
+    widen: dict[str, str] | None = None,
 ) -> dict:
-    """Append schema operations (applied in add → rename → drop order within
-    one call; call repeatedly for other orders). Metadata-only and validated
-    against the CURRENT logical schema before anything is written."""
+    """Append schema operations (applied in add → rename → drop → widen order
+    within one call; call repeatedly for other orders). Metadata-only and
+    validated against the CURRENT logical schema before anything is
+    written."""
     from odibel_ray.cdc.sink import TABLE_MANIFEST, _atomic_write_json, load_manifests
 
     tman_path = os.path.join(out_dir, TABLE_MANIFEST)
@@ -186,8 +230,13 @@ def alter_published(
         if name in key_cols:
             raise ValueError(f"cannot drop key column {name!r} (layout-pinned)")
         new_ops.append({"kind": "drop", "name": name})
+    for name, typ in (widen or {}).items():
+        pa.type_for_alias(typ)  # validate early; promotion checked in the fold
+        if name in key_cols:
+            raise ValueError(f"cannot widen key column {name!r} (layout-pinned)")
+        new_ops.append({"kind": "widen", "name": name, "type": typ})
     if not new_ops:
-        raise ValueError("nothing to alter (pass add=/rename=/drop=)")
+        raise ValueError("nothing to alter (pass add=/rename=/drop=/widen=)")
     combined = ops + new_ops
     m = SchemaMap(physical, combined)  # validates the whole log folds cleanly
     _atomic_write_json(_ops_path(out_dir), {"ops": combined})

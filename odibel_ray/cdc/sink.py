@@ -2129,7 +2129,22 @@ def _to_physical_update(t: pa.Table, smap, canon: pa.Schema) -> pa.Table:
         # the logical name this physical column currently carries (if any)
         logical = next((ln for ln, pn in smap.to_physical.items() if pn == name), None)
         if logical is not None and logical in t.column_names:
-            cols[name] = t[logical]
+            c = t[logical]
+            ptype = canon.field(name).type
+            if c.type != ptype:
+                # widened column: files keep the narrow physical type, so the
+                # wide logical value must still fit (safe cast raises loudly
+                # on overflow — rewrite the table to materialize the widening)
+                try:
+                    c = c.cast(ptype, safe=True)
+                except pa.ArrowInvalid as e:
+                    raise ValueError(
+                        f"column {logical!r} was widened by alter_published but "
+                        f"the files still carry {ptype}; this update's values "
+                        "don't fit — rewrite the table to materialize the "
+                        f"wider type ({e})"
+                    ) from e
+            cols[name] = c
         else:
             cols[name] = pa.nulls(len(t), canon.field(name).type)  # dropped col
     for added in smap.added:

@@ -181,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--add", action="append", default=[], help="name:type (repeatable)")
     al.add_argument("--rename", action="append", default=[], help="old=new (repeatable)")
     al.add_argument("--drop", action="append", default=[], help="column (repeatable)")
+    al.add_argument(
+        "--widen", action="append", default=[],
+        help="name:wider_type, value-preserving promotion (repeatable)",
+    )
 
     sp = sub.add_parser(
         "savepoint",
@@ -379,6 +383,7 @@ def main(argv: list[str] | None = None) -> int:
             add=dict(kv.split(":", 1) for kv in args.add) or None,
             rename=dict(kv.split("=", 1) for kv in args.rename) or None,
             drop=args.drop or None,
+            widen=dict(kv.split(":", 1) for kv in args.widen) or None,
         )))
         return 0
 

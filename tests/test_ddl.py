@@ -128,3 +128,79 @@ def test_schema_map_fold_order():
     ])
     assert m.names == ["x", "a"]
     assert m.to_physical == {"x": "a"} and set(m.added) == {"a"}
+
+
+def test_widen_read_upsert_lookup(ray_session, tmp_path):
+    """Type widening: files keep the narrow type, reads cast batch-side,
+    pushdown still prunes against the narrow column, upserts safe-cast back
+    and overflow fails loudly."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import load_manifests
+
+    out = str(tmp_path / "w")
+    t = pa.table({
+        "k": ["a", "b", "c", "d"],
+        "n": pa.array([1, 2, 3, 4], pa.int32()),
+        "f": pa.array([1.5, 2.5, 3.5, 4.5], pa.float32()),
+    })
+    publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=2, run_id="p1")
+    alter_published(out, widen={"n": "int64", "f": "double"})
+    ds = read_published(out)
+    assert dict(zip(ds.schema().names, ds.schema().types))["n"] == pa.int64()
+    df = _df(ds)
+    assert df["n"].tolist() == [1, 2, 3, 4] and df["f"].tolist() == [1.5, 2.5, 3.5, 4.5]
+    # pushdown with a value outside the physical int32 domain still correct
+    stats = {}
+    assert read_published(out, where=[("n", "<", 3_000_000_000)], prune_stats=stats).count() == 4
+    assert read_published(out, where=[("n", "==", 3_000_000_000)]).count() == 0
+    # upsert in the wide logical domain: fitting values cast down...
+    upsert_published(
+        rd.from_arrow(pa.table({
+            "k": ["b"], "n": pa.array([20], pa.int64()),
+            "f": pa.array([9.5], pa.float64()),
+        })),
+        out, run_id="u1",
+    )
+    m = load_manifests(out)
+    fields = {}
+    for mm in m.values():  # every file still narrow-typed
+        sch = pq.read_schema(os.path.join(out, mm["file"]))
+        fields.update({n: sch.field(n).type for n in sch.names})
+    assert fields["n"] == pa.int32() and fields["f"] == pa.float32()
+    assert lookup_key(out, "b", system=True)["n"].to_pylist() == [20]
+    # ...overflowing values fail loudly
+    with pytest.raises(Exception, match="widened"):
+        upsert_published(
+            rd.from_arrow(pa.table({
+                "k": ["z"], "n": pa.array([3_000_000_000], pa.int64()),
+                "f": pa.array([1.0], pa.float64()),
+            })),
+            out, run_id="u2",
+        )
+
+
+def test_widen_validation(ray_session, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "wv")
+    t = pa.table({"k": ["a"], "n": pa.array([1], pa.int64()),
+                  "m": pa.array([1], pa.int32()), "s": ["x"]})
+    publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=1, run_id="p1")
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        alter_published(out, widen={"n": "int32"})  # narrowing
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        alter_published(out, widen={"n": "double"})  # int64 → double loses precision
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        alter_published(out, widen={"s": "int64"})  # string is not numeric
+    with pytest.raises(ValueError, match="key column"):
+        alter_published(out, widen={"k": "large_string"})
+    assert load_schema_ops(out) == []  # failed alters leave the log unchanged
+    # widen composes with rename (applies to the CURRENT logical name)
+    alter_published(out, rename={"m": "num"})
+    alter_published(out, widen={"num": "int64"})
+    df = read_published(out).to_pandas()
+    assert df["num"].tolist() == [1]
