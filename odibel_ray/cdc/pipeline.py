@@ -1,0 +1,136 @@
+"""Pipeline orchestration: refresh a DAG of incrementally-maintained tables
+(derived copies, aggregate views, join views) in dependency order with one
+call — the bronze→silver→gold medallion pattern as an engine primitive
+instead of a hand-written sequence.
+
+Each maintained table already records its upstream(s) in its meta file
+(``_derived.json`` / ``_view.json`` / ``_joinview.json``), so the DAG needs
+no separate registration: :func:`refresh_pipeline` reads the metas, wires
+edges between the tables it was given (upstreams outside the list are
+assumed current — e.g. the bronze table the caller just applied to), topo-
+sorts, and calls the right refresh for each node. Feeds and strategies can
+be overridden per table; everything else uses each module's snapshot-diff
+default, so a plain ``refresh_pipeline([silver, gold, view])`` after an
+``incremental_apply`` converges the whole tree.
+
+``tail_log(downstream=[...])`` runs this after every applying micro-batch —
+the long-running tailer keeps the entire medallion current, not just the
+bronze table (the reference's analog is re-running every ``eval/*`` job
+after each dump refresh).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping, Sequence
+
+DERIVED = "derived"
+MVIEW = "mview"
+JOINVIEW = "joinview"
+
+_META_FILES = {
+    "_derived.json": DERIVED,
+    "_view.json": MVIEW,
+    "_joinview.json": JOINVIEW,
+}
+
+
+def _inspect(table: str) -> tuple[str, list[str]]:
+    """(kind, upstream dirs) for a maintained table, via its meta file."""
+    from odibel_ray.cdc import derived, joinview, mview
+
+    for fname, kind in _META_FILES.items():
+        if os.path.exists(os.path.join(table, fname)):
+            if kind == DERIVED:
+                meta = derived._load_meta(table)
+                return kind, [meta["base"]]
+            if kind == MVIEW:
+                meta = mview._load_meta(table)
+                return kind, [meta["base"]]
+            meta = joinview._load_meta(table)
+            return kind, [meta["left"], meta["right"]]
+    raise ValueError(
+        f"{table} is not a maintained table (no _derived/_view/_joinview meta); "
+        "apply to base tables directly and list only their downstream here"
+    )
+
+
+def plan_pipeline(tables: Sequence[str]) -> list[dict]:
+    """Topological refresh order over the given tables: one entry per table,
+    ``{table, kind, upstreams}`` with ``upstreams`` restricted to tables in
+    the list (outside deps are assumed current). Deterministic: among ready
+    nodes, caller order wins. Raises on cycles (a relocated meta pointing
+    back into the list) and on unmaintained tables."""
+    tables = list(tables)
+    real = {os.path.realpath(t): t for t in tables}
+    info = {}
+    for t in tables:
+        kind, ups = _inspect(t)
+        in_list = [real[os.path.realpath(u)] for u in ups if os.path.realpath(u) in real]
+        info[t] = {"table": t, "kind": kind, "upstreams": in_list}
+    order: list[dict] = []
+    done: set[str] = set()
+    pending = list(tables)
+    while pending:
+        ready = [t for t in pending if all(u in done for u in info[t]["upstreams"])]
+        if not ready:
+            raise ValueError(f"dependency cycle among {pending}")
+        for t in ready:
+            order.append(info[t])
+            done.add(t)
+        pending = [t for t in pending if t not in done]
+    return order
+
+
+def refresh_pipeline(
+    tables: Sequence[str],
+    *,
+    run_id: str = "pipe-0",
+    strategies: Mapping[str, str] | None = None,
+    feeds: Mapping[str, object] | None = None,
+    savepoint: str | None = None,
+    batch_size: int = 65536,
+) -> dict:
+    """Refresh every listed maintained table in dependency order.
+
+    ``strategies[table]`` overrides the per-kind default ('rescan' for
+    derived/mview — feed-less snapshot diffs; join views have one strategy).
+    ``feeds[table]`` passes a write-time change feed (path or Dataset) to
+    that table's refresh: derived/mview consume it as ``feed=``, join views
+    as ``left_feed=``. ``savepoint=path`` pins one consistent cut across ALL
+    listed tables after the refresh (:mod:`odibel_ray.cdc.savepoint`), so a
+    reader can hold the exact post-refresh state while the pipeline keeps
+    moving. Returns ``{order, results, savepoint}``."""
+    from odibel_ray.cdc.derived import refresh_derived
+    from odibel_ray.cdc.joinview import refresh_join_view
+    from odibel_ray.cdc.mview import refresh_view
+
+    strategies = dict(strategies or {})
+    feeds = dict(feeds or {})
+    order = plan_pipeline(tables)
+    results = {}
+    for i, node in enumerate(order):
+        t, kind = node["table"], node["kind"]
+        rid = f"{run_id}-{i}"
+        if kind == DERIVED:
+            kw = {"strategy": strategies[t]} if t in strategies else {}
+            results[t] = refresh_derived(
+                t, run_id=rid, feed=feeds.get(t), batch_size=batch_size, **kw
+            )
+        elif kind == MVIEW:
+            kw = {"strategy": strategies[t]} if t in strategies else {}
+            results[t] = refresh_view(
+                t, run_id=rid, feed=feeds.get(t), batch_size=batch_size, **kw
+            )
+        else:
+            results[t] = refresh_join_view(
+                t, run_id=rid, left_feed=feeds.get(t), batch_size=batch_size
+            )
+    sp = None
+    if savepoint:
+        from odibel_ray.cdc.savepoint import create_savepoint
+
+        sp = create_savepoint(
+            savepoint, {os.path.basename(os.path.normpath(t)): t for t in tables}
+        )
+    return {"order": [n["table"] for n in order], "results": results, "savepoint": sp}

@@ -34,6 +34,7 @@ def tail_log(
     mode: str = "cow",
     compact_every: int = 0,
     snapshots: int | None = None,
+    downstream: list[str] | None = None,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -56,12 +57,30 @@ def tail_log(
 
     ``snapshots=k`` enables time travel on the tailed table: each applying
     round records a version and the newest k stay readable — "the table as
-    of N rounds ago" for a continuously-converging lake table."""
+    of N rounds ago" for a continuously-converging lake table.
+
+    ``downstream=[...]`` lists maintained tables (derived/mview/joinview
+    dirs) to refresh in dependency order after every applying round
+    (:func:`odibel_ray.cdc.pipeline.refresh_pipeline`) — the tailer keeps
+    the whole medallion current, not just the bronze table. Snapshot-diff
+    refreshes need ``snapshots`` ≥ 2 on this table so each round's pin
+    survives to the next diff."""
     from odibel_ray.monitor import ThroughputMonitor
 
     rounds = []
     idle = 0
     applied_since_compact = 0
+
+    def _sync_downstream(i: int) -> None:
+        if not downstream:
+            return
+        from odibel_ray.cdc.pipeline import refresh_pipeline
+
+        res = refresh_pipeline(downstream, run_id=f"{run_prefix}-ds-{i}")
+        rounds.append({"round": i, "mode": "downstream", "touched": 0,
+                       "order": res["order"],
+                       "refreshed": sum(1 for r in res["results"].values()
+                                        if r.get("refreshed"))})
 
     def _compact(i: int) -> None:
         nonlocal applied_since_compact
@@ -82,6 +101,7 @@ def tail_log(
                 res["mode"] = "bootstrap"
                 mon.add(res.get("n_events_applied", 0))
                 rounds.append(res)
+                _sync_downstream(i)
                 continue
             res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}",
                                     metrics=metrics, mode=mode,
@@ -90,6 +110,8 @@ def tail_log(
             res["mode"] = "incremental"
             mon.add(res.get("n_events_applied", 0))
             rounds.append(res)
+            if res.get("touched", 0) > 0:
+                _sync_downstream(i)
             if res.get("touched", 0) > 0 and mode == "mor" and compact_every:
                 applied_since_compact += 1
                 if applied_since_compact >= compact_every:
@@ -113,7 +135,9 @@ def tail_log(
             1 for r in rounds if r.get("touched", 1) and r["mode"] != "compact"
         ),
         "compactions": sum(1 for r in rounds if r["mode"] == "compact"),
-        "rows_total": rounds[-1]["rows_total"] if rounds else 0,
+        "rows_total": next(
+            (r["rows_total"] for r in reversed(rounds) if "rows_total" in r), 0
+        ),
         "throughput": throughput,
         "history": rounds,
     }

@@ -394,6 +394,100 @@ def ensure_medallion_base(sf_dir: str) -> str:
     return root
 
 
+def ensure_pipeline_base(sf_dir: str) -> str:
+    """Build (once per sf) the orchestrated-DAG fixture: the medallion base
+    (bronze + silver + gold) plus a role dimension and a silver⟕dim join
+    view — four maintained tables forming a diamond the orchestrator must
+    topo-order (silver before gold AND before the view)."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.joinview import create_join_view
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    cached = ensure_medallion_base(sf_dir)
+    full = ensure_full_published(sf_dir)
+    root = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_plbase")
+    marker = os.path.join(root, "_ok.json")
+    params = {
+        **_LOG_PARAMS,
+        "n_convs": _n_convs(sf_dir),
+        "frac": 0.6,
+        "buckets": 16,
+        "pipeline_rev": 1,  # bump when the DAG spec changes (fixture cache key)
+    }
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(cached, root)
+    roles = sorted(
+        r for r in set(read_published(full, columns=["role"]).unique("role"))
+        if r is not None
+    )
+    publish_dataset(
+        rd.from_arrow(pa.table({
+            "role": roles,
+            "rank": pa.array([len(r) for r in roles], pa.int64()),
+        })),
+        os.path.join(root, "dim"), key_cols=["role"], num_buckets=2, run_id="p1",
+    )
+    create_join_view(
+        os.path.join(root, "derived"), os.path.join(root, "dim"),
+        os.path.join(root, "view"), on="role",
+        left_columns=["score", "text_len", "role_uc"], num_buckets=16, run_id="j0",
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return root
+
+
+def q_transcript_pipeline_sync(sf_dir: str):
+    """One orchestrated refresh over a DAG of four maintained tables: the
+    full log applies to bronze (write-time feed), a dimension row is
+    upserted, and ``refresh_pipeline`` converges silver → {gold, join view}
+    in topo order (the list is given shuffled) — the returned join view must
+    equal the silver transform of a from-scratch replay left-joined to the
+    post-update dimension."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.joinview import read_join_view
+    from odibel_ray.cdc.pipeline import refresh_pipeline
+    from odibel_ray.cdc.sink import incremental_apply, upsert_published
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_pipeline_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_pl")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(cached, work)
+    feed = os.path.join(work, "feed")
+    incremental_apply(
+        log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
+        feed_values=_DERIVED_FEED_VALUES, feed_lsn=True,
+    )
+    upsert_published(
+        rd.from_arrow(pa.table({"role": ["tool"], "rank": pa.array([99], pa.int64())})),
+        os.path.join(work, "dim"), run_id="u1",
+    )
+    silver = os.path.join(work, "derived")
+    gold = os.path.join(work, "gold")
+    view = os.path.join(work, "view")
+    refresh_pipeline(
+        [view, gold, silver],  # deliberately out of order — the plan sorts
+        run_id="p1",
+        strategies={silver: "feed", gold: "delta"},
+        feeds={silver: feed},
+    )
+    return read_join_view(view)
+
+
 def q_transcript_medallion(sf_dir: str):
     """Medallion composition, all hops incremental: the full log applies to
     BRONZE (write-time change feed), SILVER (filter+derive) refreshes O(feed)
@@ -2662,6 +2756,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_savepoint_read": q_transcript_savepoint_read,
     "transcript_ddl_read": q_transcript_ddl_read,
     "transcript_join_view": q_transcript_join_view,
+    "transcript_pipeline_sync": q_transcript_pipeline_sync,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3072,6 +3167,18 @@ LEFT JOIN (
   FROM (SELECT DISTINCT tool_name FROM ({t_final}) WHERE tool_name IS NOT NULL)
   WHERE tool_name <> 'editor'
 ) d USING (tool_name)""",
+        # orchestrated DAG refresh: the silver⟕role-dim join view after the
+        # full apply + one dim upsert, all hops converged by refresh_pipeline
+        "transcript_pipeline_sync": f"""
+SELECT s.conv_id, s.turn_idx, s.role, s.score, s.text_len, s.role_uc, d.rank
+FROM (SELECT conv_id, turn_idx, role, score,
+             CAST(LENGTH(text) AS BIGINT) AS text_len, UPPER(role) AS role_uc
+      FROM ({t_final}) WHERE score >= 0.5) s
+LEFT JOIN (
+  SELECT role, CAST(CASE WHEN role = 'tool' THEN 99
+                         ELSE LENGTH(role) END AS BIGINT) AS rank
+  FROM (SELECT DISTINCT role FROM ({t_final}) WHERE role IS NOT NULL)
+) d USING (role)""",
         # clustered serving copy + zone-map pruned range read = plain filter
         "transcript_clustered_read": f"""
 SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",
