@@ -88,6 +88,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # apply+refresh loop already timed under transcript_derived; the DDL on
     # top is metadata-only (one JSON write + a zero-copy relabel at read)
     "transcript_ddl_read",
+    # rewrite-then-read twin of transcript_ddl_read (same oracle)
+    "transcript_ddl_materialized",
 }
 
 

@@ -8,7 +8,7 @@ from odibel_ray.cdc.apply import (
     compact_batch,
 )
 from odibel_ray.cdc.lww import change_feed
-from odibel_ray.cdc.ddl import alter_published
+from odibel_ray.cdc.ddl import alter_published, materialize_ddl
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
 from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
 from odibel_ray.cdc.pipeline import plan_pipeline, refresh_pipeline
@@ -60,6 +60,7 @@ __all__ = [
     "read_savepoint",
     "drop_savepoint",
     "alter_published",
+    "materialize_ddl",
     "create_join_view",
     "refresh_join_view",
     "read_join_view",

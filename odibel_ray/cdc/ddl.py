@@ -75,12 +75,18 @@ def _ops_path(out_dir: str) -> str:
     return os.path.join(out_dir, SCHEMA_OPS)
 
 
-def load_schema_ops(out_dir: str) -> list[dict]:
+def load_schema_meta(out_dir: str) -> dict:
+    """The raw op-log file: ``{"ops": [...]}`` plus, while a rewrite is in
+    flight, ``"materialized_run"`` (see :func:`materialize_ddl`)."""
     p = _ops_path(out_dir)
     if not os.path.exists(p):
-        return []
+        return {"ops": []}
     with open(p) as f:
-        return json.load(f)["ops"]
+        return json.load(f)
+
+
+def load_schema_ops(out_dir: str) -> list[dict]:
+    return load_schema_meta(out_dir)["ops"]
 
 
 class SchemaMap:
@@ -214,10 +220,17 @@ def alter_published(
         raise FileNotFoundError(f"no published buckets under {out_dir}")
     import pyarrow.parquet as pq
 
+    meta = load_schema_meta(out_dir)
+    if meta.get("materialized_run"):
+        raise ValueError(
+            "a materialize_ddl rewrite is in flight on this table; re-run "
+            f"materialize_ddl(run_id={meta['materialized_run']!r}) to finish "
+            "it before altering further"
+        )
     physical = pq.read_schema(
         os.path.join(out_dir, next(iter(sorted(m["file"] for m in manifests.values()))))
     )
-    ops = load_schema_ops(out_dir)
+    ops = meta["ops"]
     new_ops = []
     for name, typ in (add or {}).items():
         pa.type_for_alias(typ)  # validate early
@@ -246,3 +259,105 @@ def alter_published(
 def _ddl_adapt(t: pa.Table, *, smap: SchemaMap, columns: list[str] | None) -> pa.Table:
     """map_batches hook for read_published (module-level for pickling)."""
     return smap.adapt(t, columns)
+
+
+def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
+    """Rewrite the table so the accumulated schema ops become PHYSICAL —
+    renamed columns get their logical names, added columns exist in the
+    files (NULL, upsertable with real values afterwards), dropped bytes
+    leave disk, widened columns take their wide type — then clear the op
+    log. The one data-rewriting DDL op; everything in ``alter_published``
+    stays metadata-only until a caller decides the rewrite is worth it.
+
+    Crash-safe bucket-at-a-time: the op log is first stamped with
+    ``materialized_run``; each bucket rewrite publishes atomically under
+    that run id, and readers treat stamped-run buckets as already-logical
+    while the rest still fold the op log — a reader mid-rewrite (or after a
+    crash) sees the correct logical table either way. Re-running resumes:
+    already-flipped buckets are skipped, and the op log is removed only
+    after every bucket carries the stamp. ``alter_published`` and upserts
+    are refused while the stamp is in flight (single-writer discipline)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import (
+        STAGING_DIR,
+        TABLE_MANIFEST,
+        _atomic_write_json,
+        _bucket_filename,
+        _publish_stream,
+        load_manifests,
+        record_snapshot,
+        table_lock,
+    )
+
+    meta = load_schema_meta(out_dir)
+    ops = meta["ops"]
+    if not ops:
+        return {"materialized": 0, "skipped": 0, "out_dir": out_dir}
+    with table_lock(out_dir, owner=f"materialize_ddl:{run_id}"):
+        rid = meta.get("materialized_run") or run_id
+        if not meta.get("materialized_run"):
+            _atomic_write_json(_ops_path(out_dir), {**meta, "materialized_run": rid})
+        manifests = load_manifests(out_dir)
+        if any(m.get("deltas") for m in manifests.values()):  # pragma: no cover
+            raise ValueError("compact merge-on-read deltas before materialize_ddl")
+        pending = {b: m for b, m in sorted(manifests.items()) if m.get("run_id") != rid}
+        n_done = 0
+        if pending:
+            first = next(iter(pending.values()))
+            physical = pq.read_schema(os.path.join(out_dir, first["file"]))
+            smap = SchemaMap(physical, ops)
+            staging = os.path.join(out_dir, STAGING_DIR, rid)
+            os.makedirs(staging, exist_ok=True)
+            descs = [
+                {
+                    "bucket": int(b),
+                    "file": os.path.join(out_dir, m["file"]),
+                    "n_events": int(m.get("n_events", m["rows_out"])),
+                    "watermarks": json.dumps(m.get("watermarks", {})),
+                }
+                for b, m in pending.items()
+            ]
+
+            def _rewrite(batch: pa.Table) -> pa.Table:
+                from odibel_ray.cdc.apply import limit_arrow_threads
+
+                limit_arrow_threads()
+                outs = []
+                for row in batch.to_pylist():
+                    bucket = int(row["bucket"])
+                    out = smap.adapt(pq.read_table(row["file"]))
+                    fname = _bucket_filename(bucket, rid)
+                    staged = os.path.join(staging, fname)
+                    pq.write_table(out, staged)
+                    outs.append(pa.table({
+                        "bucket": pa.array([bucket], pa.int64()),
+                        "rows_out": pa.array([len(out)], pa.int64()),
+                        "n_events": pa.array([int(row["n_events"])], pa.int64()),
+                        "file": pa.array([fname], pa.string()),
+                        "staged": pa.array([staged], pa.string()),
+                        "watermarks": pa.array([row["watermarks"]], pa.string()),
+                        "run_id": pa.array([rid], pa.string()),
+                        "feed_staged": pa.array([""], pa.string()),
+                        "feed_final": pa.array([""], pa.string()),
+                    }))
+                return pa.concat_tables(outs)
+
+            manifest_ds = rd.from_items(descs).map_batches(
+                _rewrite, batch_format="pyarrow", batch_size=1
+            )
+            n_done = len(_publish_stream(manifest_ds, out_dir))
+        os.remove(_ops_path(out_dir))
+        with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+            tman = json.load(f)
+        tman["last_run_id"] = rid
+        _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
+        snap = record_snapshot(out_dir, "materialize_ddl")
+    return {
+        "materialized": n_done,
+        "skipped": len(manifests) - n_done,
+        "ops_cleared": len(ops),
+        "snapshot": snap["version"] if snap else None,
+        "out_dir": out_dir,
+    }

@@ -963,34 +963,47 @@ def read_published(
         final_cols = None if generic else list(LOGICAL_COLUMNS)
     else:
         final_cols = None
-    plain = [
-        os.path.join(out_dir, m["file"])
-        for _, m in sorted(manifests.items())
-        if not m.get("deltas")
-    ]
+    plain_m = [m for _, m in sorted(manifests.items()) if not m.get("deltas")]
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
+    plain = [os.path.join(out_dir, m["file"]) for m in plain_m]
     files_total = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
     schema_src = plain[0] if plain else os.path.join(out_dir, mor[0]["file"])
     # metadata-only DDL (generic tables): resolve the op log once, then run
     # the whole prune/pushdown machinery in PHYSICAL column space and
-    # re-label batches to the logical schema at the end (cdc/ddl.py)
-    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+    # re-label batches to the logical schema at the end (cdc/ddl.py). While
+    # a materialize_ddl rewrite is in flight, buckets stamped with its run
+    # id are ALREADY logical on disk — they read directly (`done`), the
+    # rest still fold the op log, so a reader mid-rewrite (or after a
+    # crash) sees the correct logical table either way.
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, SchemaMap, load_schema_meta
 
     smap = None
     logical_cols = None
+    done: list[str] = []
+    where_logical = where
     if os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
-        smap = schema_map(out_dir, pq.read_schema(schema_src))
+        smeta = load_schema_meta(out_dir)
+        mrun = smeta.get("materialized_run")
+        if mrun:
+            done = [os.path.join(out_dir, m["file"]) for m in plain_m
+                    if m.get("run_id") == mrun]
+            plain = [os.path.join(out_dir, m["file"]) for m in plain_m
+                     if m.get("run_id") != mrun]
+        if smeta["ops"] and (plain or mor):
+            src = plain[0] if plain else os.path.join(out_dir, mor[0]["file"])
+            smap = SchemaMap(pq.read_schema(src), smeta["ops"])
     if smap is not None:
         logical_cols = final_cols if final_cols is not None else smap.names
         smap.check_columns(logical_cols)
         if where:
             where, feasible = smap.translate_where(where)
-            if not feasible:  # value predicate on an unmaterialized column
-                if prune_stats is not None:
-                    prune_stats["files_total"] = files_total
-                    prune_stats["files_read"] = 0
-                return rd.from_arrow(smap.logical_schema(logical_cols).empty_table())
-            where = where or None
+            if not feasible:
+                # value predicate on an unmaterialized column: pending
+                # (physical) files provably match nothing; flipped files
+                # carry the column and answer through the logical filter
+                plain, mor, where = [], [], None
+            else:
+                where = where or None
         final_cols = smap.physical_columns(logical_cols)
     if where:
         plain = [p for p in plain if file_may_match(p, where)]
@@ -1006,10 +1019,14 @@ def read_published(
                 for d in m["deltas"]
             )
         ]
+    if where_logical and done:
+        done = [p for p in done if file_may_match(p, where_logical)]
     if prune_stats is not None:
         prune_stats["files_total"] = files_total
-        prune_stats["files_read"] = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
-    if not plain and not mor:
+        prune_stats["files_read"] = (
+            len(plain) + len(done) + sum(1 + len(m["deltas"]) for m in mor)
+        )
+    if not plain and not mor and not done:
         # everything pruned: a typed empty Dataset from a manifested schema
         if smap is not None:
             schema = smap.logical_schema(logical_cols)
@@ -1066,18 +1083,28 @@ def read_published(
             _merge_bucket, batch_format="pyarrow", batch_size=1
         )
         pieces.append(merged)
-    ds = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
-    if smap is not None:
-        from odibel_ray.cdc.ddl import _ddl_adapt
+    ds = None
+    if pieces:
+        ds = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
+        if smap is not None:
+            from odibel_ray.cdc.ddl import _ddl_adapt
 
-        # zero-copy relabel physical → logical (renames are relabels, added
-        # columns are null arrays)
-        ds = ds.map_batches(
-            partial(_ddl_adapt, smap=smap, columns=logical_cols),
-            batch_format="pyarrow",
-        )
-    elif final_cols is not None:
-        ds = ds.select_columns(final_cols)
+            # zero-copy relabel physical → logical (renames are relabels,
+            # added columns are null arrays, widened columns cast)
+            ds = ds.map_batches(
+                partial(_ddl_adapt, smap=smap, columns=logical_cols),
+                batch_format="pyarrow",
+            )
+        elif final_cols is not None:
+            ds = ds.select_columns(final_cols)
+    if done:
+        # mid-materialize buckets already rewritten to the logical schema
+        dcols = logical_cols if smap is not None else final_cols
+        kw = {"filter": where_expr(where_logical)} if where_logical else {}
+        dpiece = rd.read_parquet(done, columns=dcols, **kw)
+        if dcols is not None:
+            dpiece = dpiece.select_columns(dcols)  # pin column order for union
+        ds = dpiece if ds is None else ds.union(dpiece)
     return ds
 
 
@@ -1112,7 +1139,7 @@ def lookup_key(
     """
     from odibel_ray.cdc.lww import bucket_of_keys
 
-    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, SchemaMap, load_schema_meta
 
     with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
         tman = json.load(f)
@@ -1120,16 +1147,28 @@ def lookup_key(
         snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
     )
     smap = None
+    mrun = None
     if manifests and os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
-        any_file = os.path.join(out_dir, next(iter(manifests.values()))["file"])
-        smap = schema_map(out_dir, pq.read_schema(any_file))
+        smeta = load_schema_meta(out_dir)
+        # buckets already flipped by an in-flight materialize_ddl are
+        # logical on disk; the rest still fold the op log
+        mrun = smeta.get("materialized_run")
+        pending_m = [
+            m for m in manifests.values() if not (mrun and m.get("run_id") == mrun)
+        ]
+        if smeta["ops"] and pending_m:
+            smap = SchemaMap(
+                pq.read_schema(os.path.join(out_dir, pending_m[0]["file"])),
+                smeta["ops"],
+            )
     logical_cols = None
+    phys_cols = columns
     if smap is not None:
-        # requested columns are logical; files carry physical names (keys
-        # are layout-pinned so the filters below stay valid)
+        # requested columns are logical; pending files carry physical names
+        # (keys are layout-pinned so the filters below stay valid)
         logical_cols = list(columns) if columns is not None else smap.names
         smap.check_columns(logical_cols)
-        columns = smap.physical_columns(logical_cols) or None
+        phys_cols = smap.physical_columns(logical_cols) or None
     num_buckets = tman.get("num_buckets")
     # generic tables pin their key columns in the layout; the transcript
     # path's keys are (conv_id, turn_idx) — the positional args map onto
@@ -1156,18 +1195,21 @@ def lookup_key(
     # buckets with merge-on-read deltas LWW-merge base ∪ deltas for the key
     # (the merge needs the key + _lsn/_op columns even when the caller asked
     # for fewer — read the superset, project at the end)
-    merge_cols = None
-    if columns is not None:
-        merge_cols = list(
-            dict.fromkeys(
-                c for c in [*columns, "conv_id", "turn_idx", "_lsn"] if c != "_op"
-            )
-        )
     tables = []
     for m in candidates:
+        # flipped-by-materialize buckets are already logical on disk
+        flipped = bool(mrun) and m.get("run_id") == mrun
+        cols = (logical_cols if smap is not None else columns) if flipped else phys_cols
+        merge_cols = None
+        if cols is not None:
+            merge_cols = list(
+                dict.fromkeys(
+                    c for c in [*cols, "conv_id", "turn_idx", "_lsn"] if c != "_op"
+                )
+            )
         base_t = pq.read_table(
             os.path.join(out_dir, m["file"]),
-            columns=merge_cols if m.get("deltas") else columns,
+            columns=merge_cols if m.get("deltas") else cols,
             filters=filters,
         )
         if m.get("deltas"):
@@ -1180,13 +1222,17 @@ def lookup_key(
                 for d in m["deltas"]
             ]
             t = merge_base_deltas(base_t, delta_ts)
-            if columns is not None:
-                t = t.select(columns)
-            tables.append(t)
+            if cols is not None:
+                t = t.select(cols)
         else:
-            tables.append(base_t)
+            t = base_t
+        if smap is not None and not flipped:
+            t = smap.adapt(t, logical_cols)
+        tables.append(t)
     tables = [t for t in tables if len(t)]
     if not tables:
+        if smap is not None:
+            return smap.logical_schema(logical_cols).empty_table()
         # typed empty result from any manifested file's schema
         any_m = next(iter(manifests.values()), None)
         if any_m is None:
@@ -1198,7 +1244,7 @@ def lookup_key(
     else:
         out = pa.concat_tables(tables, promote_options="default")
     if smap is not None:
-        return smap.adapt(out, logical_cols)
+        return out
     if not system and columns is None:
         keep = [c for c in LOGICAL_COLUMNS if c in out.column_names]
         out = out.select(keep)
@@ -2264,13 +2310,16 @@ def upsert_published(
     canon_names = list(canon.names)
     # metadata-only DDL: updates arrive with LOGICAL names; files keep ONE
     # physical schema, so translate logical→physical on write (cdc/ddl.py)
-    from odibel_ray.cdc.ddl import SCHEMA_OPS, schema_map
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, load_schema_meta, schema_map
 
-    smap = (
-        schema_map(out_dir, canon)
-        if bucket_files and os.path.exists(os.path.join(out_dir, SCHEMA_OPS))
-        else None
-    )
+    smap = None
+    if bucket_files and os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
+        if load_schema_meta(out_dir).get("materialized_run"):
+            raise ValueError(
+                "a materialize_ddl rewrite is in flight on this table "
+                "(mixed physical schemas); finish it before upserting"
+            )
+        smap = schema_map(out_dir, canon)
 
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)

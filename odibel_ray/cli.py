@@ -185,6 +185,11 @@ def main(argv: list[str] | None = None) -> int:
         "--widen", action="append", default=[],
         help="name:wider_type, value-preserving promotion (repeatable)",
     )
+    al.add_argument(
+        "--materialize", action="store_true",
+        help="rewrite the data files to the logical schema and clear the op "
+             "log (after applying any alters given in this call)",
+    )
 
     sp = sub.add_parser(
         "savepoint",
@@ -375,16 +380,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row, default=str))
         return 0
 
-    if args.cmd == "alter":  # metadata-only, no Ray session needed
-        from odibel_ray.cdc.ddl import alter_published
+    if args.cmd == "alter":
+        from odibel_ray.cdc.ddl import alter_published, materialize_ddl
 
-        print(json.dumps(alter_published(
-            args.table,
-            add=dict(kv.split(":", 1) for kv in args.add) or None,
-            rename=dict(kv.split("=", 1) for kv in args.rename) or None,
-            drop=args.drop or None,
-            widen=dict(kv.split(":", 1) for kv in args.widen) or None,
-        )))
+        if not (args.add or args.rename or args.drop or args.widen or args.materialize):
+            ap.error("alter: pass --add/--rename/--drop/--widen and/or --materialize")
+        if args.add or args.rename or args.drop or args.widen:
+            print(json.dumps(alter_published(
+                args.table,
+                add=dict(kv.split(":", 1) for kv in args.add) or None,
+                rename=dict(kv.split("=", 1) for kv in args.rename) or None,
+                drop=args.drop or None,
+                widen=dict(kv.split(":", 1) for kv in args.widen) or None,
+            )))
+        if args.materialize:
+            print(json.dumps(materialize_ddl(args.table)))
         return 0
 
     if args.cmd == "savepoint":  # metadata-only, no Ray session needed

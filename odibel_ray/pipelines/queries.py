@@ -1039,6 +1039,23 @@ def q_transcript_ddl_read(sf_dir: str):
     return read_derived(derived)
 
 
+def q_transcript_ddl_materialized(sf_dir: str):
+    """Same logical table as ``transcript_ddl_read`` (same oracle) but with
+    the op log REWRITTEN into the files by ``materialize_ddl`` — proves the
+    rewrite is semantically invisible: renamed/added/dropped become
+    physical, the log clears, and the read returns the identical answer
+    through the plain (mapping-free) path."""
+    from odibel_ray.cdc.ddl import load_schema_ops, materialize_ddl
+    from odibel_ray.cdc.derived import read_derived
+
+    ds = q_transcript_ddl_read(sf_dir)
+    del ds  # built the altered fixture; re-read after the rewrite
+    derived = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ddl", "derived")
+    materialize_ddl(derived, run_id="rw1")
+    assert load_schema_ops(derived) == []
+    return read_derived(derived)
+
+
 def q_transcript_savepoint_read(sf_dir: str):
     """Cross-table savepoint: pin a consistent cut over the 60%-prefix bronze
     AND a derived silver table, keep applying to both, then read bronze back
@@ -2757,6 +2774,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_ddl_read": q_transcript_ddl_read,
     "transcript_join_view": q_transcript_join_view,
     "transcript_pipeline_sync": q_transcript_pipeline_sync,
+    "transcript_ddl_materialized": q_transcript_ddl_materialized,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3148,6 +3166,13 @@ FROM ({t_final}) WHERE score >= 0.5 GROUP BY UPPER(role)""",
         # DDL over the silver table: rename score→quality, add reviewed
         # (NULL), drop role_uc — pure projection over the derived oracle
         "transcript_ddl_read": f"""
+SELECT conv_id, turn_idx, role, score AS quality,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       CAST(NULL AS VARCHAR) AS reviewed
+FROM ({t_final}) WHERE score >= 0.5""",
+        # materialize_ddl is semantically invisible: same oracle, now
+        # answered through the rewritten (mapping-free) files
+        "transcript_ddl_materialized": f"""
 SELECT conv_id, turn_idx, role, score AS quality,
        CAST(LENGTH(text) AS BIGINT) AS text_len,
        CAST(NULL AS VARCHAR) AS reviewed

@@ -172,3 +172,19 @@ def test_cli_alter_published(ray_session, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["logical_columns"] == ["k", "value", "note"]
     assert read_published(out).schema().names == ["k", "value", "note"]
+
+
+def test_cli_alter_materialize(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    out = str(tmp_path / "tm")
+    publish_dataset(rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]})), out,
+                    key_cols=["k"], num_buckets=1, run_id="p1")
+    assert main(["alter", "--table", out, "--rename", "v=value", "--materialize"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["materialized"] == 1
+    assert json.loads(lines[-2])["logical_columns"] == ["k", "value"]
+    assert read_published(out).schema().names == ["k", "value"]

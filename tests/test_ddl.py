@@ -204,3 +204,123 @@ def test_widen_validation(ray_session, tmp_path):
     alter_published(out, widen={"num": "int64"})
     df = read_published(out).to_pandas()
     assert df["num"].tolist() == [1]
+
+
+def test_materialize_ddl(ray_session, gen):
+    """Rewrite makes the ops physical: renamed names and added (null)
+    columns land in the files, dropped bytes leave, the op log clears, and
+    previously-refused writes (non-null into an added column) now work."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from odibel_ray.cdc.ddl import materialize_ddl
+    from odibel_ray.cdc.sink import load_manifests
+
+    alter_published(gen, rename={"v": "value"}, add={"note": "string"}, drop=["label"])
+    before = _df(read_published(gen))
+    r = materialize_ddl(gen, run_id="rw1")
+    assert r["materialized"] == 2 and r["ops_cleared"] == 3
+    assert load_schema_ops(gen) == []
+    for m in load_manifests(gen).values():
+        assert pq.read_schema(os.path.join(gen, m["file"])).names == ["k", "value", "note"]
+    pd.testing.assert_frame_equal(_df(read_published(gen)), before)
+    # the added column is physical now: non-null upserts are legal
+    upsert_published(
+        rd.from_arrow(pa.table({"k": ["b"], "value": [20.0], "note": ["hi"]})),
+        gen, run_id="u1",
+    )
+    df = _df(read_published(gen))
+    assert df.loc[df.k == "b", "note"].tolist() == ["hi"]
+    # idempotent no-op on a clean table
+    assert materialize_ddl(gen, run_id="rw2")["materialized"] == 0
+
+
+def test_materialize_widen_physical(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from odibel_ray.cdc.ddl import materialize_ddl
+    from odibel_ray.cdc.sink import load_manifests, publish_dataset as pub
+
+    out = str(tmp_path / "w")
+    pub(rd.from_arrow(pa.table({"k": ["a", "b"], "n": pa.array([1, 2], pa.int32())})),
+        out, key_cols=["k"], num_buckets=2, run_id="p1")
+    alter_published(out, widen={"n": "int64"})
+    materialize_ddl(out, run_id="rw1")
+    for m in load_manifests(out).values():
+        sch = pq.read_schema(os.path.join(out, m["file"]))
+        assert sch.field("n").type == pa.int64()
+    # values that needed the wide type are now storable
+    upsert_published(
+        rd.from_arrow(pa.table({"k": ["z"], "n": pa.array([3_000_000_000], pa.int64())})),
+        out, run_id="u1",
+    )
+    assert lookup_key(out, "z", system=True)["n"].to_pylist() == [3_000_000_000]
+
+
+def test_materialize_crash_window_reads(ray_session, gen, monkeypatch):
+    """Mid-rewrite state: op log stamped, SOME buckets flipped. Reads and
+    lookups must still see the correct logical table; writers are refused;
+    re-running materialize resumes and clears the log."""
+    import json as _json
+    import os
+
+    import ray.data as rd
+
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, materialize_ddl
+    from odibel_ray.cdc.sink import load_manifests
+
+    alter_published(gen, rename={"v": "value"}, add={"note": "string"})
+    before = _df(read_published(gen))
+
+    # simulate the crash: run the rewrite with the old-version sweep disabled
+    # (a real crash happens BEFORE the flip, when the old file still exists),
+    # then restore the stamped op log and roll ONE bucket's manifest back to
+    # its pre-rewrite file
+    from odibel_ray.cdc import sink as _sink
+
+    manifests0 = load_manifests(gen)
+    ops0 = {"ops": load_schema_ops(gen), "materialized_run": "rwX"}
+    pre = {b: dict(m) for b, m in manifests0.items()}
+    monkeypatch.setattr(_sink, "_sweep_bucket_versions", lambda *a, **k: None)
+    materialize_ddl(gen, run_id="rwX")
+    monkeypatch.undo()
+    with open(os.path.join(gen, SCHEMA_OPS), "w") as f:
+        _json.dump(ops0, f)
+    bucket_rolled = sorted(pre)[0]
+    mdir = os.path.join(gen, "_manifests")
+    mfile = next(
+        p for p in os.listdir(mdir) if p.startswith(f"bucket-{bucket_rolled:06d}")
+    )
+    with open(os.path.join(mdir, mfile), "w") as f:
+        _json.dump(pre[bucket_rolled], f)
+
+    # the rolled-back bucket still has its OLD file+schema; reads must fold
+    # the op log for it and read the flipped bucket directly — same answer
+    mid = _df(read_published(gen))
+    pd.testing.assert_frame_equal(mid, before)
+    assert _df(read_published(gen, columns=["k", "value"])).shape == (4, 2)
+    got = _df(read_published(gen, where=[("value", ">=", 3.0)]))
+    assert got["k"].tolist() == ["c", "d"]
+    for key in ["a", "b", "c", "d"]:
+        t = lookup_key(gen, key, system=True)
+        assert t.column_names == ["k", "value", "label", "note"] and len(t) == 1
+    # writers are refused while the stamp is in flight
+    with pytest.raises(Exception, match="in flight"):
+        upsert_published(
+            rd.from_arrow(pa.table({
+                "k": ["b"], "value": [9.0], "label": ["y"],
+                "note": pa.array([None], pa.string()),
+            })),
+            gen, run_id="u1",
+        )
+    with pytest.raises(ValueError, match="in flight"):
+        alter_published(gen, drop=["label"])
+    # resume finishes the remaining bucket and clears the log
+    r = materialize_ddl(gen, run_id="ignored-the-stamp-wins")
+    assert r["materialized"] == 1 and load_schema_ops(gen) == []
+    pd.testing.assert_frame_equal(_df(read_published(gen)), before)
