@@ -280,13 +280,19 @@ def refresh_derived(
     strategy: str = "rescan",
     feed=None,
     batch_size: int = 65536,
+    emit_feed: str | None = None,
 ) -> dict:
     """Converge the derived table to the base's latest version, touching only
     dirty keys. See the module docstring for the strategy trade.
 
     Returns ``{refreshed, strategy, base_version, rows_upserted,
     rows_deleted, buckets_rewritten}``. A no-op (base unchanged, no feed)
-    returns ``refreshed=False`` without writing."""
+    returns ``refreshed=False`` without writing.
+
+    ``emit_feed``: write THIS refresh's own change feed (upsert-time CDF,
+    :func:`odibel_ray.cdc.sink.upsert_published`) so a table maintained over
+    this one can refresh from it instead of a snapshot diff — the cascade
+    hop :func:`odibel_ray.cdc.pipeline.refresh_pipeline` chains."""
     from functools import partial as _p
 
     from odibel_ray.cdc.sink import (
@@ -314,7 +320,7 @@ def refresh_derived(
         if v0 not in {s["version"] for s in snaps}:
             # pinned version expired — snapshot diff impossible; full recompute
             # through the same upsert (still rewrites only changed buckets)
-            return _full_refresh(out_dir, meta, run_id=run_id, batch_size=batch_size)
+            return _full_refresh(out_dir, meta, run_id=run_id, batch_size=batch_size, emit_feed=emit_feed)
         # a snapshot diff is already latest-per-key (no _lsn and needs none),
         # so it feeds either strategy directly
         feed_ds = table_changes(base, v0, v1, keys=keys, values=inputs)
@@ -399,7 +405,7 @@ def refresh_derived(
         }
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     _atomic_write_json(_meta_path(out_dir), {**meta, "base_version": v1})
     return {
@@ -412,7 +418,7 @@ def refresh_derived(
     }
 
 
-def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int) -> dict:
+def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int, emit_feed: str | None = None) -> dict:
     """Recompute every derived row (the snapshot-expired fallback): transform
     the whole base, delete derived keys that no longer qualify, upsert the
     rest."""
@@ -438,7 +444,7 @@ def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int) -> 
     n_del = deletes.count()
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     v1 = list_snapshots(base)[-1]["version"]
     _atomic_write_json(_meta_path(out_dir), {**meta, "base_version": v1})

@@ -230,6 +230,7 @@ def refresh_join_view(
     run_id: str = "refresh-0",
     left_feed=None,
     batch_size: int = 65536,
+    emit_feed: str | None = None,
 ) -> dict:
     """Converge the view to both bases' latest versions, recomputing only
     dirty left keys (module docstring has the cost model).
@@ -278,7 +279,7 @@ def refresh_join_view(
         v1r != v0r and v0r not in {s["version"] for s in rsnaps}
     )
     if expired:
-        return _full_refresh(out_dir, meta, run_id=run_id, batch_size=batch_size)
+        return _full_refresh(out_dir, meta, run_id=run_id, batch_size=batch_size, emit_feed=emit_feed)
 
     # ---- dirty left keys --------------------------------------------------
     dirty_parts = []
@@ -373,7 +374,7 @@ def refresh_join_view(
         }
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     _atomic_write_json(
         _meta_path(out_dir), {**meta, "left_version": v1l, "right_version": v1r}
@@ -388,7 +389,7 @@ def refresh_join_view(
     }
 
 
-def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int) -> dict:
+def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int, emit_feed: str | None = None) -> dict:
     """Snapshot-expired fallback: recompute the whole join, delete view keys
     that no longer qualify, upsert the rest (changed buckets only)."""
     from odibel_ray.cdc.sink import (
@@ -416,7 +417,7 @@ def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int) -> 
     n_del = deletes.count()
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     v1l = list_snapshots(left)[-1]["version"]
     v1r = list_snapshots(right)[-1]["version"]

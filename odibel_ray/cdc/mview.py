@@ -446,9 +446,11 @@ def refresh_view(
     strategy: str = "rescan",
     feed=None,
     batch_size: int = 65536,
+    emit_feed: str | None = None,
 ) -> dict:
     """Converge the view to the base table's latest version, touching only
-    dirty groups. See module docstring for the strategy / feed-source trade.
+    dirty groups. ``emit_feed`` writes this refresh's own upsert-time change
+    feed for tables maintained over the view (cascade hop). See module docstring for the strategy / feed-source trade.
 
     Returns ``{refreshed, strategy, base_version, groups_upserted,
     groups_deleted, buckets_rewritten}``. A no-op (base unchanged and no
@@ -494,7 +496,7 @@ def refresh_view(
             # the pinned version expired — snapshot diff impossible; fall back
             # to a full recompute through the same upsert (still only rewrites
             # buckets whose groups changed)
-            return _full_refresh(view_out, meta, plan, run_id=run_id, batch_size=batch_size)
+            return _full_refresh(view_out, meta, plan, run_id=run_id, batch_size=batch_size, emit_feed=emit_feed)
         feed_ds = table_changes(base, v0, v1, keys=base_keys, values=need_vals)
     else:
         feed_ds = _feed_dataset(feed)
@@ -560,7 +562,7 @@ def refresh_view(
 
     res = upsert_published(
         updates, view_out, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     _atomic_write_json(_meta_path(view_out), {**meta, "base_version": v1})
     return {
@@ -585,7 +587,7 @@ def _view_schema(view_out: str) -> pa.Schema:
     raise FileNotFoundError(f"view {view_out} has no published state")
 
 
-def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str, batch_size: int) -> dict:
+def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str, batch_size: int, emit_feed: str | None = None) -> dict:
     """Recompute every group (the snapshot-expired fallback): aggregate the
     whole base, delete view groups that no longer exist, upsert the rest."""
     from odibel_ray.cdc.sink import (
@@ -607,7 +609,7 @@ def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str, batch_
     n_del = deletes.count()
     res = upsert_published(
         updates, view_out, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size,
+        batch_size=batch_size, feed_dir=emit_feed,
     )
     v1 = list_snapshots(base)[-1]["version"]
     _atomic_write_json(_meta_path(view_out), {**meta, "base_version": v1})

@@ -35,20 +35,28 @@ _META_FILES = {
 }
 
 
-def _inspect(table: str) -> tuple[str, list[str]]:
-    """(kind, upstream dirs) for a maintained table, via its meta file."""
+def _inspect(table: str) -> tuple[str, list[str], dict]:
+    """(kind, upstream dirs, pinned versions per upstream realpath) for a
+    maintained table, via its meta file."""
     from odibel_ray.cdc import derived, joinview, mview
 
     for fname, kind in _META_FILES.items():
         if os.path.exists(os.path.join(table, fname)):
             if kind == DERIVED:
                 meta = derived._load_meta(table)
-                return kind, [meta["base"]]
+                return kind, [meta["base"]], {
+                    os.path.realpath(meta["base"]): meta["base_version"]
+                }
             if kind == MVIEW:
                 meta = mview._load_meta(table)
-                return kind, [meta["base"]]
+                return kind, [meta["base"]], {
+                    os.path.realpath(meta["base"]): meta["base_version"]
+                }
             meta = joinview._load_meta(table)
-            return kind, [meta["left"], meta["right"]]
+            return kind, [meta["left"], meta["right"]], {
+                os.path.realpath(meta["left"]): meta["left_version"],
+                os.path.realpath(meta["right"]): meta["right_version"],
+            }
     raise ValueError(
         f"{table} is not a maintained table (no _derived/_view/_joinview meta); "
         "apply to base tables directly and list only their downstream here"
@@ -65,9 +73,11 @@ def plan_pipeline(tables: Sequence[str]) -> list[dict]:
     real = {os.path.realpath(t): t for t in tables}
     info = {}
     for t in tables:
-        kind, ups = _inspect(t)
+        kind, ups, pins = _inspect(t)
         in_list = [real[os.path.realpath(u)] for u in ups if os.path.realpath(u) in real]
-        info[t] = {"table": t, "kind": kind, "upstreams": in_list}
+        info[t] = {"table": t, "kind": kind, "upstreams": in_list,
+                   "pins": {real[r]: v for r, v in pins.items() if r in real},
+                   "left": ups[0]}
     order: list[dict] = []
     done: set[str] = set()
     pending = list(tables)
@@ -90,6 +100,7 @@ def refresh_pipeline(
     feeds: Mapping[str, object] | None = None,
     savepoint: str | None = None,
     batch_size: int = 65536,
+    chain_feeds: bool = False,
 ) -> dict:
     """Refresh every listed maintained table in dependency order.
 
@@ -100,32 +111,74 @@ def refresh_pipeline(
     as ``left_feed=``. ``savepoint=path`` pins one consistent cut across ALL
     listed tables after the refresh (:mod:`odibel_ray.cdc.savepoint`), so a
     reader can hold the exact post-refresh state while the pipeline keeps
-    moving. Returns ``{order, results, savepoint}``."""
+    moving. Returns ``{order, results, savepoint}``.
+
+    ``chain_feeds=True`` turns the DAG into a feed CASCADE: every node with
+    a listed downstream also emits its own upsert-time change feed
+    (``upsert_published(feed_dir=…)``), and a downstream node consumes its
+    upstream's feed instead of running a snapshot diff — but only when its
+    pinned version equals the upstream's pre-refresh version (a stale node
+    falls back to the diff; feeds never override correctness). Join views
+    chain on their LEFT side only (the dimension side always diffs).
+    Consumed feed directories are removed at the end of a clean run."""
+    import shutil
+
     from odibel_ray.cdc.derived import refresh_derived
     from odibel_ray.cdc.joinview import refresh_join_view
     from odibel_ray.cdc.mview import refresh_view
+    from odibel_ray.cdc.sink import list_snapshots
 
     strategies = dict(strategies or {})
     feeds = dict(feeds or {})
     order = plan_pipeline(tables)
+    has_downstream = {
+        u for node in order for u in node["upstreams"]
+    }
     results = {}
+    emitted: dict[str, tuple[str, object]] = {}  # table -> (feed_dir, pre_version)
     for i, node in enumerate(order):
         t, kind = node["table"], node["kind"]
         rid = f"{run_id}-{i}"
+        feed = feeds.get(t)
+        if feed is None and chain_feeds:
+            for u in node["upstreams"]:
+                if u not in emitted:
+                    continue
+                if kind == JOINVIEW and os.path.realpath(u) != os.path.realpath(node["left"]):
+                    continue  # only the left side consumes a feed
+                fdir, pre_v = emitted[u]
+                fresh = node["pins"].get(u) == pre_v
+                has_rows = os.path.isdir(fdir) and any(
+                    f for _, _, fs in os.walk(fdir) for f in fs
+                )
+                if fresh and has_rows:
+                    feed = fdir
+                break  # at most one feed-bearing upstream (left/base)
+        emit = None
+        if chain_feeds and t in has_downstream:
+            emit = os.path.join(t, "_feeds", run_id)
+            shutil.rmtree(emit, ignore_errors=True)
+            snaps = list_snapshots(t)
+            emitted[t] = (emit, snaps[-1]["version"] if snaps else None)
         if kind == DERIVED:
             kw = {"strategy": strategies[t]} if t in strategies else {}
             results[t] = refresh_derived(
-                t, run_id=rid, feed=feeds.get(t), batch_size=batch_size, **kw
+                t, run_id=rid, feed=feed, batch_size=batch_size,
+                emit_feed=emit, **kw
             )
         elif kind == MVIEW:
             kw = {"strategy": strategies[t]} if t in strategies else {}
             results[t] = refresh_view(
-                t, run_id=rid, feed=feeds.get(t), batch_size=batch_size, **kw
+                t, run_id=rid, feed=feed, batch_size=batch_size,
+                emit_feed=emit, **kw
             )
         else:
             results[t] = refresh_join_view(
-                t, run_id=rid, left_feed=feeds.get(t), batch_size=batch_size
+                t, run_id=rid, left_feed=feed, batch_size=batch_size,
+                emit_feed=emit,
             )
+    for fdir, _ in emitted.values():  # consumed synchronously above
+        shutil.rmtree(fdir, ignore_errors=True)
     sp = None
     if savepoint:
         from odibel_ray.cdc.savepoint import create_savepoint

@@ -2203,6 +2203,79 @@ def _to_physical_update(t: pa.Table, smap, canon: pa.Schema) -> pa.Table:
     return pa.table(cols)
 
 
+def _upsert_feed_table(
+    old: pa.Table | None,
+    ups: pa.Table,
+    dels: pa.Table,
+    key_cols: list[str],
+    feed_values: list[str],
+    feed_seq: int,
+) -> pa.Table:
+    """The bucket's row-level change feed for one upsert run, in the exact
+    shape of :func:`odibel_ray.cdc.lww.change_feed` / ``table_changes``
+    (``keys, change, {v}_before, {v}_after, _lsn``) so every downstream
+    consumer (derived/mview/joinview refresh) reads it unchanged. No-op
+    updates (every feed value equal) emit nothing; ``_lsn`` is the table's
+    write sequence — constant within a run, increasing across runs, which is
+    all the latest-transition resolution needs."""
+    cols = key_cols + feed_values
+    if old is not None and len(old):
+        old_v = old.select(cols)
+    else:
+        old_v = None
+
+    def with_before(side: pa.Table) -> pa.Table:
+        if old_v is None:  # brand-new bucket: every before-image is NULL
+            for v in feed_values:
+                side = side.append_column(f"{v}_before", pa.nulls(len(side), side[v].type))
+            return side
+        renamed = old_v.rename_columns(key_cols + [f"{v}_before" for v in feed_values])
+        return side.join(renamed, keys=key_cols, join_type="left outer")
+
+    out_parts = []
+    if len(ups):
+        u = ups.select([c for c in cols if c in ups.column_names])
+        u = with_before(u)
+        # change: insert when no before-row existed; drop exact no-ops
+        if old_v is not None:
+            probe = old_v.select(key_cols).append_column(
+                "__had", pa.array(np.ones(len(old_v), bool))
+            )
+            u = u.join(probe, keys=key_cols, join_type="left outer")
+            had = pc.fill_null(u["__had"], False)
+            u = u.drop_columns(["__had"])
+        else:
+            had = pa.array(np.zeros(len(u), bool))
+        same = pc.fill_null(had, False).to_numpy(zero_copy_only=False).copy()
+        for v in feed_values:
+            a, b = u[v], u[f"{v}_before"]
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            same &= pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        change = np.where(had.to_numpy(zero_copy_only=False), "update", "insert")
+        u = u.append_column("change", pa.array(change, pa.string()))
+        u = u.filter(pa.array(~same))
+        after_cols = {k: u[k] for k in key_cols}
+        after_cols["change"] = u["change"]
+        for v in feed_values:
+            after_cols[f"{v}_before"] = u[f"{v}_before"]
+            after_cols[f"{v}_after"] = u[v]
+        out_parts.append(pa.table(after_cols))
+    if len(dels) and old_v is not None:
+        d = old_v.join(dels.select(key_cols), keys=key_cols, join_type="left semi")
+        if len(d):
+            del_cols = {k: d[k] for k in key_cols}
+            del_cols["change"] = pa.array(["delete"] * len(d), pa.string())
+            for v in feed_values:
+                del_cols[f"{v}_before"] = d[v]
+                del_cols[f"{v}_after"] = pa.nulls(len(d), d.schema.field(v).type)
+            out_parts.append(pa.table(del_cols))
+    if not out_parts:
+        return None
+    feed = pa.concat_tables(out_parts, promote_options="default").combine_chunks()
+    return feed.append_column("_lsn", pa.array(np.full(len(feed), feed_seq, np.int64)))
+
+
 def _upsert_write_group(
     t: pa.Table,
     *,
@@ -2212,12 +2285,16 @@ def _upsert_write_group(
     bucket_files: dict[int, str],
     key_cols: list[str],
     metrics: str | None = None,
+    feed_dir: str | None = None,
+    feed_values: list[str] | None = None,
+    feed_seq: int = 0,
 ) -> pa.Table:
     """Rewrite ONE bucket under upsert semantics: current published rows whose
     key appears in this group's updates are dropped, surviving updates are
     appended, and the result stages under a run-versioned name (idempotent —
     re-running the same updates over an already-updated bucket converges to
-    the same file contents)."""
+    the same file contents). With ``feed_dir``, the bucket's row-level change
+    feed stages alongside and publishes in the same atomic pointer flip."""
     from odibel_ray.cdc.apply import limit_arrow_threads
 
     if len(t) == 0:
@@ -2229,16 +2306,27 @@ def _upsert_write_group(
     dmask = pc.fill_null(t["_delete"], False)
     ups = t.filter(pc.invert(dmask)).drop_columns(["_bucket", "_delete"])
     old_file = bucket_files.get(bucket)
+    old = None
     if old_file is not None:
         old = pq.read_table(os.path.join(out_dir, old_file))
-        old = old.join(touched, keys=key_cols, join_type="left anti")
-        new = pa.concat_tables([old, ups], promote_options="default")
+    if old is not None:
+        survivors = old.join(touched, keys=key_cols, join_type="left anti")
+        new = pa.concat_tables([survivors, ups], promote_options="default")
     else:
         new = ups
     new = new.combine_chunks()
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(new, staged)
+    feed_staged, feed_final = "", ""
+    if feed_dir is not None:
+        dels = t.filter(dmask).select(key_cols)
+        feed_t = _upsert_feed_table(old, ups, dels, key_cols, feed_values, feed_seq)
+        if feed_t is not None:
+            feed_name = f"upsert-{run_id}.parquet"
+            feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
+            feed_final = os.path.join(feed_dir, f"bucket={bucket}", feed_name)
+            pq.write_table(feed_t, feed_staged)
     if metrics:
         from odibel_ray.monitor import record_task_metrics
 
@@ -2252,8 +2340,8 @@ def _upsert_write_group(
             "staged": pa.array([staged], pa.string()),
             "watermarks": pa.array(["{}"], pa.string()),
             "run_id": pa.array([run_id], pa.string()),
-            "feed_staged": pa.array([""], pa.string()),
-            "feed_final": pa.array([""], pa.string()),
+            "feed_staged": pa.array([feed_staged], pa.string()),
+            "feed_final": pa.array([feed_final], pa.string()),
         }
     )
 
@@ -2267,6 +2355,8 @@ def upsert_published(
     run_id: str = "upsert-0",
     batch_size: int = 65536,
     metrics: str | None = None,
+    feed_dir: str | None = None,
+    feed_values: list[str] | None = None,
 ) -> dict:
     """Key-level upsert/delete into a GENERIC published table (one laid out by
     :func:`publish_dataset`): only buckets containing touched keys are
@@ -2280,6 +2370,17 @@ def upsert_published(
     Idempotent: re-running the same updates/deletes over an already-updated
     table converges to the same state, so a crash-resume just re-runs.
     Cost is O(touched buckets), never O(table).
+
+    ``feed_dir``: also emit this run's row-level change feed (the same
+    ``keys, change, {v}_before/{v}_after, _lsn`` shape ``table_changes``
+    produces, so downstream derived/mview/joinview refreshes consume it
+    directly — the write-time CDF that lets a maintained-table CASCADE skip
+    snapshot diffs; see ``refresh_pipeline(chain_feeds=True)``). Computed
+    inside the per-bucket rewrite from state the upsert already holds (old
+    bucket rows + replacement rows), staged next to the bucket's data and
+    published in the same atomic pointer flip. No-op updates emit nothing;
+    ``_lsn`` carries the table's write sequence. ``feed_values`` defaults to
+    every non-key column.
     """
     from odibel_ray.cdc.lww import bucket_of_keys
 
@@ -2320,6 +2421,21 @@ def upsert_published(
                 "(mixed physical schemas); finish it before upserting"
             )
         smap = schema_map(out_dir, canon)
+    if feed_dir is not None and smap is not None:
+        raise ValueError(
+            "feed_dir with an active schema op log is not supported (the feed "
+            "would mix logical and physical names); materialize_ddl first"
+        )
+    feed_seq = 0
+    if feed_dir is not None:
+        if feed_values is None:
+            feed_values = [c for c in canon_names if c not in key_cols]
+        else:
+            feed_values = list(feed_values)
+        # write sequence: constant within a run, increasing across runs —
+        # the ordering downstream latest-transition resolution needs
+        with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+            feed_seq = int(json.load(f).get("write_seq", 0)) + 1
 
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
     os.makedirs(staging, exist_ok=True)
@@ -2363,6 +2479,9 @@ def upsert_published(
             bucket_files=bucket_files,
             key_cols=key_cols,
             metrics=metrics,
+            feed_dir=feed_dir,
+            feed_values=feed_values,
+            feed_seq=feed_seq,
         ),
         batch_format="pyarrow",
     )
@@ -2375,6 +2494,13 @@ def upsert_published(
         "last_run_id": run_id,
         "generic": True,
     }
+    if feed_dir is not None:
+        tman["write_seq"] = feed_seq
+    else:  # keep the sequence monotonic across feed-less writes too
+        with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+            prev_seq = int(json.load(f).get("write_seq", 0))
+        if prev_seq:
+            tman["write_seq"] = prev_seq + 1
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
     snap = record_snapshot(out_dir, "upsert_published")
     return {

@@ -484,6 +484,9 @@ def q_transcript_pipeline_sync(sf_dir: str):
         run_id="p1",
         strategies={silver: "feed", gold: "delta"},
         feeds={silver: feed},
+        # cascade: silver's refresh emits its own upsert-time feed and gold +
+        # the join view consume it instead of snapshot-diffing silver
+        chain_feeds=True,
     )
     return read_join_view(view)
 
