@@ -76,6 +76,7 @@ def plan_pipeline(tables: Sequence[str]) -> list[dict]:
         kind, ups, pins = _inspect(t)
         in_list = [real[os.path.realpath(u)] for u in ups if os.path.realpath(u) in real]
         info[t] = {"table": t, "kind": kind, "upstreams": in_list,
+                   "ups_all": ups,
                    "pins": {real[r]: v for r, v in pins.items() if r in real},
                    "left": ups[0]}
     order: list[dict] = []
@@ -101,6 +102,7 @@ def refresh_pipeline(
     savepoint: str | None = None,
     batch_size: int = 65536,
     chain_feeds: bool = False,
+    base_feeds: Mapping[str, str] | None = None,
 ) -> dict:
     """Refresh every listed maintained table in dependency order.
 
@@ -120,7 +122,14 @@ def refresh_pipeline(
     pinned version equals the upstream's pre-refresh version (a stale node
     falls back to the diff; feeds never override correctness). Join views
     chain on their LEFT side only (the dimension side always diffs).
-    Consumed feed directories are removed at the end of a clean run."""
+    Consumed feed directories are removed at the end of a clean run.
+
+    ``base_feeds`` maps a BASE table path (one outside the list — the bronze
+    table the caller just applied to) to its accumulated change feed: every
+    node whose upstream is that base consumes it instead of diffing the
+    base. Contract: the feed must cover every change since each consumer's
+    pinned version (``tail_log`` guarantees this by converging downstream
+    once before switching to per-round feeds)."""
     import shutil
 
     from odibel_ray.cdc.derived import refresh_derived
@@ -140,6 +149,24 @@ def refresh_pipeline(
         t, kind = node["table"], node["kind"]
         rid = f"{run_id}-{i}"
         feed = feeds.get(t)
+        if feed is None and base_feeds:
+            for u_full in node["ups_all"]:
+                bf = next(
+                    (f for b, f in base_feeds.items()
+                     if os.path.realpath(b) == os.path.realpath(u_full)),
+                    None,
+                )
+                if bf is None:
+                    continue
+                if kind == JOINVIEW and os.path.realpath(u_full) != os.path.realpath(node["left"]):
+                    continue  # only the left side consumes a feed
+                if isinstance(bf, str) and not (
+                    os.path.isdir(bf)
+                    and any(f for _, _, fs in os.walk(bf) for f in fs)
+                ):
+                    continue  # empty feed: snapshot diff no-ops instead
+                feed = bf
+                break
         if feed is None and chain_feeds:
             for u in node["upstreams"]:
                 if u not in emitted:

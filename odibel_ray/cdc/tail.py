@@ -35,6 +35,7 @@ def tail_log(
     compact_every: int = 0,
     snapshots: int | None = None,
     downstream: list[str] | None = None,
+    feed_values: list[str] | None = None,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -64,19 +65,49 @@ def tail_log(
     (:func:`odibel_ray.cdc.pipeline.refresh_pipeline`) — the tailer keeps
     the whole medallion current, not just the bronze table. Snapshot-diff
     refreshes need ``snapshots`` ≥ 2 on this table so each round's pin
-    survives to the next diff."""
+    survives to the next diff.
+
+    ``feed_values=[...]`` (with ``downstream``) switches the sync to the
+    feed cascade: downstream tables are converged ONCE up front (snapshot
+    diff), then every applying round emits this table's write-time change
+    feed (accumulated under ``<out_dir>/_feeds/<run_prefix>``, after-images
+    of the listed columns + ``_lsn``) and the per-round refresh consumes it
+    — plus ``chain_feeds`` between the downstream hops — so steady-state
+    maintenance never re-reads or diffs the bronze table."""
     from odibel_ray.monitor import ThroughputMonitor
+
+    import os
+    import shutil
 
     rounds = []
     idle = 0
     applied_since_compact = 0
+    feed_dir = None
+    if downstream and feed_values is not None:
+        if mode == "mor":
+            raise ValueError(
+                "feed_values needs the copy-on-write apply (the write-time "
+                "feed is computed from state the CoW rewrite holds); use "
+                "mode='cow' or drop feed_values"
+            )
+        feed_dir = os.path.join(out_dir, "_feeds", run_prefix)
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        if load_manifests(out_dir):
+            # converge downstream once up front so the accumulated per-round
+            # feed provably covers every change past each consumer's pin
+            from odibel_ray.cdc.pipeline import refresh_pipeline
+
+            refresh_pipeline(downstream, run_id=f"{run_prefix}-ds-boot",
+                             chain_feeds=True)
 
     def _sync_downstream(i: int) -> None:
         if not downstream:
             return
         from odibel_ray.cdc.pipeline import refresh_pipeline
 
-        res = refresh_pipeline(downstream, run_id=f"{run_prefix}-ds-{i}")
+        base_feeds = {out_dir: feed_dir} if feed_dir else None
+        res = refresh_pipeline(downstream, run_id=f"{run_prefix}-ds-{i}",
+                               base_feeds=base_feeds, chain_feeds=bool(feed_dir))
         rounds.append({"round": i, "mode": "downstream", "touched": 0,
                        "order": res["order"],
                        "refreshed": sum(1 for r in res["results"].values()
@@ -103,9 +134,13 @@ def tail_log(
                 rounds.append(res)
                 _sync_downstream(i)
                 continue
+            kw = {}
+            if feed_dir is not None:
+                kw = {"feed_dir": feed_dir, "feed_values": feed_values,
+                      "feed_lsn": True}
             res = incremental_apply(log_dir, out_dir, run_id=f"{run_prefix}-{i}",
                                     metrics=metrics, mode=mode,
-                                    snapshots=snapshots)
+                                    snapshots=snapshots, **kw)
             res["round"] = i
             res["mode"] = "incremental"
             mon.add(res.get("n_events_applied", 0))

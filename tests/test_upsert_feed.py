@@ -156,3 +156,39 @@ def test_cascade_stale_pin_falls_back_to_diff(ray_session, chain, oracle_final, 
     pd.testing.assert_frame_equal(
         got[["role", "n", "sum_len"]], _expected_gold(oracle_final), check_dtype=False
     )
+
+
+def test_tail_feed_cascade(ray_session, chain, oracle_final, monkeypatch):
+    """tail_log(feed_values=...): downstream converges once up front, then
+    every applying round rides the accumulated bronze feed + chained hop
+    feeds — NO snapshot diff runs during the rounds."""
+    from odibel_ray.cdc import sink as _sink
+    from odibel_ray.cdc.tail import tail_log
+
+    def _boom(*a, **k):
+        raise AssertionError("snapshot diff ran during a feed-cascade round")
+
+    # the boot convergence MAY diff (that's its job); poison only afterwards
+    import odibel_ray.cdc.pipeline as _pipe
+
+    real_refresh = _pipe.refresh_pipeline
+    calls = {"n": 0}
+
+    def wrapped(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:  # past the boot convergence
+            monkeypatch.setattr(_sink, "table_changes", _boom)
+        return real_refresh(*a, **k)
+
+    monkeypatch.setattr(_pipe, "refresh_pipeline", wrapped)
+    res = tail_log(
+        chain["log"], chain["bronze"], max_rounds=4, stop_when_idle=1,
+        downstream=[chain["gold"], chain["silver"]],
+        feed_values=["role", "score", "text"], snapshots=4,
+    )
+    monkeypatch.undo()
+    assert any(r["mode"] == "downstream" for r in res["history"])
+    got = read_view(chain["gold"]).to_pandas().sort_values("role").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["role", "n", "sum_len"]], _expected_gold(oracle_final), check_dtype=False
+    )
