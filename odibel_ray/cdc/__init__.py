@@ -12,6 +12,7 @@ from odibel_ray.cdc.ddl import alter_published, materialize_ddl
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
 from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
 from odibel_ray.cdc.pipeline import plan_pipeline, refresh_pipeline
+from odibel_ray.cdc.quality import drop_expectations, get_expectations, set_expectations
 from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint, read_savepoint
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
@@ -66,4 +67,7 @@ __all__ = [
     "read_join_view",
     "plan_pipeline",
     "refresh_pipeline",
+    "set_expectations",
+    "get_expectations",
+    "drop_expectations",
 ]

@@ -2044,6 +2044,7 @@ def publish_dataset(
     metrics: str | None = None,
     snapshots: int | None = None,
     cluster_by: str | None = None,
+    expect: list | None = None,
 ) -> dict:
     """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
     hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
@@ -2118,7 +2119,25 @@ def publish_dataset(
     os.makedirs(staging, exist_ok=True)
     done = load_manifests(out_dir)
 
+    if expect is not None:
+        # CHECK constraint: installed with the table, enforced batch-by-batch
+        # on this initial load and as a pre-pass on every later upsert
+        from odibel_ray.cdc.quality import EXPECTATIONS_FILE
+        from odibel_ray.cdc.skipping import check_where
+
+        expect = [list(c) for c in check_where(expect)]
+        os.makedirs(out_dir, exist_ok=True)
+        _atomic_write_json(os.path.join(out_dir, EXPECTATIONS_FILE), {"where": expect})
+    else:
+        from odibel_ray.cdc.quality import get_expectations
+
+        expect = get_expectations(out_dir) or None  # resumed run keeps the gate
+
     def tag(t: pa.Table) -> pa.Table:
+        if expect:
+            from odibel_ray.cdc.quality import enforce_batch
+
+            t = enforce_batch(t, expect, context=f"publish_dataset({run_id})")
         if cluster_by is not None:
             b = bucket_of_range(t, cluster_by, bounds)
         else:
@@ -2426,6 +2445,19 @@ def upsert_published(
             "feed_dir with an active schema op log is not supported (the feed "
             "would mix logical and physical names); materialize_ddl first"
         )
+    from odibel_ray.cdc.quality import get_expectations, violation_count
+
+    expect = get_expectations(out_dir)
+    if expect:
+        # CHECK constraint: one vectorized pre-pass over the update rows
+        # BEFORE anything stages, so a violating write fails whole — never a
+        # partial apply (update rows carry logical names, as the clauses do)
+        bad = violation_count(updates, expect, batch_size=batch_size)
+        if bad:
+            raise ValueError(
+                f"upsert violates the table expectation {expect}: {bad} row(s); "
+                "fix the rows or drop_expectations() first"
+            )
     feed_seq = 0
     if feed_dir is not None:
         if feed_values is None:
