@@ -281,6 +281,7 @@ def refresh_derived(
     feed=None,
     batch_size: int = 65536,
     emit_feed: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Converge the derived table to the base's latest version, touching only
     dirty keys. See the module docstring for the strategy trade.
@@ -405,7 +406,7 @@ def refresh_derived(
         }
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size, feed_dir=emit_feed,
+        batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     _atomic_write_json(_meta_path(out_dir), {**meta, "base_version": v1})
     return {

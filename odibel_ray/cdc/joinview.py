@@ -231,6 +231,7 @@ def refresh_join_view(
     left_feed=None,
     batch_size: int = 65536,
     emit_feed: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Converge the view to both bases' latest versions, recomputing only
     dirty left keys (module docstring has the cost model).
@@ -374,7 +375,7 @@ def refresh_join_view(
         }
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size, feed_dir=emit_feed,
+        batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     _atomic_write_json(
         _meta_path(out_dir), {**meta, "left_version": v1l, "right_version": v1r}

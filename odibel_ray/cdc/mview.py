@@ -447,6 +447,7 @@ def refresh_view(
     feed=None,
     batch_size: int = 65536,
     emit_feed: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Converge the view to the base table's latest version, touching only
     dirty groups. ``emit_feed`` writes this refresh's own upsert-time change
@@ -562,7 +563,7 @@ def refresh_view(
 
     res = upsert_published(
         updates, view_out, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size, feed_dir=emit_feed,
+        batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     _atomic_write_json(_meta_path(view_out), {**meta, "base_version": v1})
     return {

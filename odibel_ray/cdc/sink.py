@@ -39,6 +39,7 @@ import json
 import os
 import time
 from functools import partial
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -317,14 +318,11 @@ def _bucket_filename(bucket: int, run_id: str) -> str:
     return f"part-{bucket:06d}-{safe}.parquet"
 
 
-_MERGE_SORT_KEYS = [
-    ("conv_id", "ascending"),
-    ("turn_idx", "ascending"),
-    ("_lsn", "ascending"),
-]
-
-
-def merge_base_deltas(base: pa.Table | None, deltas: list[pa.Table]) -> pa.Table:
+def merge_base_deltas(
+    base: pa.Table | None,
+    deltas: list[pa.Table],
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+) -> pa.Table:
     """LWW-merge one bucket's base table with its merge-on-read delta files:
     keep the max-``_lsn`` row per key across base ∪ deltas, drop tombstones.
     Base rows are implicit inserts; delta rows carry ``_op`` (``D`` rows are
@@ -332,12 +330,19 @@ def merge_base_deltas(base: pa.Table | None, deltas: list[pa.Table]) -> pa.Table
     are within one WAL partition (a key's events live in one part), where LSN
     is totally ordered — the same convergence argument as
     :func:`incremental_apply`. Output keeps the base column layout (no
-    ``_op``)."""
+    ``_op``). Generic tables merge on their layout ``keys``; their base
+    files carry no ``_lsn`` (treated as older than every delta, and the
+    column is dropped again on the way out)."""
+    base_had_lsn = base is None or "_lsn" in base.column_names
     parts = []
     if base is not None and len(base):
         if "_op" not in base.column_names:
             base = base.append_column(
                 "_op", pa.array(np.full(len(base), "I"), pa.string())
+            )
+        if "_lsn" not in base.column_names:
+            base = base.append_column(
+                "_lsn", pa.array(np.full(len(base), -1, np.int64))
             )
         parts.append(base)
     parts.extend(d for d in deltas if len(d))
@@ -345,19 +350,22 @@ def merge_base_deltas(base: pa.Table | None, deltas: list[pa.Table]) -> pa.Table
         out = base if base is not None else pa.table({})
         return out.drop_columns(["_op"]) if "_op" in out.column_names else out
     t = pa.concat_tables(parts, promote_options="default").combine_chunks()
-    t = t.take(pc.sort_indices(t, sort_keys=_MERGE_SORT_KEYS))
+    sort_keys = [(k, "ascending") for k in keys] + [("_lsn", "ascending")]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
     n = len(t)
     mask = np.ones(n, dtype=bool)
     if n > 1:
-        conv, turn = t["conv_id"], t["turn_idx"]
-        same_next = pc.and_(
-            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-        )
-        mask[: n - 1] = ~same_next.to_numpy(zero_copy_only=False)
+        same_next = np.ones(n - 1, dtype=bool)
+        for k in keys:
+            c = t[k]
+            same_next &= pc.fill_null(
+                pc.equal(c.slice(1), c.slice(0, n - 1)), False
+            ).to_numpy(zero_copy_only=False)
+        mask[: n - 1] = ~same_next
     t = t.filter(pa.array(mask))
     t = t.filter(pc.not_equal(t["_op"], "D"))
-    return t.drop_columns(["_op"])
+    drop = ["_op"] + ([] if base_had_lsn else ["_lsn"])
+    return t.drop_columns(drop)
 
 
 def _merged_watermarks(old: dict[str, int] | None, new: dict[str, int]) -> dict[str, int]:
@@ -1041,14 +1049,20 @@ def read_published(
         pieces.append(rd.read_parquet(plain, columns=final_cols, **kw))
     if mor:
         # the per-bucket LWW merge needs the key + _lsn (base) and _op
-        # (deltas) even when the caller projected them away
+        # (deltas) even when the caller projected them away; generic tables
+        # merge on their layout keys and their base files carry no _lsn
+        merge_keys = ["conv_id", "turn_idx"]
+        mor_layout = os.path.join(out_dir, "_layout.json")
+        if os.path.exists(mor_layout):
+            with open(mor_layout) as f:
+                merge_keys = list(json.load(f)["key_cols"])
         merge_cols = None
         if final_cols is not None:
             where_cols = [c for c, _, _ in where] if where else []
             merge_cols = list(
                 dict.fromkeys(
                     c
-                    for c in [*final_cols, *where_cols, "conv_id", "turn_idx", "_lsn"]
+                    for c in [*final_cols, *where_cols, *merge_keys, "_lsn"]
                     if c != "_op"
                 )
             )
@@ -1066,14 +1080,18 @@ def read_published(
             limit_arrow_threads()
             outs = []
             for row in batch.to_pylist():
-                base = pq.read_table(row["base"], columns=merge_cols)
+                bcols = merge_cols
+                if bcols is not None:  # generic base files have no _lsn
+                    have = set(pq.read_schema(row["base"]).names)
+                    bcols = [c for c in bcols if c in have]
+                base = pq.read_table(row["base"], columns=bcols)
                 deltas = [
                     pq.read_table(
                         f, columns=None if merge_cols is None else [*merge_cols, "_op"]
                     )
                     for f in row["deltas"]
                 ]
-                t = merge_base_deltas(base, deltas)
+                t = merge_base_deltas(base, deltas, keys=merge_keys)
                 if where:
                     t = filter_table(t, where)
                 outs.append(t.select(final_cols) if final_cols is not None else t)
@@ -1204,14 +1222,15 @@ def lookup_key(
         if cols is not None:
             merge_cols = list(
                 dict.fromkeys(
-                    c for c in [*cols, "conv_id", "turn_idx", "_lsn"] if c != "_op"
+                    c for c in [*cols, *key_cols, "_lsn"] if c != "_op"
                 )
             )
-        base_t = pq.read_table(
-            os.path.join(out_dir, m["file"]),
-            columns=merge_cols if m.get("deltas") else cols,
-            filters=filters,
-        )
+        base_path = os.path.join(out_dir, m["file"])
+        bcols = merge_cols if m.get("deltas") else cols
+        if m.get("deltas") and bcols is not None:  # generic bases lack _lsn
+            have = set(pq.read_schema(base_path).names)
+            bcols = [c for c in bcols if c in have]
+        base_t = pq.read_table(base_path, columns=bcols, filters=filters)
         if m.get("deltas"):
             delta_ts = [
                 pq.read_table(
@@ -1221,7 +1240,7 @@ def lookup_key(
                 )
                 for d in m["deltas"]
             ]
-            t = merge_base_deltas(base_t, delta_ts)
+            t = merge_base_deltas(base_t, delta_ts, keys=key_cols)
             if cols is not None:
                 t = t.select(cols)
         else:
@@ -1245,7 +1264,9 @@ def lookup_key(
         out = pa.concat_tables(tables, promote_options="default")
     if smap is not None:
         return out
-    if not system and columns is None:
+    if not system and columns is None and not tman.get("generic"):
+        # transcript tables hide _lsn/_op by default; GENERIC tables have no
+        # system columns — a plain lookup returns their full row
         keep = [c for c in LOGICAL_COLUMNS if c in out.column_names]
         out = out.select(keep)
     return out
@@ -1443,7 +1464,8 @@ def vacuum(
     import glob as _glob
     import shutil
 
-    removed = {"staging_dirs": 0, "orphan_files": 0, "feed_files": 0, "snapshots": 0}
+    removed = {"staging_dirs": 0, "orphan_files": 0, "feed_files": 0, "snapshots": 0,
+               "feed_dirs": 0}
     if keep_snapshots is not None:
         # tighten retention first so the orphan scan below sees the final
         # retained set (``keep_snapshots=0`` drops time travel entirely)
@@ -1453,6 +1475,13 @@ def vacuum(
         for run_dir in os.listdir(sdir):
             shutil.rmtree(os.path.join(sdir, run_dir), ignore_errors=True)
             removed["staging_dirs"] += 1
+    # cascade working feeds (<table>/_feeds/<run>): consumed synchronously by
+    # refresh_pipeline / tail_log, so anything still here is a leftover
+    fdir = os.path.join(out_dir, "_feeds")
+    if os.path.isdir(fdir):
+        for run_dir in os.listdir(fdir):
+            shutil.rmtree(os.path.join(fdir, run_dir), ignore_errors=True)
+            removed["feed_dirs"] += 1
     live: set[str] = set()
     for m in load_manifests(out_dir).values():
         live.add(m["file"])
@@ -1622,6 +1651,12 @@ def compact_published(
         for b, m in sorted(targets.items())
     ]
 
+    compact_keys = ["conv_id", "turn_idx"]
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            compact_keys = list(json.load(f)["key_cols"])
+
     def _compact_bucket(batch: pa.Table) -> pa.Table:
         from odibel_ray.cdc.apply import limit_arrow_threads
 
@@ -1631,7 +1666,7 @@ def compact_published(
             bucket = int(row["bucket"])
             base = pq.read_table(row["base"])
             deltas = [pq.read_table(f) for f in row["deltas"]]
-            out = merge_base_deltas(base, deltas)
+            out = merge_base_deltas(base, deltas, keys=compact_keys)
             fname = _bucket_filename(bucket, run_id)
             staged = os.path.join(staging, fname)
             pq.write_table(out, staged)
@@ -2295,6 +2330,61 @@ def _upsert_feed_table(
     return feed.append_column("_lsn", pa.array(np.full(len(feed), feed_seq, np.int64)))
 
 
+def _generic_delta_group(
+    t: pa.Table,
+    *,
+    staging: str,
+    run_id: str,
+    bucket_files: dict[int, str],
+    seq: int,
+    metrics: str | None = None,
+) -> pa.Table:
+    """Merge-on-read upsert of ONE bucket: stage this run's replacement rows
+    (tombstones retained, ``_op='D'``) as a delta file tagged ``_lsn=seq`` —
+    no base read, no base rewrite (write cost O(updates), the fit for
+    high-frequency maintained-table refreshes). A bucket with no published
+    base degenerates to an ordinary base write of the update rows."""
+    import hashlib
+
+    from odibel_ray.cdc.apply import limit_arrow_threads
+
+    if len(t) == 0:
+        return _MANIFEST_SCHEMA.empty_table()
+    limit_arrow_threads()
+    t = t.combine_chunks()
+    bucket = int(t["_bucket"][0].as_py())
+    dmask = pc.fill_null(t["_delete"], False)
+    if bucket not in bucket_files:
+        live = t.filter(pc.invert(dmask)).drop_columns(["_delete"])
+        return _generic_write_group(live, staging=staging, run_id=run_id, metrics=metrics)
+    out = t.drop_columns(["_bucket", "_delete"])
+    out = out.append_column("_lsn", pa.array(np.full(len(out), seq, np.int64)))
+    out = out.append_column(
+        "_op", pa.array(np.where(dmask.to_numpy(zero_copy_only=False), "D", "U"))
+    )
+    tag = hashlib.sha1(run_id.encode()).hexdigest()[:16]
+    fname = f"delta-{bucket:06d}-{tag}.parquet"
+    staged = os.path.join(staging, fname)
+    pq.write_table(out, staged)
+    if metrics:
+        from odibel_ray.monitor import record_task_metrics
+
+        record_task_metrics(metrics, rows=len(out), buckets_staged=1)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows_out": pa.array([len(out)], pa.int64()),
+            "n_events": pa.array([len(t)], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "staged": pa.array([staged], pa.string()),
+            "watermarks": pa.array(["{}"], pa.string()),
+            "run_id": pa.array([run_id], pa.string()),
+            "feed_staged": pa.array([""], pa.string()),
+            "feed_final": pa.array([""], pa.string()),
+        }
+    )
+
+
 def _upsert_write_group(
     t: pa.Table,
     *,
@@ -2376,6 +2466,7 @@ def upsert_published(
     metrics: str | None = None,
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Key-level upsert/delete into a GENERIC published table (one laid out by
     :func:`publish_dataset`): only buckets containing touched keys are
@@ -2389,6 +2480,15 @@ def upsert_published(
     Idempotent: re-running the same updates/deletes over an already-updated
     table converges to the same state, so a crash-resume just re-runs.
     Cost is O(touched buckets), never O(table).
+
+    ``mode``: ``"cow"`` (default) rewrites each touched bucket;
+    ``"mor"`` stages the replacement rows as a per-bucket DELTA file
+    (tombstones retained) appended to the bucket manifest in the same
+    atomic flip — write cost O(updates), no base read, the fit for
+    high-frequency maintained-table refreshes; readers LWW-merge on the
+    layout keys and ``compact_published`` folds the deltas back.
+    Incompatible with ``feed_dir`` (the feed is computed from CoW rewrite
+    state).
 
     ``feed_dir``: also emit this run's row-level change feed (the same
     ``keys, change, {v}_before/{v}_after, _lsn`` shape ``table_changes``
@@ -2419,9 +2519,19 @@ def upsert_published(
         )
     key_cols = list(layout["key_cols"])
     num_buckets = int(layout["num_buckets"])
+    if mode not in ("cow", "mor"):
+        raise ValueError("mode must be 'cow' or 'mor'")
+    if mode == "mor" and feed_dir:
+        raise ValueError(
+            "mode='mor' cannot emit a change feed (the feed is computed from "
+            "the copy-on-write rewrite state); use mode='cow' with feed_dir"
+        )
     manifests = load_manifests(out_dir)
-    if any(m.get("deltas") for m in manifests.values()):
-        raise ValueError("upsert_published does not support merge-on-read tables; compact first")
+    if mode == "cow" and any(m.get("deltas") for m in manifests.values()):
+        raise ValueError(
+            "table has merge-on-read deltas; compact_published first (or "
+            "keep upserting with mode='mor')"
+        )
     bucket_files = {b: m["file"] for b, m in manifests.items()}
     if bucket_files:
         canon = pq.read_schema(os.path.join(out_dir, next(iter(sorted(bucket_files.values())))))
@@ -2459,13 +2569,14 @@ def upsert_published(
                 "fix the rows or drop_expectations() first"
             )
     feed_seq = 0
-    if feed_dir is not None:
-        if feed_values is None:
-            feed_values = [c for c in canon_names if c not in key_cols]
-        else:
-            feed_values = list(feed_values)
+    if feed_dir is not None or mode == "mor":
+        if feed_dir is not None:
+            if feed_values is None:
+                feed_values = [c for c in canon_names if c not in key_cols]
+            else:
+                feed_values = list(feed_values)
         # write sequence: constant within a run, increasing across runs —
-        # the ordering downstream latest-transition resolution needs
+        # the ordering feed consumers / the MOR delta merge need
         with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
             feed_seq = int(json.load(f).get("write_seq", 0)) + 1
 
@@ -2502,8 +2613,17 @@ def upsert_published(
         tagged = tagged.union(
             deletes.map_batches(tag_deletes, batch_format="pyarrow", batch_size=batch_size)
         )
-    manifest_ds = tagged.groupby("_bucket").map_groups(
-        partial(
+    if mode == "mor":
+        group_fn = partial(
+            _generic_delta_group,
+            staging=staging,
+            run_id=run_id,
+            bucket_files=bucket_files,
+            seq=feed_seq,
+            metrics=metrics,
+        )
+    else:
+        group_fn = partial(
             _upsert_write_group,
             staging=staging,
             run_id=run_id,
@@ -2514,10 +2634,13 @@ def upsert_published(
             feed_dir=feed_dir,
             feed_values=feed_values,
             feed_seq=feed_seq,
-        ),
-        batch_format="pyarrow",
+        )
+    manifest_ds = tagged.groupby("_bucket").map_groups(group_fn, batch_format="pyarrow")
+    published = (
+        _publish_mor_stream(manifest_ds, out_dir)
+        if mode == "mor"
+        else _publish_stream(manifest_ds, out_dir)
     )
-    published = _publish_stream(manifest_ds, out_dir)
     all_manifests = load_manifests(out_dir)
     tman = {
         "num_buckets": num_buckets,
@@ -2526,7 +2649,10 @@ def upsert_published(
         "last_run_id": run_id,
         "generic": True,
     }
-    if feed_dir is not None:
+    tman["mor_deltas"] = int(
+        sum(len(m.get("deltas", [])) for m in all_manifests.values())
+    )
+    if feed_dir is not None or mode == "mor":
         tman["write_seq"] = feed_seq
     else:  # keep the sequence monotonic across feed-less writes too
         with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
@@ -2539,6 +2665,7 @@ def upsert_published(
         "buckets_rewritten": len(published),
         "published_total": len(all_manifests),
         "rows_total": tman["rows_total"],
+        "deltas_total": tman["mor_deltas"],
         "snapshot": snap["version"] if snap else None,
         "out_dir": out_dir,
     }

@@ -404,7 +404,7 @@ def test_metrics_actor_advances_during_replay(ray_session, small_log, tmp_path):
     from odibel_ray.monitor import metrics_actor
 
     saw_mid_run = False
-    for attempt in range(3):
+    for attempt in range(6):
         name = f"test-replay-metrics-{attempt}"
         actor = metrics_actor(name)  # pre-create so the poller sees 0 first
         out = str(tmp_path / f"tbl{attempt}")
@@ -423,7 +423,7 @@ def test_metrics_actor_advances_during_replay(ray_session, small_log, tmp_path):
         manifests = load_manifests(out)
         want_events = sum(m["n_events"] for m in manifests.values())
         final = {}
-        for _ in range(100):  # fire-and-forget updates may still be in flight
+        for _ in range(300):  # fire-and-forget updates may still be in flight
             final = ray.get(actor.snapshot.remote())
             if final.get("buckets_staged") == 4:
                 break
