@@ -275,6 +275,28 @@ def main(argv: list[str] | None = None) -> int:
                           "default: snapshot diff")
     rd_.add_argument("--run-id", default="cli-refresh")
 
+    sy = sub.add_parser(
+        "sync",
+        help="refresh a DAG of maintained tables (derived/mview/joinview) "
+             "in dependency order, optionally as a feed cascade",
+    )
+    sy.add_argument("tables", nargs="+", help="maintained table directories")
+    sy.add_argument("--chain-feeds", action="store_true",
+                    help="each hop emits its own change feed for the next "
+                         "(skips snapshot diffs when pins line up)")
+    sy.add_argument("--savepoint", default=None,
+                    help="pin one consistent post-refresh cut across all tables")
+    sy.add_argument("--run-id", default="cli-sync")
+
+    ex = sub.add_parser(
+        "expect",
+        help="attach / inspect / drop a CHECK constraint on a generic table",
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--set", dest="set_where", default=None,
+                    help='JSON clauses, e.g. \'[["score", ">=", 0.0]]\'')
+    ex.add_argument("--drop", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "datagen":
@@ -519,6 +541,34 @@ def main(argv: list[str] | None = None) -> int:
         res = refresh_derived(args.out, run_id=args.run_id,
                               strategy=args.strategy, feed=args.feed)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "sync":
+        from odibel_ray.cdc.pipeline import refresh_pipeline
+
+        res = refresh_pipeline(
+            args.tables, run_id=args.run_id, chain_feeds=args.chain_feeds,
+            savepoint=args.savepoint,
+        )
+        print(json.dumps({"order": res["order"],
+                          "results": res["results"],
+                          "savepoint": bool(res["savepoint"])}, default=str))
+        return 0
+
+    if args.cmd == "expect":
+        from odibel_ray.cdc.quality import (
+            drop_expectations,
+            get_expectations,
+            set_expectations,
+        )
+
+        if args.drop:
+            drop_expectations(args.table)
+            print(json.dumps({"dropped": True}))
+        elif args.set_where:
+            print(json.dumps(set_expectations(args.table, json.loads(args.set_where))))
+        else:
+            print(json.dumps({"where": get_expectations(args.table)}))
         return 0
 
     if args.cmd == "advise":

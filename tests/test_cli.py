@@ -188,3 +188,35 @@ def test_cli_alter_materialize(ray_session, tmp_path, capsys):
     assert json.loads(lines[-1])["materialized"] == 1
     assert json.loads(lines[-2])["logical_columns"] == ["k", "value"]
     assert read_published(out).schema().names == ["k", "value"]
+
+
+def test_cli_sync_and_expect(ray_session, small_log, tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc import create_derived, incremental_apply, replay_publish
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+    from odibel_ray.datagen import split_log
+
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    bronze = str(tmp_path / "bronze")
+    replay_publish(os.path.join(prefix, "change_log"), bronze, num_buckets=4, run_id="r1")
+    silver = str(tmp_path / "silver")
+    create_derived(bronze, silver,
+                   transform={"where": [["score", ">=", 0.5]],
+                              "columns": ["role", "score"], "derive": {}},
+                   num_buckets=4, run_id="d0")
+    incremental_apply(small_log["log_dir"], bronze, run_id="r2")
+    assert main(["sync", silver, "--chain-feeds", "--run-id", "s1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["order"] == [silver] and out["results"][silver]["refreshed"]
+
+    gen = str(tmp_path / "g")
+    publish_dataset(rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]})), gen,
+                    key_cols=["k"], num_buckets=1, run_id="p1")
+    assert main(["expect", "--table", gen, "--set", '[["v", ">=", 0.0]]']) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["clauses"] == 1
+    assert main(["expect", "--table", gen]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["where"] == [["v", ">=", 0.0]]
+    assert main(["expect", "--table", gen, "--drop"]) == 0
