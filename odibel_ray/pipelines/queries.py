@@ -46,6 +46,19 @@ def _n_convs(sf_dir: str) -> int:
     return max(60, int(20000 * sf))
 
 
+def _work_copy(src: str, dst: str) -> None:
+    """Copy a cached fixture tree into a fresh working dir via HARDLINKS:
+    near-instant at any sf (no data bytes move), safe because every file in
+    a published table is immutable — data lands as new parquet files and
+    metadata via atomic write-temp-then-os.replace, so a mutation in the
+    working copy can never reach the cached original through the link.
+    Keeps the timed path of fixture-bearing bench queries measuring the
+    ENGINE, not a 100-MB directory copy."""
+    import shutil
+
+    shutil.copytree(src, dst, copy_function=os.link)
+
+
 def ensure_transcript_log(sf_dir: str) -> str:
     """Generate (once) the deterministic transcript change log sized for this
     scale factor; return the ``change_log`` directory path."""
@@ -152,7 +165,7 @@ def ensure_mview_base(sf_dir: str) -> str:
                 return root
     shutil.rmtree(root, ignore_errors=True)
     table = os.path.join(root, "table")
-    shutil.copytree(cached_base, table)
+    _work_copy(cached_base, table)
     create_view(table, os.path.join(root, "view_conv"), **_MVIEW_CONV_SPEC, run_id="v0")
     create_view(table, os.path.join(root, "view_role"), **_MVIEW_ROLE_SPEC, run_id="v0")
     with open(marker, "w") as f:
@@ -175,7 +188,7 @@ def q_transcript_mview(sf_dir: str):
     cached = ensure_mview_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_mv")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     incremental_apply(log, os.path.join(work, "table"), run_id="r2")
     refresh_view(os.path.join(work, "view_conv"), run_id="v1", strategy="rescan")
     return read_view(os.path.join(work, "view_conv"))
@@ -195,7 +208,7 @@ def q_transcript_mview_delta(sf_dir: str):
     cached = ensure_mview_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_mvd")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -239,7 +252,7 @@ def ensure_derived_base(sf_dir: str) -> str:
                 return root
     shutil.rmtree(root, ignore_errors=True)
     table = os.path.join(root, "table")
-    shutil.copytree(cached_base, table)
+    _work_copy(cached_base, table)
     create_derived(table, os.path.join(root, "derived"), transform=_DERIVED_SPEC, run_id="d0")
     with open(marker, "w") as f:
         json.dump(params, f)
@@ -279,7 +292,7 @@ def ensure_joinview_base(sf_dir: str) -> str:
                 return root
     shutil.rmtree(root, ignore_errors=True)
     table = os.path.join(root, "table")
-    shutil.copytree(cached_base, table)
+    _work_copy(cached_base, table)
     # the dimension: a handful of rows, but built DISTRIBUTEDLY the way a real
     # one would be (distinct over a pruned scan), attrs derived from the key
     tools = sorted(
@@ -331,7 +344,7 @@ def q_transcript_join_view(sf_dir: str):
     cached = ensure_joinview_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_jv")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(log, os.path.join(work, "table"), run_id="r2", feed_dir=feed)
     # upsert-or-insert 'python' (CHANGED/100), delete 'editor' — tools no
@@ -384,7 +397,7 @@ def ensure_medallion_base(sf_dir: str) -> str:
             if json.load(f) == params:
                 return root
     shutil.rmtree(root, ignore_errors=True)
-    shutil.copytree(cached, root)
+    _work_copy(cached, root)
     create_view(
         os.path.join(root, "derived"), os.path.join(root, "gold"),
         **_MEDALLION_GOLD_SPEC, run_id="g0",
@@ -424,7 +437,7 @@ def ensure_pipeline_base(sf_dir: str) -> str:
             if json.load(f) == params:
                 return root
     shutil.rmtree(root, ignore_errors=True)
-    shutil.copytree(cached, root)
+    _work_copy(cached, root)
     roles = sorted(
         r for r in set(read_published(full, columns=["role"]).unique("role"))
         if r is not None
@@ -466,7 +479,7 @@ def q_transcript_pipeline_sync(sf_dir: str):
     cached = ensure_pipeline_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_pl")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -507,7 +520,7 @@ def q_transcript_medallion(sf_dir: str):
     cached = ensure_medallion_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_med")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -533,7 +546,7 @@ def q_transcript_derived(sf_dir: str):
     cached = ensure_derived_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dt")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -557,7 +570,7 @@ def q_transcript_derived_feed(sf_dir: str):
     cached = ensure_derived_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_dtf")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -983,7 +996,7 @@ def q_transcript_incremental(sf_dir: str):
     cached = ensure_incremental_base(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inc", "table")
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     incremental_apply(log, out, run_id="r2")
     return read_published(out)
 
@@ -1005,7 +1018,7 @@ def q_transcript_version_read(sf_dir: str):
     cached = ensure_incremental_base(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ttr", "table")
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     enable_snapshots(out, keep_last=2)  # pins the prefix base as v1
     incremental_apply(log, out, run_id="r2")  # records v2
     return read_published(out, version=1)
@@ -1027,7 +1040,7 @@ def q_transcript_ddl_read(sf_dir: str):
     cached = ensure_derived_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ddl")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     feed = os.path.join(work, "feed")
     incremental_apply(
         log, os.path.join(work, "table"), run_id="r2", feed_dir=feed,
@@ -1074,7 +1087,7 @@ def q_transcript_savepoint_read(sf_dir: str):
     cached = ensure_derived_base(sf_dir)
     work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_spr")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(cached, work)
+    _work_copy(cached, work)
     table, derived = os.path.join(work, "table"), os.path.join(work, "derived")
     enable_snapshots(table, keep_last=1)
     sp = os.path.join(work, "release-1")
@@ -1100,7 +1113,7 @@ def q_transcript_version_diff(sf_dir: str):
     cached = ensure_incremental_base(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_ttd", "table")
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     enable_snapshots(out, keep_last=2)  # pins the prefix base as v1
     incremental_apply(log, out, run_id="r2")  # records v2
     return table_changes(out, 1, 2)
@@ -1121,7 +1134,7 @@ def q_transcript_incremental_mor(sf_dir: str):
     cached = ensure_incremental_base(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incmor", "table")
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     incremental_apply(log, out, run_id="r2", mode="mor")
     return read_published(out)
 
@@ -1143,7 +1156,7 @@ def q_transcript_compacted_read(sf_dir: str):
     cached = ensure_incremental_base(sf_dir)
     out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_inccompact", "table")
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     incremental_apply(log, out, run_id="r2", mode="mor")
     res = compact_published(out, run_id="c1")
     assert res["deltas_total"] == 0
@@ -1166,7 +1179,7 @@ def q_transcript_incremental_feed(sf_dir: str):
     base = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_incfeed")
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "table")
-    shutil.copytree(cached, out)
+    _work_copy(cached, out)
     incremental_apply(log, out, run_id="r2", feed_dir=os.path.join(base, "feed"))
     return rd.read_parquet(os.path.join(base, "feed")).select_columns(
         ["conv_id", "turn_idx", "change", "text_before", "text_after"]
