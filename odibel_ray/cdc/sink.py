@@ -2045,6 +2045,8 @@ def _generic_write_group(
     out = t.drop_columns(["_bucket"])
     if sort_by is not None:
         out = out.take(pc.sort_indices(out, sort_keys=[(sort_by, "ascending")]))
+    if "_z" in out.column_names:  # zorder sort helper, never persisted
+        out = out.drop_columns(["_z"])
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
@@ -2112,8 +2114,25 @@ def publish_dataset(
     refuses them (a key's bucket is not derivable from the key) — maintain
     the hash-bucketed primary and republish the copy."""
     from odibel_ray.cdc.lww import bucket_of_keys
-    from odibel_ray.cdc.skipping import bucket_of_range, cluster_bounds
+    from odibel_ray.cdc.skipping import (
+        bucket_of_range,
+        bucket_of_zorder,
+        cluster_bounds,
+        zorder_layout,
+    )
     from odibel_ray.tuning import default_num_buckets
+
+    # multi-column cluster_by = Z-ORDER (Delta OPTIMIZE ZORDER analog):
+    # rank-quantize each column, interleave the rank bits, range-bucket and
+    # sort on the z-value — files become hyper-rectangles of the clustered
+    # space, so footer stats prune on EVERY listed column
+    zcols = None
+    if isinstance(cluster_by, (list, tuple)):
+        if len(cluster_by) == 1:
+            cluster_by = cluster_by[0]
+        else:
+            zcols = list(cluster_by)
+            cluster_by = None
 
     if snapshots is not None:
         os.makedirs(out_dir, exist_ok=True)
@@ -2133,19 +2152,25 @@ def publish_dataset(
                 f"table at {out_dir} was laid out with key_cols="
                 f"{layout['key_cols']}, not {list(key_cols)}"
             )
-        if layout.get("cluster_by") != cluster_by:
+        want = zcols if zcols is not None else cluster_by
+        if layout.get("cluster_by") != want:
             raise ValueError(
                 f"table at {out_dir} was laid out with cluster_by="
-                f"{layout.get('cluster_by')!r}, not {cluster_by!r}"
+                f"{layout.get('cluster_by')!r}, not {want!r}"
             )
         num_buckets = int(layout["num_buckets"])
         bounds = layout.get("bounds")
+        zorder = layout.get("zorder")
     else:
         num_buckets = default_num_buckets(num_buckets)
         os.makedirs(out_dir, exist_ok=True)
         layout = {"num_buckets": num_buckets, "key_cols": list(key_cols)}
         bounds = None
-        if cluster_by is not None:
+        zorder = None
+        if zcols is not None:
+            zorder = zorder_layout(ds, zcols, num_buckets)
+            layout.update({"cluster_by": zcols, "zorder": zorder})
+        elif cluster_by is not None:
             bounds = cluster_bounds(ds, cluster_by, num_buckets)
             layout.update({"cluster_by": cluster_by, "bounds": bounds})
         _atomic_write_json(layout_path, layout)
@@ -2173,7 +2198,15 @@ def publish_dataset(
             from odibel_ray.cdc.quality import enforce_batch
 
             t = enforce_batch(t, expect, context=f"publish_dataset({run_id})")
-        if cluster_by is not None:
+        if zcols is not None:
+            from odibel_ray.cdc.skipping import zvalue_of
+
+            z = zvalue_of(t, zcols, zorder["zref"])
+            b = np.searchsorted(
+                np.asarray(zorder["bounds"], dtype=np.int64), z, side="left"
+            ) if zorder["bounds"] else np.zeros(len(t), dtype=np.int64)
+            t = t.append_column("_z", pa.array(z, pa.int64()))
+        elif cluster_by is not None:
             b = bucket_of_range(t, cluster_by, bounds)
         else:
             b = bucket_of_keys(t, key_cols, num_buckets)
@@ -2190,7 +2223,7 @@ def publish_dataset(
             staging=staging,
             run_id=run_id,
             metrics=metrics,
-            sort_by=cluster_by,
+            sort_by="_z" if zcols is not None else cluster_by,
         ),
         batch_format="pyarrow",
     )
@@ -2200,14 +2233,14 @@ def publish_dataset(
         # clustered layouts advertise no key-hash modulus: a key's bucket is
         # not derivable from the key, so lookup_key falls back to its
         # footer-stats pruning path over all buckets
-        "num_buckets": None if cluster_by is not None else num_buckets,
+        "num_buckets": None if (cluster_by is not None or zcols is not None) else num_buckets,
         "buckets": sorted(all_manifests),
         "rows_total": int(sum(m["rows_out"] for m in all_manifests.values())),
         "last_run_id": run_id,
         "generic": True,
     }
-    if cluster_by is not None:
-        tman["cluster_by"] = cluster_by
+    if cluster_by is not None or zcols is not None:
+        tman["cluster_by"] = zcols if zcols is not None else cluster_by
     _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
     snap = record_snapshot(out_dir, "publish_dataset")
     return {

@@ -235,3 +235,124 @@ def bucket_of_range(t: pa.Table, cluster_by: str, bounds: list) -> "np.ndarray":
         arr = np.asarray(bounds, dtype=object)
         b[valid] = np.searchsorted(arr, vals[valid], side="left")
     return b
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-column) clustering: the Delta OPTIMIZE ZORDER analog.
+# Each column is rank-quantized against a sampled quantile reference
+# (2^Z_BITS levels), the per-column ranks are bit-interleaved into one
+# z-value, and the table range-buckets + sorts on that z-value. Files then
+# hold small hyper-rectangles of the multi-column space, so footer stats
+# prune on EVERY clustered column (the read side needs no changes —
+# file_may_match already consults per-column min/max).
+# ---------------------------------------------------------------------------
+
+Z_BITS = 10  # 1024 rank levels per column
+
+
+def _zref_of(ds, cols: list[str], sample_cap: int = 262144) -> dict[str, list]:
+    """Per-column quantile reference vectors from one bounded sample pass."""
+    import numpy as np
+
+    cap_per_batch = max(64, sample_cap // 256)
+
+    def thin(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = t.column(c).combine_chunks().drop_null()
+            if len(col) > cap_per_batch:
+                idx = np.linspace(0, len(col) - 1, cap_per_batch).astype(np.int64)
+                col = col.take(pa.array(idx))
+            out[c] = col
+        n = max((len(v) for v in out.values()), default=0)
+        # pad to equal length (null-padded, dropped on the driver)
+        return pa.table(
+            {c: pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
+                                  pa.nulls(n - len(v), t.schema.field(c).type)])
+             for c, v in out.items()}
+        )
+
+    parts = ds.select_columns(cols).map_batches(thin, batch_format="pyarrow").take_all()
+    zref = {}
+    levels = 1 << Z_BITS
+    for c in cols:
+        vals = sorted(r[c] for r in parts if r[c] is not None)
+        if not vals:
+            zref[c] = []
+            continue
+        pos = np.linspace(0, len(vals) - 1, min(levels - 1, len(vals))).astype(np.int64)
+        ref = []
+        for p in pos:
+            v = vals[int(p)]
+            if not ref or v > ref[-1]:
+                ref.append(v)
+        zref[c] = ref
+    return zref
+
+
+def _rank_of(col: pa.ChunkedArray, ref: list) -> "np.ndarray":
+    import numpy as np
+
+    n = len(col)
+    out = np.zeros(n, dtype=np.int64)
+    if not ref:
+        return out
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    vals = col.combine_chunks().to_numpy(zero_copy_only=False)
+    arr = np.asarray(ref, dtype=object)
+    out[valid] = np.searchsorted(arr, vals[valid], side="left")
+    # scale to the FULL bit range: a low-cardinality column (few quantile
+    # levels) must still populate the HIGH interleave bits, or it never
+    # influences file boundaries and its predicates stop pruning
+    levels = 1 << Z_BITS
+    out = (out * (levels - 1)) // max(len(ref), 1)
+    return np.minimum(out, levels - 1)
+
+
+def zvalue_of(t: pa.Table, cols: list[str], zref: dict[str, list]) -> "np.ndarray":
+    """Bit-interleaved z-value per row (vectorized: Z_BITS × len(cols)
+    shift-and-mask passes, no Python per-row work)."""
+    import numpy as np
+
+    k = len(cols)
+    z = np.zeros(len(t), dtype=np.int64)
+    ranks = [_rank_of(t.column(c), zref[c]) for c in cols]
+    for b in range(Z_BITS):
+        for i, r in enumerate(ranks):
+            z |= ((r >> b) & 1) << (b * k + i)
+    return z
+
+
+def zorder_layout(ds, cols: list[str], num_buckets: int) -> dict:
+    """Sample once, build the rank reference and the z-value bucket bounds
+    (both pinned in ``_layout.json`` before staging, like 1-D clustering)."""
+    import numpy as np
+
+    for c in cols:
+        f = ds.schema().base_schema.field(c)
+        if not (pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+                or pa.types.is_string(f.type) or pa.types.is_large_string(f.type)):
+            raise ValueError(
+                f"zorder column {c!r} has type {f.type}; numeric and string "
+                "columns are supported"
+            )
+    zref = _zref_of(ds, cols)
+    sample = ds.select_columns(cols).limit(262144).to_pandas()
+    st = pa.Table.from_pandas(sample, preserve_index=False)
+    zs = np.sort(zvalue_of(st, cols, zref))
+    bounds = []
+    for i in range(1, num_buckets):
+        v = int(zs[int(round(i / num_buckets * (len(zs) - 1)))]) if len(zs) else 0
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return {"zref": zref, "bounds": bounds}
+
+
+def bucket_of_zorder(t: pa.Table, cols: list[str], zref: dict[str, list],
+                     bounds: list) -> "np.ndarray":
+    import numpy as np
+
+    z = zvalue_of(t, cols, zref)
+    if not bounds:
+        return np.zeros(len(t), dtype=np.int64)
+    return np.searchsorted(np.asarray(bounds, dtype=np.int64), z, side="left")

@@ -774,6 +774,34 @@ def q_transcript_clustered_read(sf_dir: str):
     )
 
 
+def q_transcript_zorder_read(sf_dir: str):
+    """Z-ordered serving copy (``cluster_by=['role','score']`` — per-column
+    rank quantization, bit-interleaved z-value, range-bucketed and sorted on
+    it) read back with a conjunctive predicate on BOTH clustered columns:
+    footer stats prune files on each, and the result equals the plain SQL
+    filter."""
+    import shutil
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+    from odibel_ray.tuning import default_num_buckets
+
+    full = ensure_full_published(sf_dir)
+    serving = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_zordered")
+    shutil.rmtree(serving, ignore_errors=True)
+    publish_dataset(
+        read_published(full),
+        serving,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=default_num_buckets(),
+        cluster_by=["role", "score"],
+        run_id="z1",
+    )
+    return read_published(
+        serving, system=True,
+        where=[("role", "==", "assistant"), ("score", ">=", 0.9)],
+    )
+
+
 #: Deterministic key for the point-lookup query — present in the converged
 #: final state at every test scale factor (verified sf0.001/0.01/0.1).
 _LOOKUP_CONV = "conv_00000007"
@@ -2791,6 +2819,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_join_view": q_transcript_join_view,
     "transcript_pipeline_sync": q_transcript_pipeline_sync,
     "transcript_ddl_materialized": q_transcript_ddl_materialized,
+    "transcript_zorder_read": q_transcript_zorder_read,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3223,6 +3252,9 @@ LEFT JOIN (
         # clustered serving copy + zone-map pruned range read = plain filter
         "transcript_clustered_read": f"""
 SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",
+        # z-ordered serving copy + two-column pruned read = plain filter
+        "transcript_zorder_read": f"""
+SELECT * FROM ({t_final}) WHERE role = 'assistant' AND score >= 0.9""",
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,

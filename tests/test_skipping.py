@@ -185,3 +185,71 @@ def test_bucket_of_range_assignment():
 def test_where_expr_builds():
     e = where_expr([("a", ">=", 1), ("b", "in", ["x"]), ("c", "is_null", None)])
     assert e is not None
+
+
+def test_zorder_publish_prunes_both_columns(ray_session, tmp_path):
+    """Multi-column cluster_by publishes a Z-ORDERED layout: predicates on
+    EITHER clustered column prune files, a conjunctive predicate on both
+    prunes hardest, and every read matches the plain filter."""
+    import numpy as np
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published, upsert_published
+
+    rng = np.random.default_rng(7)
+    n = 40000
+    t = pa.table({
+        "k": np.arange(n).astype(str),
+        "x": rng.uniform(0, 100, n),
+        "cat": rng.choice(list("abcdefgh"), n).astype(object),
+    })
+    out = str(tmp_path / "z")
+    publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=16,
+                    run_id="p1", cluster_by=["x", "cat"])
+    df = t.to_pandas()
+
+    def prune(where):
+        stats = {}
+        got = read_published(out, where=where, prune_stats=stats).to_pandas()
+        return got, stats
+
+    got, s1 = prune([("x", "<", 10.0)])
+    assert len(got) == (df.x < 10).sum() and s1["files_read"] < s1["files_total"]
+    got, s2 = prune([("cat", "==", "a")])
+    assert len(got) == (df.cat == "a").sum() and s2["files_read"] < s2["files_total"]
+    got, s3 = prune([("x", "<", 10.0), ("cat", "==", "a")])
+    assert len(got) == ((df.x < 10) & (df.cat == "a")).sum()
+    assert s3["files_read"] <= min(s1["files_read"], s2["files_read"])
+    # full read equals the source; no _z helper column leaks
+    full = read_published(out).to_pandas()
+    assert len(full) == n and list(full.columns) == ["k", "x", "cat"]
+    # clustered layouts are serving copies: upserts refused
+    with pytest.raises(ValueError, match="range-clustered"):
+        upsert_published(
+            rd.from_arrow(pa.table({"k": ["zz"], "x": [1.0], "cat": ["a"]})),
+            out, run_id="u1",
+        )
+
+
+def test_zorder_resume_reuses_layout(ray_session, tmp_path):
+    """A killed z-ordered publish resumed under a different run reuses the
+    pinned zref/bounds (re-ranking against a new sample would misroute
+    rows); a different column list is refused."""
+    import numpy as np
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": np.arange(1000).astype(str), "x": rng.uniform(size=1000),
+                  "cat": rng.choice(list("ab"), 1000).astype(object)})
+    out = str(tmp_path / "z")
+    publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=4,
+                    run_id="p1", cluster_by=["x", "cat"])
+    # resume (idempotent re-publish) under another run id: same layout
+    publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=4,
+                    run_id="p2", cluster_by=["x", "cat"])
+    assert read_published(out).count() == 1000
+    with pytest.raises(ValueError, match="laid out with cluster_by"):
+        publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=4,
+                        run_id="p3", cluster_by=["cat", "x"])
