@@ -103,6 +103,7 @@ def refresh_pipeline(
     batch_size: int = 65536,
     chain_feeds: bool = False,
     base_feeds: Mapping[str, str] | None = None,
+    modes: Mapping[str, str] | None = None,
 ) -> dict:
     """Refresh every listed maintained table in dependency order.
 
@@ -129,7 +130,12 @@ def refresh_pipeline(
     node whose upstream is that base consumes it instead of diffing the
     base. Contract: the feed must cover every change since each consumer's
     pinned version (``tail_log`` guarantees this by converging downstream
-    once before switching to per-round feeds)."""
+    once before switching to per-round feeds).
+
+    ``modes[table]='mor'`` runs that node's refresh as a merge-on-read
+    upsert (delta append, no bucket rewrite — the high-frequency setting);
+    a MOR node cannot emit a chained feed, so its downstream falls back to
+    snapshot diffs."""
     import shutil
 
     from odibel_ray.cdc.derived import refresh_derived
@@ -139,6 +145,7 @@ def refresh_pipeline(
 
     strategies = dict(strategies or {})
     feeds = dict(feeds or {})
+    modes = dict(modes or {})
     order = plan_pipeline(tables)
     has_downstream = {
         u for node in order for u in node["upstreams"]
@@ -181,8 +188,9 @@ def refresh_pipeline(
                 if fresh and has_rows:
                     feed = fdir
                 break  # at most one feed-bearing upstream (left/base)
+        node_mode = modes.get(t, "cow")
         emit = None
-        if chain_feeds and t in has_downstream:
+        if chain_feeds and t in has_downstream and node_mode == "cow":
             emit = os.path.join(t, "_feeds", run_id)
             shutil.rmtree(emit, ignore_errors=True)
             snaps = list_snapshots(t)
@@ -191,18 +199,18 @@ def refresh_pipeline(
             kw = {"strategy": strategies[t]} if t in strategies else {}
             results[t] = refresh_derived(
                 t, run_id=rid, feed=feed, batch_size=batch_size,
-                emit_feed=emit, **kw
+                emit_feed=emit, mode=node_mode, **kw
             )
         elif kind == MVIEW:
             kw = {"strategy": strategies[t]} if t in strategies else {}
             results[t] = refresh_view(
                 t, run_id=rid, feed=feed, batch_size=batch_size,
-                emit_feed=emit, **kw
+                emit_feed=emit, mode=node_mode, **kw
             )
         else:
             results[t] = refresh_join_view(
                 t, run_id=rid, left_feed=feed, batch_size=batch_size,
-                emit_feed=emit,
+                emit_feed=emit, mode=node_mode,
             )
     for fdir, _ in emitted.values():  # consumed synchronously above
         shutil.rmtree(fdir, ignore_errors=True)

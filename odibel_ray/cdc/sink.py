@@ -578,6 +578,30 @@ def list_snapshots(out_dir: str) -> list[dict]:
     return sorted(out, key=lambda s: s["version"])
 
 
+def version_at(out_dir: str, as_of) -> int:
+    """Resolve a wall-clock timestamp to the newest retained snapshot taken
+    at or before it (Delta's ``TIMESTAMP AS OF``). ``as_of`` is a unix
+    timestamp or an ISO-8601 string (naive = UTC)."""
+    if isinstance(as_of, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(as_of)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        as_of = dt.timestamp()
+    best = None
+    for s in list_snapshots(out_dir):
+        if s.get("unix_ts", 0) <= float(as_of):
+            best = s["version"]
+    if best is None:
+        have = [s["version"] for s in list_snapshots(out_dir)]
+        raise FileNotFoundError(
+            f"no retained snapshot at or before {as_of} under {out_dir} "
+            f"(retained versions: {have})"
+        )
+    return best
+
+
 def snapshot_manifests(out_dir: str, version: int) -> dict[int, dict]:
     """The frozen per-bucket manifest set of one retained version."""
     path = _snapshot_path(out_dir, version)
@@ -910,6 +934,7 @@ def read_published(
     system: bool = False,
     parallelism: int = -1,
     version: int | None = None,
+    as_of=None,
     columns: list[str] | None = None,
     where: list | None = None,
     prune_stats: dict | None = None,
@@ -930,7 +955,9 @@ def read_published(
     ``version=V`` time-travels: the read resolves bucket files from retained
     snapshot V (see :func:`enable_snapshots`) instead of the live manifests —
     identical merge semantics, including any merge-on-read deltas the
-    snapshot carried.
+    snapshot carried. ``as_of=<unix ts | ISO-8601 string>`` resolves the
+    newest retained snapshot at or before that wall-clock instant
+    (``TIMESTAMP AS OF``) and reads it the same way.
 
     ``where=[(col, op, value), ...]`` is a conjunctive predicate with SQL
     NULL semantics (ops ``== != < <= > >= in not_in is_null not_null``)
@@ -950,6 +977,10 @@ def read_published(
         where_expr,
     )
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        version = version_at(out_dir, as_of)
     manifests = (
         snapshot_manifests(out_dir, version) if version is not None else load_manifests(out_dir)
     )
@@ -1355,6 +1386,98 @@ def table_changes(
     old = read_published(out_dir, version=from_version, columns=cols, system=True)
     new = read_published(out_dir, version=to_version, columns=cols, system=True)
     return change_feed(old, new, keys, values)
+
+
+def fsck_table(out_dir: str) -> dict:
+    """Integrity check of a published table — the operator's fsck. Verifies,
+    from metadata and Parquet footers only (no Ray session, no data read):
+
+    - every bucket manifest's base file and delta files exist with the
+      manifested row counts (``load_manifests`` silently DROPS broken
+      manifests so readers stay safe; this reports them);
+    - every retained snapshot's referenced files still exist (time travel
+      would fail otherwise);
+    - all base files share one physical schema (unless a DDL op log / an
+      in-flight ``materialize_ddl`` legitimately mixes generations);
+    - stale staging dirs / orphan root data files (vacuum fodder, not
+      corruption) and a dead lease holder are reported as warnings.
+
+    Returns ``{ok, errors: [...], warnings: [...]}`` — ``ok`` means no
+    errors (warnings allowed)."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {"ok": False, "errors": [f"no manifest dir under {out_dir}"], "warnings": []}
+
+    referenced: set[str] = set()
+    base_files: list[str] = []
+    for fn in sorted(os.listdir(mdir)):
+        if not (fn.startswith("bucket-") and fn.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, fn)) as f:
+            m = json.load(f)
+        entries = [(m["file"], int(m["rows_out"]), "base")]
+        entries += [(d["file"], int(d["rows_out"]), "delta") for d in m.get("deltas", [])]
+        for path, rows, kind in entries:
+            referenced.add(path)
+            full = os.path.join(out_dir, path)
+            if not os.path.exists(full):
+                errors.append(f"bucket {m['bucket']}: {kind} file missing: {path}")
+            elif pq.read_metadata(full).num_rows != rows:
+                errors.append(
+                    f"bucket {m['bucket']}: {kind} {path} has "
+                    f"{pq.read_metadata(full).num_rows} rows, manifest says {rows}"
+                )
+            elif kind == "base":
+                base_files.append(full)
+
+    for snap in list_snapshots(out_dir):
+        for b, m in snap["buckets"].items():
+            for path in [m["file"], *(d["file"] for d in m.get("deltas", []))]:
+                referenced.add(path)
+                if not os.path.exists(os.path.join(out_dir, path)):
+                    errors.append(
+                        f"snapshot v{snap['version']} bucket {b}: file missing: {path}"
+                    )
+
+    # one-physical-schema invariant (DDL generations excepted)
+    from odibel_ray.cdc.ddl import SCHEMA_OPS
+
+    if base_files and not os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
+        schemas = {str(pq.read_schema(f)) for f in base_files}
+        if len(schemas) > 1:
+            errors.append(
+                f"{len(schemas)} distinct physical schemas across base files "
+                "(a crashed materialize_ddl? its op log is gone)"
+            )
+
+    sdir = os.path.join(out_dir, STAGING_DIR)
+    if os.path.isdir(sdir):
+        # empty per-run dirs are normal post-publish residue; only staged
+        # FILES mean a run died before promoting its work
+        leftover = [
+            d for d in os.listdir(sdir)
+            if os.path.isdir(os.path.join(sdir, d)) and os.listdir(os.path.join(sdir, d))
+        ]
+        if leftover:
+            warnings.append(f"{len(leftover)} staging dir(s) with files (vacuum)")
+    for fn in os.listdir(out_dir):
+        if (fn.startswith("part-") or fn.startswith("delta-")) and fn.endswith(".parquet"):
+            if fn not in referenced:
+                warnings.append(f"orphan data file {fn} (vacuum)")
+    lock = os.path.join(out_dir, "_LOCK.json")
+    if os.path.exists(lock):
+        try:
+            with open(lock) as f:
+                holder = json.load(f)
+            pid = int(holder.get("pid", -1))
+            alive = pid > 0 and os.path.exists(f"/proc/{pid}")
+        except Exception:
+            alive = False
+        if not alive:
+            warnings.append("stale writer lease (_LOCK.json, holder dead)")
+    return {"ok": not errors, "errors": errors, "warnings": warnings}
 
 
 def lineage_table(out_dir: str) -> pa.Table:

@@ -225,6 +225,13 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--buckets", action="store_true",
                     help="include the per-bucket breakdown")
 
+    fk = sub.add_parser(
+        "fsck",
+        help="integrity check: manifests vs files, snapshot refs, schema "
+             "uniformity, stale leases (metadata + footers only)",
+    )
+    fk.add_argument("--table", required=True)
+
     cv = sub.add_parser(
         "create-view",
         help="materialize an aggregate view over a published table",
@@ -336,6 +343,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(restore_snapshot(args.table, args.version, run_id=args.run_id)))
         return 0
+
+    if args.cmd == "fsck":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.sink import fsck_table
+
+        res = fsck_table(args.table)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed
         from odibel_ray.cdc.sink import table_stats

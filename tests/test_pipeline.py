@@ -153,3 +153,26 @@ def test_tail_with_downstream(ray_session, dag, oracle_final):
     assert len(got_view) == len(exp_silver)
     got_gold = read_view(dag["gold"]).to_pandas()
     assert got_gold["n"].sum() == len(exp_silver)
+
+
+def test_pipeline_modes_mor(ray_session, dag, oracle_final):
+    """modes={table: 'mor'}: the node's refresh appends deltas instead of
+    rewriting buckets; the DAG still converges."""
+    from odibel_ray.cdc.sink import load_manifests
+
+    incremental_apply(dag["log"], dag["bronze"], run_id="r2")
+    res = refresh_pipeline(
+        [dag["gold"], dag["silver"], dag["view"]], run_id="p1",
+        modes={dag["silver"]: "mor"},
+    )
+    assert all(r["refreshed"] for r in res["results"].values())
+    assert any(m.get("deltas") for m in load_manifests(dag["silver"]).values())
+    exp = _silver_expected(oracle_final)
+    got = (
+        read_published(dag["silver"], system=True).to_pandas()
+        .sort_values(KEYS).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp.sort_values(KEYS).reset_index(drop=True),
+        check_dtype=False, atol=1e-9,
+    )

@@ -236,3 +236,75 @@ def test_no_policy_means_no_snapshots(ray_session, prefixed, tmp_path):
     assert list_snapshots(out) == []
     with pytest.raises(FileNotFoundError):
         read_published(out, version=1)
+
+
+def test_as_of_timestamp_time_travel(ray_session, small_log, tmp_path):
+    """read_published(as_of=...) resolves the newest retained snapshot at or
+    before a wall-clock instant (unix ts or ISO string)."""
+    import time as _time
+
+    import pytest
+
+    from odibel_ray.cdc.sink import (
+        enable_snapshots,
+        incremental_apply,
+        list_snapshots,
+        read_published,
+        replay_publish,
+    )
+    from odibel_ray.datagen import split_log
+
+    prefix = str(tmp_path / "prefix")
+    split_log(small_log["log_dir"], prefix, frac=0.6)
+    out = str(tmp_path / "t")
+    enable_snapshots_dir = out  # readability
+    import os as _os
+
+    _os.makedirs(out, exist_ok=True)
+    enable_snapshots(enable_snapshots_dir, keep_last=4)
+    replay_publish(_os.path.join(prefix, "change_log"), out, num_buckets=4, run_id="r1")
+    v1_rows = read_published(out).count()
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    incremental_apply(small_log["log_dir"], out, run_id="r2")
+    v2_rows = read_published(out).count()
+    snaps = list_snapshots(out)
+    assert len(snaps) == 2
+    assert read_published(out, as_of=t_mid).count() == v1_rows
+    assert read_published(out, as_of=_time.time()).count() == v2_rows
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t_mid, tz=timezone.utc).isoformat()
+    assert read_published(out, as_of=iso).count() == v1_rows
+    with pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        read_published(out, as_of=snaps[0]["unix_ts"] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        read_published(out, version=1, as_of=t_mid)
+
+
+def test_fsck_table(ray_session, small_log, tmp_path):
+    """fsck: clean table OK; a truncated data file and a broken snapshot ref
+    are errors; staging leftovers and orphans are warnings."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from odibel_ray.cdc.sink import fsck_table, load_manifests, replay_publish
+
+    out = str(tmp_path / "t")
+    replay_publish(small_log["log_dir"], out, num_buckets=4, run_id="r1")
+    res = fsck_table(out)
+    assert res["ok"] and res["errors"] == []
+    # warnings: stage a leftover + an orphan root file
+    _os.makedirs(_os.path.join(out, "_staging", "ghost"), exist_ok=True)
+    pq.write_table(pa.table({"x": [1]}),
+                   _os.path.join(out, "_staging", "ghost", "stuck.parquet"))
+    pq.write_table(pa.table({"x": [1]}), _os.path.join(out, "part-999999-x.parquet"))
+    res = fsck_table(out)
+    assert res["ok"] and len(res["warnings"]) >= 2
+    # error: truncate a manifested file
+    m = next(iter(load_manifests(out).values()))
+    pq.write_table(pa.table({"x": [1]}), _os.path.join(out, m["file"]))
+    res = fsck_table(out)
+    assert not res["ok"] and any("rows" in e or "missing" in e for e in res["errors"])
