@@ -1501,6 +1501,18 @@ def lineage_table(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def _stats_schema_ops(out_dir: str) -> list[dict]:
+    from odibel_ray.cdc.ddl import load_schema_ops
+
+    return load_schema_ops(out_dir)
+
+
+def _stats_expectations(out_dir: str) -> list[list]:
+    from odibel_ray.cdc.quality import get_expectations
+
+    return get_expectations(out_dir)
+
+
 def table_stats(out_dir: str) -> dict:
     """Physical health report of a published table — the operator's
     ``DESCRIBE``: logical/physical row counts, bytes, merge-on-read delta
@@ -1552,6 +1564,12 @@ def table_stats(out_dir: str) -> dict:
         else 0.0,
         "schema_version": tman.get("schema_version"),
         "last_run_id": tman.get("last_run_id"),
+        "write_seq": tman.get("write_seq"),
+        "cluster_by": tman.get("cluster_by"),
+        # pending metadata-only DDL ops and the CHECK constraint, so DESCRIBE
+        # shows the table's full logical contract, not just its bytes
+        "schema_ops": _stats_schema_ops(out_dir),
+        "expectations": _stats_expectations(out_dir),
         "snapshot_policy": snapshot_policy(out_dir),
         "snapshots": [
             {"version": s["version"], "op": s["op"], "rows_total": s["rows_total"]}

@@ -402,3 +402,26 @@ def test_table_stats_reports_delta_backlog(ray_session, small_log, tmp_path):
     s2 = table_stats(out)
     assert s2["deltas_total"] == 0 and s2["buckets_with_deltas"] == 0
     assert len(s2["buckets"]) == 8
+
+
+def test_table_stats_reports_logical_contract(ray_session, tmp_path):
+    """DESCRIBE surfaces the table's logical contract: pending DDL ops, the
+    CHECK constraint, clustering and the write sequence."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.cdc import alter_published, set_expectations
+    from odibel_ray.cdc.sink import publish_dataset, table_stats, upsert_published
+
+    out = str(tmp_path / "t")
+    publish_dataset(rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]})), out,
+                    key_cols=["k"], num_buckets=1, run_id="p1")
+    alter_published(out, rename={"v": "value"})
+    set_expectations(out, [["value", ">=", 0.0]])
+    upsert_published(rd.from_arrow(pa.table({"k": ["b"], "value": [2.0]})), out,
+                     run_id="u1", mode="mor")
+    s = table_stats(out)
+    assert s["schema_ops"] == [{"kind": "rename", "from": "v", "to": "value"}]
+    assert s["expectations"] == [["value", ">=", 0.0]]
+    assert s["write_seq"] == 1 and s["cluster_by"] is None
+    assert s["deltas_total"] == 1
