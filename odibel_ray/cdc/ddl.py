@@ -37,6 +37,12 @@ CURRENT mapping to the old files.
 
 Key columns are pinned by the layout (``_layout.json``) and cannot be
 renamed or dropped.
+
+Downstream contract: a maintained table (derived/mview/joinview) pins its
+base's column names AT CREATE TIME in its own meta. Renaming or dropping a
+column those specs reference makes the next refresh fail LOUDLY
+(``no such column``) — never a silent wrong answer; recreate the
+downstream table against the new names.
 """
 
 from __future__ import annotations

@@ -324,3 +324,28 @@ def test_materialize_crash_window_reads(ray_session, gen, monkeypatch):
     r = materialize_ddl(gen, run_id="ignored-the-stamp-wins")
     assert r["materialized"] == 1 and load_schema_ops(gen) == []
     pd.testing.assert_frame_equal(_df(read_published(gen)), before)
+
+
+def test_base_rename_breaks_downstream_loudly(ray_session, tmp_path):
+    """Renaming a base column referenced by a downstream maintained table's
+    spec makes the refresh fail LOUDLY (stale spec), never silently."""
+    import ray.data as rd
+
+    from odibel_ray.cdc import create_derived, refresh_derived
+
+    base = str(tmp_path / "base")
+    publish_dataset(
+        rd.from_arrow(pa.table({"k": ["a", "b"], "score": [0.1, 0.9],
+                                "role": ["u", "a"]})),
+        base, key_cols=["k"], num_buckets=1, run_id="p1",
+    )
+    d = str(tmp_path / "d")
+    create_derived(base, d, transform={"where": [["score", ">=", 0.5]],
+                                       "columns": ["role"], "derive": {}}, run_id="d0")
+    alter_published(base, rename={"score": "quality"})
+    upsert_published(
+        rd.from_arrow(pa.table({"k": ["c"], "quality": [0.8], "role": ["u"]})),
+        base, run_id="u1",
+    )
+    with pytest.raises(KeyError, match="score"):
+        refresh_derived(d, run_id="r1")
