@@ -184,30 +184,64 @@ def prune_files(paths: list[str], where: Sequence[Sequence]) -> list[str]:
     return [p for p in paths if file_may_match(p, where)]
 
 
-def cluster_bounds(ds, cluster_by: str, num_buckets: int, sample_cap: int = 262144) -> list:
-    """Range-bucket boundaries for a clustered publish: approximate
-    quantiles of ``cluster_by`` from a bounded uniform sample. One
-    column-pruned pass; per-batch reservoir-ish thinning keeps at most
-    ``sample_cap`` values on the driver regardless of table size."""
+def _thin_list(vals: list, cap: int) -> list:
     import numpy as np
 
-    cap_per_batch = max(64, sample_cap // 256)
+    if len(vals) <= cap:
+        return vals
+    idx = np.linspace(0, len(vals) - 1, cap).astype(np.int64)
+    return [vals[int(i)] for i in idx]
 
-    def thin(t: pa.Table) -> pa.Table:
-        col = t.column(cluster_by).combine_chunks()
-        col = col.drop_null()
-        if len(col) > cap_per_batch:
-            idx = np.linspace(0, len(col) - 1, cap_per_batch).astype(np.int64)
-            col = col.take(pa.array(idx))
-        return pa.table({cluster_by: col})
 
-    samples = ds.select_columns([cluster_by]).map_batches(
-        thin, batch_format="pyarrow"
-    ).take_all()
-    vals = sorted(s[cluster_by] for s in samples)
-    if len(vals) > sample_cap:
-        idx = np.linspace(0, len(vals) - 1, sample_cap).astype(np.int64)
-        vals = [vals[i] for i in idx]
+def bounded_column_sample(ds, cols: list[str], cap: int = 262144) -> dict[str, list]:
+    """Bounded uniform sample of each column via a distributed tree
+    aggregation: every accumulator (block-side AND every pairwise merge) is
+    thinned back to ``cap`` values per column, so memory is O(cap) at every
+    node and on the driver REGARDLESS of block count — a plain
+    collect-then-thin grows with the number of blocks and dies at 100 TB.
+    One column-pruned streaming pass; returns per-column value lists
+    (uniform subsamples, unsorted)."""
+    import pickle
+
+    from ray.data.aggregate import AggregateFn
+
+    per_block = max(64, cap // 64)
+    # accumulators ride Ray Data's aggregate machinery as Arrow blocks, so
+    # the state is pickled bytes (Arrow binary), not Python containers
+    empty = pickle.dumps([[] for _ in cols])
+
+    def acc_block(a, t):
+        state = pickle.loads(a or empty)
+        for i, c in enumerate(cols):
+            col = t.column(c).combine_chunks().drop_null()
+            state[i].extend(_thin_list(col.to_pylist(), per_block))
+            if len(state[i]) > cap:
+                state[i] = _thin_list(state[i], cap)
+        return pickle.dumps(state)
+
+    def merge(a, b):
+        sa, sb = pickle.loads(a or empty), pickle.loads(b or empty)
+        return pickle.dumps(
+            [_thin_list(sa[i] + sb[i], cap) for i in range(len(cols))]
+        )
+
+    agg = AggregateFn(
+        init=lambda k: empty,
+        merge=merge,
+        accumulate_block=acc_block,
+        name="sample",
+    )
+    out = ds.select_columns(cols).aggregate(agg) or {}
+    acc = pickle.loads(out.get("sample") or empty)
+    return {c: acc[i] for i, c in enumerate(cols)}
+
+
+def cluster_bounds(ds, cluster_by: str, num_buckets: int, sample_cap: int = 262144) -> list:
+    """Range-bucket boundaries for a clustered publish: approximate
+    quantiles of ``cluster_by`` from a bounded uniform sample
+    (:func:`bounded_column_sample` — memory O(sample_cap) everywhere, any
+    table size)."""
+    vals = sorted(bounded_column_sample(ds, [cluster_by], sample_cap)[cluster_by])
     if not vals:
         return []
     # num_buckets-1 interior split points (deduplicated — skewed columns
@@ -250,33 +284,52 @@ def bucket_of_range(t: pa.Table, cluster_by: str, bounds: list) -> "np.ndarray":
 Z_BITS = 10  # 1024 rank levels per column
 
 
-def _zref_of(ds, cols: list[str], sample_cap: int = 262144) -> dict[str, list]:
-    """Per-column quantile reference vectors from one bounded sample pass."""
+def bounded_row_sample(ds, cols: list[str], cap: int = 262144) -> list[tuple]:
+    """Bounded uniform sample of aligned ROWS (same tree-thinned aggregation
+    as :func:`bounded_column_sample`, memory O(cap) everywhere) — for
+    statistics that need the columns jointly, like z-value quantiles."""
+    import pickle
+
     import numpy as np
 
-    cap_per_batch = max(64, sample_cap // 256)
+    from ray.data.aggregate import AggregateFn
 
-    def thin(t: pa.Table) -> pa.Table:
-        out = {}
-        for c in cols:
-            col = t.column(c).combine_chunks().drop_null()
-            if len(col) > cap_per_batch:
-                idx = np.linspace(0, len(col) - 1, cap_per_batch).astype(np.int64)
-                col = col.take(pa.array(idx))
-            out[c] = col
-        n = max((len(v) for v in out.values()), default=0)
-        # pad to equal length (null-padded, dropped on the driver)
-        return pa.table(
-            {c: pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
-                                  pa.nulls(n - len(v), t.schema.field(c).type)])
-             for c, v in out.items()}
+    per_block = max(64, cap // 64)
+    empty = pickle.dumps([])
+
+    def acc_block(a, t):
+        t = t.combine_chunks()
+        n = len(t)
+        if n > per_block:
+            idx = np.linspace(0, n - 1, per_block).astype(np.int64)
+            t = t.take(pa.array(idx))
+        state = pickle.loads(a or empty)
+        state.extend(zip(*(t.column(c).to_pylist() for c in cols)))
+        return pickle.dumps(_thin_list(state, cap))
+
+    def merge(a, b):
+        return pickle.dumps(
+            _thin_list(pickle.loads(a or empty) + pickle.loads(b or empty), cap)
         )
 
-    parts = ds.select_columns(cols).map_batches(thin, batch_format="pyarrow").take_all()
+    agg = AggregateFn(
+        init=lambda k: empty,
+        merge=merge,
+        accumulate_block=acc_block,
+        name="rows",
+    )
+    out = ds.select_columns(cols).aggregate(agg) or {}
+    return pickle.loads(out.get("rows") or empty)
+
+
+def _zref_from_rows(rows: list[tuple], cols: list[str]) -> dict[str, list]:
+    """Per-column quantile reference vectors from the joint row sample."""
+    import numpy as np
+
     zref = {}
     levels = 1 << Z_BITS
-    for c in cols:
-        vals = sorted(r[c] for r in parts if r[c] is not None)
+    for i, c in enumerate(cols):
+        vals = sorted(r[i] for r in rows if r[i] is not None)
         if not vals:
             zref[c] = []
             continue
@@ -324,8 +377,10 @@ def zvalue_of(t: pa.Table, cols: list[str], zref: dict[str, list]) -> "np.ndarra
 
 
 def zorder_layout(ds, cols: list[str], num_buckets: int) -> dict:
-    """Sample once, build the rank reference and the z-value bucket bounds
-    (both pinned in ``_layout.json`` before staging, like 1-D clustering)."""
+    """ONE bounded row-sample pass builds both the rank reference and the
+    z-value bucket bounds (pinned in ``_layout.json`` before staging, like
+    1-D clustering). The sample aggregation is tree-thinned, so layout
+    construction is O(sample cap) memory at any table size."""
     import numpy as np
 
     for c in cols:
@@ -336,10 +391,10 @@ def zorder_layout(ds, cols: list[str], num_buckets: int) -> dict:
                 f"zorder column {c!r} has type {f.type}; numeric and string "
                 "columns are supported"
             )
-    zref = _zref_of(ds, cols)
-    sample = ds.select_columns(cols).limit(262144).to_pandas()
-    st = pa.Table.from_pandas(sample, preserve_index=False)
-    zs = np.sort(zvalue_of(st, cols, zref))
+    rows = bounded_row_sample(ds, cols)
+    zref = _zref_from_rows(rows, cols)
+    st = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+    zs = np.sort(zvalue_of(st, cols, zref)) if len(st) else np.array([], np.int64)
     bounds = []
     for i in range(1, num_buckets):
         v = int(zs[int(round(i / num_buckets * (len(zs) - 1)))]) if len(zs) else 0
