@@ -1987,6 +1987,50 @@ def q_doc_prefix_dedup(sf_dir: str):
     return exact_dedup(keyed, ["prefix_key"], tie_break="doc_id")
 
 
+def q_doc_chunks(sf_dir: str):
+    """LLM-context chunking: each document split into sliding 200-char
+    windows with 50-char overlap (stride 150; the short tail chunk is kept).
+    Vectorized per CHUNK INDEX, not per row — one scalar-window slice kernel
+    over all still-long-enough docs per index."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import chunk_documents
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(docs, size=200, overlap=50)
+    return out.select_columns(["doc_id", "chunk_idx", "chunk"])
+
+
+def q_doc_redacted_stats(sf_dir: str):
+    """Regex redaction (PII-scrub shape): digit runs replaced with '#',
+    per-language totals of redaction counts and redacted lengths — one
+    vectorized replace/count kernel pair per batch."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import redact
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    red = redact(docs, pattern="[0-9]+", replacement="#")
+
+    def lens(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "lang": t["lang"],
+            "n_redactions": t["n_redactions"],
+            "red_len": pc.cast(pc.utf8_length(t["redacted"]), pa.int64()),
+        })
+
+    return (
+        red.map_batches(lens, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_redactions", alias_name="n_red"),
+            Sum("red_len", alias_name="sum_red_len"),
+        )
+    )
+
+
 def q_doc_quality(sf_dir: str):
     from odibel_ray.ops.relational import load_table
     from odibel_ray.text import add_token_count
@@ -2854,6 +2898,8 @@ QUERIES: dict[str, Callable] = {
     "doc_regex_token_stats": q_doc_regex_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_quality": q_doc_quality,
+    "doc_chunks": q_doc_chunks,
+    "doc_redacted_stats": q_doc_redacted_stats,
     "er_pairs_blocking": q_er_pairs_blocking,
     "er_pair_stats": q_er_pair_stats,
     "er_cluster_stats": q_er_cluster_stats,
@@ -3856,6 +3902,25 @@ SELECT doc_id,
        length(text) - length(replace(text, ' ', '')) + 1 AS tokens,
        round(CAST(n_chars AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS chars_per_token
 FROM documents
+""",
+        # sliding 200-char windows, 50 overlap (stride 150), short tail kept;
+        # the numbers table bounds chunk indices (4096 covers any doc the
+        # generator emits — generate_series cannot take a subquery bound)
+        "doc_chunks": """
+WITH n AS (SELECT CAST(generate_series AS BIGINT) AS gs FROM generate_series(0, 4095)),
+d2 AS (SELECT doc_id, text,
+              CASE WHEN length(text) <= 200 THEN 1
+                   ELSE CAST(ceil((length(text)-200)/150.0) AS BIGINT)+1 END AS nc
+       FROM documents)
+SELECT d2.doc_id, n.gs AS chunk_idx,
+       substring(d2.text, CAST(n.gs*150+1 AS BIGINT), 200) AS chunk
+FROM d2 JOIN n ON n.gs < d2.nc
+""",
+        "doc_redacted_stats": """
+SELECT lang, count(*) AS n_docs,
+       SUM(length(regexp_extract_all(text, '[0-9]+'))) AS n_red,
+       SUM(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS sum_red_len
+FROM documents GROUP BY lang
 """,
         "embedding_label_centroids": """
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n,

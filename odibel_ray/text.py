@@ -339,3 +339,88 @@ def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text", out: str = "
         return t.append_column(out, pa.array(fps.astype(np.int64), pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# chunking + redaction (training-data preparation over the documents table)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    size: int,
+    overlap: int = 0,
+    out: str = "chunk",
+    idx_col: str = "chunk_idx",
+    batch_size: int = 8192,
+):
+    """Split each document into sliding windows of ``size`` characters with
+    ``overlap`` (LLM-context chunking). ``n_chunks = 1`` when the text fits,
+    else ``ceil((len - size) / stride) + 1`` with ``stride = size -
+    overlap`` — the last chunk may be shorter, nothing is dropped.
+
+    Vectorized without per-row Python: chunk index ``i`` shares one scalar
+    ``[i*stride, i*stride + size)`` window across ALL documents, so the
+    batch loops over chunk indices (bounded by the longest doc), not rows —
+    each iteration is one ``utf8_slice_codeunits`` kernel over the rows
+    still long enough. 1→k rows; every other column is carried through.
+    SQL twin: ``substring(text, i*stride + 1, size)`` against a
+    ``generate_series`` lateral join."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lens = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        n_chunks = np.where(
+            lens <= size, 1, np.ceil((lens - size) / stride).astype(np.int64) + 1
+        )
+        parts = []
+        max_chunks = int(n_chunks.max()) if len(t) else 0
+        for i in range(max_chunks):
+            live = n_chunks > i
+            sub = t.filter(pa.array(live))
+            piece = pc.utf8_slice_codeunits(
+                sub[text_col], start=i * stride, stop=i * stride + size
+            )
+            part = sub.append_column(idx_col, pa.array(np.full(len(sub), i, np.int64)))
+            parts.append(part.append_column(out, piece))
+        if not parts:
+            empty = t.append_column(idx_col, pa.nulls(0, pa.int64()))
+            return empty.append_column(out, pa.nulls(0, pa.string()))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def redact(
+    ds: "ray.data.Dataset",
+    *,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    text_col: str = "text",
+    out: str = "redacted",
+    count_col: str | None = "n_redactions",
+    batch_size: int = 65536,
+):
+    """Regex redaction (PII scrubbing shape): replace every match of
+    ``pattern`` with ``replacement`` and, optionally, count the matches per
+    row — one vectorized ``replace_substring_regex`` /
+    ``count_substring_regex`` pair per batch. SQL twin:
+    ``regexp_replace(text, pattern, replacement, 'g')``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        red = pc.replace_substring_regex(
+            t[text_col], pattern=pattern, replacement=replacement
+        )
+        t = t.append_column(out, red)
+        if count_col:
+            n = pc.count_substring_regex(t[text_col], pattern=pattern)
+            t = t.append_column(count_col, pc.cast(n, pa.int64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

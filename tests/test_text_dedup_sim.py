@@ -492,3 +492,38 @@ def test_simhash_disjoint_bands_full_recall(ray_session):
     with pytest.raises(ValueError):
         simhash_pairs(rd.from_arrow(tbl), max_hamming=8, k_tables=8,
                       bits_per_table=8, bands="disjoint")
+
+
+def test_chunk_documents_windows(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.text import chunk_documents
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a" * 10, "b" * 25, "c" * 5],  # size 10, overlap 2 → stride 8
+    })
+    out = chunk_documents(rd.from_arrow(t), size=10, overlap=2).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc1: fits exactly → 1 chunk; doc2: ceil((25-10)/8)+1 = 3; doc3: 1
+    assert out.groupby("doc_id")["chunk_idx"].count().tolist() == [1, 3, 1]
+    d2 = out[out.doc_id == 2]["chunk"].tolist()
+    assert d2 == ["b" * 10, "b" * 10, "b" * 9]  # windows at 0, 8, 16 (tail short)
+    assert out[out.doc_id == 3]["chunk"].tolist() == ["c" * 5]
+    # overlap: consecutive windows share `overlap` chars
+    assert len(d2[0]) - 2 == 8
+    with __import__("pytest").raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_arrow(t), size=5, overlap=5)
+
+
+def test_redact_counts_and_replaces(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.text import redact
+
+    t = pa.table({"text": ["call 555 then 42", "no digits", "7"]})
+    out = redact(rd.from_arrow(t), pattern="[0-9]+", replacement="#").to_pandas()
+    assert out["redacted"].tolist() == ["call # then #", "no digits", "#"]
+    assert out["n_redactions"].tolist() == [2, 0, 1]
