@@ -693,6 +693,39 @@ def deterministic_sample(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    rates: dict,
+    *,
+    default_pct: int = 100,
+    modulus: int = 100,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-group deterministic sampling — the data-MIXING primitive of a
+    training corpus (keep 100% of the rare language, 25% of the dominant
+    one): a row survives when its :func:`deterministic_sample` hash falls
+    under ITS GROUP's rate. Same arithmetic rule as the flat sampler, so an
+    SQL oracle replicates it with a CASE expression, and the choice is
+    stable under retries/repartitioning (no RNG state). One vectorized
+    pass: group→rate resolves via ``pc.index_in`` against the rate table,
+    never a Python per-row lookup."""
+    keys = list(rates.keys())
+    pcts = np.array([int(rates[k]) for k in keys] + [int(default_pct)], dtype=np.int64)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((k * _KNUTH) % np.uint64(2**32)) % np.uint64(modulus)
+        idx = pc.index_in(t[group_col], value_set=pa.array(keys))
+        idx = pc.fill_null(idx, len(keys)).to_numpy(zero_copy_only=False)
+        keep = h.astype(np.int64) < pcts[idx]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def rarity_first_sample(
     ds: "ray.data.Dataset",
     type_col: str,

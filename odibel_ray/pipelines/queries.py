@@ -2031,6 +2031,17 @@ def q_doc_redacted_stats(sf_dir: str):
     )
 
 
+def q_doc_mix_sample(sf_dir: str):
+    """Training-corpus mixing: per-language deterministic sampling rates —
+    keep all English documents, 25% of every other language — one
+    vectorized hash+rate-lookup pass, exactly replicated by the oracle's
+    CASE rule."""
+    from odibel_ray.ops.relational import load_table, stratified_sample
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return stratified_sample(docs, "doc_id", "lang", {"en": 100}, default_pct=25)
+
+
 def q_doc_quality(sf_dir: str):
     from odibel_ray.ops.relational import load_table
     from odibel_ray.text import add_token_count
@@ -2900,6 +2911,7 @@ QUERIES: dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
     "doc_redacted_stats": q_doc_redacted_stats,
+    "doc_mix_sample": q_doc_mix_sample,
     "er_pairs_blocking": q_er_pairs_blocking,
     "er_pair_stats": q_er_pair_stats,
     "er_cluster_stats": q_er_cluster_stats,
@@ -3915,6 +3927,11 @@ d2 AS (SELECT doc_id, text,
 SELECT d2.doc_id, n.gs AS chunk_idx,
        substring(d2.text, CAST(n.gs*150+1 AS BIGINT), 200) AS chunk
 FROM d2 JOIN n ON n.gs < d2.nc
+""",
+        "doc_mix_sample": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 <
+      CASE WHEN lang = 'en' THEN 100 ELSE 25 END
 """,
         "doc_redacted_stats": """
 SELECT lang, count(*) AS n_docs,

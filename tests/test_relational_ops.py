@@ -558,3 +558,32 @@ def test_semi_anti_guard_falls_back_to_bucketed(ray_session):
     _match(
         broadcast_anti_join(cust, orders, "c_custkey", max_broadcast_bytes=1), anti_sql
     )
+
+
+def test_stratified_sample_rates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import stratified_sample
+
+    n = 20000
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "k": np.arange(n),
+        "g": rng.choice(["a", "b", "c"], n).astype(object),
+    })
+    out = stratified_sample(
+        rd.from_arrow(t), "k", "g", {"a": 100, "b": 10}, default_pct=50
+    ).to_pandas()
+    df = t.to_pandas()
+    per_g = out.groupby("g")["k"].count()
+    tot = df.groupby("g")["k"].count()
+    assert per_g["a"] == tot["a"]                      # 100% kept
+    assert abs(per_g["b"] / tot["b"] - 0.10) < 0.02     # ~10%
+    assert abs(per_g["c"] / tot["c"] - 0.50) < 0.02     # default 50%
+    # deterministic: a second pass selects the identical rows
+    out2 = stratified_sample(
+        rd.from_arrow(t), "k", "g", {"a": 100, "b": 10}, default_pct=50
+    ).to_pandas()
+    assert sorted(out2.k) == sorted(out.k)
