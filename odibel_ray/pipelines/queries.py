@@ -2031,6 +2031,17 @@ def q_doc_redacted_stats(sf_dir: str):
     )
 
 
+def q_doc_normalized(sf_dir: str):
+    """Canonical normalization (lower + whitespace collapse + trim) — the
+    pre-dedup canonicalization pass, three vectorized kernels per batch."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import normalize_text
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(docs)
+    return out.select_columns(["doc_id", "norm"])
+
+
 def q_doc_mix_sample(sf_dir: str):
     """Training-corpus mixing: per-language deterministic sampling rates —
     keep all English documents, 25% of every other language — one
@@ -2912,6 +2923,7 @@ QUERIES: dict[str, Callable] = {
     "doc_chunks": q_doc_chunks,
     "doc_redacted_stats": q_doc_redacted_stats,
     "doc_mix_sample": q_doc_mix_sample,
+    "doc_normalized": q_doc_normalized,
     "er_pairs_blocking": q_er_pairs_blocking,
     "er_pair_stats": q_er_pair_stats,
     "er_cluster_stats": q_er_cluster_stats,
@@ -3927,6 +3939,10 @@ d2 AS (SELECT doc_id, text,
 SELECT d2.doc_id, n.gs AS chunk_idx,
        substring(d2.text, CAST(n.gs*150+1 AS BIGINT), 200) AS chunk
 FROM d2 JOIN n ON n.gs < d2.nc
+""",
+        "doc_normalized": """
+SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+FROM documents
 """,
         "doc_mix_sample": """
 SELECT doc_id, lang, source, n_chars FROM documents

@@ -424,3 +424,25 @@ def redact(
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    out: str = "norm",
+    batch_size: int = 65536,
+):
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse whitespace runs to one space, trim — three vectorized kernels
+    per batch. SQL twin: ``trim(regexp_replace(lower(text), '\\s+', ' ',
+    'g'))``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = pc.utf8_lower(t[text_col])
+        n = pc.replace_substring_regex(n, pattern=r"\s+", replacement=" ")
+        n = pc.utf8_trim_whitespace(n)
+        return t.append_column(out, n)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -527,3 +527,14 @@ def test_redact_counts_and_replaces(ray_session):
     out = redact(rd.from_arrow(t), pattern="[0-9]+", replacement="#").to_pandas()
     assert out["redacted"].tolist() == ["call # then #", "no digits", "#"]
     assert out["n_redactions"].tolist() == [2, 0, 1]
+
+
+def test_normalize_text(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.text import normalize_text
+
+    t = pa.table({"text": ["  Hello\t\tWorld \n", "A  B", "x"]})
+    out = normalize_text(rd.from_arrow(t)).to_pandas()
+    assert out["norm"].tolist() == ["hello world", "a b", "x"]
