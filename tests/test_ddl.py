@@ -349,3 +349,79 @@ def test_base_rename_breaks_downstream_loudly(ray_session, tmp_path):
     )
     with pytest.raises(KeyError, match="score"):
         refresh_derived(d, run_id="r1")
+
+
+MATERIALIZE_VICTIM = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from odibel_ray.cdc.ddl import materialize_ddl
+materialize_ddl(sys.argv[1], run_id="victim")
+"""
+
+
+def test_materialize_kill_resume(ray_session, tmp_path):
+    """SIGKILL a materialize_ddl mid-flip (real subprocess): reads during the
+    crash window stay correct, the dead writer's lease is reclaimed, and a
+    resume finishes the rewrite and clears the op log."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import ray.data as rd
+
+    from odibel_ray.cdc.ddl import load_schema_meta, load_schema_ops, materialize_ddl
+    from odibel_ray.cdc.sink import load_manifests
+
+    out = str(tmp_path / "t")
+    n = 240
+    publish_dataset(
+        rd.from_arrow(pa.table({
+            "k": [f"k{i:04d}" for i in range(n)],
+            "v": [float(i) for i in range(n)],
+        })),
+        out, key_cols=["k"], num_buckets=6, run_id="p1",
+    )
+    alter_published(out, rename={"v": "value"}, add={"note": "string"})
+    before = _df(read_published(out))
+
+    env = dict(os.environ, ODIBEL_TEST_PUBLISH_DELAY="1.2", RAY_ADDRESS="local",
+               PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", MATERIALIZE_VICTIM, out],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            meta = load_schema_meta(out)
+            flipped = sum(
+                1 for m in load_manifests(out).values()
+                if m.get("run_id") == meta.get("materialized_run")
+            )
+            if meta.get("materialized_run") and 1 <= flipped < 6:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert proc.poll() is None, "victim finished before we could kill it"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    meta = load_schema_meta(out)
+    assert meta.get("materialized_run") == "victim"  # stamped, partially flipped
+    flipped = {
+        b for b, m in load_manifests(out).items() if m.get("run_id") == "victim"
+    }
+    assert 0 < len(flipped) < 6
+    # reads during the crash window: identical logical table
+    pd.testing.assert_frame_equal(_df(read_published(out)), before)
+    # resume (dead holder's lease reclaimed by pid-liveness) finishes the job
+    r = materialize_ddl(out, run_id="ignored")
+    assert r["materialized"] == 6 - len(flipped)
+    assert load_schema_ops(out) == []
+    pd.testing.assert_frame_equal(_df(read_published(out)), before)
