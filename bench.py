@@ -90,6 +90,18 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_ddl_read",
     # rewrite-then-read twin of transcript_ddl_read (same oracle)
     "transcript_ddl_materialized",
+    # three-kernel normalize twin of the timed doc_redacted_stats regex pass
+    "doc_normalized",
+    # per-group variant of the timed sample_lineitem hash filter
+    "doc_mix_sample",
+    # broadcast-join GROUP BY twin of the timed orders_per_nation
+    "customers_per_region",
+    # global top-k = the timed top_lineitems_per_flag with one group
+    "top_lineitems",
+    # distinct count feeds the timed user_activity_distribution
+    "distinct_users",
+    # per-label mean twin of the timed ann/centroid family
+    "embedding_label_centroids",
 }
 
 
