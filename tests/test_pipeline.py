@@ -176,3 +176,21 @@ def test_pipeline_modes_mor(ray_session, dag, oracle_final):
         got[exp.columns.tolist()], exp.sort_values(KEYS).reset_index(drop=True),
         check_dtype=False, atol=1e-9,
     )
+
+
+def test_refresh_pipeline_parallel_levels(ray_session, dag, oracle_final):
+    """max_parallel: gold and the join view (both level-1 off silver)
+    refresh concurrently and the DAG still converges to the recompute."""
+    incremental_apply(dag["log"], dag["bronze"], run_id="r2")
+    res = refresh_pipeline(
+        [dag["view"], dag["gold"], dag["silver"]], run_id="p1",
+        chain_feeds=True, max_parallel=4,
+    )
+    assert all(r["refreshed"] for r in res["results"].values())
+    exp = _silver_expected(oracle_final)
+    got_view = (
+        read_join_view(dag["view"]).to_pandas().sort_values(KEYS).reset_index(drop=True)
+    )
+    assert len(got_view) == len(exp)
+    got_gold = read_view(dag["gold"]).to_pandas()
+    assert got_gold["n"].sum() == len(exp)
