@@ -498,8 +498,11 @@ def q_transcript_pipeline_sync(sf_dir: str):
         strategies={silver: "feed", gold: "delta"},
         feeds={silver: feed},
         # cascade: silver's refresh emits its own upsert-time feed and gold +
-        # the join view consume it instead of snapshot-diffing silver
+        # the join view consume it instead of snapshot-diffing silver;
+        # gold and the view are independent level-1 nodes — run them
+        # concurrently
         chain_feeds=True,
+        max_parallel=2,
     )
     return read_join_view(view)
 
