@@ -36,6 +36,7 @@ def tail_log(
     snapshots: int | None = None,
     downstream: list[str] | None = None,
     feed_values: list[str] | None = None,
+    downstream_parallel: int = 1,
 ) -> dict:
     """Run incremental applies until ``stop_when_idle`` consecutive rounds saw
     no new events (or ``max_rounds``). Bootstraps with a full publish when the
@@ -107,7 +108,8 @@ def tail_log(
 
         base_feeds = {out_dir: feed_dir} if feed_dir else None
         res = refresh_pipeline(downstream, run_id=f"{run_prefix}-ds-{i}",
-                               base_feeds=base_feeds, chain_feeds=bool(feed_dir))
+                               base_feeds=base_feeds, chain_feeds=bool(feed_dir),
+                               max_parallel=downstream_parallel)
         rounds.append({"round": i, "mode": "downstream", "touched": 0,
                        "order": res["order"],
                        "refreshed": sum(1 for r in res["results"].values()
