@@ -20,14 +20,20 @@ from odibel_ray.cdc.sink import (
     compact_published,
     enable_snapshots,
     expire_snapshots,
+    fsck_table,
     incremental_apply,
     list_snapshots,
+    lookup_key,
+    publish_dataset,
     read_published,
     replay_publish,
     restore_snapshot,
     table_changes,
     table_lock,
+    table_stats,
     upsert_published,
+    vacuum,
+    version_at,
 )
 
 __all__ = [
@@ -70,4 +76,10 @@ __all__ = [
     "set_expectations",
     "get_expectations",
     "drop_expectations",
+    "fsck_table",
+    "version_at",
+    "lookup_key",
+    "publish_dataset",
+    "table_stats",
+    "vacuum",
 ]

@@ -293,6 +293,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(skips snapshot diffs when pins line up)")
     sy.add_argument("--savepoint", default=None,
                     help="pin one consistent post-refresh cut across all tables")
+    sy.add_argument("--parallel", type=int, default=1,
+                    help="refresh independent DAG levels with this many "
+                         "concurrent node refreshes")
     sy.add_argument("--run-id", default="cli-sync")
 
     ex = sub.add_parser(
@@ -562,7 +565,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = refresh_pipeline(
             args.tables, run_id=args.run_id, chain_feeds=args.chain_feeds,
-            savepoint=args.savepoint,
+            savepoint=args.savepoint, max_parallel=args.parallel,
         )
         print(json.dumps({"order": res["order"],
                           "results": res["results"],
