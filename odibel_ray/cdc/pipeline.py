@@ -235,6 +235,17 @@ def refresh_pipeline(
         if max_parallel > 1 and len(level_nodes) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            # warm the lazy import graph on the MAIN thread first: a fresh
+            # `from x import y` racing module initialization across worker
+            # threads can raise ImportError on a partially-initialized module
+            import ray.data.aggregate  # noqa: F401
+            import odibel_ray.cdc.lww  # noqa: F401
+            import odibel_ray.cdc.quality  # noqa: F401
+            import odibel_ray.cdc.savepoint  # noqa: F401
+            import odibel_ray.cdc.skipping  # noqa: F401
+            import odibel_ray.ops.relational  # noqa: F401
+            import odibel_ray.tuning  # noqa: F401
+
             with ThreadPoolExecutor(max_workers=max_parallel) as ex:
                 for t, res in ex.map(
                     lambda n: _run_node(idx_of[n["table"]], n), level_nodes
