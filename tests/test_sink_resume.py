@@ -389,56 +389,75 @@ def test_lookup_key_point_read(ray_session, small_log, oracle_final, tmp_path):
     assert len(miss) == 0 and set(miss.column_names) == set(LOGICAL_COLUMNS)
 
 
-def test_metrics_actor_advances_during_replay(ray_session, small_log, tmp_path):
+def test_metrics_actor_totals_after_replay(ray_session, small_log, tmp_path):
     """Distributed apply tasks fire progress into the named metrics actor as
-    they stage buckets: counters are visible MID-replay (not just at the
-    end) and the final totals equal the manifest sums. The mid-run
-    observation races a ~2 s replay against the poller's first ray.get —
-    under suite load the replay can win, so the scenario retries (each
-    attempt is a fresh table + actor; the totals asserts always hold)."""
-    import threading
+    they stage buckets; the final totals equal the manifest sums (the
+    fire-and-forget updates may still be in flight when the replay
+    returns, so the poller waits for the last bucket counter)."""
     import time as _time
 
     import ray
 
     from odibel_ray.monitor import metrics_actor
 
-    saw_mid_run = False
-    for attempt in range(6):
-        name = f"test-replay-metrics-{attempt}"
-        actor = metrics_actor(name)  # pre-create so the poller sees 0 first
-        out = str(tmp_path / f"tbl{attempt}")
-        th = threading.Thread(
-            target=replay_publish,
-            args=(small_log["log_dir"], out),
-            kwargs=dict(num_buckets=4, run_id="m1", metrics=name),
-        )
-        th.start()
-        seen = []
-        while th.is_alive():
-            seen.append(ray.get(actor.snapshot.remote()).get("events", 0))
-            _time.sleep(0.05)
-        th.join()
+    name = "test-replay-metrics-totals"
+    actor = metrics_actor(name)
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], out, num_buckets=4, run_id="m1",
+                   metrics=name)
 
-        manifests = load_manifests(out)
-        want_events = sum(m["n_events"] for m in manifests.values())
-        final = {}
-        for _ in range(300):  # fire-and-forget updates may still be in flight
-            final = ray.get(actor.snapshot.remote())
-            if final.get("buckets_staged") == 4:
-                break
-            _time.sleep(0.05)
-        assert final["events"] == want_events
-        assert final["rows"] == sum(m["rows_out"] for m in manifests.values())
-        assert final["buckets_staged"] == 4
-        assert final["events_per_sec"] > 0
-        ray.kill(actor)
-        # the poller observed the counter strictly below its final value
-        # while the replay was running — progress visible DURING the job
-        if any(v < want_events for v in seen):
-            saw_mid_run = True
+    manifests = load_manifests(out)
+    final = {}
+    for _ in range(600):
+        final = ray.get(actor.snapshot.remote())
+        if final.get("buckets_staged") == 4:
             break
-    assert saw_mid_run
+        _time.sleep(0.05)
+    assert final["events"] == sum(m["n_events"] for m in manifests.values())
+    assert final["rows"] == sum(m["rows_out"] for m in manifests.values())
+    assert final["buckets_staged"] == 4
+    assert final["events_per_sec"] > 0
+    ray.kill(actor)
+
+
+def test_metrics_visible_while_task_runs(ray_session, tmp_path):
+    """The property that makes the named actor a LIVE heartbeat: a counter
+    fired from inside a still-running distributed task is observable from
+    any process BEFORE the task completes. Deterministic — the task fires
+    its update and then blocks until the observer acknowledges (a flag
+    file), so there is no race against task completion."""
+    import time as _time
+
+    import ray
+
+    from odibel_ray.monitor import metrics_actor, record_task_metrics
+
+    name = "test-midrun-metrics"
+    actor = metrics_actor(name)  # pre-create so the observer sees 0 first
+    ack = str(tmp_path / "observed.flag")
+
+    @ray.remote(num_cpus=0)
+    def slow_worker(metrics_name, ack_path):
+        record_task_metrics(metrics_name, events=7)
+        deadline = _time.monotonic() + 30
+        while not os.path.exists(ack_path) and _time.monotonic() < deadline:
+            _time.sleep(0.02)
+        return "done"
+
+    ref = slow_worker.remote(name, ack)
+    observed = 0
+    for _ in range(600):  # ≤30 s
+        observed = ray.get(actor.snapshot.remote()).get("events", 0)
+        if observed:
+            break
+        _time.sleep(0.05)
+    # the task has NOT completed (it is blocked on our ack), yet its
+    # counter update is already visible — progress DURING the job
+    ready, _ = ray.wait([ref], timeout=0)
+    assert observed == 7 and not ready
+    open(ack, "w").close()
+    assert ray.get(ref) == "done"
+    ray.kill(actor)
 
 
 def test_vacuum_sweeps_staging_orphans_and_feed(
