@@ -2707,8 +2707,12 @@ def upsert_published(
             "keep upserting with mode='mor')"
         )
     bucket_files = {b: m["file"] for b, m in manifests.items()}
+    if updates is None and deletes is None:
+        raise ValueError("pass updates rows, deletes rows, or both")
     if bucket_files:
         canon = pq.read_schema(os.path.join(out_dir, next(iter(sorted(bucket_files.values())))))
+    elif updates is None:
+        raise ValueError("delete-only upsert needs a published table to delete from")
     else:
         canon = updates.schema().base_schema
     canon_names = list(canon.names)
@@ -2732,7 +2736,7 @@ def upsert_published(
     from odibel_ray.cdc.quality import get_expectations, violation_count
 
     expect = get_expectations(out_dir)
-    if expect:
+    if expect and updates is not None:  # deletes cannot violate a CHECK
         # CHECK constraint: one vectorized pre-pass over the update rows
         # BEFORE anything stages, so a violating write fails whole — never a
         # partial apply (update rows carry logical names, as the clauses do)
@@ -2782,11 +2786,16 @@ def upsert_published(
         padded = padded.append_column("_bucket", pa.array(b, pa.int64()))
         return padded.append_column("_delete", pa.array(np.ones(len(t), dtype=bool)))
 
-    tagged = updates.map_batches(tag_updates, batch_format="pyarrow", batch_size=batch_size)
+    tagged = (
+        updates.map_batches(tag_updates, batch_format="pyarrow", batch_size=batch_size)
+        if updates is not None
+        else None
+    )
     if deletes is not None:
-        tagged = tagged.union(
-            deletes.map_batches(tag_deletes, batch_format="pyarrow", batch_size=batch_size)
+        tag_d = deletes.map_batches(
+            tag_deletes, batch_format="pyarrow", batch_size=batch_size
         )
+        tagged = tag_d if tagged is None else tagged.union(tag_d)
     if mode == "mor":
         group_fn = partial(
             _generic_delta_group,

@@ -157,6 +157,30 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--version", type=int, default=None, help="time travel")
     sc.add_argument("--limit", type=int, default=10, help="rows to print (0: none)")
 
+    dl = sub.add_parser(
+        "delete", help="DELETE FROM a published table WHERE a predicate holds"
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--where", required=True,
+                    help='conjunctive predicate as JSON, e.g. '
+                         '\'[["score","<",0.3]]\'')
+    dl.add_argument("--run-id", default="cli-delete")
+    dl.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    dl.add_argument("--feed-dir", default=None)
+
+    up = sub.add_parser(
+        "update", help="UPDATE a published table SET assignments WHERE a predicate holds"
+    )
+    up.add_argument("--table", required=True)
+    up.add_argument("--set", required=True, dest="assign",
+                    help='assignments as JSON: literals or [fn, src] pairs, '
+                         'e.g. \'{"tool_name": "REDACTED", "text": ["upper", "text"]}\'')
+    up.add_argument("--where", default=None,
+                    help="conjunctive predicate as JSON (omit to touch every row)")
+    up.add_argument("--run-id", default="cli-update")
+    up.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    up.add_argument("--feed-dir", default=None)
+
     v = sub.add_parser(
         "vacuum",
         help="sweep staging dirs/orphan data files; prune old feed states",
@@ -461,6 +485,30 @@ def main(argv: list[str] | None = None) -> int:
         for row in ds.take(args.limit) if args.limit else ():
             print(json.dumps(row, default=str))
         print(json.dumps({"rows": ds.count(), **stats}))
+        return 0
+
+    if args.cmd == "delete":
+        from odibel_ray.cdc.dml import delete_published
+
+        res = delete_published(
+            args.table, json.loads(args.where), run_id=args.run_id,
+            mode=args.mode, feed_dir=args.feed_dir,
+        )
+        print(json.dumps(res, default=str))
+        return 0
+
+    if args.cmd == "update":
+        from odibel_ray.cdc.dml import update_published
+
+        assign = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(args.assign).items()
+        }
+        res = update_published(
+            args.table, assign, json.loads(args.where) if args.where else [],
+            run_id=args.run_id, mode=args.mode, feed_dir=args.feed_dir,
+        )
+        print(json.dumps(res, default=str))
         return 0
 
     if args.cmd == "diff":

@@ -805,6 +805,57 @@ def q_transcript_zorder_read(sf_dir: str):
     )
 
 
+def _dml_fixture(sf_dir: str, suffix: str) -> str:
+    """Fresh generic published copy of the converged state for a DML query
+    (DML mutates in place, so each run starts from a clean copy)."""
+    import shutil
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+    from odibel_ray.tuning import default_num_buckets
+
+    full = ensure_full_published(sf_dir)
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + suffix)
+    shutil.rmtree(out, ignore_errors=True)
+    publish_dataset(
+        read_published(full), out, key_cols=["conv_id", "turn_idx"],
+        num_buckets=default_num_buckets(), run_id="g1",
+    )
+    return out
+
+
+def q_transcript_delete_where(sf_dir: str):
+    """Row-level predicate DML (``DELETE FROM t WHERE score < 0.3``): the
+    key-only matching scan rides the reader's pushdown/pruning, only buckets
+    holding matches are rewritten (copy-on-write upsert), and the surviving
+    table equals the SQL complement — NULL scores survive, per SQL WHERE
+    semantics (`cdc/dml.py`; the reference instead re-runs a full extraction
+    for any correction, ``transform/TKGModelMgr.scala``)."""
+    from odibel_ray.cdc.dml import delete_published
+    from odibel_ray.cdc.sink import read_published
+
+    out = _dml_fixture(sf_dir, "_dmldel")
+    delete_published(out, [("score", "<", 0.3)], run_id="d1")
+    return read_published(out)
+
+
+def q_transcript_update_where(sf_dir: str):
+    """Row-level predicate DML (``UPDATE t SET tool_name='REDACTED',
+    text=UPPER(text) WHERE role='tool'``): matching rows are re-read through
+    the pruned scan, assignments (literal + scalar function) apply
+    vectorized per batch, and only touched buckets rewrite."""
+    from odibel_ray.cdc.dml import update_published
+    from odibel_ray.cdc.sink import read_published
+
+    out = _dml_fixture(sf_dir, "_dmlupd")
+    update_published(
+        out,
+        {"tool_name": "REDACTED", "text": ("upper", "text")},
+        [("role", "==", "tool")],
+        run_id="u1",
+    )
+    return read_published(out)
+
+
 #: Deterministic key for the point-lookup query — present in the converged
 #: final state at every test scale factor (verified sf0.001/0.01/0.1).
 _LOOKUP_CONV = "conv_00000007"
@@ -2889,6 +2940,8 @@ QUERIES: dict[str, Callable] = {
     "transcript_pipeline_sync": q_transcript_pipeline_sync,
     "transcript_ddl_materialized": q_transcript_ddl_materialized,
     "transcript_zorder_read": q_transcript_zorder_read,
+    "transcript_delete_where": q_transcript_delete_where,
+    "transcript_update_where": q_transcript_update_where,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3328,6 +3381,17 @@ SELECT * FROM ({t_final}) WHERE conv_id < '{_cluster_cutoff(sf_dir)}'""",
         # z-ordered serving copy + two-column pruned read = plain filter
         "transcript_zorder_read": f"""
 SELECT * FROM ({t_final}) WHERE role = 'assistant' AND score >= 0.9""",
+        # DELETE WHERE score < 0.3: NULL scores survive (SQL WHERE on the
+        # predicate fails for NULL, so the row is NOT deleted)
+        "transcript_delete_where": f"""
+SELECT * FROM ({t_final}) WHERE score >= 0.3 OR score IS NULL""",
+        # UPDATE SET tool_name='REDACTED', text=UPPER(text) WHERE role='tool'
+        "transcript_update_where": f"""
+SELECT conv_id, turn_idx, role,
+  CASE WHEN role = 'tool' THEN UPPER(text) ELSE text END AS text,
+  CASE WHEN role = 'tool' THEN 'REDACTED' ELSE tool_name END AS tool_name,
+  score, ts
+FROM ({t_final})""",
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,

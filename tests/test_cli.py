@@ -220,3 +220,29 @@ def test_cli_sync_and_expect(ray_session, small_log, tmp_path, capsys):
     assert main(["expect", "--table", gen]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["where"] == [["v", ">=", 0.0]]
     assert main(["expect", "--table", gen, "--drop"]) == 0
+
+
+def test_cli_delete_and_update(ray_session, small_log, tmp_path, capsys):
+    """delete/update run predicate DML through the CLI and report counts."""
+    from odibel_ray.cdc.sink import publish_dataset, read_published, replay_publish
+
+    base = str(tmp_path / "base")
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], base, num_buckets=4, run_id="r1")
+    publish_dataset(read_published(base), out,
+                    key_cols=["conv_id", "turn_idx"], num_buckets=4, run_id="g1")
+    n0 = read_published(out).count()
+
+    assert main(["delete", "--table", out,
+                 "--where", '[["score","<",0.3]]']) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_deleted"] > 0
+    assert read_published(out).count() == n0 - res["rows_deleted"]
+
+    assert main(["update", "--table", out,
+                 "--set", '{"tool_name": "REDACTED", "text": ["upper", "text"]}',
+                 "--where", '[["role","==","tool"]]']) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_updated"] > 0
+    got = read_published(out, where=[("role", "==", "tool")])
+    assert all(r["tool_name"] == "REDACTED" for r in got.take_all())
