@@ -726,6 +726,10 @@ def _sweep_bucket_versions(out_dir: str, bucket: int, keep: set[str]) -> None:
                     os.remove(stale)
                 except OSError:
                     pass
+                try:  # bloom sidecar dies with its data file
+                    os.remove(stale + ".bloom")
+                except OSError:
+                    pass
 
 
 def _publish_base_row(
@@ -737,6 +741,10 @@ def _publish_base_row(
     staged = _audit_staged(row)
     final_path = os.path.join(out_dir, row["file"])
     os.replace(staged, final_path)
+    # bloom sidecar travels with its data file (missing sidecar = no
+    # equality pruning for this file, never a wrong answer)
+    if os.path.exists(staged + ".bloom"):
+        os.replace(staged + ".bloom", final_path + ".bloom")
     # feed sidecar publishes with its bucket, just before the manifest
     # pointer flip: a crash in between leaves the bucket's OLD manifest
     # (and old data file) fully consistent, and the resume re-applies the
@@ -971,6 +979,7 @@ def read_published(
     import ray.data as rd
 
     from odibel_ray.cdc.skipping import (
+        bloom_may_match,
         check_where,
         file_may_match,
         filter_table,
@@ -1045,10 +1054,14 @@ def read_published(
                 where = where or None
         final_cols = smap.physical_columns(logical_cols)
     if where:
-        plain = [p for p in plain if file_may_match(p, where)]
+        # zone maps (footer min/max) first, then bloom sidecars (equality
+        # probes on bloom-indexed columns); blooms only ever add pruning
+        plain = [p for p in plain if file_may_match(p, where)
+                 and bloom_may_match(p, where)]
         # a MOR bucket is prunable only when base AND every delta fail the
         # stats check (the merge never synthesizes values, so no file with
-        # a possible match ⇒ no merged match)
+        # a possible match ⇒ no merged match); delta files carry no blooms,
+        # so bloom pruning does not apply to MOR buckets
         mor = [
             m
             for m in mor
@@ -1059,7 +1072,8 @@ def read_published(
             )
         ]
     if where_logical and done:
-        done = [p for p in done if file_may_match(p, where_logical)]
+        done = [p for p in done if file_may_match(p, where_logical)
+                and bloom_may_match(p, where_logical)]
     if prune_stats is not None:
         prune_stats["files_total"] = files_total
         prune_stats["files_read"] = (
@@ -1637,6 +1651,18 @@ def vacuum(
                     removed["orphan_files"] += 1
                 except OSError:
                     pass
+                try:
+                    os.remove(f + ".bloom")
+                except OSError:
+                    pass
+    # widowed bloom sidecars (data file gone, e.g. removed pre-upgrade)
+    for f in _glob.glob(os.path.join(out_dir, "part-*.parquet.bloom")):
+        if not os.path.exists(f[: -len(".bloom")]):
+            try:
+                os.remove(f)
+                removed["orphan_files"] += 1
+            except OSError:
+                pass
     if feed_dir and os.path.isdir(feed_dir):
         for bdir in _glob.glob(os.path.join(feed_dir, "bucket=*")):
             files = sorted(
@@ -1793,10 +1819,13 @@ def compact_published(
     ]
 
     compact_keys = ["conv_id", "turn_idx"]
+    compact_blooms: list[str] | None = None
     layout_path = os.path.join(out_dir, "_layout.json")
     if os.path.exists(layout_path):
         with open(layout_path) as f:
-            compact_keys = list(json.load(f)["key_cols"])
+            _lay = json.load(f)
+        compact_keys = list(_lay["key_cols"])
+        compact_blooms = _lay.get("bloom_cols")
 
     def _compact_bucket(batch: pa.Table) -> pa.Table:
         from odibel_ray.cdc.apply import limit_arrow_threads
@@ -1811,6 +1840,13 @@ def compact_published(
             fname = _bucket_filename(bucket, run_id)
             staged = os.path.join(staging, fname)
             pq.write_table(out, staged)
+            if compact_blooms:
+                from odibel_ray.cdc.skipping import (
+                    BLOOM_SUFFIX,
+                    build_bloom_sidecar,
+                )
+
+                build_bloom_sidecar(out, compact_blooms, staged + BLOOM_SUFFIX)
             if metrics:
                 from odibel_ray.monitor import record_task_metrics
 
@@ -2171,7 +2207,7 @@ def incremental_apply(
 
 def _generic_write_group(
     t: pa.Table, *, staging: str, run_id: str, metrics: str | None = None,
-    sort_by: str | None = None,
+    sort_by: str | None = None, bloom_cols: list[str] | None = None,
 ) -> pa.Table:
     """Stage one pre-bucketed group of an arbitrary table (any schema,
     including nested ``list<struct>`` columns) and emit its manifest row.
@@ -2191,6 +2227,10 @@ def _generic_write_group(
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(out, staged)
+    if bloom_cols:
+        from odibel_ray.cdc.skipping import BLOOM_SUFFIX, build_bloom_sidecar
+
+        build_bloom_sidecar(out, bloom_cols, staged + BLOOM_SUFFIX)
     if metrics:
         from odibel_ray.monitor import record_task_metrics
 
@@ -2223,6 +2263,7 @@ def publish_dataset(
     snapshots: int | None = None,
     cluster_by: str | None = None,
     expect: list | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Write-audit-publish for an ARBITRARY Dataset (nested columns included):
     hash-bucket on ``key_cols``, stage each bucket deterministically, audit row
@@ -2244,6 +2285,13 @@ def publish_dataset(
     and duplicates rows. Changing the bucketing of a partially-published
     table is an error (finish or wipe it, or use ``rebucket_published`` on
     a complete one).
+
+    ``bloom_cols=[...]`` writes a per-file Bloom sidecar
+    (``<file>.parquet.bloom``) for each listed column — equality/``in``
+    probes on them prune whole files where footer min/max can't (the Delta
+    bloom-filter-index analog; see the bloom section of ``cdc/skipping.py``).
+    The set is pinned in ``_layout.json``; upserts and compactions rebuild
+    the sidecar of every bucket they rewrite.
 
     ``cluster_by="col"`` publishes a RANGE-CLUSTERED, read-optimized layout
     instead of hash buckets (the Delta ``OPTIMIZE ZORDER`` / Iceberg
@@ -2299,6 +2347,12 @@ def publish_dataset(
                 f"table at {out_dir} was laid out with cluster_by="
                 f"{layout.get('cluster_by')!r}, not {want!r}"
             )
+        if bloom_cols is not None and list(layout.get("bloom_cols") or []) != list(bloom_cols):
+            raise ValueError(
+                f"table at {out_dir} was laid out with bloom_cols="
+                f"{layout.get('bloom_cols')}, not {list(bloom_cols)}"
+            )
+        bloom_cols = layout.get("bloom_cols")  # resume reuses the pinned set
         num_buckets = int(layout["num_buckets"])
         bounds = layout.get("bounds")
         zorder = layout.get("zorder")
@@ -2314,6 +2368,8 @@ def publish_dataset(
         elif cluster_by is not None:
             bounds = cluster_bounds(ds, cluster_by, num_buckets)
             layout.update({"cluster_by": cluster_by, "bounds": bounds})
+        if bloom_cols:
+            layout["bloom_cols"] = list(bloom_cols)
         _atomic_write_json(layout_path, layout)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
@@ -2365,6 +2421,7 @@ def publish_dataset(
             run_id=run_id,
             metrics=metrics,
             sort_by="_z" if zcols is not None else cluster_by,
+            bloom_cols=bloom_cols,
         ),
         batch_format="pyarrow",
     )
@@ -2571,6 +2628,7 @@ def _upsert_write_group(
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
     feed_seq: int = 0,
+    bloom_cols: list[str] | None = None,
 ) -> pa.Table:
     """Rewrite ONE bucket under upsert semantics: current published rows whose
     key appears in this group's updates are dropped, surviving updates are
@@ -2601,6 +2659,10 @@ def _upsert_write_group(
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
     pq.write_table(new, staged)
+    if bloom_cols:  # rewritten bucket gets a fresh bloom; untouched keep theirs
+        from odibel_ray.cdc.skipping import BLOOM_SUFFIX, build_bloom_sidecar
+
+        build_bloom_sidecar(new, bloom_cols, staged + BLOOM_SUFFIX)
     feed_staged, feed_final = "", ""
     if feed_dir is not None:
         dels = t.filter(dmask).select(key_cols)
@@ -2817,6 +2879,7 @@ def upsert_published(
             feed_dir=feed_dir,
             feed_values=feed_values,
             feed_seq=feed_seq,
+            bloom_cols=layout.get("bloom_cols"),
         )
     manifest_ds = tagged.groupby("_bucket").map_groups(group_fn, batch_format="pyarrow")
     published = (

@@ -37,6 +37,7 @@ returned.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import pyarrow as pa
@@ -411,3 +412,118 @@ def bucket_of_zorder(t: pa.Table, cols: list[str], zref: dict[str, list],
     if not bounds:
         return np.zeros(len(t), dtype=np.int64)
     return np.searchsorted(np.asarray(bounds, dtype=np.int64), z, side="left")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecars — equality skipping where zone maps can't bite
+# ---------------------------------------------------------------------------
+#
+# Footer min/max prunes RANGE predicates on layout-correlated columns; an
+# equality probe on a high-cardinality column that the layout does NOT sort
+# or bucket by (a content hash, an event id, an exact text) matches almost
+# every file's [min, max] span and zone maps keep nothing out. The Delta
+# answer is a per-file Bloom filter index; pyarrow 16 exposes no Parquet
+# bloom writer, so each publish writes a compact sidecar next to the data
+# file (`<file>.parquet.bloom`, JSON: per indexed column a bit array +
+# double-hash params over the file's DISTINCT values). The sidecar moves
+# into place with its data file and is swept with it — a missing sidecar
+# just means "no pruning", never a wrong answer, and Bloom semantics
+# guarantee no false negatives: the owning file of a probed value is never
+# skipped.
+
+BLOOM_SUFFIX = ".bloom"
+#: second hash key (pd.util.hash_array) for Kirsch–Mitzenmacher double
+#: hashing: h_i = h1 + i * (h2 | 1)
+_BLOOM_KEY2 = "fedcba9876543210"
+_BITS_PER_VALUE = 10  # ~1% false-positive rate at k = 7
+
+
+def _bloom_hashes(values) -> tuple:
+    import numpy as np
+    import pandas as pd
+
+    h1 = pd.util.hash_array(values, categorize=False)
+    h2 = pd.util.hash_array(values, hash_key=_BLOOM_KEY2, categorize=False)
+    return h1, h2 | np.uint64(1)
+
+
+def build_bloom_sidecar(
+    t: pa.Table, cols: Sequence[str], path: str,
+    bits_per_value: int = _BITS_PER_VALUE,
+) -> None:
+    """Write the bloom sidecar for one staged bucket file: per column, the
+    file's distinct non-null values (``==`` never matches NULL under SQL
+    WHERE, so nulls need no bits) hashed k ways into an m-bit array."""
+    import base64
+    import json
+
+    import numpy as np
+
+    meta = {}
+    for c in cols:
+        vals = t[c].combine_chunks().unique().drop_null()
+        arr = vals.to_numpy(zero_copy_only=False)
+        n = max(len(arr), 1)
+        m = max(64, ((n * bits_per_value + 7) // 8) * 8)
+        k = max(1, int(round(0.693 * m / n)))
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if len(arr):
+            h1, h2 = _bloom_hashes(arr)
+            for i in range(k):
+                idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+                np.bitwise_or.at(bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))
+        meta[c] = {
+            "m": int(m),
+            "k": int(k),
+            "dtype": arr.dtype.str if len(arr) else "empty",
+            "bits": base64.b64encode(bits.tobytes()).decode(),
+        }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _bloom_contains(entry: dict, value) -> bool:
+    import base64
+    import json as _json  # noqa: F401  (kept local: sidecars parse lazily)
+
+    import numpy as np
+
+    if entry["dtype"] == "empty":
+        return False
+    probe = np.array([value], dtype=np.dtype(entry["dtype"]))
+    h1, h2 = _bloom_hashes(probe)
+    bits = np.frombuffer(base64.b64decode(entry["bits"]), dtype=np.uint8)
+    ks = np.arange(entry["k"], dtype=np.uint64)
+    idx = ((h1[0] + ks * h2[0]) % np.uint64(entry["m"])).astype(np.int64)
+    return bool(np.all((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1))
+
+
+def bloom_may_match(path: str, where: Sequence[Sequence]) -> bool:
+    """False only when a ``==``/``in`` clause on a bloom-indexed column
+    provably excludes every candidate value from this file (conjunctive
+    predicate: one impossible clause kills the file). True when no sidecar
+    exists — blooms only ever ADD pruning."""
+    import json
+
+    sidecar = path + BLOOM_SUFFIX
+    if not os.path.exists(sidecar):
+        return True
+    try:
+        with open(sidecar) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return True  # unreadable sidecar: fall back to scanning
+    for col, op, val in where:
+        entry = meta.get(col)
+        if entry is None:
+            continue
+        try:
+            if op == "==" and not _bloom_contains(entry, val):
+                return False
+            if op == "in" and not any(_bloom_contains(entry, v) for v in val):
+                return False
+        except (TypeError, ValueError):
+            continue  # probe value doesn't fit the stored dtype: no pruning
+    return True

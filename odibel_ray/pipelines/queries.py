@@ -899,6 +899,52 @@ def q_transcript_point_lookup(sf_dir: str):
     return lookup_key(table, _LOOKUP_CONV)
 
 
+def ensure_bloom_published(sf_dir: str) -> str:
+    """Generic serving copy with a bloom index on ``text`` (cached): the
+    equality-probe fixture for bloom-sidecar file skipping."""
+    import json
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_bloompub")
+    marker = os.path.join(out, "_ok.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir), "buckets": 16,
+              "bloom": ["text"]}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return out
+    import shutil
+
+    full = ensure_full_published(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    publish_dataset(
+        read_published(full), out, key_cols=["conv_id", "turn_idx"],
+        num_buckets=16, run_id="bloom1", bloom_cols=["text"],
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return out
+
+
+def q_transcript_bloom_lookup(sf_dir: str):
+    """Bloom-sidecar file skipping: an exact-text equality probe on a
+    hash-bucketed table — zone maps can't prune (every file's [min, max]
+    text span covers everything) but the per-file bloom admits only the
+    owner file(s) + ~1% false positives, so the scan opens ~1 of 16 files
+    (`cdc/skipping.py` bloom section; the Delta bloom-filter-index analog).
+    The probe value is the lookup conversation's first surviving turn."""
+    import pyarrow.compute as _pc
+
+    from odibel_ray.cdc.sink import lookup_key, read_published
+
+    out = ensure_bloom_published(sf_dir)
+    rows = lookup_key(ensure_full_published(sf_dir), _LOOKUP_CONV)
+    rows = rows.take(_pc.sort_indices(rows, sort_keys=[("turn_idx", "ascending")]))
+    probe = rows["text"][0].as_py()
+    return read_published(out, where=[("text", "==", probe)])
+
+
 def ensure_jsonl_stream(sf_dir: str) -> str:
     """Serialize the cached change log once into an LSN-ordered JSONL file —
     the deterministic stand-in for a live binlog pipe."""
@@ -2942,6 +2988,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_zorder_read": q_transcript_zorder_read,
     "transcript_delete_where": q_transcript_delete_where,
     "transcript_update_where": q_transcript_update_where,
+    "transcript_bloom_lookup": q_transcript_bloom_lookup,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3385,6 +3432,13 @@ SELECT * FROM ({t_final}) WHERE role = 'assistant' AND score >= 0.9""",
         # predicate fails for NULL, so the row is NOT deleted)
         "transcript_delete_where": f"""
 SELECT * FROM ({t_final}) WHERE score >= 0.3 OR score IS NULL""",
+        # bloom-sidecar equality probe = plain equality filter (the probe is
+        # the lookup conversation's first surviving turn's text)
+        "transcript_bloom_lookup": f"""
+SELECT * FROM ({t_final})
+WHERE text = (SELECT text FROM ({t_final})
+              WHERE conv_id = 'conv_00000007'
+              ORDER BY turn_idx LIMIT 1)""",
         # UPDATE SET tool_name='REDACTED', text=UPPER(text) WHERE role='tool'
         "transcript_update_where": f"""
 SELECT conv_id, turn_idx, role,
