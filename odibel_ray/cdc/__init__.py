@@ -23,6 +23,7 @@ from odibel_ray.cdc.sink import (
     expire_snapshots,
     fsck_table,
     incremental_apply,
+    join_published,
     list_snapshots,
     lookup_key,
     publish_dataset,
@@ -57,6 +58,7 @@ __all__ = [
     "restore_snapshot",
     "table_changes",
     "upsert_published",
+    "join_published",
     "create_view",
     "refresh_view",
     "read_view",

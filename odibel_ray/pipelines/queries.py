@@ -945,6 +945,67 @@ def q_transcript_bloom_lookup(sf_dir: str):
     return read_published(out, where=[("text", "==", probe)])
 
 
+def ensure_generic_published(sf_dir: str) -> str:
+    """Generic hash-bucketed copy of the converged state (cached) — the
+    fact side for storage-partitioned joins."""
+    import json
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    out = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_genpub")
+    marker = os.path.join(out, "_ok.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir), "buckets": 16}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return out
+    import shutil
+
+    full = ensure_full_published(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    publish_dataset(
+        read_published(full), out, key_cols=["conv_id", "turn_idx"],
+        num_buckets=16, run_id="gen1",
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return out
+
+
+def q_transcript_bucket_join(sf_dir: str):
+    """Storage-partitioned join (`sink.join_published`): fact ⟕ annotation
+    where both tables share the (conv_id, turn_idx) hash layout at 16
+    buckets, so the join is ONE map task per bucket — zero exchange (the
+    Hive bucket-map-join / Iceberg SPJ analog; the reference's Spark joins
+    always shuffle, ``eval/SchemaGraphEval.scala``). The annotation side is
+    a filtered projection (score ≥ 0.5 → text_len), so the left-outer join
+    exercises both matched and null-extended rows."""
+    import shutil
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from odibel_ray.cdc.sink import join_published, publish_dataset, read_published
+
+    fact = ensure_generic_published(sf_dir)
+    ann = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_spjann")
+    shutil.rmtree(ann, ignore_errors=True)
+
+    def annotate(t: _pa.Table) -> _pa.Table:
+        t = t.filter(_pc.fill_null(_pc.greater_equal(t["score"], 0.5), False))
+        return _pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "text_len": _pc.cast(_pc.utf8_length(t["text"]), _pa.int64()),
+        })
+
+    publish_dataset(
+        read_published(fact).map_batches(annotate, batch_format="pyarrow"),
+        ann, key_cols=["conv_id", "turn_idx"], num_buckets=16, run_id="ann1",
+    )
+    return join_published(fact, ann, how="left_outer")
+
+
 def ensure_jsonl_stream(sf_dir: str) -> str:
     """Serialize the cached change log once into an LSN-ordered JSONL file —
     the deterministic stand-in for a live binlog pipe."""
@@ -2989,6 +3050,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_delete_where": q_transcript_delete_where,
     "transcript_update_where": q_transcript_update_where,
     "transcript_bloom_lookup": q_transcript_bloom_lookup,
+    "transcript_bucket_join": q_transcript_bucket_join,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3439,6 +3501,15 @@ SELECT * FROM ({t_final})
 WHERE text = (SELECT text FROM ({t_final})
               WHERE conv_id = 'conv_00000007'
               ORDER BY turn_idx LIMIT 1)""",
+        # storage-partitioned left-outer join (bucket-aligned, zero exchange)
+        "transcript_bucket_join": f"""
+SELECT l.conv_id, l.turn_idx, l.role, l.text, l.tool_name, l.score, l.ts,
+       r.text_len
+FROM ({t_final}) l
+LEFT JOIN (SELECT conv_id, turn_idx,
+                  CAST(LENGTH(text) AS BIGINT) AS text_len
+           FROM ({t_final}) WHERE score >= 0.5) r
+USING (conv_id, turn_idx)""",
         # UPDATE SET tool_name='REDACTED', text=UPPER(text) WHERE role='tool'
         "transcript_update_where": f"""
 SELECT conv_id, turn_idx, role,
