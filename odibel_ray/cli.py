@@ -157,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--version", type=int, default=None, help="time travel")
     sc.add_argument("--limit", type=int, default=10, help="rows to print (0: none)")
 
+    an = sub.add_parser(
+        "analyze", help="compute + persist per-column statistics (nulls, "
+                        "min/max, NDV) for a published table"
+    )
+    an.add_argument("--table", required=True)
+    an.add_argument("--columns", default=None, help="comma-separated subset")
+    an.add_argument("--method", choices=["hll", "exact"], default="hll")
+
     dl = sub.add_parser(
         "delete", help="DELETE FROM a published table WHERE a predicate holds"
     )
@@ -485,6 +493,17 @@ def main(argv: list[str] | None = None) -> int:
         for row in ds.take(args.limit) if args.limit else ():
             print(json.dumps(row, default=str))
         print(json.dumps({"rows": ds.count(), **stats}))
+        return 0
+
+    if args.cmd == "analyze":
+        from odibel_ray.cdc.analyze import analyze_published
+
+        stats = analyze_published(
+            args.table,
+            columns=args.columns.split(",") if args.columns else None,
+            method=args.method,
+        )
+        print(json.dumps(stats, default=str))
         return 0
 
     if args.cmd == "delete":

@@ -1006,6 +1006,30 @@ def q_transcript_bucket_join(sf_dir: str):
     return join_published(fact, ann, how="left_outer")
 
 
+def q_transcript_column_stats(sf_dir: str):
+    """ANALYZE TABLE (`cdc/analyze.py`): one distributed pass computes
+    per-column nulls / NDV / typed min-max over the published table; the
+    exact-NDV method (mergeable per-batch distinct hashes) is checked here
+    against SQL ``COUNT(DISTINCT ...)`` so the persisted statistics — the
+    inputs to cost-based join/salt choices — are themselves oracle-grade.
+    (The reference recomputes equivalent property statistics from scratch
+    per run, ``eval/PropertyEval.scala:40-60``.)"""
+    import pyarrow as _pa
+
+    from odibel_ray.cdc.analyze import analyze_published
+
+    table = ensure_full_published(sf_dir)
+    cols = ["conv_id", "role", "text", "tool_name", "turn_idx"]
+    stats = analyze_published(table, columns=cols, method="exact", persist=False)
+    return _pa.table({
+        "col_name": _pa.array(cols, _pa.string()),
+        "n_nulls": _pa.array([stats[c]["nulls"] for c in cols], _pa.int64()),
+        "ndv": _pa.array([stats[c]["ndv"] for c in cols], _pa.int64()),
+        "min_str": _pa.array([str(stats[c]["min"]) for c in cols], _pa.string()),
+        "max_str": _pa.array([str(stats[c]["max"]) for c in cols], _pa.string()),
+    })
+
+
 def ensure_jsonl_stream(sf_dir: str) -> str:
     """Serialize the cached change log once into an LSN-ordered JSONL file —
     the deterministic stand-in for a live binlog pipe."""
@@ -3051,6 +3075,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_update_where": q_transcript_update_where,
     "transcript_bloom_lookup": q_transcript_bloom_lookup,
     "transcript_bucket_join": q_transcript_bucket_join,
+    "transcript_column_stats": q_transcript_column_stats,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3501,6 +3526,25 @@ SELECT * FROM ({t_final})
 WHERE text = (SELECT text FROM ({t_final})
               WHERE conv_id = 'conv_00000007'
               ORDER BY turn_idx LIMIT 1)""",
+        # ANALYZE: engine column statistics = SQL aggregate ground truth
+        "transcript_column_stats": f"""
+WITH t AS ({t_final})
+SELECT 'conv_id' AS col_name, COUNT(*) - COUNT(conv_id) AS n_nulls,
+       COUNT(DISTINCT conv_id) AS ndv,
+       CAST(MIN(conv_id) AS VARCHAR) AS min_str,
+       CAST(MAX(conv_id) AS VARCHAR) AS max_str FROM t
+UNION ALL
+SELECT 'role', COUNT(*) - COUNT(role), COUNT(DISTINCT role),
+       CAST(MIN(role) AS VARCHAR), CAST(MAX(role) AS VARCHAR) FROM t
+UNION ALL
+SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM t
+UNION ALL
+SELECT 'tool_name', COUNT(*) - COUNT(tool_name), COUNT(DISTINCT tool_name),
+       CAST(MIN(tool_name) AS VARCHAR), CAST(MAX(tool_name) AS VARCHAR) FROM t
+UNION ALL
+SELECT 'turn_idx', COUNT(*) - COUNT(turn_idx), COUNT(DISTINCT turn_idx),
+       CAST(MIN(turn_idx) AS VARCHAR), CAST(MAX(turn_idx) AS VARCHAR) FROM t""",
         # storage-partitioned left-outer join (bucket-aligned, zero exchange)
         "transcript_bucket_join": f"""
 SELECT l.conv_id, l.turn_idx, l.role, l.text, l.tool_name, l.score, l.ts,
