@@ -63,6 +63,64 @@ def _inspect(table: str) -> tuple[str, list[str], dict]:
     )
 
 
+_warmed = False
+
+
+def _warm_imports() -> None:
+    """Import EVERYTHING the level-parallel refreshes could lazily import,
+    on the main thread, before any worker thread starts. A fresh
+    ``from x import y`` racing a module's first initialization across
+    threads can hit Python's import-deadlock avoidance and raise
+    ``ImportError: cannot import name ... from partially initialized
+    module``; exhaustively warming the graph (every odibel_ray submodule +
+    the lazily-resolved third-party/stdlib bits) makes a first-import in a
+    worker thread impossible. Once per process."""
+    global _warmed
+    if _warmed:
+        return
+    import base64  # noqa: F401
+    import glob  # noqa: F401
+    import importlib
+    import json as _json  # noqa: F401
+    import pkgutil
+
+    import pandas  # noqa: F401
+    import ray.data  # noqa: F401
+    import ray.data.aggregate  # noqa: F401
+    import ray.data.grouped_data  # noqa: F401
+
+    try:
+        import aiohttp  # noqa: F401
+    except ImportError:
+        # ray.data's path resolution probes `from fsspec.implementations
+        # .http import HTTPFileSystem` on EVERY read and relies on
+        # catching ModuleNotFoundError (aiohttp absent here, so the import
+        # always fails). That failure is NOT cached: CPython removes the
+        # failed module, and a thread importing concurrently can observe
+        # the partially-initialized module instead — raising plain
+        # ImportError, which ray does not catch. With aiohttp absent no
+        # filesystem can be an HTTP filesystem, so pinning the probe to
+        # False is exactly ray's own single-threaded behavior, made
+        # deterministic (sole call site is in the same module).
+        import ray.data.datasource.path_util as _pu
+
+        if not getattr(_pu._is_http_filesystem, "_odibel_pinned", False):
+            def _no_http_fs(fs):  # noqa: ANN001
+                return False
+
+            _no_http_fs._odibel_pinned = True
+            _pu._is_http_filesystem = _no_http_fs
+
+    import odibel_ray
+
+    for m in pkgutil.walk_packages(odibel_ray.__path__, "odibel_ray."):
+        try:
+            importlib.import_module(m.name)
+        except Exception:  # optional-dependency modules may refuse: fine,
+            pass  # a worker thread would hit the same (cached) failure
+    _warmed = True
+
+
 def plan_pipeline(tables: Sequence[str]) -> list[dict]:
     """Topological refresh order over the given tables: one entry per table,
     ``{table, kind, upstreams}`` with ``upstreams`` restricted to tables in
@@ -235,17 +293,7 @@ def refresh_pipeline(
         if max_parallel > 1 and len(level_nodes) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            # warm the lazy import graph on the MAIN thread first: a fresh
-            # `from x import y` racing module initialization across worker
-            # threads can raise ImportError on a partially-initialized module
-            import ray.data.aggregate  # noqa: F401
-            import odibel_ray.cdc.lww  # noqa: F401
-            import odibel_ray.cdc.quality  # noqa: F401
-            import odibel_ray.cdc.savepoint  # noqa: F401
-            import odibel_ray.cdc.skipping  # noqa: F401
-            import odibel_ray.ops.relational  # noqa: F401
-            import odibel_ray.tuning  # noqa: F401
-
+            _warm_imports()
             with ThreadPoolExecutor(max_workers=max_parallel) as ex:
                 for t, res in ex.map(
                     lambda n: _run_node(idx_of[n["table"]], n), level_nodes
