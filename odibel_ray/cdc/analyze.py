@@ -114,12 +114,18 @@ def analyze_published(
                 else np.array([], np.uint64)
             )
             ndv = int(len(hs))
+            stats[c] = {"nulls": nulls, "ndv": ndv, "min": mn, "max": mx}
         else:
+            import base64
+
             regs = np.zeros(1 << 14, dtype=np.uint8)
             for b in blobs:
                 regs = np.maximum(regs, np.frombuffer(b, np.uint8))
             ndv = int(round(_hll_estimate(regs)))
-        stats[c] = {"nulls": nulls, "ndv": ndv, "min": mn, "max": mx}
+            # registers persist so refresh_column_stats can MERGE new
+            # values in without rescanning (mergeable-sketch property)
+            stats[c] = {"nulls": nulls, "ndv": ndv, "min": mn, "max": mx,
+                        "hll": base64.b64encode(regs.tobytes()).decode()}
     snaps = list_snapshots(out_dir)
     stats["_table"] = {
         "rows": rows_total,
@@ -142,3 +148,135 @@ def load_column_stats(out_dir: str) -> dict | None:
         return None
     with open(path) as f:
         return json.load(f)
+
+
+def refresh_column_stats(out_dir: str, feed, *, persist: bool = True) -> dict:
+    """Fold a row-level change feed into the persisted column statistics —
+    statistics stay fresh across applies WITHOUT rescanning the table (the
+    CDC completion of ANALYZE; the reference would re-run its statistics
+    job from scratch, ``eval/PropertyEval.scala``).
+
+    ``feed``: a feed directory (``bucket=*/*.parquet``, as written by
+    ``incremental_apply(feed_dir=...)`` / ``upsert_published(feed_dir=...)``)
+    or a ``table_changes`` Dataset — rows of ``*keys, change,
+    {v}_before/{v}_after``.
+
+    Exactness per statistic: **rows** and per-column **nulls** are exact
+    (inserts/deletes/updates carry both images); **min/max** widen only (a
+    delete cannot shrink them — the standard engine-stats bound);
+    **NDV** merges the after-values into the stored HyperLogLog registers,
+    a monotone upper bound under deletes. Requires ``method='hll'``
+    statistics (exact-NDV stats carry no mergeable state: re-ANALYZE
+    instead, or analyze with hll). Columns whose before/after images are
+    missing from the feed keep their old values and are listed in the
+    returned ``_table["stale_columns"]``."""
+    import ray
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import list_snapshots
+    from odibel_ray.ops.sketches import _hll_estimate
+
+    stats = load_column_stats(out_dir)
+    if stats is None:
+        raise FileNotFoundError(f"no {COLSTATS_FILE} under {out_dir}; ANALYZE first")
+    if stats["_table"]["method"] != "hll":
+        raise ValueError(
+            "feed-refresh needs method='hll' statistics (mergeable NDV "
+            "registers); exact statistics must be re-ANALYZEd"
+        )
+    ds = feed
+    if isinstance(feed, str):
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(feed, "bucket=*", "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no feed files under {feed}")
+        ds = rd.read_parquet(files)
+    feed_names = set(ds.schema().names)
+    cols = [c for c in stats if not c.startswith("_")]
+    live = [c for c in cols
+            if {f"{c}_before", f"{c}_after"} <= feed_names]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from odibel_ray.ops.sketches import _hll_registers
+
+        t = t.combine_chunks()
+        ch = t["change"]
+        ins = pc.equal(ch, "insert")
+        del_ = pc.equal(ch, "delete")
+        out: dict = {
+            "_ins": pa.array([int(pc.sum(pc.cast(ins, pa.int64())).as_py() or 0)], pa.int64()),
+            "_del": pa.array([int(pc.sum(pc.cast(del_, pa.int64())).as_py() or 0)], pa.int64()),
+        }
+        not_del = pc.invert(del_)
+        not_ins = pc.invert(ins)
+        for c in live:
+            before, after = t[f"{c}_before"], t[f"{c}_after"]
+            null_gain = pc.and_(not_del, pc.is_null(after))
+            null_loss = pc.and_(not_ins, pc.is_null(before))
+            d = (pc.sum(pc.cast(null_gain, pa.int64())).as_py() or 0) - (
+                pc.sum(pc.cast(null_loss, pa.int64())).as_py() or 0
+            )
+            out[f"{c}__dnulls"] = pa.array([int(d)], pa.int64())
+            valid = after.filter(pc.and_(not_del, pc.is_valid(after)))
+            if len(valid):
+                out[f"{c}__min"] = pa.array([pc.min(valid).as_py()], after.type)
+                out[f"{c}__max"] = pa.array([pc.max(valid).as_py()], after.type)
+            else:
+                out[f"{c}__min"] = pa.nulls(1, after.type)
+                out[f"{c}__max"] = pa.nulls(1, after.type)
+            uniq = valid.unique()
+            h = pd.util.hash_array(
+                uniq.to_numpy(zero_copy_only=False), categorize=False
+            )
+            out[f"{c}__regs"] = pa.array([_hll_registers(h, 14).tobytes()], pa.large_binary())
+        return pa.table(out)
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    merged = pa.concat_tables(parts, promote_options="default") if parts else None
+
+    import base64
+
+    if merged is not None:
+        stats["_table"]["rows"] = int(stats["_table"]["rows"]) + int(
+            pc.sum(merged["_ins"]).as_py() or 0
+        ) - int(pc.sum(merged["_del"]).as_py() or 0)
+        for c in live:
+            s = stats[c]
+            s["nulls"] = int(s["nulls"]) + int(pc.sum(merged[f"{c}__dnulls"]).as_py() or 0)
+            mn = pc.min(merged[f"{c}__min"]).as_py()
+            mx = pc.max(merged[f"{c}__max"]).as_py()
+            # stored values may have been JSON-stringified; widen typed-safe
+            if mn is not None and (s["min"] is None or _lt(mn, s["min"])):
+                s["min"] = mn
+            if mx is not None and (s["max"] is None or _lt(s["max"], mx)):
+                s["max"] = mx
+            regs = np.frombuffer(base64.b64decode(s["hll"]), dtype=np.uint8)
+            for b in (x.as_py() for x in merged[f"{c}__regs"] if x.is_valid):
+                regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+            s["hll"] = base64.b64encode(regs.tobytes()).decode()
+            s["ndv"] = int(round(_hll_estimate(regs)))
+    snaps = list_snapshots(out_dir)
+    stats["_table"]["version"] = snaps[-1]["version"] if snaps else None
+    stats["_table"]["stale_columns"] = sorted(set(cols) - set(live))
+    if persist:
+        tmp = os.path.join(out_dir, COLSTATS_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f, default=str)
+        os.replace(tmp, os.path.join(out_dir, COLSTATS_FILE))
+    return stats
+
+
+def _lt(a, b) -> bool:
+    """Typed-tolerant less-than for widen-only min/max merging (persisted
+    values may come back JSON-stringified)."""
+    try:
+        return a < b
+    except TypeError:
+        return str(a) < str(b)

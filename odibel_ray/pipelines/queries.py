@@ -1030,6 +1030,40 @@ def q_transcript_column_stats(sf_dir: str):
     })
 
 
+def q_transcript_stats_refresh(sf_dir: str):
+    """Incremental statistics maintenance (`analyze.refresh_column_stats`):
+    ANALYZE the 60%-prefix table once, apply the tail with a write-time
+    change feed, then fold the feed into the persisted stats — NO rescan.
+    Row count and per-column null counts are EXACT from the before/after
+    images (checked here against SQL aggregates over the full final state);
+    min/max widen-only and HLL-NDV merge bounds are pytest-pinned."""
+    import shutil
+
+    import pyarrow as _pa
+
+    from odibel_ray.cdc.analyze import analyze_published, refresh_column_stats
+    from odibel_ray.cdc.sink import incremental_apply
+
+    log = ensure_transcript_log(sf_dir)
+    cached = ensure_incremental_base(sf_dir)
+    work = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_statsrf")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    table = os.path.join(work, "table")
+    _work_copy(cached, table)
+    feed = os.path.join(work, "feed")
+    cols = ["text", "score", "tool_name"]
+    analyze_published(table, columns=cols, method="hll")
+    incremental_apply(log, table, run_id="r2", feed_dir=feed, feed_values=cols)
+    stats = refresh_column_stats(table, feed)
+    names = ["_rows"] + cols
+    vals = [stats["_table"]["rows"]] + [stats[c]["nulls"] for c in cols]
+    return _pa.table({
+        "col_name": _pa.array(names, _pa.string()),
+        "n": _pa.array([int(v) for v in vals], _pa.int64()),
+    })
+
+
 def ensure_jsonl_stream(sf_dir: str) -> str:
     """Serialize the cached change log once into an LSN-ordered JSONL file —
     the deterministic stand-in for a live binlog pipe."""
@@ -3076,6 +3110,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_bloom_lookup": q_transcript_bloom_lookup,
     "transcript_bucket_join": q_transcript_bucket_join,
     "transcript_column_stats": q_transcript_column_stats,
+    "transcript_stats_refresh": q_transcript_stats_refresh,
     "transcript_version_diff": q_transcript_version_diff,
     "transcript_incremental_mor": q_transcript_incremental_mor,
     "transcript_compacted_read": q_transcript_compacted_read,
@@ -3526,6 +3561,13 @@ SELECT * FROM ({t_final})
 WHERE text = (SELECT text FROM ({t_final})
               WHERE conv_id = 'conv_00000007'
               ORDER BY turn_idx LIMIT 1)""",
+        # feed-refreshed stats: exact rows/nulls vs full-state SQL aggregates
+        "transcript_stats_refresh": f"""
+WITH t AS ({t_final})
+SELECT '_rows' AS col_name, COUNT(*) AS n FROM t
+UNION ALL SELECT 'text', COUNT(*) - COUNT(text) FROM t
+UNION ALL SELECT 'score', COUNT(*) - COUNT(score) FROM t
+UNION ALL SELECT 'tool_name', COUNT(*) - COUNT(tool_name) FROM t""",
         # ANALYZE: engine column statistics = SQL aggregate ground truth
         "transcript_column_stats": f"""
 WITH t AS ({t_final})

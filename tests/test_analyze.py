@@ -1,5 +1,7 @@
 """ANALYZE TABLE: per-column statistics (nulls, min/max, NDV exact + HLL)."""
 
+import os
+
 import pyarrow.compute as pc
 import pytest
 
@@ -62,3 +64,47 @@ def test_cli_analyze(analyzed, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["role"]["ndv"] == len(full["role"].drop_null().unique())
     assert load_column_stats(out)["conv_id"]["ndv"] == stats["conv_id"]["ndv"]
+
+
+def test_refresh_stats_from_feed(ray_session, small_log, tmp_path):
+    """Feed-refresh keeps statistics current without a rescan: rows and
+    nulls exactly, min/max widen-only, NDV via merged HLL registers."""
+    import pyarrow.compute as pc
+
+    from odibel_ray.cdc import incremental_apply, replay_publish
+    from odibel_ray.cdc.analyze import refresh_column_stats
+    from odibel_ray.datagen import split_log
+
+    log = small_log["log_dir"]
+    prefix = str(tmp_path / "prefix")
+    split_log(log, prefix, frac=0.5)
+    out = str(tmp_path / "tbl")
+    feed = str(tmp_path / "feed")
+    replay_publish(os.path.join(prefix, "change_log"), out, num_buckets=4,
+                   run_id="r1")
+    base_stats = analyze_published(out, columns=["text", "score", "tool_name"],
+                                   method="hll")
+    incremental_apply(log, out, run_id="r2", feed_dir=feed,
+                      feed_values=["text", "score", "tool_name"])
+    stats = refresh_column_stats(out, feed)
+
+    full = collect_sorted(read_published(out), KEYS)
+    assert stats["_table"]["rows"] == len(full)
+    assert stats["_table"]["stale_columns"] == []
+    for c in ("text", "score", "tool_name"):
+        assert stats[c]["nulls"] == full[c].null_count, c
+    # min/max widen-only bounds hold
+    assert stats["score"]["min"] <= pc.min(full["score"]).as_py()
+    assert stats["score"]["max"] >= pc.max(full["score"]).as_py()
+    # NDV: merged HLL within 5% of the true upper bound (applied values)
+    exact = len(full["text"].drop_null().unique())
+    assert stats["text"]["ndv"] >= exact * 0.95
+    # columns absent from the feed are reported stale, not silently wrong
+    base2 = analyze_published(out, columns=["text", "role"], method="hll")
+    stats2 = refresh_column_stats(out, feed)
+    assert stats2["_table"]["stale_columns"] == ["role"]
+
+    # exact stats refuse a feed refresh
+    analyze_published(out, columns=["text"], method="exact")
+    with pytest.raises(ValueError, match="hll"):
+        refresh_column_stats(out, feed)
