@@ -387,12 +387,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if res["ok"] else 1
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.analyze import load_column_stats
         from odibel_ray.cdc.sink import table_stats
 
         stats = table_stats(args.table)
         if not args.buckets:
             stats.pop("buckets", None)
-        print(json.dumps(stats))
+        col = load_column_stats(args.table)
+        if col is not None:  # ANALYZE output, without the bulky registers
+            stats["column_stats"] = {
+                c: {k: v for k, v in s.items() if k != "hll"}
+                for c, s in col.items()
+            }
+        print(json.dumps(stats, default=str))
         return 0
 
     if args.cmd == "list-queries":
