@@ -1011,11 +1011,21 @@ def read_published(
         final_cols = None if generic else list(LOGICAL_COLUMNS)
     else:
         final_cols = None
+    # schema + total-file accounting come from the FULL manifest set; the
+    # bucket-hash pruning below may drop every bucket and the read must
+    # still type its empty result
+    all_m = sorted(manifests.items())
+    files_total = sum(1 + len(m.get("deltas", [])) for _, m in all_m)
+    schema_src = os.path.join(out_dir, all_m[0][1]["file"])
+    if where:
+        # key-equality routing: recompute the candidate hash buckets from
+        # pinned key values (lookup_key's trick inside the general scan)
+        manifests = _bucket_prune(
+            out_dir, manifests, where, pq.read_schema(schema_src)
+        )
     plain_m = [m for _, m in sorted(manifests.items()) if not m.get("deltas")]
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
     plain = [os.path.join(out_dir, m["file"]) for m in plain_m]
-    files_total = len(plain) + sum(1 + len(m["deltas"]) for m in mor)
-    schema_src = plain[0] if plain else os.path.join(out_dir, mor[0]["file"])
     # metadata-only DDL (generic tables): resolve the op log once, then run
     # the whole prune/pushdown machinery in PHYSICAL column space and
     # re-label batches to the logical schema at the end (cdc/ddl.py). While
@@ -1676,6 +1686,75 @@ def vacuum(
                 except OSError:
                     pass
     return removed
+
+
+_BUCKET_PRUNE_MAX_PROBES = 64
+
+
+def _bucket_prune(
+    out_dir: str, manifests: dict[int, dict], where, schema: pa.Schema
+) -> dict[int, dict]:
+    """Hash-layout bucket pruning: when a conjunctive ``where`` pins every
+    bucket-hash key column with ``==`` (or a small ``in``), the candidate
+    buckets are recomputable from the probe values — the same routing
+    :func:`lookup_key` uses, applied inside the general scan. Exact (hash
+    identity, no false positives beyond hash-bucket sharing) and free of
+    sidecar state; zone maps and blooms still apply to the survivors.
+    Returns ``manifests`` unchanged whenever the layout doesn't allow it
+    (clustered, schema-op log pending, keys not fully pinned)."""
+    from itertools import product
+
+    from odibel_ray.cdc.ddl import SCHEMA_OPS
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    if not manifests or not where:
+        return manifests
+    if os.path.exists(os.path.join(out_dir, SCHEMA_OPS)):
+        return manifests  # logical->physical key renames: stay conservative
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            layout = json.load(f)
+        if layout.get("cluster_by"):
+            return manifests
+        hash_keys = list(layout["key_cols"])
+        num_buckets = int(layout["num_buckets"])
+    else:
+        tman_path = os.path.join(out_dir, TABLE_MANIFEST)
+        if not os.path.exists(tman_path):
+            return manifests
+        with open(tman_path) as f:
+            tman = json.load(f)
+        if tman.get("generic") or not tman.get("num_buckets"):
+            return manifests
+        hash_keys = ["conv_id"]  # transcript layout hashes the conv only
+        num_buckets = int(tman["num_buckets"])
+    probes: list[list] = []
+    for k in hash_keys:
+        vals = None
+        for col, op, val in where:
+            if col != k:
+                continue
+            if op == "==":
+                vals = [val]
+            elif op == "in" and len(val) <= _BUCKET_PRUNE_MAX_PROBES:
+                vals = list(val)
+            break  # first clause per key wins; further ones only narrow
+        if vals is None:
+            return manifests  # a hash key is unpinned: any bucket can match
+        probes.append(vals)
+    combos = list(product(*probes))
+    if not combos or len(combos) > _BUCKET_PRUNE_MAX_PROBES:
+        return manifests
+    try:
+        probe_t = pa.table({
+            k: pa.array([c[i] for c in combos]).cast(schema.field(k).type)
+            for i, k in enumerate(hash_keys)
+        })
+    except (pa.ArrowInvalid, pa.ArrowTypeError, KeyError):
+        return manifests  # probe value can't be the key's type: no pruning
+    keep = set(bucket_of_keys(probe_t, hash_keys, num_buckets).tolist())
+    return {b: m for b, m in manifests.items() if b in keep}
 
 
 def _join_side_meta(out_dir: str) -> dict:

@@ -253,3 +253,61 @@ def test_zorder_resume_reuses_layout(ray_session, tmp_path):
     with pytest.raises(ValueError, match="laid out with cluster_by"):
         publish_dataset(rd.from_arrow(t), out, key_cols=["k"], num_buckets=4,
                         run_id="p3", cluster_by=["cat", "x"])
+
+
+def test_bucket_prune_key_equality(ray_session, published, tmp_path):
+    """Pinned hash-key equality routes the scan to the candidate bucket(s)
+    only — lookup_key's bucket recomputation inside the general read."""
+    log, out = published["log"], published["out"]
+    full = replay_oracle(log).to_pandas()
+    conv = full["conv_id"].iloc[0]
+
+    # transcript table hashes conv_id only: == probe opens exactly 1 bucket
+    stats = {}
+    got = _got(read_published(out, where=[("conv_id", "==", conv)],
+                              prune_stats=stats))
+    exp = _oracle_filtered(log, lambda df: df[df["conv_id"] == conv])
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    assert stats["files_total"] == 4 and stats["files_read"] == 1
+
+    # in-clause routes to at most len(values) buckets
+    convs = sorted(full["conv_id"].unique())[:3]
+    stats = {}
+    got = _got(read_published(out, where=[("conv_id", "in", convs)],
+                              prune_stats=stats))
+    exp = _oracle_filtered(log, lambda df: df[df["conv_id"].isin(convs)])
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    assert stats["files_read"] <= 3
+
+    # unpinned key: no bucket pruning (non-key predicate reads everything
+    # the zone maps keep)
+    stats = {}
+    read_published(out, where=[("role", "==", "user")], prune_stats=stats)
+    assert stats["files_read"] == 4
+
+    # generic PAIR-key table: both keys pinned -> exactly 1 bucket;
+    # one key pinned -> all buckets (pair hash not recomputable)
+    gen = str(tmp_path / "gen")
+    publish_dataset(read_published(out), gen, key_cols=KEYS, num_buckets=8,
+                    run_id="g1")
+    row = full.iloc[len(full) // 2]
+    stats = {}
+    got = read_published(
+        gen,
+        where=[("conv_id", "==", row["conv_id"]),
+               ("turn_idx", "==", int(row["turn_idx"]))],
+        prune_stats=stats,
+    ).take_all()
+    assert len(got) == 1 and got[0]["text"] == row["text"]
+    assert stats["files_read"] == 1 and stats["files_total"] == 8
+    stats = {}
+    read_published(gen, where=[("conv_id", "==", row["conv_id"])],
+                   prune_stats=stats)
+    assert stats["files_read"] == 8
+
+    # nonexistent (valid-typed) probe: routed to one bucket, empty result
+    stats = {}
+    ds = read_published(gen, where=[("conv_id", "==", "conv_zzzzzz"),
+                                    ("turn_idx", "==", 0)],
+                        prune_stats=stats)
+    assert ds.count() == 0 and stats["files_read"] <= 1
