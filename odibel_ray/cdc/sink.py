@@ -1252,16 +1252,34 @@ def lookup_key(
         with open(layout_path) as f:
             key_cols = list(json.load(f)["key_cols"])
     # generic tables hash ALL key columns into the bucket id — recomputing
-    # it from the first key alone would open the wrong file, so composite-key
-    # generic tables take the footer-pruned scan over all candidates
-    single_key_hash = num_buckets and not (tman.get("generic") and len(key_cols) > 1)
+    # it from the first key alone would open the wrong file. With the FULL
+    # key given the bucket IS recomputable (probe values cast to the
+    # canonical key types so integer-width differences can't skew the
+    # hash); a partial composite key — or any DDL state, where file key
+    # names may differ — takes the footer-pruned scan over all candidates.
+    generic_multi = tman.get("generic") and len(key_cols) > 1
+    single_key_hash = num_buckets and not generic_multi
+    candidates = list(manifests.values())
     if single_key_hash:
         b = int(
             bucket_of_keys(pa.table({"k": [conv_id]}), ["k"], int(num_buckets))[0]
         )
         candidates = [manifests[b]] if b in manifests else []
-    else:
-        candidates = list(manifests.values())
+    elif (num_buckets and generic_multi and len(key_cols) == 2
+          and turn_idx is not None and manifests
+          and smap is None and mrun is None):
+        try:
+            canon = pq.read_schema(
+                os.path.join(out_dir, next(iter(manifests.values()))["file"])
+            )
+            probe_t = pa.table({
+                k: pa.array([v]).cast(canon.field(k).type)
+                for k, v in zip(key_cols[:2], [conv_id, turn_idx])
+            })
+            b = int(bucket_of_keys(probe_t, key_cols[:2], int(num_buckets))[0])
+            candidates = [manifests[b]] if b in manifests else []
+        except (pa.ArrowInvalid, pa.ArrowTypeError, KeyError):
+            pass  # unroutable probe: fall back to the pruned full scan
     filters = [(key_cols[0], "==", conv_id)]
     if turn_idx is not None and len(key_cols) > 1:
         filters.append((key_cols[1], "==", turn_idx))

@@ -110,3 +110,44 @@ def test_spj_merges_mor_deltas(two_tables, ray_session):
     hits = [r for r in got.to_pylist()
             if (r["conv_id"], r["turn_idx"]) == key]
     assert len(hits) == 1 and hits[0]["text_len"] == 999_999
+
+
+def test_lookup_key_routes_composite_generic_key(
+    ray_session, small_log, tmp_path, monkeypatch
+):
+    """Full-key point lookups on a composite-key generic table open ONLY the
+    key's hash bucket (1 file read); a partial composite key is not
+    routable and scans every candidate bucket."""
+    import pyarrow.parquet as ppq
+
+    from odibel_ray.cdc import sink as sink_mod
+    from odibel_ray.cdc.sink import lookup_key
+
+    base = str(tmp_path / "base")
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], base, num_buckets=4, run_id="r1")
+    publish_dataset(read_published(base), out, key_cols=KEYS, num_buckets=8,
+                    run_id="g1")
+    full = collect_sorted(read_published(out), KEYS)
+    conv = full["conv_id"][0].as_py()
+    turn = full["turn_idx"][0].as_py()
+
+    reads = []
+    real = ppq.read_table
+
+    def counting(path, *a, **k):
+        reads.append(path)
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(sink_mod.pq, "read_table", counting)
+
+    got = lookup_key(out, conv, turn_idx=turn)
+    assert len(got) == 1 and got["text"][0].as_py() == full["text"][0].as_py()
+    assert len(reads) == 1  # routed: exactly the key's bucket file
+
+    reads.clear()
+    got = lookup_key(out, conv)
+    assert len(got) == len(
+        [r for r in full.to_pylist() if r["conv_id"] == conv]
+    )
+    assert len(reads) == 8  # partial key: every candidate bucket scanned
