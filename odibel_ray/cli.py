@@ -157,6 +157,16 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--version", type=int, default=None, help="time travel")
     sc.add_argument("--limit", type=int, default=10, help="rows to print (0: none)")
 
+    mt = sub.add_parser(
+        "maintain", help="one-call table maintenance: compact MOR deltas, "
+                         "tighten snapshot retention, vacuum, stats health"
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--min-deltas", type=int, default=8)
+    mt.add_argument("--keep-snapshots", type=int, default=None)
+    mt.add_argument("--stats-feed", default=None)
+    mt.add_argument("--run-id", default="cli-maintain")
+
     an = sub.add_parser(
         "analyze", help="compute + persist per-column statistics (nulls, "
                         "min/max, NDV) for a published table"
@@ -500,6 +510,19 @@ def main(argv: list[str] | None = None) -> int:
         for row in ds.take(args.limit) if args.limit else ():
             print(json.dumps(row, default=str))
         print(json.dumps({"rows": ds.count(), **stats}))
+        return 0
+
+    if args.cmd == "maintain":
+        from odibel_ray.cdc.maintain import maintain_table
+
+        report = maintain_table(
+            args.table,
+            compact_min_deltas=args.min_deltas,
+            keep_snapshots=args.keep_snapshots,
+            stats_feed=args.stats_feed,
+            run_id=args.run_id,
+        )
+        print(json.dumps(report, default=str))
         return 0
 
     if args.cmd == "analyze":

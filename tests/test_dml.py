@@ -141,3 +141,31 @@ def test_delete_emits_change_feed(generic_table, tmp_path):
     t = pa.concat_tables([pq.read_table(f) for f in files])
     assert len(t) == res["rows_deleted"]
     assert set(t["change"].to_pylist()) == {"delete"}
+
+
+def test_dml_mor_mode(generic_table):
+    """DELETE/UPDATE with mode='mor' stage per-bucket deltas (no base
+    rewrite); readers LWW-merge and compaction folds them back."""
+    from odibel_ray.cdc import compact_published
+    from odibel_ray.cdc.sink import load_manifests
+
+    before = _table(generic_table)
+    res = delete_published(generic_table, [("role", "==", "tool")],
+                           run_id="d1", mode="mor")
+    assert res["rows_deleted"] > 0
+    assert any(m.get("deltas") for m in load_manifests(generic_table).values())
+    after = _table(generic_table)
+    assert len(after) == len(before) - res["rows_deleted"]
+    assert "tool" not in set(after["role"].to_pylist())
+
+    res = update_published(generic_table, {"score": 0.0},
+                           [("role", "==", "user")], run_id="u1", mode="mor")
+    assert res["rows_updated"] > 0
+    compact_published(generic_table, run_id="c1", min_deltas=1)
+    final = _table(generic_table)
+    assert not any(m.get("deltas") for m in load_manifests(generic_table).values())
+    assert len(final) == len(after)
+    import pyarrow.compute as _pc
+    users = final.filter(_pc.equal(final["role"], "user"))
+    assert len(users) == res["rows_updated"]
+    assert _pc.all(_pc.equal(users["score"], 0.0)).as_py()

@@ -1,0 +1,86 @@
+"""maintain_table: compaction + retention + vacuum + stats health in one call."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from odibel_ray.cdc import (
+    enable_snapshots,
+    list_snapshots,
+    maintain_table,
+    publish_dataset,
+    read_published,
+    replay_publish,
+    upsert_published,
+)
+from odibel_ray.cdc.analyze import analyze_published, load_column_stats
+from odibel_ray.cdc.sink import load_manifests
+from tests.conftest import collect_sorted
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture()
+def table(ray_session, small_log, tmp_path):
+    base = str(tmp_path / "base")
+    out = str(tmp_path / "tbl")
+    replay_publish(small_log["log_dir"], base, num_buckets=4, run_id="r1")
+    publish_dataset(read_published(base), out, key_cols=KEYS, num_buckets=4,
+                    run_id="g1")
+    return out
+
+
+def _mor_update(out, n, run_id):
+    import ray.data as rd
+
+    full = collect_sorted(read_published(out), KEYS)
+    sl = full.slice(0, n)
+    sl = sl.set_column(sl.schema.get_field_index("text"), "text",
+                       pa.array([f"v-{run_id}-{i}" for i in range(n)]))
+    upsert_published(rd.from_arrow(sl), out, run_id=run_id, mode="mor")
+
+
+def test_maintain_compacts_when_threshold_hit(table, ray_session):
+    before = collect_sorted(read_published(table), KEYS)
+    for i in range(3):
+        _mor_update(table, 8, f"m{i}")
+    rep = maintain_table(table, compact_min_deltas=5)
+    assert rep["compacted_buckets"] == 0 and rep["max_bucket_deltas"] == 3
+
+    rep = maintain_table(table, compact_min_deltas=2)
+    assert rep["compacted_buckets"] > 0
+    assert not any(
+        len(m.get("deltas", [])) >= 2 for m in load_manifests(table).values()
+    )
+    after = collect_sorted(read_published(table), KEYS)
+    assert len(after) == len(before)
+
+
+def test_maintain_retention_and_vacuum(table, ray_session, tmp_path):
+    enable_snapshots(table, keep_last=50)
+    for i in range(4):
+        _mor_update(table, 4, f"s{i}")
+        maintain_table(table, compact_min_deltas=1, vacuum_after=False)
+    assert len(list_snapshots(table)) > 3
+    rep = maintain_table(table, compact_min_deltas=0, keep_snapshots=2)
+    assert len(list_snapshots(table)) == 2
+    assert "vacuum" in rep
+    # stray staging dir is swept
+    os.makedirs(os.path.join(table, "_staging", "stray"), exist_ok=True)
+    rep = maintain_table(table, compact_min_deltas=0)
+    assert rep["vacuum"]["staging_dirs"] == 1
+
+
+def test_maintain_reports_stale_stats(table, ray_session):
+    analyze_published(table, columns=["text", "score"], method="hll")
+    enable_snapshots(table, keep_last=10)
+    rep = maintain_table(table, compact_min_deltas=0)
+    # the table advanced (snapshot bootstrap) past the stats pin -> stale
+    assert set(rep["stats_stale"]) == {"score", "text"}
+
+    _mor_update(table, 4, "x1")
+    # no feed handed over: still stale; with compaction the stats survive
+    rep = maintain_table(table, compact_min_deltas=1)
+    assert set(rep["stats_stale"]) == {"score", "text"}
+    assert load_column_stats(table)["_table"]["method"] == "hll"
