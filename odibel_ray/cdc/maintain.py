@@ -95,3 +95,57 @@ def maintain_table(
         )
         report["vacuum"] = removed
     return report
+
+
+def catalog(root: str) -> list[dict]:
+    """Discover every published table under ``root`` (recursively: any
+    directory carrying a table manifest) and report its catalog row: kind
+    (transcript / generic; derived / mview / joinview when maintained),
+    rows, buckets, merge-on-read delta backlog, retained snapshots,
+    statistics freshness, and upstream tables. Metadata-only — no Ray
+    session, no data file opened."""
+    import json as _json
+
+    from odibel_ray.cdc.pipeline import _META_FILES
+    from odibel_ray.cdc.sink import TABLE_MANIFEST, list_snapshots
+
+    rows = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        if TABLE_MANIFEST not in filenames:
+            continue
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        with open(os.path.join(dirpath, TABLE_MANIFEST)) as f:
+            tman = _json.load(f)
+        kind = "generic" if tman.get("generic") else "transcript"
+        upstreams: list[str] = []
+        for fname, k in _META_FILES.items():
+            mpath = os.path.join(dirpath, fname)
+            if os.path.exists(mpath):
+                kind = k
+                with open(mpath) as f:
+                    meta = _json.load(f)
+                upstreams = [
+                    meta.get(key)
+                    for key in ("base", "left", "right")
+                    if meta.get(key)
+                ]
+                break
+        snaps = list_snapshots(dirpath)
+        stats = load_column_stats(dirpath)
+        stats_state = "none"
+        if stats is not None:
+            live = snaps[-1]["version"] if snaps else None
+            stats_state = (
+                "fresh" if stats["_table"].get("version") == live else "stale"
+            )
+        rows.append({
+            "table": dirpath,
+            "kind": kind,
+            "rows": tman.get("rows_total"),
+            "buckets": len(tman.get("buckets", [])),
+            "mor_deltas": tman.get("mor_deltas", 0),
+            "snapshots": len(snaps),
+            "stats": stats_state,
+            "upstreams": upstreams,
+        })
+    return sorted(rows, key=lambda r: r["table"])

@@ -157,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--version", type=int, default=None, help="time travel")
     sc.add_argument("--limit", type=int, default=10, help="rows to print (0: none)")
 
+    tb = sub.add_parser(
+        "tables", help="catalog every published table under a root: kind, "
+                       "rows, delta backlog, snapshots, stats freshness, "
+                       "upstreams (metadata-only)"
+    )
+    tb.add_argument("--root", required=True)
+
     mt = sub.add_parser(
         "maintain", help="one-call table maintenance: compact MOR deltas, "
                          "tighten snapshot retention, vacuum, stats health"
@@ -395,6 +402,13 @@ def main(argv: list[str] | None = None) -> int:
         res = fsck_table(args.table)
         print(json.dumps(res))
         return 0 if res["ok"] else 1
+
+    if args.cmd == "tables":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.maintain import catalog
+
+        for row in catalog(args.root):
+            print(json.dumps(row))
+        return 0
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed
         from odibel_ray.cdc.analyze import load_column_stats

@@ -84,3 +84,34 @@ def test_maintain_reports_stale_stats(table, ray_session):
     rep = maintain_table(table, compact_min_deltas=1)
     assert set(rep["stats_stale"]) == {"score", "text"}
     assert load_column_stats(table)["_table"]["method"] == "hll"
+
+
+def test_catalog_lists_tables_and_kinds(ray_session, small_log, tmp_path, capsys):
+    import json
+
+    from odibel_ray.cdc import create_derived
+    from odibel_ray.cdc.maintain import catalog
+    from odibel_ray.cli import main
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    bronze = os.path.join(root, "bronze")
+    replay_publish(small_log["log_dir"], bronze, num_buckets=4, run_id="r1")
+    silver = os.path.join(root, "silver")
+    create_derived(bronze, silver,
+                   transform={"where": [["score", ">=", 0.5]],
+                              "columns": ["role", "score"]}, run_id="d1")
+    analyze_published(bronze, columns=["role"], method="hll")
+
+    rows = {r["table"]: r for r in catalog(root)}
+    assert set(rows) == {bronze, silver}
+    assert rows[bronze]["kind"] == "transcript"
+    assert rows[silver]["kind"] == "derived"
+    assert rows[silver]["upstreams"] == [bronze]
+    assert rows[bronze]["rows"] > 0 and rows[bronze]["buckets"] == 4
+    assert rows[bronze]["stats"] in ("fresh", "stale")
+    assert rows[silver]["stats"] == "none"
+
+    assert main(["tables", "--root", root]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["table"] for l in lines} == {bronze, silver}
