@@ -336,7 +336,10 @@ def main(argv: list[str] | None = None) -> int:
         help="refresh a DAG of maintained tables (derived/mview/joinview) "
              "in dependency order, optionally as a feed cascade",
     )
-    sy.add_argument("tables", nargs="+", help="maintained table directories")
+    sy.add_argument("tables", nargs="*", help="maintained table directories")
+    sy.add_argument("--root", default=None,
+                    help="discover every maintained table under this root "
+                         "(catalog walk) instead of listing them")
     sy.add_argument("--chain-feeds", action="store_true",
                     help="each hop emits its own change feed for the next "
                          "(skips snapshot diffs when pins line up)")
@@ -674,8 +677,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sync":
         from odibel_ray.cdc.pipeline import refresh_pipeline
 
+        tables = list(args.tables)
+        if args.root:
+            from odibel_ray.cdc.maintain import catalog
+
+            tables += [
+                r["table"] for r in catalog(args.root)
+                if r["kind"] in ("derived", "mview", "joinview")
+            ]
+        if not tables:
+            print("sync: no maintained tables given or discovered", file=sys.stderr)
+            return 2
         res = refresh_pipeline(
-            args.tables, run_id=args.run_id, chain_feeds=args.chain_feeds,
+            tables, run_id=args.run_id, chain_feeds=args.chain_feeds,
             savepoint=args.savepoint, max_parallel=args.parallel,
         )
         print(json.dumps({"order": res["order"],

@@ -115,3 +115,40 @@ def test_catalog_lists_tables_and_kinds(ray_session, small_log, tmp_path, capsys
     assert main(["tables", "--root", root]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {l["table"] for l in lines} == {bronze, silver}
+
+
+def test_cli_sync_root_discovery(ray_session, small_log, tmp_path, capsys):
+    """sync --root discovers every maintained table under the root via the
+    catalog and converges the DAG without listing tables explicitly."""
+    import json
+
+    from odibel_ray.cdc import create_derived, incremental_apply, read_derived
+    from odibel_ray.cli import main
+    from odibel_ray.datagen import split_log
+    from odibel_ray.oracle import replay_oracle
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    log = small_log["log_dir"]
+    prefix = str(tmp_path / "prefix")
+    split_log(log, prefix, frac=0.6)
+    bronze = os.path.join(root, "bronze")
+    replay_publish(os.path.join(prefix, "change_log"), bronze, num_buckets=4,
+                   run_id="r1")
+    silver = os.path.join(root, "silver")
+    create_derived(bronze, silver,
+                   transform={"where": [["score", ">=", 0.5]],
+                              "columns": ["role", "score"]}, run_id="d1")
+    incremental_apply(log, bronze, run_id="r2")
+
+    assert main(["sync", "--root", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["order"] == [silver]
+
+    import pyarrow.compute as _pc
+
+    got = read_derived(silver).count()
+    oracle = replay_oracle(log)
+    want = len(oracle.filter(
+        _pc.fill_null(_pc.greater_equal(oracle["score"], 0.5), False)))
+    assert got == want
