@@ -21,6 +21,7 @@ from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refre
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
     compact_published,
+    count_published,
     enable_snapshots,
     expire_snapshots,
     fsck_table,
@@ -44,6 +45,7 @@ __all__ = [
     "ConcurrentWriterError",
     "table_lock",
     "compact_published",
+    "count_published",
     "enable_snapshots",
     "expire_snapshots",
     "list_snapshots",

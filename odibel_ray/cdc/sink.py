@@ -1706,6 +1706,42 @@ def vacuum(
     return removed
 
 
+def count_published(out_dir: str, where=None, *, version: int | None = None) -> int:
+    """``SELECT COUNT(*)`` without a data scan when possible: with no
+    predicate the count is the manifest row-count sum (metadata-only — the
+    audit guarantees it equals the files' rows; merge-on-read buckets fall
+    back to a per-bucket merged count since tombstoned/superseded delta
+    rows are not knowable from metadata). With a predicate, the count runs
+    over the pruned read (bucket routing + zone maps + blooms first)."""
+    if where is not None:
+        return int(read_published(out_dir, where=where, version=version).count())
+    manifests = (
+        snapshot_manifests(out_dir, version)
+        if version is not None
+        else load_manifests(out_dir)
+    )
+    if not manifests:
+        raise FileNotFoundError(f"no published buckets under {out_dir}")
+    mor = [b for b, m in manifests.items() if m.get("deltas")]
+    total = sum(int(m["rows_out"]) for b, m in manifests.items() if b not in set(mor))
+    if mor:
+        # a delta may supersede or tombstone base rows — count those
+        # buckets through the LWW merge (still only the delta-bearing ones)
+        layout_path = os.path.join(out_dir, "_layout.json")
+        keys = ["conv_id", "turn_idx"]
+        if os.path.exists(layout_path):
+            with open(layout_path) as f:
+                keys = list(json.load(f)["key_cols"])
+        for b in mor:
+            m = manifests[b]
+            base = pq.read_table(os.path.join(out_dir, m["file"]))
+            deltas = [
+                pq.read_table(os.path.join(out_dir, d["file"])) for d in m["deltas"]
+            ]
+            total += len(merge_base_deltas(base, deltas, keys=keys))
+    return int(total)
+
+
 _BUCKET_PRUNE_MAX_PROBES = 64
 
 

@@ -152,3 +152,27 @@ def test_cli_sync_root_discovery(ray_session, small_log, tmp_path, capsys):
     want = len(oracle.filter(
         _pc.fill_null(_pc.greater_equal(oracle["score"], 0.5), False)))
     assert got == want
+
+
+def test_count_published_paths(table, ray_session):
+    """COUNT(*): metadata-only without a predicate (manifest sums; MOR
+    buckets merged), pruned scan with one."""
+    from odibel_ray.cdc import count_published
+
+    full = collect_sorted(read_published(table), KEYS)
+    assert count_published(table) == len(full)
+
+    # predicate path rides the pruned read
+    import pyarrow.compute as _pc
+
+    n_user = len(full.filter(_pc.equal(full["role"], "user")))
+    assert count_published(table, where=[("role", "==", "user")]) == n_user
+
+    # MOR deltas: tombstones must not be double counted
+    from odibel_ray.cdc import delete_published
+
+    res = delete_published(table, [("turn_idx", "==", int(full["turn_idx"][0].as_py())),
+                                   ("conv_id", "==", full["conv_id"][0].as_py())],
+                           run_id="d1", mode="mor")
+    assert res["rows_deleted"] == 1
+    assert count_published(table) == len(full) - 1
