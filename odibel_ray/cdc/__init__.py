@@ -10,7 +10,7 @@ from odibel_ray.cdc.apply import (
 from odibel_ray.cdc.lww import change_feed
 from odibel_ray.cdc.ddl import alter_published, materialize_ddl
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
-from odibel_ray.cdc.dml import delete_published, update_published
+from odibel_ray.cdc.dml import delete_published, merge_published, update_published
 from odibel_ray.cdc.analyze import analyze_published, load_column_stats, refresh_column_stats
 from odibel_ray.cdc.maintain import maintain_table
 from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
@@ -78,6 +78,7 @@ __all__ = [
     "refresh_column_stats",
     "maintain_table",
     "delete_published",
+    "merge_published",
     "update_published",
     "alter_published",
     "materialize_ddl",

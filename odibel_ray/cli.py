@@ -206,6 +206,27 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--mode", choices=["cow", "mor"], default="cow")
     up.add_argument("--feed-dir", default=None)
 
+    mg = sub.add_parser(
+        "merge", help="MERGE INTO a published table USING a Parquet source"
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True,
+                    help="Parquet file/dir of source rows (full logical rows)")
+    mg.add_argument("--when-matched", choices=["update", "delete", "none"],
+                    default="update")
+    mg.add_argument("--matched-cond", default=None,
+                    help='conjunctive clauses as JSON; column refs are '
+                         '["s"|"t", col] pairs, e.g. \'[[["t","ts"],"<",["s","ts"]]]\'')
+    mg.add_argument("--when-not-matched", choices=["insert", "none"],
+                    default="insert")
+    mg.add_argument("--not-matched-cond", default=None)
+    mg.add_argument("--when-not-matched-by-source", choices=["delete", "none"],
+                    default="none")
+    mg.add_argument("--not-matched-by-source-cond", default=None)
+    mg.add_argument("--run-id", default="cli-merge")
+    mg.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    mg.add_argument("--feed-dir", default=None)
+
     v = sub.add_parser(
         "vacuum",
         help="sweep staging dirs/orphan data files; prune old feed states",
@@ -572,6 +593,37 @@ def main(argv: list[str] | None = None) -> int:
         }
         res = update_published(
             args.table, assign, json.loads(args.where) if args.where else [],
+            run_id=args.run_id, mode=args.mode, feed_dir=args.feed_dir,
+        )
+        print(json.dumps(res, default=str))
+        return 0
+
+    if args.cmd == "merge":
+        import ray.data as rd
+
+        from odibel_ray.cdc.dml import merge_published
+
+        def cond(arg):
+            if arg is None:
+                return None
+            # JSON has no tuples: ["s"|"t", col] lists become column refs,
+            # each clause list becomes a tuple
+            return [
+                tuple(tuple(o) if isinstance(o, list) else o for o in cl)
+                for cl in json.loads(arg)
+            ]
+
+        res = merge_published(
+            rd.read_parquet(args.source), args.table,
+            when_matched=None if args.when_matched == "none" else args.when_matched,
+            matched_condition=cond(args.matched_cond),
+            when_not_matched=(None if args.when_not_matched == "none"
+                              else args.when_not_matched),
+            not_matched_condition=cond(args.not_matched_cond),
+            when_not_matched_by_source=(
+                None if args.when_not_matched_by_source == "none"
+                else args.when_not_matched_by_source),
+            not_matched_by_source_condition=cond(args.not_matched_by_source_cond),
             run_id=args.run_id, mode=args.mode, feed_dir=args.feed_dir,
         )
         print(json.dumps(res, default=str))

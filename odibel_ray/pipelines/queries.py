@@ -856,6 +856,58 @@ def q_transcript_update_where(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_merge_into(sf_dir: str):
+    """MERGE INTO (`cdc/dml.py:merge_published` — the Delta/SQL:2003
+    conditional merge the reference replaces with full re-extraction,
+    ``transform/TKGModelMgr.scala``): the source re-derives every user turn
+    with upper-cased text and an inverted score plus a brand-new ``_m``
+    conversation per user opener; matched rows update only where the stored
+    score is lower than the incoming one (column-vs-column condition, SQL
+    NULL semantics), unmatched source rows insert, and stored low-score tool
+    turns absent from the source are swept by WHEN NOT MATCHED BY SOURCE
+    DELETE. One source shuffle + O(touched buckets) classification reads."""
+    import numpy as np
+
+    from odibel_ray.cdc.dml import merge_published
+    from odibel_ray.cdc.sink import read_published
+
+    full = ensure_full_published(sf_dir)
+    out = _dml_fixture(sf_dir, "_dmlmerge")
+
+    def to_source(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["role"], "user")).combine_chunks()
+        names = t.column_names
+        upd = t.set_column(names.index("text"), "text", pc.utf8_upper(t["text"]))
+        upd = upd.set_column(
+            names.index("score"), "score", pc.subtract(pa.scalar(1.0), t["score"])
+        )
+        new = t.filter(pc.equal(t["turn_idx"], 0)).combine_chunks()
+        ins = new.set_column(
+            names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(new["conv_id"], "_m", ""),
+        )
+        ins = ins.set_column(
+            names.index("role"), "role",
+            pa.array(np.full(len(new), "merged"), pa.string()),
+        )
+        return pa.concat_tables([upd, ins])
+
+    src = read_published(full).map_batches(to_source, batch_format="pyarrow")
+    merge_published(
+        src,
+        out,
+        when_matched="update",
+        matched_condition=[(("t", "score"), "<", ("s", "score"))],
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=[
+            (("t", "role"), "==", "tool"), (("t", "score"), "<", 0.2),
+        ],
+        run_id="m1",
+    )
+    return read_published(out)
+
+
 #: Deterministic key for the point-lookup query — present in the converged
 #: final state at every test scale factor (verified sf0.001/0.01/0.1).
 _LOOKUP_CONV = "conv_00000007"
@@ -3118,6 +3170,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_zorder_read": q_transcript_zorder_read,
     "transcript_delete_where": q_transcript_delete_where,
     "transcript_update_where": q_transcript_update_where,
+    "transcript_merge_into": q_transcript_merge_into,
     "transcript_bloom_lookup": q_transcript_bloom_lookup,
     "transcript_bucket_join": q_transcript_bucket_join,
     "transcript_column_stats": q_transcript_column_stats,
@@ -3614,6 +3667,40 @@ SELECT conv_id, turn_idx, role,
   CASE WHEN role = 'tool' THEN 'REDACTED' ELSE tool_name END AS tool_name,
   score, ts
 FROM ({t_final})""",
+        # MERGE INTO: full outer join of target and derived source; matched
+        # rows take the source row only when t.score < s.score (NULL fails →
+        # keep target, SQL semantics); source-only rows insert; target-only
+        # low-score tool rows are deleted by NOT MATCHED BY SOURCE
+        "transcript_merge_into": f"""
+WITH t AS ({t_final}),
+s AS (
+  SELECT conv_id, turn_idx, role, UPPER(text) AS text, tool_name,
+         1.0 - score AS score, ts FROM t WHERE role = 'user'
+  UNION ALL
+  SELECT conv_id || '_m' AS conv_id, turn_idx, 'merged' AS role, text,
+         tool_name, score, ts FROM t WHERE role = 'user' AND turn_idx = 0
+)
+SELECT COALESCE(t.conv_id, s.conv_id) AS conv_id,
+       COALESCE(t.turn_idx, s.turn_idx) AS turn_idx,
+       CASE WHEN s.conv_id IS NULL THEN t.role
+            WHEN t.conv_id IS NULL OR t.score < s.score THEN s.role
+            ELSE t.role END AS role,
+       CASE WHEN s.conv_id IS NULL THEN t.text
+            WHEN t.conv_id IS NULL OR t.score < s.score THEN s.text
+            ELSE t.text END AS text,
+       CASE WHEN s.conv_id IS NULL THEN t.tool_name
+            WHEN t.conv_id IS NULL OR t.score < s.score THEN s.tool_name
+            ELSE t.tool_name END AS tool_name,
+       CASE WHEN s.conv_id IS NULL THEN t.score
+            WHEN t.conv_id IS NULL OR t.score < s.score THEN s.score
+            ELSE t.score END AS score,
+       CASE WHEN s.conv_id IS NULL THEN t.ts
+            WHEN t.conv_id IS NULL OR t.score < s.score THEN s.ts
+            ELSE t.ts END AS ts
+FROM t FULL OUTER JOIN s
+  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+WHERE NOT COALESCE(t.conv_id IS NOT NULL AND s.conv_id IS NULL
+                   AND t.role = 'tool' AND t.score < 0.2, FALSE)""",
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,

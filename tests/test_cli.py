@@ -246,3 +246,30 @@ def test_cli_delete_and_update(ray_session, small_log, tmp_path, capsys):
     assert res["rows_updated"] > 0
     got = read_published(out, where=[("role", "==", "tool")])
     assert all(r["tool_name"] == "REDACTED" for r in got.take_all())
+
+
+def test_cli_merge(ray_session, tmp_path, capsys):
+    """merge runs a conditional MERGE INTO through the CLI (JSON clause
+    lists; ["s"|"t", col] pairs are column refs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import publish_dataset, read_published
+
+    out = str(tmp_path / "tbl")
+    publish_dataset(
+        rd.from_arrow(pa.table({"k": ["a", "b"], "v": [1, 2], "score": [0.1, 0.9]})),
+        out, key_cols=["k"], num_buckets=2, run_id="g1")
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"k": ["a", "b", "c"], "v": [10, 20, 30],
+                             "score": [0.95, 0.2, 0.5]}), src)
+
+    assert main([
+        "merge", "--table", out, "--source", src,
+        "--matched-cond", '[[["t","score"],"<",["s","score"]]]',
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (res["rows_updated"], res["rows_inserted"]) == (1, 1)
+    got = sorted((r["k"], r["v"]) for r in read_published(out).take_all())
+    assert got == [("a", 10), ("b", 2), ("c", 30)]
