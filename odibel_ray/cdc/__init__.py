@@ -12,7 +12,7 @@ from odibel_ray.cdc.ddl import alter_published, materialize_ddl
 from odibel_ray.cdc.derived import create_derived, read_derived, refresh_derived
 from odibel_ray.cdc.dml import delete_published, merge_published, update_published
 from odibel_ray.cdc.analyze import analyze_published, load_column_stats, refresh_column_stats
-from odibel_ray.cdc.maintain import maintain_table
+from odibel_ray.cdc.maintain import clone_table, maintain_table
 from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
 from odibel_ray.cdc.pipeline import plan_pipeline, refresh_pipeline
 from odibel_ray.cdc.quality import drop_expectations, get_expectations, set_expectations
@@ -77,6 +77,7 @@ __all__ = [
     "load_column_stats",
     "refresh_column_stats",
     "maintain_table",
+    "clone_table",
     "delete_published",
     "merge_published",
     "update_published",

@@ -149,3 +149,120 @@ def catalog(root: str) -> list[dict]:
             "upstreams": upstreams,
         })
     return sorted(rows, key=lambda r: r["table"])
+
+
+def clone_table(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    version: int | None = None,
+    run_id: str = "clone-0",
+) -> dict:
+    """Shallow CLONE of a published table (the Delta ``CREATE TABLE ... CLONE``
+    analog): a new, fully independent table whose bucket data files are
+    HARDLINKS to the source's — metadata-speed creation, zero data copied.
+    Independence holds because published data files are immutable by the
+    copy-on-write contract (every writer creates new run-versioned files and
+    only ever *unlinks* old ones), so a rewrite/DML/vacuum on either side can
+    never change what the other reads. The one exception is merge-on-read
+    DELTA files, whose crash-resume path rewrites the same filename in place
+    — those are byte-copied (they are O(new events) small by construction).
+
+    ``version=V`` clones a retained snapshot (``CLONE ... VERSION AS OF``)
+    instead of the live state. Cloned alongside the data: the bucket/table
+    manifests, ``_layout.json``, the schema-op log, expectations and column
+    stats. NOT cloned: snapshot history (a clone starts its own), savepoints,
+    feeds, staging, and the writer lock. Cross-filesystem targets fall back
+    to byte copies automatically.
+    """
+    import json
+    import shutil
+
+    from odibel_ray.cdc.ddl import SCHEMA_OPS, load_schema_meta
+    from odibel_ray.cdc.sink import (
+        MANIFEST_DIR,
+        TABLE_MANIFEST,
+        _atomic_write_json,
+        load_manifests,
+        snapshot_manifests,
+        table_lock,
+    )
+    from odibel_ray.cdc.skipping import BLOOM_SUFFIX
+
+    if not os.path.exists(os.path.join(src_dir, TABLE_MANIFEST)):
+        raise FileNotFoundError(f"{src_dir} is not a published table")
+    if os.path.exists(os.path.join(dst_dir, TABLE_MANIFEST)):
+        raise FileExistsError(f"{dst_dir} is already a published table")
+    if load_schema_meta(src_dir).get("materialized_run"):
+        raise ValueError(
+            "source has a materialize_ddl rewrite in flight (mixed physical "
+            "schemas); finish it before cloning"
+        )
+
+    def _link(rel: str, always_copy: bool = False) -> str:
+        s, d = os.path.join(src_dir, rel), os.path.join(dst_dir, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        if not always_copy:
+            try:
+                os.link(s, d)
+                return "linked"
+            except OSError:
+                pass  # cross-device / unsupported: fall through to copy
+        shutil.copy2(s, d)
+        return "copied"
+
+    n_linked = n_copied = 0
+    with table_lock(src_dir, owner=f"clone:{run_id}"):
+        manifests = (
+            snapshot_manifests(src_dir, version) if version is not None
+            else load_manifests(src_dir)
+        )
+        for m in manifests.values():
+            for f in [m["file"], *(d["file"] for d in m.get("deltas", []))]:
+                if not os.path.exists(os.path.join(src_dir, f)):
+                    raise FileNotFoundError(
+                        f"data file {f} missing from source — "
+                        f"{'snapshot retention was broken' if version is not None else 'table is corrupt (fsck_table)'}"
+                    )
+        os.makedirs(os.path.join(dst_dir, MANIFEST_DIR), exist_ok=True)
+        for b, m in sorted(manifests.items()):
+            if _link(m["file"]) == "linked":
+                n_linked += 1
+            else:
+                n_copied += 1
+            if os.path.exists(os.path.join(src_dir, m["file"] + BLOOM_SUFFIX)):
+                _link(m["file"] + BLOOM_SUFFIX)
+            for d in m.get("deltas", []):
+                # MOR deltas can be rewritten in place on crash-resume: copy
+                _link(d["file"], always_copy=True)
+                n_copied += 1
+            _atomic_write_json(
+                os.path.join(dst_dir, MANIFEST_DIR, f"bucket-{b:06d}.json"), m
+            )
+        for meta in ("_layout.json", SCHEMA_OPS, "_expectations.json",
+                     "_colstats.json"):
+            if os.path.exists(os.path.join(src_dir, meta)):
+                _link(meta, always_copy=True)
+        with open(os.path.join(src_dir, TABLE_MANIFEST)) as f:
+            tman = json.load(f)
+    tman.update(
+        {
+            "buckets": sorted(manifests),
+            "rows_total": int(sum(m["rows_out"] for m in manifests.values())),
+            "mor_deltas": int(
+                sum(len(m.get("deltas", [])) for m in manifests.values())
+            ),
+            "last_run_id": run_id,
+            "cloned_from": {"table": os.path.abspath(src_dir), "version": version},
+        }
+    )
+    _atomic_write_json(os.path.join(dst_dir, TABLE_MANIFEST), tman)
+    return {
+        "src": src_dir,
+        "dst": dst_dir,
+        "version": version,
+        "buckets": len(manifests),
+        "rows_total": tman["rows_total"],
+        "files_linked": n_linked,
+        "files_copied": n_copied,
+    }

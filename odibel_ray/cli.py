@@ -174,6 +174,15 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--stats-feed", default=None)
     mt.add_argument("--run-id", default="cli-maintain")
 
+    cl = sub.add_parser(
+        "clone", help="shallow CLONE a published table (hardlinked data "
+                      "files, independent metadata; --version for AS OF)"
+    )
+    cl.add_argument("--src", required=True)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--version", type=int, default=None)
+    cl.add_argument("--run-id", default="cli-clone")
+
     an = sub.add_parser(
         "analyze", help="compute + persist per-column statistics (nulls, "
                         "min/max, NDV) for a published table"
@@ -548,6 +557,14 @@ def main(argv: list[str] | None = None) -> int:
         for row in ds.take(args.limit) if args.limit else ():
             print(json.dumps(row, default=str))
         print(json.dumps({"rows": ds.count(), **stats}))
+        return 0
+
+    if args.cmd == "clone":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.maintain import clone_table
+
+        res = clone_table(args.src, args.dst, version=args.version,
+                          run_id=args.run_id)
+        print(json.dumps(res, default=str))
         return 0
 
     if args.cmd == "maintain":

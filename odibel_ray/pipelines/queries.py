@@ -908,6 +908,27 @@ def q_transcript_merge_into(sf_dir: str):
     return read_published(out)
 
 
+def q_transcript_clone_read(sf_dir: str):
+    """Shallow CLONE (`cdc/maintain.py:clone_table` — the Delta ``CREATE
+    TABLE ... CLONE`` analog): metadata-speed hardlinked copy of the
+    published table, then a destructive DELETE on the SOURCE — the clone
+    must still read the full pre-delete state, proving the two tables are
+    independent despite sharing data-file inodes (safe because published
+    files are immutable under copy-on-write)."""
+    import shutil
+
+    from odibel_ray.cdc.dml import delete_published
+    from odibel_ray.cdc.maintain import clone_table
+    from odibel_ray.cdc.sink import read_published
+
+    src = _dml_fixture(sf_dir, "_clonesrc")
+    dst = os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_clonedst")
+    shutil.rmtree(dst, ignore_errors=True)
+    clone_table(src, dst, run_id="c1")
+    delete_published(src, [("role", "==", "tool")], run_id="d1")
+    return read_published(dst)
+
+
 #: Deterministic key for the point-lookup query — present in the converged
 #: final state at every test scale factor (verified sf0.001/0.01/0.1).
 _LOOKUP_CONV = "conv_00000007"
@@ -3171,6 +3192,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_delete_where": q_transcript_delete_where,
     "transcript_update_where": q_transcript_update_where,
     "transcript_merge_into": q_transcript_merge_into,
+    "transcript_clone_read": q_transcript_clone_read,
     "transcript_bloom_lookup": q_transcript_bloom_lookup,
     "transcript_bucket_join": q_transcript_bucket_join,
     "transcript_column_stats": q_transcript_column_stats,
@@ -3701,6 +3723,9 @@ FROM t FULL OUTER JOIN s
   ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
 WHERE NOT COALESCE(t.conv_id IS NOT NULL AND s.conv_id IS NULL
                    AND t.role = 'tool' AND t.score < 0.2, FALSE)""",
+        # shallow clone read after a destructive source DELETE = the full
+        # pre-delete converged state (clone independence)
+        "transcript_clone_read": t_final,
         "transcript_incremental_mor": t_final,
         "transcript_compacted_read": t_final,
         "transcript_rebucket_read": t_final,
