@@ -77,6 +77,9 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "embedding_near_dups",
     # predicate twin of the timed rdf_filter_by_type
     "rdf_clean_types",
+    # the clone itself is metadata-only hardlinks; timing it would measure
+    # the fresh fixture publish + the DELETE, both timed elsewhere
+    "transcript_clone_read",
     # whitespace-tokenizer twin of the timed doc_regex_token_stats
     "doc_token_stats",
     # pair-profile stage of the timed er_pairs_blocking/er_cluster_stats pipeline

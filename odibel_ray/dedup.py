@@ -795,3 +795,92 @@ def embedding_near_dups(
     b = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
     cand = b.groupby(["table_id", "bucket_key"]).map_groups(pairs, batch_format="pyarrow")
     return exact_dedup(cand, ["vec_a", "vec_b"], tie_break="cosine")
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: "ray.data.Dataset",
+    test: "ray.data.Dataset",
+    *,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit: str = "hits",
+    min_hits: int = 1,
+    num_buckets: int | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: find (or drop) training documents sharing
+    word-``shingle``-grams with an evaluation/test corpus — the GPT-3/Llama
+    n-gram-overlap sweep every LLM training pipeline runs before training
+    (the reference has no training-data ops; this extends its profile suite).
+
+    Both corpora shingle with the same rolling token-hash identity as the
+    MinHash path (`_shingle_hashes_flat` — equal token windows ⇒ equal
+    hashes, no shingle strings materialized). The train side ships distinct
+    ``(id, shingle)`` rows, the test side distinct shingle hashes; a
+    hash-bucketed SEMI join (each side moves exactly once, no broadcast —
+    both corpora may be huge) keeps every train shingle that appears
+    anywhere in the test set, and a partial per-batch count + tiny groupby
+    folds them to per-document hit counts.
+
+    ``emit="hits"`` → ``(id_col, hits)`` rows for documents with
+    ``hits >= min_hits`` (hits = distinct contaminated shingles).
+    ``emit="clean"`` → the train rows with those documents REMOVED (anti
+    join on the id, same bucketed shuffle machinery).
+    """
+    from odibel_ray.ops.relational import bucketed_join
+
+    if emit not in ("hits", "clean"):
+        raise ValueError("emit must be 'hits' or 'clean'")
+    train_schema = train.schema().base_schema
+    id_type = train_schema.field(id_col).type
+
+    def _train_sh(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        flat, sh_offs = _shingle_hashes_flat(t[text_col], shingle)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(sh_offs))
+        u_idx, u_sh = _seg_unique(idx, flat)  # per-doc distinct shingles
+        return pa.table({
+            id_col: t[id_col].take(pa.array(u_idx)),
+            "sh": pa.array(u_sh, pa.uint64()),
+        })
+
+    def _test_sh(t: pa.Table) -> pa.Table:
+        flat, _ = _shingle_hashes_flat(t[text_col], shingle)
+        return pa.table({"sh": pa.array(np.unique(flat), pa.uint64())})
+
+    tr = train.map_batches(_train_sh, batch_format="pyarrow", batch_size=batch_size)
+    te = test.map_batches(_test_sh, batch_format="pyarrow", batch_size=batch_size)
+    # SEMI join: a train shingle matches at most once however many test docs
+    # carry it, so the test side needs no global distinct pass
+    matched = bucketed_join(
+        tr, te, on="sh", how="semi", num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, id_type), ("sh", pa.uint64())]),
+        right_schema=pa.schema([("sh", pa.uint64())]),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([id_col]), id_col).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "hits"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([id_col, "hits"])
+        t = t.set_column(1, "hits", pc.cast(t["hits"], pa.int64()))
+        return t.filter(pc.greater_equal(t["hits"], min_hits))
+
+    hits = (
+        matched.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(id_col).sum("hits")
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+    if emit == "hits":
+        return hits
+    return bucketed_join(
+        train, hits, on=id_col, how="anti",
+        left_schema=train_schema,
+        right_schema=pa.schema([(id_col, id_type), ("hits", pa.int64())]),
+    )

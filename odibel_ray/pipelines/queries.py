@@ -2290,6 +2290,30 @@ def q_doc_prefix_dedup(sf_dir: str):
     return exact_dedup(keyed, ["prefix_key"], tie_break="doc_id")
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (`dedup.decontaminate` — the GPT-3/Llama
+    n-gram-overlap sweep): documents split 13-ways by id into a held-out
+    "test" corpus and a "train" corpus; every train doc is tagged with the
+    number of its distinct word-3-grams that appear anywhere in the test
+    corpus. Both sides shingle with the rolling-hash identity and meet in a
+    hash-bucketed semi join — each corpus moves exactly once."""
+    from odibel_ray.dedup import decontaminate
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(want_test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 13 == 0) if want_test else (ids % 13 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    train = docs.map_batches(_side(False), batch_format="pyarrow")
+    test = docs.map_batches(_side(True), batch_format="pyarrow")
+    return decontaminate(train, test, shingle=3)
+
+
 def q_doc_chunks(sf_dir: str):
     """LLM-context chunking: each document split into sliding 200-char
     windows with 50-char overlap (stride 150; the short tail chunk is kept).
@@ -3022,6 +3046,53 @@ def q_ann_ivf_topk(sf_dir: str):
     )
 
 
+def _ensure_kmeans_centroids(sf_dir: str) -> "np.ndarray":
+    """Fit (once) the DISTRIBUTED spherical k-means over the full embeddings
+    table (`sim.kmeans_fit` — per-batch partial sums + k-row groupby reduce,
+    the driver never holds the corpus) and persist the centroids as a /tmp
+    parquet sidecar — the single model state BOTH the Ray assignment query
+    and the DuckDB oracle read (sidecar-pin pattern)."""
+    import pyarrow.parquet as _pq
+
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import kmeans_fit
+
+    path = _kmeans_pq(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        cent = kmeans_fit(emb, k=8, iters=10)
+        t = pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }
+        )
+        _pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    t = _pq.read_table(path)
+    return np.stack(t["centroid"].to_numpy(zero_copy_only=False))
+
+
+def _kmeans_pq(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, _sf_name(sf_dir) + "_kmeans_centroids.parquet")
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Semantic clustering: every embedding assigned to its nearest
+    distributed-k-means centroid (`sim.kmeans_fit` + `kmeans_assign`). The
+    fitted centroids are a /tmp sidecar, so DuckDB replays the exact
+    assignment (argmax cosine, ties to the lowest cluster id) — the
+    distributed fit itself is pinned by pytest (full-pass Lloyd equals a
+    driver-side reference fit on the same data)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import kmeans_assign
+
+    cent = _ensure_kmeans_centroids(sf_dir)
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(emb, cent)
+
+
 def q_embedding_label_centroids(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 
@@ -3230,6 +3301,7 @@ QUERIES: dict[str, Callable] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_regex_token_stats": q_doc_regex_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
+    "doc_decontaminate": q_doc_decontaminate,
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
     "doc_redacted_stats": q_doc_redacted_stats,
@@ -3257,6 +3329,7 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_kmeans": q_embedding_kmeans,
     "embedding_label_centroids": q_embedding_label_centroids,
     "rdf_parse": q_rdf_parse,
     "rdf_filter_by_type": q_rdf_filter_by_type,
@@ -4047,6 +4120,18 @@ SELECT lang, count(*) AS n_docs,
        round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS avg_tokens
 FROM documents GROUP BY lang
 """,
+        # decontamination: per-train-doc count of distinct 3-gram shingles
+        # shared with the held-out test split (doc_id % 13 == 0)
+        "doc_decontaminate": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ka) - 1, 1)),
+        i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS s FROM d),
+test AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 13 = 0),
+train AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 13 <> 0)
+SELECT train.doc_id AS doc_id, count(*) AS hits
+FROM train JOIN test USING (sg)
+GROUP BY train.doc_id
+""",
         "doc_prefix_dedup": """
 SELECT doc_id, prefix_key
 FROM (SELECT doc_id,
@@ -4396,6 +4481,19 @@ SELECT query_id, vec_id, rank FROM (
            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, cand.vec_id) - 1 AS rank
   FROM cand JOIN q USING (query_id) JOIN embeddings e ON cand.vec_id = e.vec_id
 ) WHERE rank < 10
+""",
+        # k-means assignment replayed from the centroid sidecar: nearest
+        # centroid by cosine, ties to the lowest cluster id
+        "embedding_kmeans": f"""
+WITH c AS (SELECT list_id, centroid FROM read_parquet('{_kmeans_pq(sf_dir)}'))
+SELECT vec_id, cluster, round(sim, 6) AS sim FROM (
+  SELECT e.vec_id, c.list_id AS cluster,
+         list_cosine_similarity(e.embedding, c.centroid) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+                    c.list_id) AS r
+  FROM embeddings e CROSS JOIN c
+) WHERE r = 1
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0)

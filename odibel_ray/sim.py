@@ -19,6 +19,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -298,3 +299,109 @@ def ivf_topk(
     )
     res = scanned.groupby(query_id_col).map_groups(final_topk, batch_format="pyarrow")
     return res.drop_columns(["cosine"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (spherical Lloyd over the FULL dataset)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 11,
+    emb_col: str = "embedding",
+    init_sample: int = 4096,
+    batch_size: int = 8192,
+) -> np.ndarray:
+    """Distributed spherical k-means: Lloyd iterations where each pass over
+    the data is ONE ``map_batches`` (per-batch vectorized assign + per-cluster
+    partial sums, ≤ k rows emitted per batch) plus a k-row groupby reduce —
+    the driver only ever holds the (k × dim) centroid matrix, never the
+    corpus. :func:`fit_centroids` fits on a driver-side sample; this refines
+    over ALL vectors — the semantic-clustering / IVF-training path that still
+    works when the corpus is 10^10 embeddings.
+
+    Deterministic: seeded init (refined from a bounded head sample), fixed
+    iteration count with an early exit when no centroid moves more than
+    ``tol`` (cosine distance). Empty clusters keep their previous centroid.
+    Returns the (k × dim) float64 matrix of L2-normalized centroids.
+    """
+    head = ds.limit(init_sample).take_all()
+    if not head:
+        raise ValueError("kmeans_fit: empty dataset")
+    cent = fit_centroids(
+        pa.table({emb_col: [r[emb_col] for r in head]}),
+        k, iters=4, seed=seed, emb_col=emb_col,
+    ).astype(np.float64)
+
+    def partial(t: pa.Table, c) -> pa.Table:
+        c = _deref(c)
+        x = _normalize(_emb_matrix(t, emb_col))
+        a = (x @ c.T).argmax(axis=1)
+        sums = np.zeros((len(c), x.shape[1]))
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=len(c))
+        present = np.flatnonzero(counts)
+        return pa.table({
+            "c": pa.array(present.astype(np.int64)),
+            "s": pa.array(list(sums[present]), pa.list_(pa.float64())),
+            "n": pa.array(counts[present].astype(np.int64)),
+        })
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        s = np.stack(g["s"].to_numpy(zero_copy_only=False)).sum(axis=0)
+        return pa.table({
+            "c": pa.array([g["c"][0].as_py()], pa.int64()),
+            "s": pa.array([s], pa.list_(pa.float64())),
+            "n": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
+        })
+
+    for _ in range(iters):
+        ref = _broadcast(cent)
+        rows = (
+            ds.map_batches(partial, fn_args=[ref], batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby("c").map_groups(reduce_group, batch_format="pyarrow")
+            .take_all()
+        )
+        new = cent.copy()
+        for r in rows:
+            if r["n"]:
+                new[int(r["c"])] = np.asarray(r["s"]) / r["n"]
+        new = _normalize(new)
+        moved = float(np.max(1.0 - np.sum(new * cent, axis=1)))
+        cent = new
+        if moved <= tol:
+            break
+    return cent
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Streaming cluster assignment against a broadcast centroid matrix:
+    ``(id, cluster, sim)`` per vector, cluster = argmax cosine (ties → lowest
+    cluster id, numpy first-max), sim rounded to 6 for stable comparison."""
+    ref = _broadcast(np.asarray(centroids, np.float64))
+
+    def assign_batch(t: pa.Table, c) -> pa.Table:
+        c = _deref(c)
+        x = _normalize(_emb_matrix(t, emb_col))
+        sims = x @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "sim": pa.array(np.round(sims[np.arange(len(a)), a], 6)),
+        })
+
+    return ds.map_batches(assign_batch, fn_args=[ref], batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -538,3 +538,84 @@ def test_normalize_text(ray_session):
     t = pa.table({"text": ["  Hello\t\tWorld \n", "A  B", "x"]})
     out = normalize_text(rd.from_arrow(t)).to_pandas()
     assert out["norm"].tolist() == ["hello world", "a b", "x"]
+
+
+def test_decontaminate_hits_and_clean(ray_session):
+    """Per-doc contaminated-shingle counts match a pure-Python n-gram oracle;
+    emit='clean' drops exactly the hit docs."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import decontaminate
+
+    train = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "completely different words entirely unique phrasing here",
+        "the quick brown cat sleeps all day long",
+        "fox jumps high and quick brown fox jumps",  # repeated shingle: counts once
+    ]})
+    test = pa.table({"doc_id": [10, 11], "text": [
+        "a quick brown fox jumps high",
+        "lazy dog stories and other tales",
+    ]})
+
+    def grams(s, n=3):
+        t = s.split(" ")
+        return {" ".join(t[i:i + n]) for i in range(max(len(t) - n + 1, 0))}
+
+    test_g = set().union(*(grams(s) for s in test["text"].to_pylist()))
+    want = {}
+    for i, s in zip(train["doc_id"].to_pylist(), train["text"].to_pylist()):
+        n = len(grams(s) & test_g)
+        if n:
+            want[i] = n
+
+    hits = decontaminate(rd.from_arrow(train), rd.from_arrow(test)).take_all()
+    assert {r["doc_id"]: r["hits"] for r in hits} == want
+
+    clean = decontaminate(rd.from_arrow(train), rd.from_arrow(test),
+                          emit="clean").take_all()
+    assert sorted(r["doc_id"] for r in clean) == sorted(
+        set(train["doc_id"].to_pylist()) - set(want))
+    # min_hits raises the bar
+    strict = decontaminate(rd.from_arrow(train), rd.from_arrow(test),
+                           min_hits=2).take_all()
+    assert {r["doc_id"] for r in strict} == {i for i, n in want.items() if n >= 2}
+
+
+def test_kmeans_fit_matches_local_lloyd(ray_session):
+    """The distributed Lloyd pass (per-batch partial sums + k-row reduce)
+    converges to the same centroids as a single-process reference Lloyd with
+    the same seeded init — the distribution changes the execution plan, not
+    the math."""
+    import ray.data as rd
+
+    from odibel_ray.sim import _emb_matrix, _normalize, fit_centroids, kmeans_assign, kmeans_fit
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(t).repartition(8)  # force multi-batch partials
+    k, iters, tol = 6, 8, 1e-6
+    got = kmeans_fit(ds, k, iters=iters, tol=tol, init_sample=64, batch_size=16)
+
+    # reference: identical init + plain in-memory Lloyd
+    x = _normalize(_emb_matrix(t))
+    cent = fit_centroids(t.slice(0, 64), k, iters=4).astype(np.float64)
+    for _ in range(iters):
+        a = (x @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = x[m].mean(axis=0)
+        new = _normalize(new)
+        moved = float(np.max(1.0 - np.sum(new * cent, axis=1)))
+        cent = new
+        if moved <= tol:
+            break
+    assert np.allclose(got, cent, atol=1e-8)
+
+    # assignment equals brute-force argmax over the centroid matrix
+    rows = kmeans_assign(ds, got).take_all()
+    by_id = {r["vec_id"]: r["cluster"] for r in rows}
+    ids = t["vec_id"].to_pylist()
+    want = (x @ got.T).argmax(axis=1)
+    assert all(by_id[i] == int(w) for i, w in zip(ids, want))
