@@ -86,11 +86,18 @@ class table_lock:
     Reclaim uses a second ``O_EXCL`` create of a takeover file then an
     ``os.replace``, so two reclaimers can't both win."""
 
-    def __init__(self, out_dir: str, *, owner: str = "writer", ttl_s: float = 3600.0):
+    def __init__(self, out_dir: str, *, owner: str = "writer", ttl_s: float = 3600.0,
+                 wait_s: float | None = None):
         self.path = os.path.join(out_dir, "_LOCK.json")
         self.out_dir = out_dir
         self.owner = owner
         self.ttl_s = float(ttl_s)
+        if wait_s is None:
+            wait_s = float(os.environ.get("ODIBEL_LOCK_WAIT_S", "0"))
+        #: >0 turns fail-fast into writer QUEUEING: acquire() polls with
+        #: backoff until the lease frees or the deadline passes — two cron
+        #: jobs hitting one table serialize instead of one of them dying.
+        self.wait_s = float(wait_s)
         self._held = False
 
     def _payload(self) -> bytes:
@@ -137,16 +144,25 @@ class table_lock:
         return False
 
     def acquire(self) -> "table_lock":
+        import time as _time
+
         os.makedirs(self.out_dir, exist_ok=True)
-        if self._try_create(self.path):
-            self._held = True
-            return self
-        if self._is_stale():
-            takeover = self.path + ".takeover"
-            if self._try_create(takeover):
-                os.replace(takeover, self.path)
+        deadline = _time.monotonic() + self.wait_s
+        delay = 0.05
+        while True:
+            if self._try_create(self.path):
                 self._held = True
                 return self
+            if self._is_stale():
+                takeover = self.path + ".takeover"
+                if self._try_create(takeover):
+                    os.replace(takeover, self.path)
+                    self._held = True
+                    return self
+            if _time.monotonic() >= deadline:
+                break
+            _time.sleep(delay)
+            delay = min(delay * 2, 0.5)
         try:
             with open(self.path) as f:
                 cur = json.load(f)

@@ -3093,6 +3093,22 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans_assign(emb, cent)
 
 
+def q_embedding_semdedup(sf_dir: str):
+    """SemDeDup (`sim.semdedup`, Abbas et al. 2023): k-means-bucketed
+    semantic dedup — exact cosine pairs are computed only WITHIN each
+    k-means cluster (O(Σ c_i²), not O(n²)); each within-cluster duplicate
+    group keeps its smallest vec_id and the query returns the dropped
+    vectors with their kept representative. Replayed end-to-end by DuckDB
+    from the same centroid sidecar (assignment → within-cluster pair graph
+    → recursive-CTE components)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.sim import semdedup
+
+    cent = _ensure_kmeans_centroids(sf_dir)
+    emb = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, cent, threshold=0.4)
+
+
 def q_embedding_label_centroids(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 
@@ -3330,6 +3346,7 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_semdedup": q_embedding_semdedup,
     "embedding_label_centroids": q_embedding_label_centroids,
     "rdf_parse": q_rdf_parse,
     "rdf_filter_by_type": q_rdf_filter_by_type,
@@ -4494,6 +4511,30 @@ SELECT vec_id, cluster, round(sim, 6) AS sim FROM (
                     c.list_id) AS r
   FROM embeddings e CROSS JOIN c
 ) WHERE r = 1
+""",
+        # SemDeDup replay from the centroid sidecar: nearest-centroid
+        # assignment, within-cluster cosine pairs >= 0.4, reachability
+        # components, dropped = every node that is not its group minimum
+        "embedding_semdedup": f"""
+WITH RECURSIVE c AS (SELECT list_id, centroid FROM read_parquet('{_kmeans_pq(sf_dir)}')),
+a AS (SELECT vec_id, cluster, embedding FROM (
+  SELECT e.vec_id, c.list_id AS cluster, e.embedding,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+                    c.list_id) AS r
+  FROM embeddings e CROSS JOIN c) WHERE r = 1),
+p AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM a x JOIN a y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4),
+ed AS (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p),
+n AS (SELECT DISTINCT src AS node FROM ed),
+r(node, reach) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, ed.dst FROM r JOIN ed ON ed.src = r.reach
+)
+SELECT node AS vec_id, min(reach) AS rep FROM r GROUP BY node
+HAVING node <> min(reach)
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 128 = 0)

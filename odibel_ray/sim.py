@@ -405,3 +405,78 @@ def kmeans_assign(
 
     return ds.map_batches(assign_batch, fn_args=[ref], batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def semdedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    emit: str = "dropped",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by k-means bucketing — embeddings are assigned to their nearest centroid
+    (streaming, against the broadcast matrix), and ONLY within each cluster
+    are exact pairwise cosines computed; duplicate groups (connected
+    components of pairs ≥ ``threshold``) keep their smallest id. Cross-
+    cluster near-dups are missed by construction — that is the documented
+    approximation that makes the op O(Σ c_i²) instead of O(n²); size ``k``
+    so the expected cluster fits one task (the per-group memory bound is the
+    c×c similarity tile of the LARGEST cluster).
+
+    ``emit="dropped"`` → ``(id, rep)`` rows for vectors to remove (rep = the
+    kept representative); ``emit="kept"`` → the surviving ids.
+    """
+    if emit not in ("dropped", "kept"):
+        raise ValueError("emit must be 'dropped' or 'kept'")
+    ref = _broadcast(np.asarray(centroids, np.float64))
+
+    def tag(t: pa.Table, c) -> pa.Table:
+        c = _deref(c)
+        x = _normalize(_emb_matrix(t, emb_col))
+        a = (x @ c.T).argmax(axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            emb_col: t[emb_col],
+            "cluster": pa.array(a.astype(np.int64)),
+        })
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = _normalize(_emb_matrix(g, emb_col))[order]
+        n = len(ids)
+        rep = ids.copy()  # union-find over positions, roots = smallest id
+        if n > 1:
+            sims = x @ x.T
+            ia, ib = np.triu_indices(n, k=1)
+            keep = sims[ia, ib] >= threshold
+            parent = np.arange(n)
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for i, j in zip(ia[keep], ib[keep]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                    parent[hi] = lo
+            rep = ids[np.fromiter((find(i) for i in range(n)), np.int64, n)]
+        if emit == "dropped":
+            m = rep != ids
+            return pa.table({id_col: pa.array(ids[m]),
+                             "rep": pa.array(rep[m])})
+        return pa.table({id_col: pa.array(ids[rep == ids])})
+
+    tagged = ds.map_batches(tag, fn_args=[ref], batch_format="pyarrow",
+                            batch_size=batch_size)
+    return tagged.groupby("cluster").map_groups(dedup_cluster,
+                                                batch_format="pyarrow")

@@ -425,3 +425,27 @@ def test_table_stats_reports_logical_contract(ray_session, tmp_path):
     assert s["expectations"] == [["value", ">=", 0.0]]
     assert s["write_seq"] == 1 and s["cluster_by"] is None
     assert s["deltas_total"] == 1
+
+
+def test_table_lock_wait_queues_writers(ray_session, tmp_path):
+    """wait_s > 0 turns fail-fast into writer queueing: the second writer
+    polls until the lease frees (within the deadline) instead of raising;
+    a too-short deadline still raises."""
+    import threading
+
+    from odibel_ray.cdc import ConcurrentWriterError, table_lock
+
+    out = str(tmp_path / "tbl")
+    os.makedirs(out, exist_ok=True)
+    a = table_lock(out, owner="a").acquire()
+    release_at = time.monotonic() + 0.5
+    threading.Timer(0.5, a.release).start()
+
+    # deadline shorter than the holder's release: still fails
+    with pytest.raises(ConcurrentWriterError):
+        table_lock(out, owner="fast", wait_s=0.1).acquire()
+
+    with table_lock(out, owner="b", wait_s=10.0):
+        assert time.monotonic() >= release_at - 0.05  # actually waited
+    # env default keeps fail-fast semantics (wait_s=0)
+    assert table_lock(out, owner="c").wait_s == 0.0

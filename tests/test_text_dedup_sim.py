@@ -619,3 +619,34 @@ def test_kmeans_fit_matches_local_lloyd(ray_session):
     ids = t["vec_id"].to_pylist()
     want = (x @ got.T).argmax(axis=1)
     assert all(by_id[i] == int(w) for i, w in zip(ids, want))
+
+
+def test_semdedup_drops_planted_duplicates(ray_session):
+    """Planted exact-duplicate embeddings are dropped in favor of the
+    smallest id; kept ∪ dropped partitions the corpus; near-orthogonal
+    vectors survive."""
+    import ray.data as rd
+
+    from odibel_ray.sim import kmeans_fit, semdedup
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    base_ids = t["vec_id"].to_pylist()[:10]
+    dups = pa.table({
+        "vec_id": pa.array([10_000 + i for i in base_ids], pa.int64()),
+        "embedding": t["embedding"].slice(0, 10),
+    })
+    corpus = pa.concat_tables([t.select(["vec_id", "embedding"]), dups])
+    ds = rd.from_arrow(corpus).repartition(4)
+    cent = kmeans_fit(ds, 4, iters=5)
+
+    dropped = semdedup(ds, cent, threshold=0.99).take_all()
+    by_id = {r["vec_id"]: r["rep"] for r in dropped}
+    # every planted dup is dropped, and its representative is the original
+    # (identical vectors always share a cluster; smallest id wins)
+    for i in base_ids:
+        assert by_id.get(10_000 + i) == i
+
+    kept = {r["vec_id"] for r in semdedup(ds, cent, threshold=0.99,
+                                          emit="kept").take_all()}
+    assert kept | set(by_id) == set(corpus["vec_id"].to_pylist())
+    assert kept.isdisjoint(by_id)
