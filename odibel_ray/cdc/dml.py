@@ -496,7 +496,13 @@ def merge_published(
         return pa.concat_tables(pieces)
 
     classified = tagged.groupby("_mb").map_groups(_classify, batch_format="pyarrow")
-    tmp = os.path.join("/tmp", f"odibel_merge_{os.getpid()}_{run_id}")
+    # deterministic scratch path (table-hash + run_id, no pid): a crash-resume
+    # with the same run_id replaces the dead run's leftovers instead of
+    # leaking them, and two tables can merge concurrently without colliding
+    import hashlib
+
+    tdig = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+    tmp = os.path.join("/tmp", f"odibel_merge_{tdig}_{run_id}")
     shutil.rmtree(tmp, ignore_errors=True)
     classified.write_parquet(tmp)
     counts = {"update": 0, "delete": 0, "insert": 0}

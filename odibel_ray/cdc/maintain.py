@@ -130,6 +130,11 @@ def catalog(root: str) -> list[dict]:
                     if meta.get(key)
                 ]
                 break
+        # a shallow clone records its origin (lineage, not an upstream — the
+        # clone is independent and no refresh flows from the source)
+        cloned = tman.get("cloned_from")
+        if cloned and not upstreams:
+            kind = f"{kind}-clone"
         snaps = list_snapshots(dirpath)
         stats = load_column_stats(dirpath)
         stats_state = "none"
@@ -147,6 +152,7 @@ def catalog(root: str) -> list[dict]:
             "snapshots": len(snaps),
             "stats": stats_state,
             "upstreams": upstreams,
+            **({"cloned_from": cloned} if cloned else {}),
         })
     return sorted(rows, key=lambda r: r["table"])
 

@@ -2314,6 +2314,18 @@ def q_doc_decontaminate(sf_dir: str):
     return decontaminate(train, test, shingle=3)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-rule repetition metrics (`text.repetition_stats`, Rae et al.
+    2021): per-document duplicate-1/2/3-gram fractions — the degenerate-text
+    filter every pre-training pipeline thresholds on. One vectorized pass
+    (flat token-hash stream, per-segment distinct via lexsort)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.text import repetition_stats
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 def q_doc_chunks(sf_dir: str):
     """LLM-context chunking: each document split into sliding 200-char
     windows with 50-char overlap (stride 150; the short tail chunk is kept).
@@ -3318,6 +3330,7 @@ QUERIES: dict[str, Callable] = {
     "doc_regex_token_stats": q_doc_regex_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition": q_doc_repetition,
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
     "doc_redacted_stats": q_doc_redacted_stats,
@@ -4148,6 +4161,24 @@ train AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 13 <> 0)
 SELECT train.doc_id AS doc_id, count(*) AS hits
 FROM train JOIN test USING (sg)
 GROUP BY train.doc_id
+""",
+        # Gopher repetition rules: duplicate n-gram fraction per doc
+        "doc_repetition": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+g AS (SELECT doc_id, ka,
+  list_transform(range(1, greatest(len(ka), 1)),
+                 i -> ka[i] || ' ' || ka[i+1]) AS g2,
+  list_transform(range(1, greatest(len(ka) - 1, 1)),
+                 i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2]) AS g3
+  FROM d)
+SELECT doc_id,
+  round(1.0 - len(list_distinct(ka)) * 1.0 / greatest(len(ka), 1), 6)
+    AS dup_1gram_frac,
+  round(1.0 - len(list_distinct(g2)) * 1.0 / greatest(len(g2), 1), 6)
+    AS dup_2gram_frac,
+  round(1.0 - len(list_distinct(g3)) * 1.0 / greatest(len(g3), 1), 6)
+    AS dup_3gram_frac
+FROM g
 """,
         "doc_prefix_dedup": """
 SELECT doc_id, prefix_key

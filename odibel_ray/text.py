@@ -446,3 +446,39 @@ def normalize_text(
         return t.append_column(out, n)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def repetition_stats(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple = (1, 2, 3),
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Within-document repetition metrics — the Gopher/MassiveText quality
+    rules (Rae et al. 2021, §A1.1: "fraction of duplicate n-grams") that
+    LLM pipelines threshold on to drop degenerate/boilerplate documents.
+
+    For each ``n`` in ``ns`` the doc gets ``dup_{n}gram_frac`` =
+    ``1 − distinct n-grams / total n-grams`` (0 for docs shorter than n).
+    Fully vectorized over the flattened token-hash stream (one
+    ``split_pattern`` + one hash per batch, per-segment distinct via one
+    lexsort) — no per-row Python. Same rolling-hash n-gram identity as the
+    MinHash/decontamination path."""
+    from odibel_ray.dedup import _seg_unique, _shingle_hashes_flat
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cols = {id_col: t[id_col]}
+        for n in ns:
+            flat, offs = _shingle_hashes_flat(t[text_col], n)
+            total = np.diff(offs)
+            idx = np.repeat(np.arange(len(t), dtype=np.int64), total)
+            u_idx, _ = _seg_unique(idx, flat)
+            distinct = np.bincount(u_idx, minlength=len(t))
+            frac = 1.0 - distinct / np.maximum(total, 1)
+            cols[f"dup_{n}gram_frac"] = pa.array(np.round(frac, 6))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -99,3 +99,15 @@ def test_clone_refuses_existing_table(ray_session, tmp_path):
         clone_table(src, src)
     with pytest.raises(FileNotFoundError):
         clone_table(str(tmp_path / "nope"), str(tmp_path / "dst"))
+
+
+def test_catalog_reports_clone_lineage(ray_session, tmp_path):
+    from odibel_ray.cdc.maintain import catalog
+
+    src = _publish(tmp_path, name="src")
+    clone_table(src, str(tmp_path / "dst"), run_id="c1")
+    rows = {r["table"]: r for r in catalog(str(tmp_path))}
+    dst_row = rows[str(tmp_path / "dst")]
+    assert dst_row["kind"] == "generic-clone"
+    assert dst_row["cloned_from"]["table"] == src
+    assert "cloned_from" not in rows[src]

@@ -172,3 +172,76 @@ def test_merge_no_op_returns_zero(ray_session, tmp_path):
     assert res == {"rows_updated": 0, "rows_inserted": 0, "rows_deleted": 0,
                    "buckets_rewritten": 0, "run_id": "m1"}
     assert _rows(out) == [("a", 1, 0.1), ("b", 2, 0.9), ("c", 3, 0.5), ("d", 4, None)]
+
+
+KILL_MERGE_SCRIPT = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from odibel_ray.cdc.dml import merge_published
+merge_published(rd.read_parquet(sys.argv[1]), sys.argv[2], run_id="victim")
+"""
+
+
+def test_merge_kill_resume_converges(ray_session, tmp_path):
+    """SIGKILL a MERGE mid-publish (some buckets flipped, some not); re-running
+    the merge converges to the full merged state — full-row updates are
+    idempotent and already-inserted rows re-classify as matched no-ops."""
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from odibel_ray.cdc.sink import load_manifests
+
+    out = str(tmp_path / "tbl")
+    n = 64
+    base = pa.table({"k": [f"k{i:03d}" for i in range(n)],
+                     "v": [0] * n, "score": [0.5] * n})
+    publish_dataset(rd.from_arrow(base), out, key_cols=["k"], num_buckets=8,
+                    run_id="g1")
+    src_path = str(tmp_path / "src.parquet")
+    pq_.write_table(pa.table({
+        "k": [f"k{i:03d}" for i in range(n)] + ["new1", "new2"],
+        "v": [1] * n + [1, 1],
+        "score": [0.9] * (n + 2),
+    }), src_path)
+
+    env = dict(os.environ, ODIBEL_TEST_PUBLISH_DELAY="0.8",
+               RAY_ADDRESS="local", PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", KILL_MERGE_SCRIPT, src_path, out],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            done = [b for b, m in load_manifests(out).items()
+                    if m.get("run_id") == "victim"]
+            if len(done) >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.05)
+        assert proc.poll() is None, "victim finished before we could kill it"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    flipped = {b for b, m in load_manifests(out).items()
+               if m.get("run_id") == "victim"}
+    assert 0 < len(flipped) < 8, f"expected a partial merge, got {len(flipped)}"
+
+    res = merge_published(rd.read_parquet(src_path), out, run_id="resume")
+    assert res["rows_updated"] + res["rows_inserted"] == n + 2
+    got = sorted((r["k"], r["v"], r["score"])
+                 for r in read_published(out).take_all())
+    want = sorted([(f"k{i:03d}", 1, 0.9) for i in range(n)]
+                  + [("new1", 1, 0.9), ("new2", 1, 0.9)])
+    assert got == want

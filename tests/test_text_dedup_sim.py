@@ -650,3 +650,26 @@ def test_semdedup_drops_planted_duplicates(ray_session):
                                           emit="kept").take_all()}
     assert kept | set(by_id) == set(corpus["vec_id"].to_pylist())
     assert kept.isdisjoint(by_id)
+
+
+def test_repetition_stats_matches_python_sets(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.text import repetition_stats
+
+    docs = pa.table({"doc_id": [1, 2, 3], "text": [
+        "a a a a",                      # 1g: 1-1/4=0.75; 2g: "a a"×3 → 2/3; 3g: 1/2
+        "one two three four",           # all distinct → 0, 0, 0
+        "x",                            # no 2/3-grams → 0 by convention
+    ]})
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(rd.from_arrow(docs)).take_all()}
+
+    def frac(s, n):
+        t = s.split(" ")
+        grams = [" ".join(t[i:i + n]) for i in range(max(len(t) - n + 1, 0))]
+        return round(1 - len(set(grams)) / max(len(grams), 1), 6)
+
+    for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for n in (1, 2, 3):
+            assert rows[i][f"dup_{n}gram_frac"] == frac(s, n), (i, n)
