@@ -496,13 +496,14 @@ def merge_published(
         return pa.concat_tables(pieces)
 
     classified = tagged.groupby("_mb").map_groups(_classify, batch_format="pyarrow")
-    # deterministic scratch path (table-hash + run_id, no pid): a crash-resume
-    # with the same run_id replaces the dead run's leftovers instead of
-    # leaking them, and two tables can merge concurrently without colliding
-    import hashlib
+    # the classification scratch lives under the TABLE's staging dir, not
+    # local /tmp: on a multi-node cluster the write tasks and the re-reading
+    # driver only share the table's storage. Deterministic name (run_id, no
+    # pid) so a crash-resume replaces the dead run's leftovers; "-merge"
+    # suffix keeps it clear of upsert_published's own staging/<run_id>
+    from odibel_ray.cdc.sink import STAGING_DIR
 
-    tdig = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10]
-    tmp = os.path.join("/tmp", f"odibel_merge_{tdig}_{run_id}")
+    tmp = os.path.join(out_dir, STAGING_DIR, f"{run_id}-merge")
     shutil.rmtree(tmp, ignore_errors=True)
     classified.write_parquet(tmp)
     counts = {"update": 0, "delete": 0, "insert": 0}
