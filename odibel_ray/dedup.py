@@ -884,3 +884,140 @@ def decontaminate(
         left_schema=train_schema,
         right_schema=pa.schema([(id_col, id_type), ("hits", pa.int64())]),
     )
+
+
+def cross_doc_ngram_dup(
+    docs: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = ("source",),
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+    id_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """Cross-document n-gram duplication profile — the corpus-level
+    "duplicated substring" measure of exact-substring dedup (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*), distinct from
+    the WITHIN-doc Gopher repetition in :func:`odibel_ray.text.repetition_stats`.
+
+    Per doc with at least ``n`` tokens, returns one row:
+    ``(id_col, *carry, n_grams, n_dup)`` where ``n_grams`` is the number of
+    token n-gram positions and ``n_dup`` the number of those positions whose
+    n-gram also occurs in at least ``min_docs`` DISTINCT documents corpus-wide.
+    ``n_dup / n_grams`` is the doc's duplicated fraction — the usual filter /
+    span-removal signal.
+
+    Scale shape (the honest cost of substring-level dedup — the working set is
+    one row per (doc, distinct n-gram), never the corpus text):
+
+    1. one ``map_batches`` pass emits ``(gram_key, doc, n_pos)`` — n-grams are
+       ROLLING HASHES over the flat token-hash array (no gram string is ever
+       materialized), per-(doc, gram) position counts collapse duplicates
+       within the doc before anything is shuffled;
+    2. ``groupby(gram_key).count()`` — rows are per-(doc, gram) unique, so the
+       count IS the distinct-doc count (no count-distinct machinery);
+    3. a keyed ``bucketed_join`` (left) of the gram rows against the
+       ``>= min_docs`` gram keys marks duplicated positions;
+    4. ``groupby(doc)`` sums positions into the per-doc profile.
+
+    Reference parity: this generalizes the reference's content-hash dedup
+    (``utils/WikiUtil.scala:13-30``) from whole-document identity to
+    substring-level overlap.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from odibel_ray.ops.relational import bucketed_join
+
+    carry = tuple(carry)
+    if id_type is None:
+        id_type = pa.int64()
+
+    def _emit(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        gh, offs = _shingle_hashes_flat(t[text_col], n)
+        lens = np.diff(offs)
+        ndocs = len(t)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        if len(gh) == 0:
+            cols = {
+                "gram_key": pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
+                "n_pos": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+            }
+            for c in carry:
+                cols[c] = t[c].slice(0, 0)
+            return pa.table(cols)
+        # collapse duplicate grams within each doc, keeping position counts
+        order = np.lexsort((gh, doc_idx))
+        sd, sg = doc_idx[order], gh[order]
+        new = np.empty(len(sd), dtype=bool)
+        new[0] = True
+        new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(sd)))
+        ud, ug = sd[starts], sg[starts]
+        cols = {
+            "gram_key": pa.array(ug.view(np.int64), pa.int64()),
+            id_col: t[id_col].take(pa.array(ud)),
+            "n_pos": pa.array(counts.astype(np.int64), pa.int64()),
+            # total gram positions of the doc, replicated per row: lets the
+            # final per-doc groupby recover the denominator without a second
+            # pass over the text
+            "n_grams": pa.array(lens[ud].astype(np.int64), pa.int64()),
+        }
+        for c in carry:
+            cols[c] = t[c].take(pa.array(ud))
+        return pa.table(cols)
+
+    gram_schema = pa.schema(
+        [("gram_key", pa.int64()), (id_col, id_type),
+         ("n_pos", pa.int64()), ("n_grams", pa.int64())]
+        + [(c, pa.string()) for c in carry]
+    )
+    grams = docs.map_batches(_emit, batch_format="pyarrow", batch_size=batch_size)
+
+    def _gc_finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["gram_key", "nd"])
+        return t.filter(pc.greater_equal(t["nd"], min_docs)).select(["gram_key"])
+
+    dup_keys = (
+        grams.map_batches(
+            lambda t: t.select(["gram_key"]), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        .groupby("gram_key")
+        .aggregate(Count(alias_name="nd"))
+        .map_batches(_gc_finish, batch_format="pyarrow")
+    )
+
+    marked = bucketed_join(
+        grams, dup_keys.map_batches(
+            lambda t: t.append_column("is_dup", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        on="gram_key", how="left", num_buckets=num_buckets,
+        left_schema=gram_schema,
+        right_schema=pa.schema([("gram_key", pa.int64()), ("is_dup", pa.int64())]),
+    )
+
+    def _dup_pos(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        dup = pc.cast(pc.is_valid(t["is_dup"]), pa.int64())
+        t = t.append_column("dup_pos", pc.multiply(t["n_pos"], dup))
+        return t.drop_columns(["gram_key", "is_dup"])
+
+    per_gram = marked.map_batches(_dup_pos, batch_format="pyarrow", batch_size=batch_size)
+    aggs = [
+        Sum("dup_pos", alias_name="n_dup"),
+        Max("n_grams", alias_name="n_grams"),
+    ] + [Max(c, alias_name=c) for c in carry]
+    per_doc = per_gram.groupby(id_col).aggregate(*aggs)
+
+    def _order(t: pa.Table) -> pa.Table:
+        return t.select([id_col, *carry, "n_grams", "n_dup"])
+
+    return per_doc.map_batches(_order, batch_format="pyarrow")

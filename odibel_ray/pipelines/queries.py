@@ -2314,6 +2314,20 @@ def q_doc_decontaminate(sf_dir: str):
     return decontaminate(train, test, shingle=3)
 
 
+def q_doc_ngram_dup(sf_dir: str):
+    """Cross-document n-gram duplication profile (`dedup.cross_doc_ngram_dup`,
+    Lee et al. 2022 ExactSubstr measure): per doc, the number of token-3-gram
+    positions whose gram also occurs in >= 2 OTHER-or-same distinct documents
+    corpus-wide — the substring-level complement of whole-doc dedup. Rolling
+    token-hash grams (no gram strings shipped), per-(doc,gram) combiner before
+    the corpus-wide gram count, hash-bucketed mark join."""
+    from odibel_ray.dedup import cross_doc_ngram_dup
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return cross_doc_ngram_dup(docs, n=3, carry=("source",), min_docs=2)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-rule repetition metrics (`text.repetition_stats`, Rae et al.
     2021): per-document duplicate-1/2/3-gram fractions — the degenerate-text
@@ -3330,6 +3344,7 @@ QUERIES: dict[str, Callable] = {
     "doc_regex_token_stats": q_doc_regex_token_stats,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_ngram_dup": q_doc_ngram_dup,
     "doc_repetition": q_doc_repetition,
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
@@ -4161,6 +4176,22 @@ train AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 13 <> 0)
 SELECT train.doc_id AS doc_id, count(*) AS hits
 FROM train JOIN test USING (sg)
 GROUP BY train.doc_id
+""",
+        "doc_ngram_dup": """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ka FROM documents),
+g AS (SELECT doc_id, source, len(ka) - 2 AS n_grams,
+        unnest(list_transform(range(1, len(ka) - 1),
+               i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS gram
+      FROM d WHERE len(ka) >= 3),
+pg AS (SELECT doc_id, source, n_grams, gram, count(*) AS n_pos
+       FROM g GROUP BY ALL),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2)
+SELECT pg.doc_id AS doc_id, max(pg.source) AS source,
+       CAST(max(pg.n_grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN dup.gram IS NOT NULL THEN pg.n_pos END), 0)
+            AS BIGINT) AS n_dup
+FROM pg LEFT JOIN dup USING (gram)
+GROUP BY pg.doc_id
 """,
         # Gopher repetition rules: duplicate n-gram fraction per doc
         "doc_repetition": """

@@ -673,3 +673,47 @@ def test_repetition_stats_matches_python_sets(ray_session):
     for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         for n in (1, 2, 3):
             assert rows[i][f"dup_{n}gram_frac"] == frac(s, n), (i, n)
+
+
+def test_cross_doc_ngram_dup_exact(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.dedup import cross_doc_ngram_dup
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["a", "a", "b", "b", "b"],
+        "text": [
+            "the quick brown fox jumps over",   # shares "the quick brown"… with 2
+            "the quick brown fox sat down",     # shares 2 grams with doc 1
+            "completely different words here now",  # no shared grams
+            "the quick brown fox jumps over",   # identical to doc 1
+            "xy",                               # < 3 tokens: no row
+        ],
+    })
+    out = {r["doc_id"]: r for r in
+           cross_doc_ngram_dup(rd.from_arrow(docs), n=3, carry=("source",),
+                               min_docs=2).take_all()}
+
+    # brute-force oracle: per-doc gram positions vs corpus-wide distinct-doc counts
+    from collections import Counter
+    grams = {}
+    for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        t = s.split(" ")
+        grams[i] = [" ".join(t[j:j + 3]) for j in range(len(t) - 2)]
+    doc_count = Counter(g for i in grams for g in set(grams[i]))
+    for i, gs in grams.items():
+        if not gs:
+            assert i not in out
+            continue
+        exp_dup = sum(1 for g in gs if doc_count[g] >= 2)
+        assert out[i]["n_grams"] == len(gs), i
+        assert out[i]["n_dup"] == exp_dup, i
+        assert out[i]["source"] == ("a" if i <= 2 else "b")
+
+    # duplicate gram WITHIN one doc counts every position but needs >=2 docs
+    rep = pa.table({"doc_id": [7], "source": ["a"],
+                    "text": ["p q r p q r p q r"]})
+    only = cross_doc_ngram_dup(rd.from_arrow(rep), n=3, carry=("source",),
+                               min_docs=2).take_all()
+    assert only[0]["n_grams"] == 7 and only[0]["n_dup"] == 0
