@@ -298,7 +298,10 @@ def bucketed_join(
     pairs duplicated across bands are deduped here for free instead of
     paying a dedicated all-to-all.
 
-    ``how`` ∈ {'inner', 'left', 'semi', 'anti'} ('semi'/'anti' keep only
+    ``how`` ∈ {'inner', 'left', 'outer', 'semi', 'anti'} ('outer' is full
+    outer — decomposable per bucket because every copy of a key lands in one
+    bucket, so unmatched rows of either side surface exactly once;
+    'semi'/'anti' keep only
     ``left``'s columns — the shuffle analog of
     :func:`broadcast_semi_join` / :func:`broadcast_anti_join`, and their
     automatic fallback when the key set outgrows the broadcast limit).
@@ -356,6 +359,7 @@ def bucketed_join(
     join_type = {
         "inner": "inner",
         "left": "left outer",
+        "outer": "full outer",
         "semi": "left semi",
         "anti": "left anti",
     }[how]

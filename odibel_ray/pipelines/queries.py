@@ -2328,6 +2328,30 @@ def q_doc_ngram_dup(sf_dir: str):
     return cross_doc_ngram_dup(docs, n=3, carry=("source",), min_docs=2)
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR importance weighting (`selection.dsir_logweights`, Xie et al.
+    2023): documents split 13-ways by id into a target domain and a raw pool;
+    every raw doc scored with the add-1-smoothed bigram log-likelihood ratio
+    target-vs-raw. Exact-vocabulary formulation — the ratio model is a
+    DISTRIBUTED gram-keyed dataset met in a bucketed join, never a broadcast
+    — so the same plan holds when the vocabulary is billions of grams."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.selection import dsir_logweights
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(want_target: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 13 == 0) if want_target else (ids % 13 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    raw = docs.map_batches(_side(False), batch_format="pyarrow")
+    target = docs.map_batches(_side(True), batch_format="pyarrow")
+    return dsir_logweights(raw, target, n=2)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-rule repetition metrics (`text.repetition_stats`, Rae et al.
     2021): per-document duplicate-1/2/3-gram fractions — the degenerate-text
@@ -3345,6 +3369,7 @@ QUERIES: dict[str, Callable] = {
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_dup": q_doc_ngram_dup,
+    "doc_dsir_weights": q_doc_dsir_weights,
     "doc_repetition": q_doc_repetition,
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
@@ -4191,6 +4216,27 @@ SELECT pg.doc_id AS doc_id, max(pg.source) AS source,
        CAST(coalesce(sum(CASE WHEN dup.gram IS NOT NULL THEN pg.n_pos END), 0)
             AS BIGINT) AS n_dup
 FROM pg LEFT JOIN dup USING (gram)
+GROUP BY pg.doc_id
+""",
+        "doc_dsir_weights": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(ka)),
+               i -> ka[i] || ' ' || ka[i+1])) AS gram
+      FROM d WHERE len(ka) >= 2),
+tc AS (SELECT gram, count(*) AS ct FROM g WHERE doc_id % 13 = 0 GROUP BY gram),
+rc AS (SELECT gram, count(*) AS cr FROM g WHERE doc_id % 13 <> 0 GROUP BY gram),
+v AS (SELECT coalesce(tc.gram, rc.gram) AS gram,
+             coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      FROM tc FULL JOIN rc USING (gram)),
+tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr,
+               CAST(count(*) AS DOUBLE) AS vs FROM v),
+lr AS (SELECT gram, (ln(ct + 1.0) - ln(tt + vs)) - (ln(cr + 1.0) - ln(tr + vs)) AS lw
+       FROM v, tot),
+pg AS (SELECT doc_id, gram, count(*) AS n_pos
+       FROM g WHERE doc_id % 13 <> 0 GROUP BY ALL)
+SELECT pg.doc_id AS doc_id, CAST(sum(n_pos) AS BIGINT) AS n_grams,
+       sum(n_pos * lw) AS log_w
+FROM pg JOIN lr USING (gram)
 GROUP BY pg.doc_id
 """,
         # Gopher repetition rules: duplicate n-gram fraction per doc
