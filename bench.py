@@ -112,6 +112,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_stats_refresh",
     # composition of the individually-timed derived + mview refresh paths
     "transcript_medallion",
+    # gram-profile stage of the timed corpus_curation composition
+    "doc_ngram_dup",
 }
 
 

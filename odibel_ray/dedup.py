@@ -897,6 +897,7 @@ def cross_doc_ngram_dup(
     num_buckets: int | None = None,
     batch_size: int = 65536,
     id_type: pa.DataType | None = None,
+    carry_types: dict[str, pa.DataType] | None = None,
 ) -> "ray.data.Dataset":
     """Cross-document n-gram duplication profile — the corpus-level
     "duplicated substring" measure of exact-substring dedup (Lee et al. 2022,
@@ -973,10 +974,11 @@ def cross_doc_ngram_dup(
             cols[c] = t[c].take(pa.array(ud))
         return pa.table(cols)
 
+    carry_types = carry_types or {}
     gram_schema = pa.schema(
         [("gram_key", pa.int64()), (id_col, id_type),
          ("n_pos", pa.int64()), ("n_grams", pa.int64())]
-        + [(c, pa.string()) for c in carry]
+        + [(c, carry_types.get(c, pa.string())) for c in carry]
     )
     grams = docs.map_batches(_emit, batch_format="pyarrow", batch_size=batch_size)
 

@@ -2352,6 +2352,19 @@ def q_doc_dsir_weights(sf_dir: str):
     return dsir_logweights(raw, target, n=2)
 
 
+def q_corpus_curation(sf_dir: str):
+    """Composed curation sweep (`pipelines.corpus.curate_corpus`): exact
+    text dedup → >=8-token length gate → cross-doc 3-gram duplication gate
+    (dup fraction <= 0.5 measured against the deduped survivors). One lazy
+    pipeline — stages stream into each other; exchanges are the dedup
+    shuffle plus the gram join inside the duplication profile."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.pipelines.corpus import curate_corpus
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return curate_corpus(docs, min_tokens=8, ngram=3, max_dup_frac=0.5)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-rule repetition metrics (`text.repetition_stats`, Rae et al.
     2021): per-document duplicate-1/2/3-gram fractions — the degenerate-text
@@ -3370,6 +3383,7 @@ QUERIES: dict[str, Callable] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_dup": q_doc_ngram_dup,
     "doc_dsir_weights": q_doc_dsir_weights,
+    "corpus_curation": q_corpus_curation,
     "doc_repetition": q_doc_repetition,
     "doc_quality": q_doc_quality,
     "doc_chunks": q_doc_chunks,
@@ -4238,6 +4252,27 @@ SELECT pg.doc_id AS doc_id, CAST(sum(n_pos) AS BIGINT) AS n_grams,
        sum(n_pos * lw) AS log_w
 FROM pg JOIN lr USING (gram)
 GROUP BY pg.doc_id
+""",
+        "corpus_curation": """
+WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+d1 AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS ka
+       FROM documents d JOIN dd USING (doc_id)
+       WHERE len(string_split(d.text, ' ')) >= 8),
+g AS (SELECT doc_id, source, len(ka) AS n_tokens, len(ka) - 2 AS n_grams,
+        unnest(list_transform(range(1, len(ka) - 1),
+               i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS gram
+      FROM d1),
+pg AS (SELECT doc_id, source, n_tokens, n_grams, gram, count(*) AS n_pos
+       FROM g GROUP BY ALL),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+prof AS (SELECT pg.doc_id AS doc_id, max(pg.source) AS source,
+                CAST(max(pg.n_tokens) AS BIGINT) AS n_tokens,
+                CAST(max(pg.n_grams) AS BIGINT) AS n_grams,
+                CAST(coalesce(sum(CASE WHEN dup.gram IS NOT NULL
+                                       THEN pg.n_pos END), 0) AS BIGINT) AS n_dup
+         FROM pg LEFT JOIN dup USING (gram)
+         GROUP BY pg.doc_id)
+SELECT * FROM prof WHERE n_dup <= 0.5 * n_grams
 """,
         # Gopher repetition rules: duplicate n-gram fraction per doc
         "doc_repetition": """

@@ -67,3 +67,35 @@ def test_bucketed_join_full_outer(ray_session):
     ).take_all()
     rows = {r["k"]: (r["a"], r["b"]) for r in out}
     assert rows == {1: (10, None), 2: (20, 200), 3: (30, 300), 4: (None, 400)}
+
+
+def test_curate_corpus_gates(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.pipelines.corpus import curate_corpus
+
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8 u9"          # 9 tokens, all grams unique
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "source": ["a", "a", "b", "b", "b", "c", "c"],
+        "text": [
+            uniq,                                  # kept, zero dup (its exact
+            uniq,                                  # dup is removed FIRST)
+            "too short",                           # < 8 tokens → dropped
+            # 4 & 5 share the s1..s5 run: 3 of 7 grams → 3/7 ≤ 0.5 → kept
+            "s1 s2 s3 s4 s5 a1 a2 a3 a4",
+            "s1 s2 s3 s4 s5 b1 b2 b3 b4",
+            # 6 & 7 share t1..t8: 6 of 7 grams each → 6/7 > 0.5 → dropped
+            "t1 t2 t3 t4 t5 t6 t7 t8 x1",
+            "t1 t2 t3 t4 t5 t6 t7 t8 y1",
+        ],
+    })
+    out = {r["doc_id"]: r for r in
+           curate_corpus(rd.from_arrow(docs), min_tokens=8, ngram=3,
+                         max_dup_frac=0.5).take_all()}
+    # dup gate is symmetric: both members of the 6/7-overlap pair drop
+    assert set(out) == {1, 4, 5}
+    assert out[1]["n_tokens"] == 9 and out[1]["n_grams"] == 7
+    assert out[1]["n_dup"] == 0            # exact dup removed before profiling
+    assert out[4]["n_dup"] == 3 and out[5]["n_dup"] == 3
+    assert out[4]["source"] == "b" and out[1]["source"] == "a"
