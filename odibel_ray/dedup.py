@@ -1023,3 +1023,136 @@ def cross_doc_ngram_dup(
         return t.select([id_col, *carry, "n_grams", "n_dup"])
 
     return per_doc.map_batches(_order, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-document chunk-level exact dedup (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+
+def split_chunks(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Explode documents into non-overlapping ``window``-token chunks:
+    one row per chunk ``(id, chunk_idx, chunk_text, n_chunks)``.
+
+    The corpus-scale analog of C4's line split (Raffel et al. 2020 dedupe
+    "any three-sentence span"; lines generalize to fixed token windows for
+    newline-free corpora). Fully vectorized: tokens split once per batch,
+    chunk boundaries are a numpy offset computation over the flattened token
+    array, chunk strings come out of ONE ``pc.binary_join`` — no per-doc
+    Python loop.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern(t[text_col], pattern=" ").combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        n_chunks = np.maximum((counts + window - 1) // window, 1)
+        total = int(n_chunks.sum())
+        doc_of_chunk = np.repeat(np.arange(len(t)), n_chunks)
+        chunk_idx = np.arange(total) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        starts = offsets[:-1][doc_of_chunk] + chunk_idx * window
+        # chunks are contiguous in the flat token array, so every chunk's end
+        # is the next chunk's start (the final end is the array's end)
+        new_offsets = pa.array(np.append(starts, offsets[-1]), pa.int64())
+        chunks = pa.LargeListArray.from_arrays(new_offsets, toks.values)
+        ids = t[id_col].take(pa.array(doc_of_chunk))
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk_text": pc.binary_join(chunks, " "),
+                "n_chunks": pa.array(n_chunks[doc_of_chunk], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def chunk_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Cross-document chunk-level exact dedup: drop every repeated
+    ``window``-token chunk corpus-wide (first occurrence by
+    ``(id, chunk_idx)`` survives), then reassemble each document from its
+    surviving chunks.
+
+    Output: ``(id, text, n_chunks_total, n_chunks_kept)``; documents whose
+    every chunk was removed disappear. Three keyed exchanges, all scale-safe:
+    the keep-first groupby rides :func:`~odibel_ray.ops.relational.exact_dedup`
+    (per-batch combiner first, so the shuffle moves one row per (batch,
+    chunk)), and reassembly is one ``id``-hash shuffle whose kernel rebuilds
+    texts from run-length offsets + one ``binary_join`` (zero per-doc Python,
+    same shape as ``nested.nest_turns``).
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+    from odibel_ray.ops.relational import exact_dedup
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
+    chunks = split_chunks(
+        ds, id_col=id_col, text_col=text_col, window=window, batch_size=batch_size
+    )
+
+    def ordkey(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ord_ = pc.add(
+            pc.multiply(pc.cast(t[id_col], pa.int64()), pa.scalar(1 << 32, pa.int64())),
+            t["chunk_idx"],
+        )
+        return t.append_column("_ord", ord_)
+
+    kept = exact_dedup(
+        chunks.map_batches(ordkey, batch_format="pyarrow", batch_size=batch_size),
+        ["chunk_text"],
+        tie_break="_ord",
+        batch_size=batch_size,
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks().drop_columns(["_ord"])
+        b = bucket_of_keys(t, [id_col], num_buckets)
+        return t.append_column("_cbucket", pa.array(b, pa.int64()))
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(id_col, "ascending"), ("chunk_idx", "ascending")]
+            )
+        )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = pa.array(np.append(bounds, len(g)).astype(np.int64), pa.int64())
+        lists = pa.LargeListArray.from_arrays(
+            offsets, g["chunk_text"].combine_chunks()
+        )
+        return pa.table(
+            {
+                id_col: g[id_col].take(pa.array(bounds)),
+                text_col: pc.binary_join(lists, " "),
+                "n_chunks_total": g["n_chunks"].take(pa.array(bounds)),
+                "n_chunks_kept": pa.array(np.diff(np.append(bounds, len(g))), pa.int64()),
+            }
+        )
+
+    return (
+        kept.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_cbucket")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

@@ -2328,6 +2328,20 @@ def q_doc_ngram_dup(sf_dir: str):
     return cross_doc_ngram_dup(docs, n=3, carry=("source",), min_docs=2)
 
 
+def q_doc_chunk_dedup(sf_dir: str):
+    """Cross-document chunk-level exact dedup (`dedup.chunk_dedup`, the
+    C4-style line dedup generalized to 3-token windows for this newline-free
+    corpus): every repeated chunk corpus-wide is dropped except its first
+    occurrence by (doc_id, chunk_idx), and documents are reassembled from the
+    surviving chunks. Combiner-first keep-first exchange + one id-hash
+    reassembly shuffle; all kernels offset-vectorized."""
+    from odibel_ray.dedup import chunk_dedup
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(docs, window=3)
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weighting (`selection.dsir_logweights`, Xie et al.
     2023): documents split 13-ways by id into a target domain and a raw pool;
@@ -3382,6 +3396,7 @@ QUERIES: dict[str, Callable] = {
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_dup": q_doc_ngram_dup,
+    "doc_chunk_dedup": q_doc_chunk_dedup,
     "doc_dsir_weights": q_doc_dsir_weights,
     "corpus_curation": q_corpus_curation,
     "doc_repetition": q_doc_repetition,
@@ -4215,6 +4230,22 @@ train AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 13 <> 0)
 SELECT train.doc_id AS doc_id, count(*) AS hits
 FROM train JOIN test USING (sg)
 GROUP BY train.doc_id
+""",
+        "doc_chunk_dedup": """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks, CAST(ceil(len(toks)/3.0) AS BIGINT) AS n_chunks,
+             unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS chunk_idx
+      FROM s),
+c AS (SELECT doc_id, chunk_idx, n_chunks,
+             array_to_string(list_slice(toks, chunk_idx*3+1, chunk_idx*3+3), ' ') AS chunk_text
+      FROM e),
+k AS (SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn FROM c)
+SELECT doc_id,
+       string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text,
+       CAST(any_value(n_chunks) AS BIGINT) AS n_chunks_total,
+       count(*) AS n_chunks_kept
+FROM k WHERE rn = 1
+GROUP BY doc_id
 """,
         "doc_ngram_dup": """
 WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ka FROM documents),

@@ -717,3 +717,53 @@ def test_cross_doc_ngram_dup_exact(ray_session):
     only = cross_doc_ngram_dup(rd.from_arrow(rep), n=3, carry=("source",),
                                min_docs=2).take_all()
     assert only[0]["n_grams"] == 7 and only[0]["n_dup"] == 0
+
+
+def test_chunk_dedup_planted(ray_session):
+    """C4-style chunk dedup: repeated windows vanish corpus-wide, first
+    occurrence (doc order, then position) survives, docs reassemble in
+    chunk order, fully-duplicated docs disappear."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import chunk_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f",        # chunks: "a b", "c d", "e f"
+                    "c d a b x y",        # "c d", "a b" dup of doc 1; "x y" kept
+                    "a b c d",            # fully duplicated -> doc dropped
+                    "e f e f z",          # "e f" dup; "e f" (idx1) dup of idx0 too; "z" kept
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(rd.from_arrow(docs), window=2).take_all()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text"] == "a b c d e f"
+    assert (out[1]["n_chunks_total"], out[1]["n_chunks_kept"]) == (3, 3)
+    assert out[2]["text"] == "x y"
+    assert (out[2]["n_chunks_total"], out[2]["n_chunks_kept"]) == (3, 1)
+    assert out[4]["text"] == "z"
+    assert (out[4]["n_chunks_total"], out[4]["n_chunks_kept"]) == (3, 1)
+
+
+def test_split_chunks_short_doc(ray_session):
+    """A doc shorter than the window is one chunk; boundaries clamp."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import split_chunks
+
+    docs = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["lone"], pa.string())}
+    )
+    rows = split_chunks(rd.from_arrow(docs), window=5).take_all()
+    assert rows == [
+        {"doc_id": 7, "chunk_idx": 0, "chunk_text": "lone", "n_chunks": 1}
+    ]
