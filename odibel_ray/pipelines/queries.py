@@ -2342,6 +2342,44 @@ def q_doc_chunk_dedup(sf_dir: str):
     return chunk_dedup(docs, window=3)
 
 
+def _ppl_scored(sf_dir: str, carry: tuple[str, ...] = ()):
+    """Shared CCNet fixture: bigram stupid-backoff LM trained on the
+    doc_id % 7 == 0 reference split, scoring the WHOLE corpus."""
+    from odibel_ray.lm import bigram_logprob
+    from odibel_ray.ops.relational import load_table
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text", *carry])
+
+    def _train(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    train = docs.map_batches(_train, batch_format="pyarrow")
+    return bigram_logprob(docs, train, carry=carry)
+
+
+def q_doc_perplexity(sf_dir: str):
+    """CCNet-style LM quality signal (`lm.bigram_logprob`, Wenzek et al.
+    2020): every document scored under a bigram stupid-backoff model
+    (Brants et al. 2007) trained on the doc_id % 7 == 0 reference split.
+    The LM is a DISTRIBUTED gram-keyed count table met in bucketed joins —
+    training is two combiner-first groupbys, scoring is two sequential
+    hash-bucketed joins (model hit + unigram backoff) with no mid-pipeline
+    fork, so nothing vocabulary-sized touches the driver."""
+    return _ppl_scored(sf_dir)
+
+
+def q_doc_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail binning (`lm.perplexity_buckets`): per-language
+    perplexity tercile cutoffs (exact PERCENTILE_DISC over a 2-column
+    projection), then per-(lang, bucket) doc/token counts. The cutoff table
+    is one row per language — genuinely bounded — so it broadcasts into the
+    assignment pass instead of shuffling the corpus."""
+    from odibel_ray.lm import perplexity_buckets
+
+    return perplexity_buckets(_ppl_scored(sf_dir, carry=("lang",)), by="lang")
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weighting (`selection.dsir_logweights`, Xie et al.
     2023): documents split 13-ways by id into a target domain and a raw pool;
@@ -3397,6 +3435,8 @@ QUERIES: dict[str, Callable] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_dup": q_doc_ngram_dup,
     "doc_chunk_dedup": q_doc_chunk_dedup,
+    "doc_perplexity": q_doc_perplexity,
+    "doc_ppl_buckets": q_doc_ppl_buckets,
     "doc_dsir_weights": q_doc_dsir_weights,
     "corpus_curation": q_corpus_curation,
     "doc_repetition": q_doc_repetition,
@@ -3437,6 +3477,48 @@ QUERIES: dict[str, Callable] = {
     "rdf_subgraph": q_rdf_subgraph,
     "events_nested_roundtrip": q_events_nested_roundtrip,
 }
+
+
+# CCNet bigram-stupid-backoff scoring replayed in SQL over string grams
+# (equal token windows <=> equal rolling hash, so string-gram joins replicate
+# the engine's hash-keyed joins): unigram/bigram counts from the doc_id%7==0
+# reference split, model lp = ln c(bigram) - ln c(ctx), backoff
+# ln 0.4 + add-1-smoothed unigram, position 0 unigram-scored.
+_PPL_SQL = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ka FROM documents),
+uc AS (SELECT w, count(*) AS cu
+       FROM (SELECT unnest(ka) AS w FROM d WHERE doc_id % 7 = 0) GROUP BY w),
+tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vs
+        FROM uc),
+bc AS (SELECT cx, w, count(*) AS cb
+       FROM (SELECT ka[i] AS cx, ka[i+1] AS w
+             FROM (SELECT ka, unnest(range(1, len(ka))) AS i
+                   FROM d WHERE doc_id % 7 = 0))
+       GROUP BY cx, w),
+m AS (SELECT bc.cx AS cx, bc.w AS w, ln(bc.cb) - ln(uc.cu) AS lp
+      FROM bc JOIN uc ON bc.cx = uc.w),
+s0 AS (SELECT doc_id, lang, len(ka) AS n_tokens,
+              ln(coalesce(cu, 0) + 1.0) - ln(tt + vs) AS contrib
+       FROM (SELECT doc_id, lang, ka, ka[1] AS w FROM d)
+       LEFT JOIN uc USING (w), tot),
+bg AS (SELECT doc_id, cx, w, count(*) AS n_pos
+       FROM (SELECT doc_id, ka[i] AS cx, ka[i+1] AS w
+             FROM (SELECT doc_id, ka, unnest(range(1, len(ka))) AS i FROM d))
+       GROUP BY ALL),
+sb AS (SELECT bg.doc_id AS doc_id,
+              sum(n_pos * coalesce(m.lp,
+                  ln(0.4) + ln(coalesce(uc.cu, 0) + 1.0) - ln(tt + vs)))
+                AS contrib
+       FROM bg LEFT JOIN m ON bg.cx = m.cx AND bg.w = m.w
+               LEFT JOIN uc ON bg.w = uc.w, tot
+       GROUP BY bg.doc_id),
+ppl AS (SELECT s0.doc_id AS doc_id, s0.lang AS lang,
+               CAST(s0.n_tokens AS BIGINT) AS n_tokens,
+               s0.contrib + coalesce(sb.contrib, 0) AS logprob,
+               exp(-(s0.contrib + coalesce(sb.contrib, 0)) / s0.n_tokens)
+                 AS ppl
+        FROM s0 LEFT JOIN sb USING (doc_id))
+"""
 
 
 def _oracles_for(sf_dir: str) -> dict[str, str]:
@@ -4262,6 +4344,25 @@ SELECT pg.doc_id AS doc_id, max(pg.source) AS source,
             AS BIGINT) AS n_dup
 FROM pg LEFT JOIN dup USING (gram)
 GROUP BY pg.doc_id
+""",
+        "doc_perplexity": _PPL_SQL + """
+SELECT doc_id, n_tokens, logprob, ppl FROM ppl
+""",
+        # ppl must be MATERIALIZED: DuckDB inlines CTEs, so the float sums in
+        # `cuts` vs the outer scan would otherwise be re-summed in different
+        # orders and the <=-cutoff boundary doc can flip buckets.
+        "doc_ppl_buckets": _PPL_SQL.replace(
+            "ppl AS (", "ppl AS MATERIALIZED ("
+        ) + """,
+cuts AS (SELECT lang, quantile_disc(ppl, 1.0/3.0) AS c1,
+                quantile_disc(ppl, 2.0/3.0) AS c2
+         FROM ppl GROUP BY lang)
+SELECT ppl.lang AS lang,
+       CASE WHEN ppl.ppl <= c1 THEN 'head'
+            WHEN ppl.ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM ppl JOIN cuts USING (lang)
+GROUP BY ALL
 """,
         "doc_dsir_weights": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
