@@ -2342,6 +2342,24 @@ def q_doc_chunk_dedup(sf_dir: str):
     return chunk_dedup(docs, window=3)
 
 
+BM25_QUERY = "hash join merge sort"
+
+
+def q_doc_bm25(sf_dir: str):
+    """Lexical retrieval scoring (`retrieval.bm25_scores`, Robertson &
+    Zaragoza 2009; Lucene idf form): every document containing a query term
+    scored under BM25 against a fixed topic probe. Corpus statistics
+    (N, avgdl, per-term df) come from ONE shuffle-free streaming pass of
+    fixed-width mergeable partials; scoring is a second streaming pass
+    against the driver-closed |q|-row idf table — the corpus never
+    shuffles."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.retrieval import bm25_scores
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(docs, BM25_QUERY)
+
+
 def _ppl_scored(sf_dir: str, carry: tuple[str, ...] = ()):
     """Shared CCNet fixture: bigram stupid-backoff LM trained on the
     doc_id % 7 == 0 reference split, scoring the WHOLE corpus."""
@@ -3435,6 +3453,7 @@ QUERIES: dict[str, Callable] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_dup": q_doc_ngram_dup,
     "doc_chunk_dedup": q_doc_chunk_dedup,
+    "doc_bm25": q_doc_bm25,
     "doc_perplexity": q_doc_perplexity,
     "doc_ppl_buckets": q_doc_ppl_buckets,
     "doc_dsir_weights": q_doc_dsir_weights,
@@ -4344,6 +4363,26 @@ SELECT pg.doc_id AS doc_id, max(pg.source) AS source,
             AS BIGINT) AS n_dup
 FROM pg LEFT JOIN dup USING (gram)
 GROUP BY pg.doc_id
+""",
+        # BM25 replayed over string tokens (equal tokens <=> equal hash, so
+        # string-term joins replicate the engine's hashed term identity).
+        "doc_bm25": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(len(ka)) AS DOUBLE) AS sdl FROM d),
+q AS (SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term),
+tf AS (SELECT doc_id, term, len(ka) AS dl,
+              len(list_filter(ka, x -> x = term)) AS tf
+       FROM d CROSS JOIN q),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf WHERE tf > 0
+       GROUP BY term)
+SELECT tf.doc_id AS doc_id, CAST(max(tf.dl) AS BIGINT) AS n_tokens,
+       sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * (1.2 + 1.0)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (sdl / n)))) AS score
+FROM tf JOIN df USING (term), st
+WHERE tf > 0
+GROUP BY tf.doc_id
 """,
         "doc_perplexity": _PPL_SQL + """
 SELECT doc_id, n_tokens, logprob, ppl FROM ppl
