@@ -1735,6 +1735,43 @@ def q_orders_lineitem_join(sf_dir: str):
     return _round_cols(g, {"sum_qty": 2})
 
 
+def q_urgent_order_lineitems(sf_dir: str):
+    """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
+    filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
+    Bloom filter of its keys (mergeable OR partials, a few MiB regardless of
+    scale) pre-filters lineitem BEFORE the bucketed-join shuffle, so ~80% of
+    the probe side never enters the exchange. False positives are dropped by
+    the exact inner join that follows — the runtime-filter pattern of Spark
+    AQE / Snowflake bloom pruning."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.ops.bloom import bloom_semi_filter
+    from odibel_ray.ops.relational import bucketed_join, load_table
+
+    li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_returnflag"])
+    urgent = load_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    probe = bloom_semi_filter(li, urgent.select_columns(["l_orderkey"]),
+                              "l_orderkey", num_bits=1 << 20)
+    j = bucketed_join(
+        probe,
+        urgent,
+        "l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_extendedprice", pa.float64()),
+             ("l_returnflag", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+    g = j.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price")
+    )
+    return _round_cols(g, {"sum_price": 2})
+
+
 def q_transcript_named_graphs(sf_dir: str):
     """M9 named-graph serializer: replay history → 5 N-Quad lines per
     fact-version (``CSVToRDFNamedGraphs.scala:63-99`` shape, deterministic
@@ -3387,6 +3424,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_snapshot_stats": q_transcript_snapshot_stats,
     "daily_window_topk": q_daily_window_topk,
     "orders_lineitem_join": q_orders_lineitem_join,
+    "urgent_order_lineitems": q_urgent_order_lineitems,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4165,6 +4203,13 @@ SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2
+""",
+        "urgent_order_lineitems": """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
 """,
         "transcript_named_graphs": t_named_graphs,
         "transcript_reification": t_reification,
