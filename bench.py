@@ -114,6 +114,50 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "transcript_medallion",
     # gram-profile stage of the timed corpus_curation composition
     "doc_ngram_dup",
+    # tercile binning re-runs the timed doc_perplexity scoring pass
+    "doc_ppl_buckets",
+    # single-bucket metadata-routed read; timed under transcript_bloom_lookup
+    # (same routing plus the bloom-sidecar skip on top)
+    "transcript_point_lookup",
+    # multi-column variant of the timed transcript_clustered_read
+    # (publish-with-layout + pruned read, same path)
+    "transcript_zorder_read",
+    # assignment stage of the timed embedding_semdedup pipeline
+    "embedding_kmeans",
+    # minhash stage timed under dedup_minhash; the distributed-CC stage is
+    # timed under embedding_dup_clusters
+    "dedup_minhash_clusters",
+    # blocking stage of the timed er_cluster_stats pipeline
+    "er_pairs_blocking",
+    # predicate pass over the timed rdf_parse kernel
+    "rdf_filter_by_type",
+    # splitter stage of the timed doc_chunk_dedup pipeline
+    "doc_chunks",
+    # LSN-bounded variant of the timed transcript_replay kernel (the fused
+    # two-state variant is timed as transcript_snapshot_stats)
+    "transcript_snapshot",
+    # DAG-refresh composition of the individually-timed derived/mview paths
+    "transcript_pipeline_sync",
+    # exact O(n^2) baseline of the timed embedding_semdedup in-cluster pairs
+    "embedding_cosine_pairs",
+    # gap-window twin of the timed events_sessionized kernel
+    "events_sliding_windows",
+    # per-group top-k twin of the timed top_lineitems_per_flag
+    "daily_window_topk",
+    # replay + histogram-agg; both timed (transcript_replay, event_value_stats)
+    "transcript_window_histogram",
+    # two-dimension broadcast twin of the timed orders_per_nation
+    "revenue_by_part_brand",
+    # brute-force baseline twin of the timed ann_ivf_topk
+    "ann_cosine_topk",
+    # compiled-regex pass twin of the timed doc_regex_token_stats
+    "doc_redacted_stats",
+    # per-predicate time-bucket counts; same bucket-count kernel as the
+    # timed events_per_type_day, over the CDC log
+    "cdc_events_windows",
+    # typing-join composition; its distributed semi-join/union stages are
+    # timed under rdf_subgraph
+    "rdf_schema_graph",
 }
 
 

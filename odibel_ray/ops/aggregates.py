@@ -95,10 +95,11 @@ def sessionize(
                 )
             return res
         ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        key_change = np.ones(n, dtype=bool)
-        for k in keys:
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in keys:  # key boundary where ANY key component differs
             eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
-            key_change[1:] &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            key_change[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
         # row 0 and every key boundary start a session; within a key, a gap does
         new_sess = key_change.copy()
         new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
@@ -165,6 +166,65 @@ def sliding_window_counts(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
     return group_count(exploded, keys + [out_start], out=out_count)
+
+
+def window_lag(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    *,
+    tie_cols: Sequence[str] = (),
+    suffix: str = "_prev",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``LAG(col) OVER (PARTITION BY keys ORDER BY order_col)`` — the
+    window-function class the engine otherwise expresses only inside special
+    kernels (sessionize's gap test, the LWW diff). Emits every input row plus
+    ``<col><suffix>`` for each requested column, null on the first row of
+    each partition.
+
+    One key-hash shuffle (partitions never split across buckets); within each
+    bucket the kernel is one vectorized sort + a shift-by-one ``take`` with a
+    null mask at partition boundaries — no per-row Python. ``tie_cols`` pin a
+    deterministic order for equal ``order_col`` values.
+    """
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    keys = list(keys)
+    cols = list(cols)
+    tie_cols = list(tie_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_wbucket", pa.array(b, pa.int64()))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            for c in cols:
+                t = t.append_column(c + suffix, pa.array([], t[c].type))
+            return t
+        sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in keys:  # partition boundary where ANY key component differs
+            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
+            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        prev_idx = pa.array(np.arange(-1, n - 1, dtype=np.int64), mask=first)
+        for c in cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.append_column(c + suffix, col.take(prev_idx))
+        return t
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
 
 
 def group_count(

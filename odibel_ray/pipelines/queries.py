@@ -1735,6 +1735,42 @@ def q_orders_lineitem_join(sf_dir: str):
     return _round_cols(g, {"sum_qty": 2})
 
 
+def q_transcript_turn_latency(sf_dir: str):
+    """Window-function class (`ops.aggregates.window_lag` = SQL LAG OVER
+    PARTITION BY): per-conversation turn-to-turn latency over the replayed
+    final table — gap = ts − lag(ts) ordered by turn_idx — aggregated per
+    role. One key-hash shuffle for the lag (conversations never split across
+    buckets), exact integer gap sums so the avg is a single reproducible
+    division."""
+    from ray.data.aggregate import Count, Sum
+
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.ops.aggregates import window_lag
+
+    log = ensure_transcript_log(sf_dir)
+    final = replay_dataset(log).select_columns(["conv_id", "turn_idx", "role", "ts"])
+    lagged = window_lag(final, ["conv_id"], "turn_idx", ["ts"])
+
+    def _gap(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        prev = t["ts_prev"].cast(pa.int64())
+        gap = pc.subtract(t["ts"].cast(pa.int64()), prev)
+        return pa.table({"role": t["role"], "gap_us": gap}).filter(
+            pc.is_valid(prev)
+        )
+
+    g = lagged.map_batches(_gap, batch_format="pyarrow").groupby("role").aggregate(
+        Count(alias_name="n_gaps"), Sum("gap_us", alias_name="sum_gap_us")
+    )
+
+    def _avg(t: pa.Table) -> pa.Table:
+        s = t["sum_gap_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_gaps"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("avg_gap_us", pa.array(s / n, pa.float64()))
+
+    return g.map_batches(_avg, batch_format="pyarrow")
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3425,6 +3461,7 @@ QUERIES: dict[str, Callable] = {
     "daily_window_topk": q_daily_window_topk,
     "orders_lineitem_join": q_orders_lineitem_join,
     "urgent_order_lineitems": q_urgent_order_lineitems,
+    "transcript_turn_latency": q_transcript_turn_latency,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4203,6 +4240,16 @@ SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2
+""",
+        "transcript_turn_latency": f"""
+WITH f AS ({t_final}),
+l AS (SELECT role,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
+      FROM f)
+SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+FROM l WHERE gap_us IS NOT NULL GROUP BY role
 """,
         "urgent_order_lineitems": """
 SELECT l_returnflag, count(*) AS n_items,

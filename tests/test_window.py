@@ -1,0 +1,72 @@
+"""window_lag (SQL LAG OVER PARTITION BY) and multi-key partition
+boundaries (odibel_ray/ops/aggregates.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from odibel_ray.ops.aggregates import sessionize, window_lag
+
+
+def test_window_lag_matches_duckdb(ray_session):
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = pa.table({
+        "k": rng.integers(0, 50, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    got = (
+        window_lag(ray.data.from_arrow(t).repartition(4), ["k"], "o", ["v"],
+                   num_buckets=8)
+        .to_pandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    import duckdb
+    want = duckdb.arrow(t).query(
+        "t", "SELECT k, o, v, lag(v) OVER (PARTITION BY k ORDER BY o) AS v_prev "
+             "FROM t ORDER BY k, o"
+    ).fetchdf()
+    assert got.v_prev.isna().equals(want.v_prev.isna())
+    np.testing.assert_array_equal(
+        got.v_prev.fillna(-1).to_numpy(), want.v_prev.fillna(-1).to_numpy()
+    )
+
+
+def test_window_lag_multi_key_and_multi_col(ray_session):
+    t = pa.table({
+        "a": ["x", "x", "x", "y"], "b": [1, 1, 2, 1],
+        "o": [2, 1, 1, 1], "v": [20, 10, 99, 7], "s": ["B", "A", "C", "D"],
+    })
+    got = (
+        window_lag(ray.data.from_arrow(t), ["a", "b"], "o", ["v", "s"],
+                   num_buckets=2)
+        .to_pandas().sort_values(["a", "b", "o"], ignore_index=True)
+    )
+    # partitions: (x,1) -> rows o=1,2 ; (x,2) and (y,1) are singletons
+    assert got.v_prev.tolist()[0] != got.v_prev.tolist()[0]  # NaN first row
+    assert got.v_prev.tolist()[1] == 10 and got.s_prev.tolist()[1] == "A"
+    assert np.isnan(got.v_prev.tolist()[2]) and np.isnan(got.v_prev.tolist()[3])
+
+
+def test_window_lag_tie_cols_deterministic(ray_session):
+    t = pa.table({"k": ["a"] * 3, "o": [1, 1, 1], "tie": [3, 1, 2],
+                  "v": [30, 10, 20]})
+    got = (
+        window_lag(ray.data.from_arrow(t), ["k"], "o", ["v"],
+                   tie_cols=["tie"], num_buckets=1)
+        .to_pandas().sort_values("tie", ignore_index=True)
+    )
+    assert got.v_prev.fillna(-1).tolist() == [-1, 10, 20]
+
+
+def test_sessionize_multi_key_boundaries(ray_session):
+    # regression: a boundary is where ANY key component differs — (a,1)->(a,2)
+    # must start a new partition even though the first key is equal
+    t = pa.table({"k": ["a", "a", "a", "a"], "j": [1, 1, 2, 2],
+                  "ts": [0, 5, 6, 100], "eid": [0, 1, 2, 3]})
+    out = (
+        sessionize(ray.data.from_arrow(t), ["k", "j"], "ts", gap_us=10,
+                   tie_cols=["eid"])
+        .to_pandas().sort_values("eid", ignore_index=True)
+    )
+    assert out.session_id.tolist() == [0, 0, 0, 1]
