@@ -158,6 +158,9 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # typing-join composition; its distributed semi-join/union stages are
     # timed under rdf_subgraph
     "rdf_schema_graph",
+    # segmented-cumsum sibling of the window kernel timed under
+    # transcript_turn_latency (same bucket shuffle + sort)
+    "events_running_value",
 }
 
 

@@ -227,6 +227,58 @@ def window_lag(
     return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
 
 
+def window_cumsum(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    tie_cols: Sequence[str] = (),
+    out: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``SUM(value) OVER (PARTITION BY keys ORDER BY order_col ROWS
+    UNBOUNDED PRECEDING)`` — per-key running totals, the cumulative sibling
+    of :func:`window_lag` (same one-shuffle kernel: key-hash buckets, one
+    vectorized sort, then a segmented cumulative sum). Integer value columns
+    stay exact; pre-quantize floats (e.g. to cents) when cross-engine
+    bit-reproducibility matters."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+    out = out or f"{value_col}_running"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_wbucket", pa.array(b, pa.int64()))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        n = len(t)
+        v_type = t[value_col].type
+        if n == 0:
+            return t.append_column(out, pa.array([], v_type))
+        sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in keys:
+            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
+            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        c = np.cumsum(v)
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        base = (c[starts] - v[starts])[seg_id]
+        return t.append_column(out, pa.array(c - base, v_type))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+
+
 def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

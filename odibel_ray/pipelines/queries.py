@@ -1771,6 +1771,29 @@ def q_transcript_turn_latency(sf_dir: str):
     return g.map_batches(_avg, batch_format="pyarrow")
 
 
+def q_events_running_value(sf_dir: str):
+    """Running-total window (`ops.aggregates.window_cumsum` = SUM OVER
+    PARTITION BY ... ROWS UNBOUNDED PRECEDING): per-user cumulative event
+    value ordered by (ts, event_id). Values are floor-quantized to integer
+    milli-units BEFORE accumulating so the running sums are exact integers —
+    bit-reproducible across engines regardless of summation tree shape."""
+    from odibel_ray.ops.aggregates import window_cumsum
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "value", "ts"])
+
+    def _quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "v_milli", pa.array(np.floor(v * 1000).astype(np.int64), pa.int64())
+        )
+
+    q = ev.map_batches(_quant, batch_format="pyarrow")
+    run = window_cumsum(q, ["user_id"], "ts", "v_milli",
+                        tie_cols=["event_id"], out="running_value")
+    return run.select_columns(["user_id", "event_id", "ts", "running_value"])
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3462,6 +3485,7 @@ QUERIES: dict[str, Callable] = {
     "orders_lineitem_join": q_orders_lineitem_join,
     "urgent_order_lineitems": q_urgent_order_lineitems,
     "transcript_turn_latency": q_transcript_turn_latency,
+    "events_running_value": q_events_running_value,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4250,6 +4274,13 @@ l AS (SELECT role,
 SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM l WHERE gap_us IS NOT NULL GROUP BY role
+""",
+        "events_running_value": """
+SELECT user_id, event_id, ts,
+       sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS running_value
+FROM events
 """,
         "urgent_order_lineitems": """
 SELECT l_returnflag, count(*) AS n_items,

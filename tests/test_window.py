@@ -59,6 +59,29 @@ def test_window_lag_tie_cols_deterministic(ray_session):
     assert got.v_prev.fillna(-1).tolist() == [-1, 10, 20]
 
 
+def test_window_cumsum_matches_duckdb(ray_session):
+    rng = np.random.default_rng(9)
+    n = 1500
+    t = pa.table({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    from odibel_ray.ops.aggregates import window_cumsum
+    got = (
+        window_cumsum(ray.data.from_arrow(t).repartition(4), ["k"], "o", "v",
+                      num_buckets=8)
+        .to_pandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    import duckdb
+    want = duckdb.arrow(t).query(
+        "t", "SELECT k, o, v, sum(v) OVER (PARTITION BY k ORDER BY o "
+             "ROWS UNBOUNDED PRECEDING) AS v_running FROM t ORDER BY k, o"
+    ).fetchdf()
+    np.testing.assert_array_equal(got.v_running.to_numpy(),
+                                  want.v_running.to_numpy())
+
+
 def test_sessionize_multi_key_boundaries(ray_session):
     # regression: a boundary is where ANY key component differs — (a,1)->(a,2)
     # must start a new partition even though the first key is equal
