@@ -161,6 +161,9 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # segmented-cumsum sibling of the window kernel timed under
     # transcript_turn_latency (same bucket shuffle + sort)
     "events_running_value",
+    # single-pass profile-evaluator twin of the timed schema_mapping_stats /
+    # benchmark_split_stats evaluate.py family
+    "transcript_missing_values",
 }
 
 

@@ -176,18 +176,20 @@ def window_lag(
     *,
     tie_cols: Sequence[str] = (),
     suffix: str = "_prev",
+    offset: int = 1,
     num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
-    """SQL ``LAG(col) OVER (PARTITION BY keys ORDER BY order_col)`` — the
-    window-function class the engine otherwise expresses only inside special
-    kernels (sessionize's gap test, the LWW diff). Emits every input row plus
-    ``<col><suffix>`` for each requested column, null on the first row of
-    each partition.
+    """SQL ``LAG(col, offset) OVER (PARTITION BY keys ORDER BY order_col)``
+    — the window-function class the engine otherwise expresses only inside
+    special kernels (sessionize's gap test, the LWW diff). Emits every input
+    row plus ``<col><suffix>`` for each requested column, null where the
+    offset row falls outside the partition. A negative ``offset`` is LEAD
+    (``offset=-1`` ⇔ ``LEAD(col, 1)``).
 
     One key-hash shuffle (partitions never split across buckets); within each
-    bucket the kernel is one vectorized sort + a shift-by-one ``take`` with a
-    null mask at partition boundaries — no per-row Python. ``tie_cols`` pin a
+    bucket the kernel is one vectorized sort + a shift-by-offset ``take``
+    masked by segment-id equality — no per-row Python. ``tie_cols`` pin a
     deterministic order for equal ``order_col`` values.
     """
     from odibel_ray.cdc.lww import bucket_of_keys
@@ -215,7 +217,11 @@ def window_lag(
         for k in keys:  # partition boundary where ANY key component differs
             eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
             first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
-        prev_idx = pa.array(np.arange(-1, n - 1, dtype=np.int64), mask=first)
+        seg = np.cumsum(first) - 1
+        idx = np.arange(n, dtype=np.int64) - offset
+        oob = (idx < 0) | (idx >= n)
+        invalid = oob | (seg[np.clip(idx, 0, n - 1)] != seg)
+        prev_idx = pa.array(idx, mask=invalid)
         for c in cols:
             col = t[c]
             if isinstance(col, pa.ChunkedArray):
@@ -277,6 +283,53 @@ def window_cumsum(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
     return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    cat_col: str,
+    categories: Sequence[str],
+    *,
+    value_col: str | None = None,
+    prefix: str = "n_",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL PIVOT / conditional aggregation: one output row per ``keys`` with a
+    ``<prefix><category>`` column per category — counts, or sums of
+    ``value_col`` when given. ``categories`` must be the bounded, explicit
+    category list (the pivot schema cannot depend on the data at scale).
+
+    Combiner-first: each batch collapses to per-key wide partial rows via one
+    Arrow ``group_by`` (so the single groupby exchange moves one row per
+    (batch, distinct key), never one per event), then a sum-merge per key.
+    Values outside ``categories`` are ignored.
+    """
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    categories = list(categories)
+    out_cols = [prefix + str(c) for c in categories]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cat = t[cat_col]
+        val = (t[value_col].cast(pa.int64()) if value_col is not None
+               else pa.array(np.ones(len(t), np.int64)))
+        wide = t.select(keys)
+        for c, out in zip(categories, out_cols):
+            mask = pc.fill_null(pc.equal(cat, pa.scalar(c)), False)
+            wide = wide.append_column(
+                out, pc.if_else(mask, val, pa.scalar(0, pa.int64()))
+            )
+        return wide.group_by(keys).aggregate(
+            [(o, "sum") for o in out_cols]
+        ).rename_columns(keys + out_cols)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    return partial.groupby(keys).aggregate(
+        *[Sum(o, alias_name=o) for o in out_cols]
+    )
 
 
 def group_count(

@@ -1794,6 +1794,23 @@ def q_events_running_value(sf_dir: str):
     return run.select_columns(["user_id", "event_id", "ts", "running_value"])
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_user_event_pivot(sf_dir: str):
+    """SQL PIVOT (`ops.aggregates.pivot_counts`): one row per user with a
+    count column per event type. Combiner-first — each batch collapses to
+    per-user wide partials via one Arrow group_by, so the single exchange
+    moves one row per (batch, user), never one per event; the category list
+    is explicit and bounded (pivot schemas cannot be data-dependent at
+    scale)."""
+    from odibel_ray.ops.aggregates import pivot_counts
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ev, ["user_id"], "event_type", _EVENT_TYPES)
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3486,6 +3503,7 @@ QUERIES: dict[str, Callable] = {
     "urgent_order_lineitems": q_urgent_order_lineitems,
     "transcript_turn_latency": q_transcript_turn_latency,
     "events_running_value": q_events_running_value,
+    "user_event_pivot": q_user_event_pivot,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4274,6 +4292,15 @@ l AS (SELECT role,
 SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM l WHERE gap_us IS NOT NULL GROUP BY role
+""",
+        "user_event_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+FROM events GROUP BY user_id
 """,
         "events_running_value": """
 SELECT user_id, event_id, ts,

@@ -59,6 +59,30 @@ def test_window_lag_tie_cols_deterministic(ray_session):
     assert got.v_prev.fillna(-1).tolist() == [-1, 10, 20]
 
 
+def test_window_lag_offset_and_lead(ray_session):
+    rng = np.random.default_rng(11)
+    n = 800
+    t = pa.table({
+        "k": rng.integers(0, 20, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    import duckdb
+    for off, sqlw in [(2, "lag(v, 2)"), (-1, "lead(v, 1)")]:
+        got = (
+            window_lag(ray.data.from_arrow(t).repartition(3), ["k"], "o",
+                       ["v"], offset=off, num_buckets=4)
+            .to_pandas().sort_values(["k", "o"], ignore_index=True)
+        )
+        want = duckdb.arrow(t).query(
+            "t", f"SELECT k, o, v, {sqlw} OVER (PARTITION BY k ORDER BY o) "
+                 "AS v_prev FROM t ORDER BY k, o"
+        ).fetchdf()
+        np.testing.assert_array_equal(
+            got.v_prev.fillna(-1).to_numpy(), want.v_prev.fillna(-1).to_numpy()
+        )
+
+
 def test_window_cumsum_matches_duckdb(ray_session):
     rng = np.random.default_rng(9)
     n = 1500
@@ -80,6 +104,29 @@ def test_window_cumsum_matches_duckdb(ray_session):
     ).fetchdf()
     np.testing.assert_array_equal(got.v_running.to_numpy(),
                                   want.v_running.to_numpy())
+
+
+def test_pivot_counts_and_sums(ray_session):
+    from odibel_ray.ops.aggregates import pivot_counts
+    t = pa.table({
+        "u": [1, 1, 1, 2, 2, 3],
+        "c": ["a", "a", "b", "b", "zz", None],  # zz/None outside categories
+        "v": [10, 20, 5, 7, 99, 99],
+    })
+    got = (
+        pivot_counts(ray.data.from_arrow(t).repartition(3), ["u"], "c",
+                     ["a", "b"])
+        .to_pandas().sort_values("u", ignore_index=True)
+    )
+    assert got.n_a.tolist() == [2, 0, 0]
+    assert got.n_b.tolist() == [1, 1, 0]
+    sums = (
+        pivot_counts(ray.data.from_arrow(t), ["u"], "c", ["a", "b"],
+                     value_col="v")
+        .to_pandas().sort_values("u", ignore_index=True)
+    )
+    assert sums.n_a.tolist() == [30, 0, 0]
+    assert sums.n_b.tolist() == [5, 7, 0]
 
 
 def test_sessionize_multi_key_boundaries(ray_session):
