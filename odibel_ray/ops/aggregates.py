@@ -332,6 +332,68 @@ def pivot_counts(
     )
 
 
+def rollup_counts(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    *,
+    value_col: str | None = None,
+    count_name: str = "n",
+    sum_prefix: str = "sum_",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP(keys...)``: counts (and sums of ``value_col``)
+    at every key-prefix granularity, grouped-out key columns null — the OLAP
+    subtotal/total hierarchy.
+
+    Scale shape: the CORPUS is exchanged exactly once (the finest groupby);
+    every coarser level re-aggregates the previous level's already-aggregated
+    table (cardinality of the finer key set, not the corpus), and the final
+    union is level-sized. Caveat: like SQL ROLLUP without ``GROUPING()``, a
+    genuine null key value is indistinguishable from a subtotal row — use
+    non-null keys or pre-coalesce.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    keys = list(keys)
+    sum_col = f"{sum_prefix}{value_col}" if value_col is not None else None
+
+    aggs = [Count(alias_name=count_name)]
+    if value_col is not None:
+        aggs.append(Sum(value_col, alias_name=sum_col))
+    finest = ds.groupby(keys).aggregate(*aggs).materialize()
+    schema = finest.schema()
+    key_types = {k: schema.base_schema.field(k).type for k in keys}
+
+    def _null_fill(missing: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(k, pa.nulls(len(t), key_types[k]))
+            cols = keys + [count_name] + ([sum_col] if sum_col else [])
+            return t.select(cols)
+        return f
+
+    sub_aggs = [Sum(count_name, alias_name=count_name)]
+    if sum_col is not None:
+        sub_aggs.append(Sum(sum_col, alias_name=sum_col))
+
+    levels = [finest]
+    prev = finest  # always the un-null-filled aggregate at the finer level
+    for k in range(len(keys) - 1, 0, -1):
+        prev = prev.groupby(keys[:k]).aggregate(*sub_aggs).materialize()
+        levels.append(prev.map_batches(_null_fill(keys[k:]),
+                                       batch_format="pyarrow"))
+    tot = prev.aggregate(*sub_aggs) or {}  # grand total: one global row
+    row = {c: [tot.get(c)]
+           for c in [count_name] + ([sum_col] if sum_col else [])}
+    levels.append(rd.from_arrow(pa.table(row)).map_batches(
+        _null_fill(keys), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -1811,6 +1811,23 @@ def q_user_event_pivot(sf_dir: str):
     return pivot_counts(ev, ["user_id"], "event_type", _EVENT_TYPES)
 
 
+def q_orders_rollup(sf_dir: str):
+    """SQL GROUP BY ROLLUP (`ops.aggregates.rollup_counts`): order counts and
+    revenue at (priority, status), (priority) and grand-total granularity in
+    one pass — the corpus is exchanged exactly once (the finest groupby);
+    every subtotal level re-aggregates the previous level's already-small
+    table."""
+    from odibel_ray.ops.aggregates import rollup_counts
+    from odibel_ray.ops.relational import load_table
+
+    orders = load_table(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    r = rollup_counts(orders, ["o_orderpriority", "o_orderstatus"],
+                      value_col="o_totalprice", count_name="n_orders")
+    return _round_cols(r, {"sum_o_totalprice": 2})
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3504,6 +3521,7 @@ QUERIES: dict[str, Callable] = {
     "transcript_turn_latency": q_transcript_turn_latency,
     "events_running_value": q_events_running_value,
     "user_event_pivot": q_user_event_pivot,
+    "orders_rollup": q_orders_rollup,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4292,6 +4310,11 @@ l AS (SELECT role,
 SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM l WHERE gap_us IS NOT NULL GROUP BY role
+""",
+        "orders_rollup": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_o_totalprice
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
         "user_event_pivot": """
 SELECT user_id,

@@ -129,6 +129,33 @@ def test_pivot_counts_and_sums(ray_session):
     assert sums.n_b.tolist() == [5, 7, 0]
 
 
+def test_rollup_counts_matches_duckdb(ray_session):
+    from odibel_ray.ops.aggregates import rollup_counts
+    rng = np.random.default_rng(4)
+    n = 500
+    t = pa.table({
+        "a": rng.choice(["x", "y", "z"], n).tolist(),
+        "b": rng.integers(0, 4, n).astype(np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    got = (
+        rollup_counts(ray.data.from_arrow(t).repartition(3), ["a", "b"],
+                      value_col="v")
+        .to_pandas()
+        .sort_values(["a", "b", "n"], ignore_index=True, na_position="last")
+    )
+    import duckdb
+    want = duckdb.arrow(t).query(
+        "t", "SELECT a, b, count(*) AS n, sum(v) AS sum_v FROM t "
+             "GROUP BY ROLLUP (a, b) ORDER BY a NULLS LAST, b NULLS LAST, n"
+    ).fetchdf()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.n.to_numpy(), want.n.to_numpy())
+    np.testing.assert_array_equal(got.sum_v.to_numpy(),
+                                  want.sum_v.astype("int64").to_numpy())
+    assert got.a.isna().sum() == 1 and got.b.isna().sum() == 4  # 3 subtotals + total
+
+
 def test_sessionize_multi_key_boundaries(ray_session):
     # regression: a boundary is where ANY key component differs — (a,1)->(a,2)
     # must start a new partition even though the first key is equal
