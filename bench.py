@@ -164,6 +164,16 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # single-pass profile-evaluator twin of the timed schema_mapping_stats /
     # benchmark_split_stats evaluate.py family
     "transcript_missing_values",
+    # ranked-window twin of the window kernel timed under
+    # transcript_turn_latency (same bucket shuffle + sort)
+    "events_ranked",
+    # shuffle-free streaming explode over the timed user_event_pivot
+    "user_event_melt",
+    # keyed temporal bucketed-join twin of the timed events_range_join
+    # (same batched-searchsorted kernel shape)
+    "events_asof_profile",
+    # actor-pool text-model pass; twin of the timed doc_lang_id scorer
+    "doc_quality",
 }
 
 

@@ -394,6 +394,153 @@ def rollup_counts(
     return out
 
 
+def melt(
+    ds: "ray.data.Dataset",
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL UNPIVOT / pandas ``melt``: each input row fans out to one row per
+    ``value_cols`` entry, ``(id_cols..., variable, value)``. A pure 1→k
+    streaming explosion inside ``map_batches`` — no shuffle, no state; the
+    inverse of :func:`pivot_counts`. Value columns are cast to a common Arrow
+    type (standard UNPIVOT requirement — pass compatible columns)."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = len(t)
+        k = len(value_cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = t.select(id_cols).take(idx)
+        var = pa.array(np.tile(np.asarray(value_cols, dtype=object), n),
+                       pa.string())
+        vtype = pa.unify_schemas(
+            [pa.schema([("v", t[c].type)]) for c in value_cols],
+            promote_options="permissive",
+        ).field("v").type
+        cols = [t[c].cast(vtype).combine_chunks() for c in value_cols]
+        # interleave: row-major (row0 c0..ck-1, row1 c0..ck-1, ...)
+        vals = pa.chunked_array(cols).combine_chunks()
+        order = (np.tile(np.arange(k, dtype=np.int64) * n, n)
+                 + np.repeat(np.arange(n, dtype=np.int64), k))
+        out = out.append_column(var_name, var)
+        return out.append_column(value_name, vals.take(pa.array(order)))
+
+    return ds.map_batches(_explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+def window_rank(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    *,
+    kind: str = "row_number",
+    tie_cols: Sequence[str] = (),
+    descending: bool = False,
+    out: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY keys
+    ORDER BY order_col)`` — same one-shuffle kernel as :func:`window_lag`
+    (key-hash buckets, one vectorized sort, segment-relative positions).
+    ``kind`` ∈ {'row_number', 'rank', 'dense_rank'}; rank/dense_rank tie on
+    equal ``order_col`` values (``tie_cols`` only stabilize row order)."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    if kind not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown rank kind: {kind!r}")
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+    out = out or kind
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_wbucket", pa.array(b, pa.int64()))
+
+    order = "descending" if descending else "ascending"
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.int64()))
+        sort_keys = ([(k, "ascending") for k in keys] + [(order_col, order)]
+                     + [(k, "ascending") for k in tie_cols])
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in keys:
+            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
+            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first, pos, 0))
+        rownum = pos - seg_start + 1
+        if kind == "row_number":
+            r = rownum
+        else:
+            oeq = pc.fill_null(
+                pc.equal(t[order_col].slice(1), t[order_col].slice(0, n - 1)),
+                False,
+            ).to_numpy(zero_copy_only=False)
+            new_val = first.copy()
+            new_val[1:] |= ~oeq  # order value changed within the partition
+            if kind == "rank":
+                anchor = np.maximum.accumulate(np.where(new_val, pos, 0))
+                r = anchor - seg_start + 1
+            else:  # dense_rank: count of distinct order values so far in seg
+                dv = np.cumsum(new_val)
+                r = dv - np.maximum.accumulate(np.where(first, dv - 1, 0))
+        return t.append_column(out, pa.array(r, pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+
+
+def group_mode(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    out: str | None = None,
+    count_name: str = "n",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Most frequent ``value_col`` per ``keys`` (SQL MODE, made deterministic:
+    ties broken by the smallest value). ONE exchange: each batch collapses to
+    (keys, value, partial count) via Arrow ``group_by`` (combiner), the keyed
+    groupby co-locates a key's full value histogram, and the per-group kernel
+    sums partials + argmaxes in one vectorized pass."""
+    keys = list(keys)
+    out = out or f"mode_{value_col}"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.select(keys + [value_col]).combine_chunks()
+        g = t.group_by(keys + [value_col]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "cnt"])
+
+    def _pick(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        h = g.group_by([value_col]).aggregate([("cnt", "sum")])
+        # max count, ties -> smallest value: sort (cnt desc, value asc), take 1
+        idx = pc.sort_indices(
+            h, sort_keys=[("cnt_sum", "descending"), (value_col, "ascending")]
+        )
+        top = h.take(idx.slice(0, 1))
+        res = g.select(keys).slice(0, 1)
+        res = res.append_column(out, top[value_col])
+        return res.append_column(count_name, top["cnt_sum"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    return partial.groupby(keys).map_groups(_pick, batch_format="pyarrow")
+
+
 def group_count(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

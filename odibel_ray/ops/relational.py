@@ -628,6 +628,61 @@ def range_join(
     return tagged.groupby("_rbucket").map_groups(merge, batch_format="pyarrow")
 
 
+def bag_set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    cols: Sequence[str],
+    *,
+    op: str = "intersect",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` — multiset (bag) semantics over
+    the ``cols`` tuples: intersect keeps each tuple ``min(cnt_l, cnt_r)``
+    times, except keeps it ``max(cnt_l − cnt_r, 0)`` times (the DISTINCT
+    variants are :func:`exact_dedup` compositions).
+
+    Scale shape: each side collapses to per-batch (tuple, count) partials
+    BEFORE the one shared groupby exchange (combiner-first, like
+    :func:`exact_dedup`), and the output multiplicity is re-expanded with a
+    vectorized ``repeat`` inside the per-group kernel — no row ever moves
+    more than once.
+    """
+    import ray.data  # noqa: F401
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown bag set op: {op!r}")
+    cols = list(cols)
+
+    def _count_side(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(cols).combine_chunks()
+            g = t.group_by(cols).aggregate([([], "count_all")])
+            g = g.rename_columns(cols + ["cnt"])
+            n = len(g)
+            return g.append_column("_side", pa.array(np.full(n, side, np.int64)))
+        return f
+
+    tagged = left.map_batches(
+        _count_side(0), batch_format="pyarrow", batch_size=batch_size
+    ).union(right.map_batches(
+        _count_side(1), batch_format="pyarrow", batch_size=batch_size
+    ))
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        tup = g.select(cols).slice(0, 1)  # the group IS one distinct tuple
+        cl = int(cnt[side == 0].sum())
+        cr = int(cnt[side == 1].sum())
+        k = min(cl, cr) if op == "intersect" else max(cl - cr, 0)
+        if k == 0:
+            return tup.slice(0, 0)
+        return tup.take(pa.array(np.zeros(k, np.int64)))
+
+    return tagged.groupby(cols).map_groups(_resolve, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

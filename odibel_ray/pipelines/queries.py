@@ -1828,6 +1828,63 @@ def q_orders_rollup(sf_dir: str):
     return _round_cols(r, {"sum_o_totalprice": 2})
 
 
+def q_user_event_melt(sf_dir: str):
+    """UNPIVOT round-trip (`ops.aggregates.melt`, the inverse of
+    `pivot_counts`): the wide per-user pivot melted back to long
+    (user, variable, value) rows — a pure 1→k streaming explosion, no
+    shuffle beyond the pivot's own."""
+    from odibel_ray.ops.aggregates import melt
+
+    wide = q_user_event_pivot(sf_dir)
+    return melt(wide, ["user_id"], [f"n_{c}" for c in _EVENT_TYPES])
+
+
+def q_user_top_event(sf_dir: str):
+    """Deterministic MODE (`ops.aggregates.group_mode`): each user's most
+    frequent event type, ties broken by the smallest value — one exchange
+    (per-batch histogram combiner, keyed argmax kernel)."""
+    from odibel_ray.ops.aggregates import group_mode
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_type"])
+    return group_mode(ev, ["user_id"], "event_type", out="top_event")
+
+
+def q_events_ranked(sf_dir: str):
+    """SQL ROW_NUMBER OVER PARTITION BY (`ops.aggregates.window_rank`): each
+    user's first 3 events by (ts, event_id), the rank emitted as a column —
+    the general ranked-window class behind per-group top-k."""
+    from odibel_ray.ops.aggregates import window_rank
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+    r = window_rank(ev, ["user_id"], "ts", kind="row_number",
+                    tie_cols=["event_id"], out="rn")
+    return r.filter(expr="rn <= 3").select_columns(["user_id", "event_id", "rn"])
+
+
+def q_order_profile_bag_diff(sf_dir: str):
+    """SQL EXCEPT ALL (`ops.relational.bag_set_op`, multiset semantics): the
+    (priority, status) profile bag of even-custkey orders minus the
+    odd-custkey bag — combiner-first counts, one shared exchange, vectorized
+    multiplicity re-expansion."""
+    from odibel_ray.ops.relational import bag_set_op, load_table
+
+    orders = load_table(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    )
+    def _half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ck % 2 == parity)).drop_columns(["o_custkey"])
+        return f
+
+    even = orders.map_batches(_half(0), batch_format="pyarrow")
+    odd = orders.map_batches(_half(1), batch_format="pyarrow")
+    return bag_set_op(even, odd, ["o_orderpriority", "o_orderstatus"],
+                      op="except")
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3522,6 +3579,10 @@ QUERIES: dict[str, Callable] = {
     "events_running_value": q_events_running_value,
     "user_event_pivot": q_user_event_pivot,
     "orders_rollup": q_orders_rollup,
+    "user_event_melt": q_user_event_melt,
+    "user_top_event": q_user_top_event,
+    "events_ranked": q_events_ranked,
+    "order_profile_bag_diff": q_order_profile_bag_diff,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4310,6 +4371,36 @@ l AS (SELECT role,
 SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM l WHERE gap_us IS NOT NULL GROUP BY role
+""",
+        "user_event_melt": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(et) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY ALL)
+SELECT u.user_id AS user_id, 'n_' || t.et AS variable,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS value
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.et
+""",
+        "user_top_event": """
+SELECT user_id, event_type AS top_event, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+""",
+        "events_ranked": """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+""",
+        "order_profile_bag_diff": """
+SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 0
+EXCEPT ALL
+SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 1
 """,
         "orders_rollup": """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,

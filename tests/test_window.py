@@ -129,6 +129,32 @@ def test_pivot_counts_and_sums(ray_session):
     assert sums.n_b.tolist() == [5, 7, 0]
 
 
+def test_window_rank_kinds_match_duckdb(ray_session):
+    from odibel_ray.ops.aggregates import window_rank
+    rng = np.random.default_rng(8)
+    n = 1200
+    t = pa.table({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "o": rng.integers(0, 15, n).astype(np.int64),  # many ties
+        "tie": np.arange(n, dtype=np.int64),
+    })
+    import duckdb
+    for kind, sqlf in [("row_number", "row_number()"), ("rank", "rank()"),
+                       ("dense_rank", "dense_rank()")]:
+        order = "ORDER BY o, tie" if kind == "row_number" else "ORDER BY o"
+        got = (
+            window_rank(ray.data.from_arrow(t).repartition(3), ["k"], "o",
+                        kind=kind, tie_cols=["tie"], num_buckets=4)
+            .to_pandas().sort_values(["k", "o", "tie"], ignore_index=True)
+        )
+        want = duckdb.arrow(t).query(
+            "t", f"SELECT k, o, tie, {sqlf} OVER (PARTITION BY k {order}) "
+                 "AS r FROM t ORDER BY k, o, tie"
+        ).fetchdf()
+        np.testing.assert_array_equal(got[kind].to_numpy(),
+                                      want.r.to_numpy(), err_msg=kind)
+
+
 def test_rollup_counts_matches_duckdb(ray_session):
     from odibel_ray.ops.aggregates import rollup_counts
     rng = np.random.default_rng(4)
