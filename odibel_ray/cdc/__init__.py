@@ -16,7 +16,12 @@ from odibel_ray.cdc.maintain import clone_table, maintain_table
 from odibel_ray.cdc.joinview import create_join_view, read_join_view, refresh_join_view
 from odibel_ray.cdc.pipeline import plan_pipeline, refresh_pipeline
 from odibel_ray.cdc.quality import drop_expectations, get_expectations, set_expectations
-from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint, read_savepoint
+from odibel_ray.cdc.savepoint import (
+    create_savepoint,
+    drop_savepoint,
+    read_savepoint,
+    restore_savepoint,
+)
 from odibel_ray.cdc.mview import aggregate_groups, create_view, read_view, refresh_view
 from odibel_ray.cdc.sink import (
     ConcurrentWriterError,
@@ -73,6 +78,7 @@ __all__ = [
     "create_savepoint",
     "read_savepoint",
     "drop_savepoint",
+    "restore_savepoint",
     "analyze_published",
     "load_column_stats",
     "refresh_column_stats",

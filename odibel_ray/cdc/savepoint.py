@@ -129,6 +129,32 @@ def read_savepoint(path: str, label: str, **read_kwargs):
     return read_published(m["dir"], version=m["version"], **read_kwargs)
 
 
+def restore_savepoint(path: str, *, run_id: str = "sp-restore") -> dict:
+    """Roll EVERY member table back to the savepoint's pinned version — the
+    multi-table transaction-rollback: a release that turned out poisoned
+    (bad upstream batch through a medallion chain, a corrupted training-data
+    cut) is undone across all its tables in one call, from metadata alone.
+
+    Per table this is ``sink.restore_snapshot`` (atomic per-bucket pointer
+    flips, no data movement; the pinned versions' files are on disk by the
+    savepoint retention invariant). The loop is idempotent and re-runnable:
+    a crash mid-way leaves some members restored and some not, and re-running
+    converges — but readers between the crash and the re-run can see a
+    mixed cut, so treat a restore like any other write (single writer).
+    History moves FORWARD (each restore records a new snapshot version), so
+    the savepoint stays valid and a restore is itself restorable.
+    """
+    from odibel_ray.cdc.sink import restore_snapshot
+
+    sp = load_savepoint(path)
+    results = {}
+    for label, m in sorted(sp["tables"].items()):
+        results[label] = restore_snapshot(
+            m["dir"], m["version"], run_id=f"{run_id}-{label}"
+        )
+    return {"name": sp["name"], "tables": results}
+
+
 def drop_savepoint(path: str) -> dict:
     """Remove the savepoint's pins and manifest (metadata-only). The pinned
     versions become ordinary snapshots; the next retention pass may expire

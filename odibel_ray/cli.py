@@ -279,6 +279,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", action="append", default=[],
                     help="label=dir member (repeatable)")
     sp.add_argument("--drop", action="store_true", help="release the pins instead")
+    sp.add_argument("--restore", action="store_true",
+                    help="roll every member table back to its pinned version")
 
     rs = sub.add_parser(
         "restore", help="roll the live table back to a retained version"
@@ -533,8 +535,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "savepoint":  # metadata-only, no Ray session needed
-        from odibel_ray.cdc.savepoint import create_savepoint, drop_savepoint
+        from odibel_ray.cdc.savepoint import (
+            create_savepoint,
+            drop_savepoint,
+            restore_savepoint,
+        )
 
+        if args.drop and args.restore:
+            ap.error("--drop and --restore are mutually exclusive")
+        if args.restore:
+            print(json.dumps(restore_savepoint(args.path)))
+            return 0
         if args.drop:
             print(json.dumps(drop_savepoint(args.path)))
             return 0

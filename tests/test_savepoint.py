@@ -61,6 +61,37 @@ def test_savepoint_pins_consistent_cut(ray_session, lake, tmp_path):
         read_savepoint(sp, "gold")
 
 
+def test_restore_savepoint_rolls_back_all_members(ray_session, lake, tmp_path):
+    """Multi-table rollback: mutate bronze AND silver past the savepoint,
+    restore, and both LIVE tables match the pinned cut again; a re-run of the
+    restore is a no-op (idempotent), and the savepoint stays valid."""
+    from odibel_ray.cdc import restore_savepoint
+
+    sp = str(tmp_path / "release-2")
+    create_savepoint(sp, {"bronze": lake["bronze"], "silver": lake["silver"]})
+    pinned_bronze = read_published(lake["bronze"]).to_pandas()
+    pinned_silver = read_published(lake["silver"]).to_pandas()
+
+    feed = str(tmp_path / "feed2")
+    incremental_apply(lake["log"], lake["bronze"], run_id="r2",
+                      feed_dir=feed, feed_values=FEED_VALUES)
+    refresh_derived(lake["silver"], run_id="s1", feed=feed)
+    assert read_published(lake["bronze"]).count() != len(pinned_bronze)
+
+    res = restore_savepoint(sp)
+    assert set(res["tables"]) == {"bronze", "silver"}
+    for table, want in [("bronze", pinned_bronze), ("silver", pinned_silver)]:
+        got = read_published(lake[table]).to_pandas()
+        key = [c for c in ("conv_id", "turn_idx") if c in got.columns]
+        assert got.sort_values(key, ignore_index=True).equals(
+            want.sort_values(key, ignore_index=True)
+        ), table
+
+    restore_savepoint(sp)  # re-runnable
+    assert read_published(lake["bronze"]).count() == len(pinned_bronze)
+    assert read_savepoint(sp, "silver").count() == len(pinned_silver)
+
+
 def test_pinned_version_survives_retention(ray_session, lake, tmp_path):
     """keep_last=1 would expire the pinned version; the pin keeps it (and
     its data files) until the savepoint is dropped."""
