@@ -292,6 +292,7 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
         _atomic_write_json,
         _bucket_filename,
         _publish_stream,
+        _write_data_file,
         load_manifests,
         record_snapshot,
         table_lock,
@@ -336,7 +337,7 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
                     out = smap.adapt(pq.read_table(row["file"]))
                     fname = _bucket_filename(bucket, rid)
                     staged = os.path.join(staging, fname)
-                    pq.write_table(out, staged)
+                    _write_data_file(out, staged)
                     outs.append(pa.table({
                         "bucket": pa.array([bucket], pa.int64()),
                         "rows_out": pa.array([len(out)], pa.int64()),

@@ -63,6 +63,17 @@ SNAPSHOT_POLICY = "_POLICY.json"
 LOGICAL_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool_name", "score", "ts"]
 
 
+def _write_data_file(table: pa.Table, path: str) -> None:
+    """Every data-file write in the sink goes through here so the Parquet
+    codec is one knob: ``ODIBEL_PARQUET_CODEC`` (default ``snappy`` — the
+    hot-path read trade; ``zstd`` roughly halves cold-storage bytes at a
+    small CPU cost, the usual choice for a 100-TB lake). Read at call time
+    inside the writing task, so it applies on workers too."""
+    pq.write_table(
+        table, path, compression=os.environ.get("ODIBEL_PARQUET_CODEC", "snappy")
+    )
+
+
 class ConcurrentWriterError(RuntimeError):
     """Another live writer holds the table lock."""
 
@@ -297,7 +308,7 @@ def _apply_write_group(
     )
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
-    pq.write_table(out, staged)
+    _write_data_file(out, staged)
 
     if metrics:
         from odibel_ray.monitor import record_task_metrics
@@ -443,7 +454,7 @@ def _delta_write_group(
     ).hexdigest()[:16]
     fname = f"delta-{bucket:06d}-{tag}.parquet"
     staged = os.path.join(staging, fname)
-    pq.write_table(out, staged)
+    _write_data_file(out, staged)
     if metrics:
         from odibel_ray.monitor import record_task_metrics
 
@@ -2152,7 +2163,7 @@ def compact_published(
             out = merge_base_deltas(base, deltas, keys=compact_keys)
             fname = _bucket_filename(bucket, run_id)
             staged = os.path.join(staging, fname)
-            pq.write_table(out, staged)
+            _write_data_file(out, staged)
             if compact_blooms:
                 from odibel_ray.cdc.skipping import (
                     BLOOM_SUFFIX,
@@ -2456,7 +2467,7 @@ def incremental_apply(
             # moves it into feed_dir inside the bucket's atomic publish step,
             # so feed rows never describe state that isn't visible yet
             feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
-            pq.write_table(feed, feed_staged)
+            _write_data_file(feed, feed_staged)
             row = _apply_write_group(
                 t.drop_columns(["_base"]), staging=staging, run_id=run_id,
                 metrics=metrics,
@@ -2539,7 +2550,7 @@ def _generic_write_group(
         out = out.drop_columns(["_z"])
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
-    pq.write_table(out, staged)
+    _write_data_file(out, staged)
     if bloom_cols:
         from odibel_ray.cdc.skipping import BLOOM_SUFFIX, build_bloom_sidecar
 
@@ -2909,7 +2920,7 @@ def _generic_delta_group(
     tag = hashlib.sha1(run_id.encode()).hexdigest()[:16]
     fname = f"delta-{bucket:06d}-{tag}.parquet"
     staged = os.path.join(staging, fname)
-    pq.write_table(out, staged)
+    _write_data_file(out, staged)
     if metrics:
         from odibel_ray.monitor import record_task_metrics
 
@@ -2971,7 +2982,7 @@ def _upsert_write_group(
     new = new.combine_chunks()
     fname = _bucket_filename(bucket, run_id)
     staged = os.path.join(staging, fname)
-    pq.write_table(new, staged)
+    _write_data_file(new, staged)
     if bloom_cols:  # rewritten bucket gets a fresh bloom; untouched keep theirs
         from odibel_ray.cdc.skipping import BLOOM_SUFFIX, build_bloom_sidecar
 
@@ -2984,7 +2995,7 @@ def _upsert_write_group(
             feed_name = f"upsert-{run_id}.parquet"
             feed_staged = os.path.join(staging, f"feed-{bucket:06d}.parquet")
             feed_final = os.path.join(feed_dir, f"bucket={bucket}", feed_name)
-            pq.write_table(feed_t, feed_staged)
+            _write_data_file(feed_t, feed_staged)
     if metrics:
         from odibel_ray.monitor import record_task_metrics
 
