@@ -406,6 +406,147 @@ class FrameSampler:
         )
 
 
+def _avg_pool(a: np.ndarray, k: int) -> np.ndarray:
+    """Area-average downsample of a 2-D array to k×k (arbitrary input size,
+    vectorized block means via ``reduceat``)."""
+    if a.shape[0] < k or a.shape[1] < k:  # tiny image: upsample by repeat
+        a = np.repeat(np.repeat(a, (k // a.shape[0]) + 1, axis=0),
+                      (k // a.shape[1]) + 1, axis=1)
+    rb = (np.arange(k + 1) * a.shape[0]) // k
+    cb = (np.arange(k + 1) * a.shape[1]) // k
+    s = np.add.reduceat(np.add.reduceat(a.astype(np.float64), rb[:-1], axis=0),
+                        cb[:-1], axis=1)
+    return s / np.outer(np.diff(rb), np.diff(cb))
+
+
+class PerceptualHasher:
+    """Actor-pool stage: image payload → 64-bit average hash (aHash).
+
+    Decode (codec built once per actor) → grayscale (channel mean) → 8×8
+    area-average pool → threshold at the pooled mean → packed uint64. Near-
+    duplicate images (re-encodes, small edits, brightness jitter) land within
+    a few Hamming bits; the per-payload loop is inherent to decoding (same
+    trade as :class:`MediaFeatures` — batches stay small, state per actor).
+    Emits ``(media_id, phash)`` for image rows only.
+    """
+
+    def __init__(self, hash_size: int = 8):
+        self.codec = DispatchCodec()
+        self.k = hash_size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        kinds = t["kind"].to_pylist()
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_hash = [], []
+        for view, kind, mid in zip(_payload_views(t), kinds, ids):
+            if kind != "image":
+                continue
+            arr = self.codec.decode(view)
+            gray = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr
+            pooled = _avg_pool(gray, self.k)
+            bits = (pooled > pooled.mean()).ravel()
+            h = np.uint64(0)
+            for b in np.packbits(bits.astype(np.uint8)):
+                h = (h << np.uint64(8)) | np.uint64(b)
+            out_ids.append(int(mid))
+            out_hash.append(int(h.view(np.int64)))
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "phash": pa.array(out_hash, pa.int64()),
+        })
+
+
+def perceptual_hashes(ds: "ray.data.Dataset", *, hash_size: int = 8,
+                      concurrency: int | None = None, batch_size: int = 64):
+    """(media_id, phash) over the image rows — actor-pool aHash stage."""
+    from odibel_ray.tuning import default_pool_size
+
+    return ds.map_batches(
+        PerceptualHasher, fn_constructor_kwargs={"hash_size": hash_size},
+        concurrency=default_pool_size(concurrency), batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def image_near_dups(
+    ds: "ray.data.Dataset",
+    *,
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    num_bands: int = 4,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Near-duplicate image pairs by banded perceptual-hash LSH: each 64-bit
+    aHash splits into ``num_bands`` 16-bit bands (a pair within
+    ``max_hamming`` bits collides on ≥1 band whenever its differing bits
+    don't cover every band — the SimHash banding guarantee: any pair with
+    < num_bands differing bits ALWAYS collides); in-bucket verification is
+    one vectorized XOR-popcount. Emits ``(id_a, id_b, hamming)`` pairs,
+    cross-band duplicates collapsed by the pair-keyed groupby.
+    """
+    from ray.data.aggregate import Min
+
+    hashed = perceptual_hashes(ds, hash_size=hash_size,
+                               concurrency=concurrency, batch_size=batch_size)
+    width = 64 // num_bands
+
+    def _bands(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        band = np.tile(np.arange(num_bands, dtype=np.int64), n)
+        hh = np.repeat(h, num_bands)
+        shift = (band * width).astype(np.uint64)
+        val = (hh >> shift) & np.uint64((1 << width) - 1)
+        return pa.table({
+            "band": pa.array(band, pa.int64()),
+            "band_val": pa.array(val.view(np.int64), pa.int64()),
+            "media_id": t["media_id"].take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+            ),
+            "phash": t["phash"].take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+            ),
+        })
+
+    def _verify(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        n = len(g)
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        order = np.argsort(g["media_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        g = g.take(pa.array(order))
+        ids = g["media_id"].to_numpy(zero_copy_only=False)
+        h = g["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        x = h[ia] ^ h[ib]
+        # vectorized popcount over uint64 via the uint8 view
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = d <= max_hamming
+        return pa.table({
+            "id_a": pa.array(ids[ia[keep]], pa.int64()),
+            "id_b": pa.array(ids[ib[keep]], pa.int64()),
+            "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
+        })
+
+    pairs = (
+        hashed.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(_verify, batch_format="pyarrow")
+    )
+    # collapse cross-band duplicates of the same pair
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
 def sample_frames(ds: "ray.data.Dataset", stride: int = 4, *,
                   concurrency: int | None = None, batch_size: int = 64):
     from odibel_ray.tuning import default_pool_size
