@@ -7,7 +7,10 @@ from odibel_ray.sources.io import (
     csv_to_parquet,
     detect_codec,
     json_to_parquet,
+    orc_to_parquet,
     parquet_to_csv,
+    read_feather,
+    read_orc,
     read_table_auto,
     read_text_auto,
 )
@@ -17,7 +20,10 @@ __all__ = [
     "csv_to_parquet",
     "detect_codec",
     "json_to_parquet",
+    "orc_to_parquet",
     "parquet_to_csv",
+    "read_feather",
+    "read_orc",
     "read_table_auto",
     "read_text_auto",
     "read_gradoop_vertices",

@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 from typing import TYPE_CHECKING
 
+import pyarrow as pa
+
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
@@ -89,6 +91,56 @@ def json_to_parquet(in_path: str, out_dir: str) -> dict:
     return _convert(in_path, "json", out_dir, "parquet")
 
 
+def _read_whole_file_format(path: str, decode, extensions) -> "ray.data.Dataset":
+    """Per-file task-based reader for formats Ray Data has no native source
+    for: one streaming task per file (the rawlog shape) — the file payload
+    moves through the object store once and decodes inside the task, so
+    parallelism scales with file count and nothing is materialized on the
+    driver. Directory reads keep only ``extensions`` files (a single-file
+    path is read regardless of its name)."""
+    import ray.data as rd
+
+    def _decode(t: pa.Table) -> pa.Table:
+        tables = [decode(pa.BufferReader(bytes(b))) for b in t["bytes"].to_pylist()]
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="default")
+
+    exts = None if os.path.isfile(path) else list(extensions)
+    return rd.read_binary_files(path, file_extensions=exts).map_batches(
+        _decode, batch_format="pyarrow", batch_size=None
+    )
+
+
+def read_orc(path: str) -> "ray.data.Dataset":
+    """ORC source (one task per file)."""
+    from pyarrow import orc
+
+    return _read_whole_file_format(
+        path, lambda buf: orc.ORCFile(buf).read(), ["orc"]
+    )
+
+
+def read_feather(path: str) -> "ray.data.Dataset":
+    """Feather / Arrow-IPC source (one task per file)."""
+    from pyarrow import feather
+
+    return _read_whole_file_format(
+        path, feather.read_table, ["feather", "arrow", "ipc"]
+    )
+
+
+def orc_to_parquet(in_path: str, out_dir: str) -> dict:
+    """ORC → Parquet with the converter row-count audit."""
+    n_in = read_orc(in_path).count()
+    os.makedirs(out_dir, exist_ok=True)
+    read_orc(in_path).write_parquet(out_dir)
+    n_out = _read(out_dir, "parquet").count()
+    if n_in != n_out:
+        raise AuditError(f"row-count audit failed: in={n_in} out={n_out}")
+    return {"rows": n_in, "out_dir": out_dir, "format": "parquet"}
+
+
 def read_table_auto(path: str):
     """Reader registry by extension chain with codec autodetect (§2.10, S4):
     ``table.csv.gz`` → gzip codec + csv format."""
@@ -98,6 +150,10 @@ def read_table_auto(path: str):
     ext = os.path.splitext(stripped)[1].lstrip(".").lower() or "parquet"
     fmt = {"csv": "csv", "json": "json", "jsonl": "json", "parquet": "parquet"}.get(ext)
     if fmt is None:
+        if ext == "orc":
+            return read_orc(path)
+        if ext in ("feather", "arrow", "ipc"):
+            return read_feather(path)
         raise ValueError(f"unsupported extension: {path}")
     if codec:
         if fmt == "parquet":

@@ -421,6 +421,31 @@ def test_codec_autodetect(ray_session, tmp_path):
     assert read_table_auto(str(csvgz)).count() == 2
 
 
+def test_orc_feather_sources(ray_session, tmp_path):
+    """S4 extension: per-file task-based ORC / Feather readers + the audited
+    ORC→Parquet converter."""
+    import pyarrow as pa
+    from pyarrow import feather, orc
+
+    from odibel_ray.sources import orc_to_parquet, read_feather, read_orc, read_table_auto
+
+    t = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    d = tmp_path / "fmt"
+    d.mkdir()
+    orc.write_table(t, str(d / "part-0.orc"))
+    orc.write_table(t, str(d / "part-1.orc"))
+    feather.write_feather(t, str(d / "t.feather"))
+
+    got = read_orc(str(d / "part-0.orc")).to_pandas().sort_values("k", ignore_index=True)
+    assert got.v.tolist() == ["a", "b", "c"]
+    assert read_orc(str(d)).count() == 6  # directory of files, one task each
+    assert read_feather(str(d / "t.feather")).count() == 3
+    assert read_table_auto(str(d / "part-0.orc")).count() == 3
+    assert read_table_auto(str(d / "t.feather")).count() == 3
+    res = orc_to_parquet(str(d / "part-0.orc"), str(tmp_path / "out"))
+    assert res["rows"] == 3
+
+
 def test_cron_expansion(ray_session):
     import datetime as dt
 
