@@ -40,6 +40,23 @@ def with_time_bucket(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _partition_firsts(t: pa.Table, keys: Sequence[str], n: int) -> np.ndarray:
+    """Boolean mask of partition-first rows over a table SORTED by ``keys``:
+    row 0 and every row where ANY key component differs from the previous
+    row. Null-safe SQL semantics — NULL keys form ONE partition (two
+    adjacent nulls are equal), matching PARTITION BY."""
+    first = np.zeros(n, dtype=bool)
+    first[0] = True
+    for k in keys:
+        a, b = t[k].slice(1), t[k].slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b)).to_numpy(
+            zero_copy_only=False
+        )
+        first[1:] |= ~(eq | both_null)
+    return first
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -95,11 +112,7 @@ def sessionize(
                 )
             return res
         ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        key_change = np.zeros(n, dtype=bool)
-        key_change[0] = True
-        for k in keys:  # key boundary where ANY key component differs
-            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
-            key_change[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        key_change = _partition_firsts(t, keys, n)
         # row 0 and every key boundary start a session; within a key, a gap does
         new_sess = key_change.copy()
         new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
@@ -212,11 +225,7 @@ def window_lag(
             return t
         sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        first = np.zeros(n, dtype=bool)
-        first[0] = True
-        for k in keys:  # partition boundary where ANY key component differs
-            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
-            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        first = _partition_firsts(t, keys, n)
         seg = np.cumsum(first) - 1
         idx = np.arange(n, dtype=np.int64) - offset
         oob = (idx < 0) | (idx >= n)
@@ -269,11 +278,7 @@ def window_cumsum(
             return t.append_column(out, pa.array([], v_type))
         sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        first = np.zeros(n, dtype=bool)
-        first[0] = True
-        for k in keys:
-            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
-            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        first = _partition_firsts(t, keys, n)
         v = t[value_col].to_numpy(zero_copy_only=False)
         c = np.cumsum(v)
         starts = np.flatnonzero(first)
@@ -474,11 +479,7 @@ def window_rank(
         sort_keys = ([(k, "ascending") for k in keys] + [(order_col, order)]
                      + [(k, "ascending") for k in tie_cols])
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        first = np.zeros(n, dtype=bool)
-        first[0] = True
-        for k in keys:
-            eq = pc.equal(t[k].slice(1), t[k].slice(0, n - 1))
-            first[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        first = _partition_firsts(t, keys, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(first, pos, 0))
         rownum = pos - seg_start + 1

@@ -182,6 +182,18 @@ def test_rollup_counts_matches_duckdb(ray_session):
     assert got.a.isna().sum() == 1 and got.b.isna().sum() == 4  # 3 subtotals + total
 
 
+def test_window_lag_null_keys_one_partition(ray_session):
+    # SQL PARTITION BY groups NULL keys together — null-safe boundaries
+    t = pa.table({"k": [None, None, "a"], "o": [1, 2, 1], "v": [10, 20, 5]})
+    got = (
+        window_lag(ray.data.from_arrow(t), ["k"], "o", ["v"], num_buckets=1)
+        .to_pandas().sort_values(["o", "v"], ignore_index=True)
+    )
+    by_v = got.set_index("v")["v_prev"]
+    assert np.isnan(by_v[10]) and by_v[20] == 10  # nulls share a partition
+    assert np.isnan(by_v[5])
+
+
 def test_sessionize_multi_key_boundaries(ray_session):
     # regression: a boundary is where ANY key component differs — (a,1)->(a,2)
     # must start a new partition even though the first key is equal
