@@ -172,8 +172,15 @@ SKIP_QUERY_TIMINGS: set[str] = {
     # keyed temporal bucketed-join twin of the timed events_range_join
     # (same batched-searchsorted kernel shape)
     "events_asof_profile",
+    # moving-window sibling of the cumsum kernel (both skipped under the
+    # window kernel timed as transcript_turn_latency)
+    "events_moving_value",
     # actor-pool text-model pass; twin of the timed doc_lang_id scorer
     "doc_quality",
+    # exact-dedup combiner+shuffle twin of the timed doc_prefix_dedup
+    "distinct_order_profiles",
+    # manifest metadata read; every publish-bearing timed query exercises it
+    "table_lineage",
 }
 
 

@@ -290,6 +290,58 @@ def window_cumsum(
     return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
 
 
+def window_moving_sum(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    *,
+    tie_cols: Sequence[str] = (),
+    out: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``SUM(value) OVER (PARTITION BY keys ORDER BY order_col ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — per-key moving-window
+    totals, same one-shuffle kernel as :func:`window_cumsum` with the
+    window's lower bound clamped to the partition start (one global cumsum,
+    two vectorized gathers). Integer values stay exact; pre-quantize floats
+    when cross-engine bit-reproducibility matters."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+    out = out or f"{value_col}_moving{window}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_wbucket", pa.array(b, pa.int64()))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        n = len(t)
+        v_type = t[value_col].type
+        if n == 0:
+            return t.append_column(out, pa.array([], v_type))
+        sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _partition_firsts(t, keys, n)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        c = np.cumsum(v)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first, pos, 0))
+        lo = np.maximum(pos - window + 1, seg_start)
+        base = np.where(lo > 0, c[np.maximum(lo - 1, 0)], 0)
+        return t.append_column(out, pa.array(c - base, v_type))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+
+
 def pivot_counts(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -1885,6 +1885,98 @@ def q_order_profile_bag_diff(sf_dir: str):
                       op="except")
 
 
+def q_events_moving_value(sf_dir: str):
+    """Moving-window total (`ops.aggregates.window_moving_sum` = SUM OVER
+    ... ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): per-user 5-event rolling
+    value sum, floor-quantized to exact integers (same reproducibility rule
+    as the running total)."""
+    from odibel_ray.ops.aggregates import window_moving_sum
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "value", "ts"])
+
+    def _quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "v_milli", pa.array(np.floor(v * 1000).astype(np.int64), pa.int64())
+        )
+
+    q = ev.map_batches(_quant, batch_format="pyarrow")
+    run = window_moving_sum(q, ["user_id"], "ts", "v_milli", 5,
+                            tie_cols=["event_id"], out="moving_value")
+    return run.select_columns(["user_id", "event_id", "ts", "moving_value"])
+
+
+def q_building_revenue_topk(sf_dir: str):
+    """TPC-H-Q3-shaped three-table composition: BUILDING-segment customers'
+    pre-1997 orders joined to post-cutoff lineitems, revenue per order,
+    global top-10. The dimension side (filtered customer keys) broadcasts
+    under the byte-budget guard; orders⋈lineitem is the task-based
+    large-large `bucketed_join`; top-k prunes per batch before one tiny
+    sort. Revenue is rounded BEFORE ranking so the rank 10 boundary is
+    float-stable across engines, ties broken by order key."""
+    from ray.data.aggregate import Sum
+
+    from odibel_ray.ops.relational import (
+        broadcast_semi_join,
+        bucketed_join,
+        load_table,
+    )
+
+    cutoff = np.datetime64("1997-01-01")
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).rename_columns({"c_custkey": "o_custkey"})
+    orders = load_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _od(t: pa.Table) -> pa.Table:
+        m = t["o_orderdate"].to_numpy(zero_copy_only=False) < cutoff
+        return t.filter(pa.array(m))
+
+    def _ld(t: pa.Table) -> pa.Table:
+        m = t["l_shipdate"].to_numpy(zero_copy_only=False) >= cutoff
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        t = t.append_column("rev", pa.array(rev, pa.float64()))
+        return t.select(["l_orderkey", "rev"]).filter(pa.array(m))
+
+    b_orders = broadcast_semi_join(
+        orders.map_batches(_od, batch_format="pyarrow"),
+        cust.select_columns(["o_custkey"]),
+        "o_custkey",
+        ds_schema=pa.schema([("o_orderkey", pa.int64()),
+                             ("o_custkey", pa.int64()),
+                             ("o_orderdate", pa.timestamp("us"))]),
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    li = load_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_ld, batch_format="pyarrow")
+    j = bucketed_join(
+        li, b_orders.select_columns(["l_orderkey", "o_orderdate"]),
+        "l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+    )
+    g = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    g = _round_cols(g, {"revenue": 2})
+
+    keys = [("revenue", "descending"), ("l_orderkey", "ascending")]
+
+    def _local(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if len(t) <= 10:
+            return t
+        return t.take(pc.select_k_unstable(t, 10, sort_keys=keys))
+
+    pruned = g.map_batches(_local, batch_format="pyarrow")
+    return pruned.sort(["revenue", "l_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3583,6 +3675,8 @@ QUERIES: dict[str, Callable] = {
     "user_top_event": q_user_top_event,
     "events_ranked": q_events_ranked,
     "order_profile_bag_diff": q_order_profile_bag_diff,
+    "events_moving_value": q_events_moving_value,
+    "building_revenue_topk": q_building_revenue_topk,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4396,6 +4490,25 @@ SELECT user_id, event_id, rn FROM (
                             ORDER BY ts, event_id) AS rn
   FROM events)
 WHERE rn <= 3
+""",
+        "events_moving_value": """
+SELECT user_id, event_id, ts,
+       sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_value
+FROM events
+""",
+        "building_revenue_topk": """
+SELECT l_orderkey, o_orderdate, revenue FROM (
+  SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey, o_orderdate)
+ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
         "order_profile_bag_diff": """
 SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 0

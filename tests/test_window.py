@@ -182,6 +182,32 @@ def test_rollup_counts_matches_duckdb(ray_session):
     assert got.a.isna().sum() == 1 and got.b.isna().sum() == 4  # 3 subtotals + total
 
 
+def test_window_moving_sum_matches_duckdb(ray_session):
+    from odibel_ray.ops.aggregates import window_moving_sum
+    rng = np.random.default_rng(14)
+    n = 1000
+    t = pa.table({
+        "k": rng.integers(0, 25, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-20, 20, n).astype(np.int64),
+    })
+    import duckdb
+    for w in (1, 3, 7):
+        got = (
+            window_moving_sum(ray.data.from_arrow(t).repartition(3), ["k"],
+                              "o", "v", w, num_buckets=4)
+            .to_pandas().sort_values(["k", "o"], ignore_index=True)
+        )
+        want = duckdb.arrow(t).query(
+            "t", f"SELECT k, o, v, sum(v) OVER (PARTITION BY k ORDER BY o "
+                 f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m "
+                 "FROM t ORDER BY k, o"
+        ).fetchdf()
+        np.testing.assert_array_equal(
+            got[f"v_moving{w}"].to_numpy(), want.m.to_numpy(), err_msg=str(w)
+        )
+
+
 def test_window_lag_null_keys_one_partition(ray_session):
     # SQL PARTITION BY groups NULL keys together — null-safe boundaries
     t = pa.table({"k": [None, None, "a"], "o": [1, 2, 1], "v": [10, 20, 5]})
