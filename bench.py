@@ -181,6 +181,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "distinct_order_profiles",
     # manifest metadata read; every publish-bearing timed query exercises it
     "table_lineage",
+    # subset-grouping twin of the timed orders_rollup (same finest exchange)
+    "orders_cube",
 }
 
 

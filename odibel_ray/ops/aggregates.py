@@ -396,22 +396,29 @@ def rollup_counts(
     value_col: str | None = None,
     count_name: str = "n",
     sum_prefix: str = "sum_",
+    grouping: str = "rollup",
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
-    """SQL ``GROUP BY ROLLUP(keys...)``: counts (and sums of ``value_col``)
-    at every key-prefix granularity, grouped-out key columns null — the OLAP
-    subtotal/total hierarchy.
+    """SQL ``GROUP BY ROLLUP(keys...)`` (or ``CUBE`` with
+    ``grouping='cube'``): counts (and sums of ``value_col``) at every
+    key-prefix granularity — every key SUBSET for cube — grouped-out key
+    columns null.
 
     Scale shape: the CORPUS is exchanged exactly once (the finest groupby);
-    every coarser level re-aggregates the previous level's already-aggregated
-    table (cardinality of the finer key set, not the corpus), and the final
-    union is level-sized. Caveat: like SQL ROLLUP without ``GROUPING()``, a
-    genuine null key value is indistinguishable from a subtotal row — use
-    non-null keys or pre-coalesce.
+    every coarser level re-aggregates an already-aggregated table
+    (cardinality of a finer key set, not the corpus — rollup chains prefix
+    levels, cube derives each of the 2^k−2 proper subsets from the finest),
+    and the final union is level-sized. Caveat: like SQL without
+    ``GROUPING()``, a genuine null key value is indistinguishable from a
+    subtotal row — use non-null keys or pre-coalesce.
     """
+    import itertools
+
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    if grouping not in ("rollup", "cube"):
+        raise ValueError(f"unknown grouping: {grouping!r}")
     keys = list(keys)
     sum_col = f"{sum_prefix}{value_col}" if value_col is not None else None
 
@@ -436,10 +443,18 @@ def rollup_counts(
 
     levels = [finest]
     prev = finest  # always the un-null-filled aggregate at the finer level
-    for k in range(len(keys) - 1, 0, -1):
-        prev = prev.groupby(keys[:k]).aggregate(*sub_aggs).materialize()
-        levels.append(prev.map_batches(_null_fill(keys[k:]),
-                                       batch_format="pyarrow"))
+    if grouping == "rollup":
+        for k in range(len(keys) - 1, 0, -1):
+            prev = prev.groupby(keys[:k]).aggregate(*sub_aggs).materialize()
+            levels.append(prev.map_batches(_null_fill(keys[k:]),
+                                           batch_format="pyarrow"))
+    else:  # cube: every proper non-empty subset, derived from the finest
+        for r in range(len(keys) - 1, 0, -1):
+            for subset in itertools.combinations(keys, r):
+                lvl = finest.groupby(list(subset)).aggregate(*sub_aggs)
+                missing = [k for k in keys if k not in subset]
+                levels.append(lvl.map_batches(_null_fill(missing),
+                                              batch_format="pyarrow"))
     tot = prev.aggregate(*sub_aggs) or {}  # grand total: one global row
     row = {c: [tot.get(c)]
            for c in [count_name] + ([sum_col] if sum_col else [])}

@@ -1977,6 +1977,23 @@ def q_building_revenue_topk(sf_dir: str):
                        descending=[True, False]).limit(10)
 
 
+def q_orders_cube(sf_dir: str):
+    """SQL GROUP BY CUBE (`ops.aggregates.rollup_counts(grouping='cube')`):
+    order counts/revenue at EVERY (priority, status) subset granularity —
+    one corpus exchange; every subset level re-aggregates the finest
+    (cardinality-sized) table."""
+    from odibel_ray.ops.aggregates import rollup_counts
+    from odibel_ray.ops.relational import load_table
+
+    orders = load_table(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    r = rollup_counts(orders, ["o_orderpriority", "o_orderstatus"],
+                      value_col="o_totalprice", count_name="n_orders",
+                      grouping="cube")
+    return _round_cols(r, {"sum_o_totalprice": 2})
+
+
 def q_urgent_order_lineitems(sf_dir: str):
     """Bloom-filtered selective join (`ops.bloom.bloom_semi_filter`): orders
     filtered to 1-URGENT (~1/5 of keys) is the build side; a distributed
@@ -3677,6 +3694,7 @@ QUERIES: dict[str, Callable] = {
     "order_profile_bag_diff": q_order_profile_bag_diff,
     "events_moving_value": q_events_moving_value,
     "building_revenue_topk": q_building_revenue_topk,
+    "orders_cube": q_orders_cube,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
     "events_change_stream": q_events_change_stream,
@@ -4519,6 +4537,11 @@ SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 1
 SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_o_totalprice
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "orders_cube": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_o_totalprice
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
         "user_event_pivot": """
 SELECT user_id,

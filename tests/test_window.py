@@ -220,6 +220,32 @@ def test_window_lag_null_keys_one_partition(ray_session):
     assert np.isnan(by_v[5])
 
 
+def test_cube_counts_matches_duckdb(ray_session):
+    from odibel_ray.ops.aggregates import rollup_counts
+    rng = np.random.default_rng(6)
+    n = 400
+    t = pa.table({
+        "a": rng.choice(["x", "y"], n).tolist(),
+        "b": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    got = (
+        rollup_counts(ray.data.from_arrow(t).repartition(2), ["a", "b"],
+                      value_col="v", grouping="cube")
+        .to_pandas()
+        .sort_values(["a", "b", "n"], ignore_index=True, na_position="last")
+    )
+    import duckdb
+    want = duckdb.arrow(t).query(
+        "t", "SELECT a, b, count(*) AS n, sum(v) AS sum_v FROM t "
+             "GROUP BY CUBE (a, b) ORDER BY a NULLS LAST, b NULLS LAST, n"
+    ).fetchdf()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.n.to_numpy(), want.n.to_numpy())
+    np.testing.assert_array_equal(got.sum_v.to_numpy(),
+                                  want.sum_v.astype("int64").to_numpy())
+
+
 def test_sessionize_multi_key_boundaries(ray_session):
     # regression: a boundary is where ANY key component differs — (a,1)->(a,2)
     # must start a new partition even though the first key is equal
