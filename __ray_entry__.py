@@ -8,7 +8,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing here
   call), returning the converged transcript table as a ``ray.data.Dataset``.
 - ``queries()`` — one named callable per implemented operator/pipeline
   (SURVEY.md §2 inventory + the training-data ops: dedup, ANN, text analysis).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (111/111; zero
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (136/136; zero
   rows-only). Transcript-CDC oracles read the same /tmp Parquet change log
   via ``read_parquet`` with full schema-evolution semantics in SQL;
   model-state ops (MinHash/SimHash near-dup, language ID, IVF ANN,
