@@ -100,6 +100,83 @@ def approx_count_distinct(
     return round(_hll_estimate(merged))
 
 
+def approx_distinct_per_group(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    cols: Sequence[str],
+    *,
+    precision: int = 10,
+    out: str = "approx_ndv",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-``keys`` approximate distinct count of ``cols`` tuples — the
+    grouped HyperLogLog (~1.04/√2^precision relative error, ±3.3% at the
+    default p=10). The exact per-key distinct
+    (:func:`odibel_ray.ops.aggregates.count_distinct`-style) must shuffle
+    every distinct VALUE; this ships one 2^p-byte register row per
+    (batch, key) and merges by element-wise max — the per-key NDV profile a
+    100-TB ANALYZE needs without a value exchange.
+
+    Per-batch kernel is fully vectorized: one hash pass, one composite
+    ``np.maximum.at`` scatter over (key_index × register) cells. Returns
+    ``(keys..., out)``.
+    """
+    keys = list(keys)
+    cols = list(cols)
+    m = 1 << precision
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = len(t)
+        if n == 0:
+            tbl = t.select(keys)
+            return tbl.append_column(
+                "regs", pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), m)
+            )
+        kh = _row_hashes(t, keys)
+        uniq, kidx = np.unique(kh, return_inverse=True)
+        first = np.full(len(uniq), n, np.int64)  # first row index per key
+        np.minimum.at(first, kidx, np.arange(n, dtype=np.int64))
+        vh = _row_hashes(t, cols)
+        idx = (vh >> np.uint64(64 - precision)).astype(np.int64)
+        w = vh & np.uint64((1 << (64 - precision)) - 1)
+        bits = np.zeros(n, dtype=np.int64)
+        nz = w > 0
+        v = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mm = v >= np.uint64(1 << shift)
+            bits[mm] += shift
+            v[mm] >>= np.uint64(shift)
+        rank = np.where(nz, (64 - precision) - bits,
+                        (64 - precision) + 1).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (kidx, idx), rank)
+        tbl = t.select(keys).take(pa.array(first))
+        return tbl.append_column(
+            "regs", pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.ravel(), pa.uint8()), m)
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        col = g["regs"]
+        flat = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+        arr = (flat.flatten().to_numpy(zero_copy_only=False)
+               .reshape(len(flat), m))
+        merged = np.maximum.reduce(arr, axis=0)
+        res = g.select(keys).slice(0, 1)
+        return res.append_column(
+            out, pa.array([round(_hll_estimate(merged))], pa.int64())
+        )
+
+    partial = ds.select_columns(keys + cols).map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partial.groupby(keys).map_groups(_merge, batch_format="pyarrow")
+
+
 def approx_heavy_hitters(
     ds: "ray.data.Dataset",
     col: str,

@@ -67,3 +67,32 @@ def test_heavy_hitters_finds_hot_keys(ray_session):
     assert set(got) == {1, 2}
     # counts are lower bounds but hot keys survive every batch: exact here
     assert got[1] == 5000 and got[2] == 3000
+
+
+def test_approx_distinct_per_group(ray_session):
+    """Grouped HLL: per-key NDV within the p=10 error bound, partition
+    invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from odibel_ray.ops.sketches import approx_distinct_per_group
+
+    rng = np.random.default_rng(21)
+    n = 60_000
+    keys = rng.integers(0, 8, n).astype(np.int64)
+    # per key g: values drawn from a pool of (g+1)*500 distinct ints
+    vals = np.array([rng.integers(0, (g + 1) * 500) for g in keys], np.int64)
+    t = pa.table({"g": keys, "v": vals})
+    got = (
+        approx_distinct_per_group(
+            ray.data.from_arrow(t).repartition(6), ["g"], ["v"]
+        )
+        .to_pandas().set_index("g")["approx_ndv"]
+    )
+    import pandas as pd
+    exact = pd.DataFrame({"g": keys, "v": vals}).groupby("g").v.nunique()
+    assert set(got.index) == set(exact.index)
+    for g in exact.index:
+        rel = abs(got[g] - exact[g]) / exact[g]
+        assert rel < 0.12, (g, got[g], exact[g], rel)
