@@ -114,8 +114,6 @@ def violation_count(ds, where: list, batch_size: int = 65536) -> int:
         bad = len(t) - pc.sum(check_mask(t, where)).as_py()
         return pa.table({"bad": pa.array([int(bad)], pa.int64())})
 
-    import ray.data as rd  # noqa: F401  (ds is already a Dataset)
-
     parts = ds.map_batches(count, batch_format="pyarrow", batch_size=batch_size)
     agg = parts.sum("bad")
     return int(agg or 0)

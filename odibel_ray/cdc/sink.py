@@ -2629,7 +2629,6 @@ def publish_dataset(
     from odibel_ray.cdc.lww import bucket_of_keys
     from odibel_ray.cdc.skipping import (
         bucket_of_range,
-        bucket_of_zorder,
         cluster_bounds,
         zorder_layout,
     )

@@ -486,7 +486,6 @@ def build_bloom_sidecar(
 
 def _bloom_contains(entry: dict, value) -> bool:
     import base64
-    import json as _json  # noqa: F401  (kept local: sidecars parse lazily)
 
     import numpy as np
 

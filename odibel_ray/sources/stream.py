@@ -36,7 +36,7 @@ import pyarrow as pa
 if TYPE_CHECKING:  # pragma: no cover
     pass
 
-from odibel_ray.sources.io import CODEC_EXTENSIONS, detect_codec
+from odibel_ray.sources.io import detect_codec
 
 
 def open_stream(path: str) -> IO[bytes]:
