@@ -371,14 +371,18 @@ def pivot_counts(
     def _partial(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         cat = t[cat_col]
-        val = (t[value_col].cast(pa.int64()) if value_col is not None
-               else pa.array(np.ones(len(t), np.int64)))
+        if value_col is not None:  # keep the measure's own numeric type
+            val = t[value_col]
+            if isinstance(val, pa.ChunkedArray):
+                val = val.combine_chunks()
+            zero = pa.scalar(0, val.type)
+        else:
+            val = pa.array(np.ones(len(t), np.int64))
+            zero = pa.scalar(0, pa.int64())
         wide = t.select(keys)
         for c, out in zip(categories, out_cols):
             mask = pc.fill_null(pc.equal(cat, pa.scalar(c)), False)
-            wide = wide.append_column(
-                out, pc.if_else(mask, val, pa.scalar(0, pa.int64()))
-            )
+            wide = wide.append_column(out, pc.if_else(mask, val, zero))
         return wide.group_by(keys).aggregate(
             [(o, "sum") for o in out_cols]
         ).rename_columns(keys + out_cols)

@@ -61,6 +61,22 @@ def test_group_mode_matches_duckdb_rule(ray_session):
     assert got.n.tolist() == want.n.tolist()
 
 
+def test_pivot_counts_float_measure_and_nulls(ray_session):
+    from odibel_ray.ops.aggregates import pivot_counts
+    t = pa.table({
+        "u": [1, 1, 2],
+        "c": ["a", "a", "b"],
+        "v": pa.array([1.5, None, 2.25], pa.float64()),  # null skipped by SUM
+    })
+    got = (
+        pivot_counts(ray.data.from_arrow(t), ["u"], "c", ["a", "b"],
+                     value_col="v")
+        .to_pandas().sort_values("u", ignore_index=True)
+    )
+    assert got.n_a.tolist() == [1.5, 0.0]
+    assert got.n_b.tolist() == [0.0, 2.25]
+
+
 def test_bag_set_op_multiset_semantics(ray_session):
     a = ray.data.from_arrow(pa.table({"x": ["p"] * 3 + ["q", "r"]}))
     b = ray.data.from_arrow(pa.table({"x": ["p", "p", "q", "q", "s"]}))
