@@ -373,8 +373,6 @@ def pivot_counts(
         cat = t[cat_col]
         if value_col is not None:  # keep the measure's own numeric type
             val = t[value_col]
-            if isinstance(val, pa.ChunkedArray):
-                val = val.combine_chunks()
             zero = pa.scalar(0, val.type)
         else:
             val = pa.array(np.ones(len(t), np.int64))
@@ -431,7 +429,12 @@ def rollup_counts(
         aggs.append(Sum(value_col, alias_name=sum_col))
     finest = ds.groupby(keys).aggregate(*aggs).materialize()
     schema = finest.schema()
-    key_types = {k: schema.base_schema.field(k).type for k in keys}
+    if schema is None:  # zero-row input: the aggregate has no blocks/schema
+        schema = ds.schema()
+    key_types = {
+        k: (schema.base_schema.field(k).type if schema is not None else pa.null())
+        for k in keys
+    }
 
     def _null_fill(missing: list[str]):
         def f(t: pa.Table) -> pa.Table:
@@ -451,19 +454,23 @@ def rollup_counts(
         for k in range(len(keys) - 1, 0, -1):
             prev = prev.groupby(keys[:k]).aggregate(*sub_aggs).materialize()
             levels.append(prev.map_batches(_null_fill(keys[k:]),
-                                           batch_format="pyarrow"))
+                                           batch_format="pyarrow",
+                                           batch_size=batch_size))
     else:  # cube: every proper non-empty subset, derived from the finest
         for r in range(len(keys) - 1, 0, -1):
             for subset in itertools.combinations(keys, r):
                 lvl = finest.groupby(list(subset)).aggregate(*sub_aggs)
                 missing = [k for k in keys if k not in subset]
                 levels.append(lvl.map_batches(_null_fill(missing),
-                                              batch_format="pyarrow"))
+                                              batch_format="pyarrow",
+                                              batch_size=batch_size))
     tot = prev.aggregate(*sub_aggs) or {}  # grand total: one global row
-    row = {c: [tot.get(c)]
-           for c in [count_name] + ([sum_col] if sum_col else [])}
+    # SQL semantics on zero-row input: one grand-total row, COUNT = 0, SUM null
+    row: dict = {count_name: pa.array([int(tot.get(count_name) or 0)], pa.int64())}
+    if sum_col:
+        row[sum_col] = pa.array([tot.get(sum_col)])
     levels.append(rd.from_arrow(pa.table(row)).map_batches(
-        _null_fill(keys), batch_format="pyarrow"))
+        _null_fill(keys), batch_format="pyarrow", batch_size=batch_size))
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)

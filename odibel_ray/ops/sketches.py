@@ -39,17 +39,15 @@ def _row_hashes(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
     return h
 
 
-def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
-    """2^p max-rank registers from 64-bit hashes, fully vectorized."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(h) == 0:
-        return regs
+def _hll_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 64-bit hash, fully vectorized.
+
+    rank = leading-zero count within the low 64-p bits, + 1. MSB position is
+    computed with exact integer shifts (6 vectorized passes) — float64 log2
+    rounds UP for w just below 2^k when k >= 50, biasing the rank low.
+    """
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
-    # rank = leading-zero count within the low 64-p bits, + 1. MSB position is
-    # computed with exact integer shifts (6 vectorized passes) — float64 log2
-    # rounds UP for w just below 2^k when k >= 50, biasing the rank low.
     bits = np.zeros(len(h), dtype=np.int64)
     nz = w > 0
     v = w.copy()
@@ -58,6 +56,16 @@ def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
         bits[m] += shift
         v[m] >>= np.uint64(shift)
     rank = np.where(nz, (64 - p) - bits, (64 - p) + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p max-rank registers from 64-bit hashes, fully vectorized."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx, rank = _hll_ranks(h, p)
     np.maximum.at(regs, idx, rank)
     return regs
 
@@ -138,18 +146,7 @@ def approx_distinct_per_group(
         uniq, kidx = np.unique(kh, return_inverse=True)
         first = np.full(len(uniq), n, np.int64)  # first row index per key
         np.minimum.at(first, kidx, np.arange(n, dtype=np.int64))
-        vh = _row_hashes(t, cols)
-        idx = (vh >> np.uint64(64 - precision)).astype(np.int64)
-        w = vh & np.uint64((1 << (64 - precision)) - 1)
-        bits = np.zeros(n, dtype=np.int64)
-        nz = w > 0
-        v = w.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            mm = v >= np.uint64(1 << shift)
-            bits[mm] += shift
-            v[mm] >>= np.uint64(shift)
-        rank = np.where(nz, (64 - precision) - bits,
-                        (64 - precision) + 1).astype(np.uint8)
+        idx, rank = _hll_ranks(_row_hashes(t, cols), precision)
         regs = np.zeros((len(uniq), m), dtype=np.uint8)
         np.maximum.at(regs, (kidx, idx), rank)
         tbl = t.select(keys).take(pa.array(first))

@@ -182,6 +182,20 @@ def test_rollup_counts_matches_duckdb(ray_session):
     assert got.a.isna().sum() == 1 and got.b.isna().sum() == 4  # 3 subtotals + total
 
 
+def test_rollup_counts_empty_input(ray_session):
+    # SQL GROUP BY ROLLUP/CUBE over zero rows: one grand-total row, COUNT 0
+    from odibel_ray.ops.aggregates import rollup_counts
+    t = pa.table({"a": pa.array([], pa.string()),
+                  "b": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64())})
+    for grouping in ("rollup", "cube"):
+        rows = rollup_counts(ray.data.from_arrow(t), ["a", "b"],
+                             value_col="v", grouping=grouping).take_all()
+        assert len(rows) == 1, grouping
+        assert rows[0]["a"] is None and rows[0]["b"] is None
+        assert rows[0]["n"] == 0 and rows[0]["sum_v"] is None
+
+
 def test_window_moving_sum_matches_duckdb(ray_session):
     from odibel_ray.ops.aggregates import window_moving_sum
     rng = np.random.default_rng(14)
