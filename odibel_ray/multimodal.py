@@ -474,19 +474,26 @@ def image_near_dups(
     *,
     max_hamming: int = 6,
     hash_size: int = 8,
-    num_bands: int = 4,
+    num_bands: int = 8,
     concurrency: int | None = None,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate image pairs by banded perceptual-hash LSH: each 64-bit
-    aHash splits into ``num_bands`` 16-bit bands (a pair within
-    ``max_hamming`` bits collides on ≥1 band whenever its differing bits
-    don't cover every band — the SimHash banding guarantee: any pair with
-    < num_bands differing bits ALWAYS collides); in-bucket verification is
-    one vectorized XOR-popcount. Emits ``(id_a, id_b, hamming)`` pairs,
-    cross-band duplicates collapsed by the pair-keyed groupby.
+    aHash splits into ``num_bands`` equal bands (SimHash banding guarantee:
+    any pair with < num_bands differing bits collides on ≥1 band, so full
+    recall requires ``max_hamming < num_bands`` — hence the defaults 6 < 8);
+    in-bucket verification is one vectorized XOR-popcount. Emits
+    ``(id_a, id_b, hamming)`` pairs, cross-band duplicates collapsed by the
+    pair-keyed groupby.
     """
     from ray.data.aggregate import Min
+
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= num_bands={num_bands}: pairs whose "
+            "differing bits cover every band would be silently missed; raise "
+            "num_bands (full recall needs max_hamming < num_bands)"
+        )
 
     hashed = perceptual_hashes(ds, hash_size=hash_size,
                                concurrency=concurrency, batch_size=batch_size)

@@ -57,6 +57,22 @@ def _partition_firsts(t: pa.Table, keys: Sequence[str], n: int) -> np.ndarray:
     return first
 
 
+def _window_bucketed(ds, keys, num_buckets, batch_size, local):
+    """Shared scaffold of the window kernels (lag/cumsum/moving_sum/rank):
+    tag each row with a key-hash bucket (a partition never splits across
+    buckets), one groupby exchange, then the per-bucket vectorized kernel."""
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = bucket_of_keys(t, keys, num_buckets)
+        return t.append_column("_wbucket", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -205,16 +221,9 @@ def window_lag(
     masked by segment-id equality — no per-row Python. ``tie_cols`` pin a
     deterministic order for equal ``order_col`` values.
     """
-    from odibel_ray.cdc.lww import bucket_of_keys
-
     keys = list(keys)
     cols = list(cols)
     tie_cols = list(tie_cols)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        b = bucket_of_keys(t, keys, num_buckets)
-        return t.append_column("_wbucket", pa.array(b, pa.int64()))
 
     def local(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_wbucket"]).combine_chunks()
@@ -238,8 +247,7 @@ def window_lag(
             t = t.append_column(c + suffix, col.take(prev_idx))
         return t
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
-    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
 
 
 def window_cumsum(
@@ -256,19 +264,13 @@ def window_cumsum(
     """SQL ``SUM(value) OVER (PARTITION BY keys ORDER BY order_col ROWS
     UNBOUNDED PRECEDING)`` — per-key running totals, the cumulative sibling
     of :func:`window_lag` (same one-shuffle kernel: key-hash buckets, one
-    vectorized sort, then a segmented cumulative sum). Integer value columns
-    stay exact; pre-quantize floats (e.g. to cents) when cross-engine
-    bit-reproducibility matters."""
-    from odibel_ray.cdc.lww import bucket_of_keys
-
+    vectorized sort, then a segmented cumulative sum). NULL values are
+    skipped like SQL SUM (the running total is NULL until the partition has
+    seen a non-null value). Integer value columns stay exact; pre-quantize
+    floats (e.g. to cents) when cross-engine bit-reproducibility matters."""
     keys = list(keys)
     tie_cols = list(tie_cols)
     out = out or f"{value_col}_running"
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        b = bucket_of_keys(t, keys, num_buckets)
-        return t.append_column("_wbucket", pa.array(b, pa.int64()))
 
     def local(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_wbucket"]).combine_chunks()
@@ -279,15 +281,23 @@ def window_cumsum(
         sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         first = _partition_firsts(t, keys, n)
-        v = t[value_col].to_numpy(zero_copy_only=False)
+        col = t[value_col]
+        # SQL SUM OVER skips NULLs: cumsum over fill_null(0) stays exact for
+        # int types (to_numpy on a null-bearing int column would go float64
+        # with NaN and poison the whole bucket past the null)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, pa.scalar(0, v_type)).to_numpy(zero_copy_only=False)
         c = np.cumsum(v)
         starts = np.flatnonzero(first)
         seg_id = np.cumsum(first) - 1
         base = (c[starts] - v[starts])[seg_id]
-        return t.append_column(out, pa.array(c - base, v_type))
+        cv = np.cumsum(valid)
+        seen = (cv - (cv[starts] - valid[starts])[seg_id]) > 0
+        return t.append_column(
+            out, pa.array(np.asarray(c - base), v_type, mask=~seen)
+        )
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
-    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
 
 
 def window_moving_sum(
@@ -306,20 +316,15 @@ def window_moving_sum(
     BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — per-key moving-window
     totals, same one-shuffle kernel as :func:`window_cumsum` with the
     window's lower bound clamped to the partition start (one global cumsum,
-    two vectorized gathers). Integer values stay exact; pre-quantize floats
-    when cross-engine bit-reproducibility matters."""
-    from odibel_ray.cdc.lww import bucket_of_keys
-
+    two vectorized gathers). NULL values are skipped like SQL SUM (the
+    moving sum is NULL when every value in the frame is NULL). Integer
+    values stay exact; pre-quantize floats when cross-engine
+    bit-reproducibility matters."""
     if window < 1:
         raise ValueError("window must be >= 1")
     keys = list(keys)
     tie_cols = list(tie_cols)
     out = out or f"{value_col}_moving{window}"
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        b = bucket_of_keys(t, keys, num_buckets)
-        return t.append_column("_wbucket", pa.array(b, pa.int64()))
 
     def local(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_wbucket"]).combine_chunks()
@@ -330,16 +335,22 @@ def window_moving_sum(
         sort_keys = [(k, "ascending") for k in keys + [order_col] + tie_cols]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         first = _partition_firsts(t, keys, n)
-        v = t[value_col].to_numpy(zero_copy_only=False)
+        col = t[value_col]
+        # SQL SUM OVER skips NULLs — see window_cumsum for why fill_null(0)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, pa.scalar(0, v_type)).to_numpy(zero_copy_only=False)
         c = np.cumsum(v)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(first, pos, 0))
         lo = np.maximum(pos - window + 1, seg_start)
         base = np.where(lo > 0, c[np.maximum(lo - 1, 0)], 0)
-        return t.append_column(out, pa.array(c - base, v_type))
+        cv = np.cumsum(valid)
+        cnt = cv - np.where(lo > 0, cv[np.maximum(lo - 1, 0)], 0)
+        return t.append_column(
+            out, pa.array(np.asarray(c - base), v_type, mask=cnt == 0)
+        )
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
-    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
 
 
 def pivot_counts(
@@ -533,19 +544,13 @@ def window_rank(
     ORDER BY order_col)`` — same one-shuffle kernel as :func:`window_lag`
     (key-hash buckets, one vectorized sort, segment-relative positions).
     ``kind`` ∈ {'row_number', 'rank', 'dense_rank'}; rank/dense_rank tie on
-    equal ``order_col`` values (``tie_cols`` only stabilize row order)."""
-    from odibel_ray.cdc.lww import bucket_of_keys
-
+    equal ``order_col`` values — NULL order values are peers of each other,
+    like SQL window ordering (``tie_cols`` only stabilize row order)."""
     if kind not in ("row_number", "rank", "dense_rank"):
         raise ValueError(f"unknown rank kind: {kind!r}")
     keys = list(keys)
     tie_cols = list(tie_cols)
     out = out or kind
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        b = bucket_of_keys(t, keys, num_buckets)
-        return t.append_column("_wbucket", pa.array(b, pa.int64()))
 
     order = "descending" if descending else "ascending"
 
@@ -564,9 +569,12 @@ def window_rank(
         if kind == "row_number":
             r = rownum
         else:
-            oeq = pc.fill_null(
-                pc.equal(t[order_col].slice(1), t[order_col].slice(0, n - 1)),
-                False,
+            # NULL order values are window-ordering peers (SQL): two adjacent
+            # NULLs compare equal, same rule as _partition_firsts for keys
+            a, b = t[order_col].slice(1), t[order_col].slice(0, n - 1)
+            oeq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
             ).to_numpy(zero_copy_only=False)
             new_val = first.copy()
             new_val[1:] |= ~oeq  # order value changed within the partition
@@ -578,8 +586,7 @@ def window_rank(
                 r = dv - np.maximum.accumulate(np.where(first, dv - 1, 0))
         return t.append_column(out, pa.array(r, pa.int64()))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
-    return bucketed.groupby("_wbucket").map_groups(local, batch_format="pyarrow")
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
 
 
 def group_mode(

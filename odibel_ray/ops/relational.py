@@ -647,8 +647,6 @@ def bag_set_op(
     vectorized ``repeat`` inside the per-group kernel — no row ever moves
     more than once.
     """
-    import ray.data  # noqa: F401
-
     if op not in ("intersect", "except"):
         raise ValueError(f"unknown bag set op: {op!r}")
     cols = list(cols)

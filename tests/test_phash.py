@@ -43,7 +43,7 @@ def test_perceptual_hash_stability(ray_session):
     assert h[103] == h[5]  # exact re-encode -> identical hash
     # jittered copies of 0 within a few bits
     for j in (100, 101, 102):
-        d = bin(int(h[0]) ^ int(h[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        d = bin((int(h[0]) ^ int(h[j])) & 0xFFFFFFFFFFFFFFFF).count("1")
         assert d <= 6, (j, d)
 
 

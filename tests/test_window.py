@@ -182,6 +182,65 @@ def test_rollup_counts_matches_duckdb(ray_session):
     assert got.a.isna().sum() == 1 and got.b.isna().sum() == 4  # 3 subtotals + total
 
 
+def test_window_sums_skip_nulls_like_sql(ray_session):
+    # SQL SUM OVER skips NULL values; the running/moving sum is NULL only
+    # while the frame has seen no non-null value. Int columns stay exact.
+    from odibel_ray.ops.aggregates import window_cumsum, window_moving_sum
+    import duckdb
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b", "c"],
+        "o": [1, 2, 3, 4, 1, 2, 1],
+        "v": pa.array([None, 3, None, 4, 10, None, None], pa.int64()),
+    })
+    got = (
+        window_cumsum(ray.data.from_arrow(t).repartition(2), ["k"], "o", "v",
+                      num_buckets=2)
+        .to_pandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.arrow(t).query(
+        "t", "SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o "
+             "ROWS UNBOUNDED PRECEDING) AS r FROM t ORDER BY k, o"
+    ).fetchdf()
+    np.testing.assert_array_equal(got.v_running.to_numpy(dtype=float),
+                                  want.r.to_numpy(dtype=float))
+    got = (
+        window_moving_sum(ray.data.from_arrow(t).repartition(2), ["k"], "o",
+                          "v", 2, num_buckets=2)
+        .to_pandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.arrow(t).query(
+        "t", "SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o "
+             "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m "
+             "FROM t ORDER BY k, o"
+    ).fetchdf()
+    np.testing.assert_array_equal(got.v_moving2.to_numpy(dtype=float),
+                                  want.m.to_numpy(dtype=float))
+
+
+def test_window_rank_null_order_values_are_peers(ray_session):
+    # SQL rank/dense_rank treat NULL order values as equal (peers)
+    from odibel_ray.ops.aggregates import window_rank
+    import duckdb
+    t = pa.table({
+        "k": ["a"] * 5,
+        "o": pa.array([3, None, None, 3, 1], pa.int64()),
+        "tie": [0, 1, 2, 3, 4],
+    })
+    for kind in ("rank", "dense_rank"):
+        got = (
+            window_rank(ray.data.from_arrow(t), ["k"], "o", kind=kind,
+                        tie_cols=["tie"], num_buckets=1)
+            .to_pandas().sort_values(["o", "tie"], ignore_index=True,
+                                     na_position="last")
+        )
+        want = duckdb.arrow(t).query(
+            "t", f"SELECT o, tie, {kind}() OVER (PARTITION BY k ORDER BY o) "
+                 "AS r FROM t ORDER BY o NULLS LAST, tie"
+        ).fetchdf()
+        np.testing.assert_array_equal(got[kind].to_numpy(),
+                                      want.r.to_numpy(), err_msg=kind)
+
+
 def test_rollup_counts_empty_input(ray_session):
     # SQL GROUP BY ROLLUP/CUBE over zero rows: one grand-total row, COUNT 0
     from odibel_ray.ops.aggregates import rollup_counts
