@@ -112,6 +112,28 @@ def _shingle_hashes_flat(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     return comb[starts], sh_offs
 
 
+def _collapse_doc_grams(
+    doc_idx: np.ndarray, gh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse flat per-position (doc, gram) pairs to one row per DISTINCT
+    pair: returns ``(flat_firsts, counts)`` where ``flat_firsts`` indexes the
+    first occurrence of each distinct pair back into the flat input arrays
+    (in (doc, gram)-sorted order) and ``counts`` is its position count.
+    One vectorized lexsort + run-length pass — the shared per-batch combiner
+    of :func:`cross_doc_ngram_dup`, :func:`odibel_ray.lm.bigram_logprob` and
+    :func:`odibel_ray.selection.dsir_weights`."""
+    if len(doc_idx) == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    order = np.lexsort((gh, doc_idx))
+    sd, sg = doc_idx[order], gh[order]
+    new = np.empty(len(sd), dtype=bool)
+    new[0] = True
+    new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+    firsts = np.flatnonzero(new)
+    counts = np.diff(np.append(firsts, len(sd)))
+    return order[firsts], counts.astype(np.int64)
+
+
 class MinHasher:
     """Actor-pool stage: doc → (doc_id, minhash signature, band keys).
 
@@ -953,18 +975,12 @@ def cross_doc_ngram_dup(
                 cols[c] = t[c].slice(0, 0)
             return pa.table(cols)
         # collapse duplicate grams within each doc, keeping position counts
-        order = np.lexsort((gh, doc_idx))
-        sd, sg = doc_idx[order], gh[order]
-        new = np.empty(len(sd), dtype=bool)
-        new[0] = True
-        new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, len(sd)))
-        ud, ug = sd[starts], sg[starts]
+        flat_firsts, counts = _collapse_doc_grams(doc_idx, gh)
+        ud, ug = doc_idx[flat_firsts], gh[flat_firsts]
         cols = {
             "gram_key": pa.array(ug.view(np.int64), pa.int64()),
             id_col: t[id_col].take(pa.array(ud)),
-            "n_pos": pa.array(counts.astype(np.int64), pa.int64()),
+            "n_pos": pa.array(counts, pa.int64()),
             # total gram positions of the doc, replicated per row: lets the
             # final per-doc groupby recover the denominator without a second
             # pass over the text
@@ -1109,23 +1125,18 @@ def chunk_dedup(
         ds, id_col=id_col, text_col=text_col, window=window, batch_size=batch_size
     )
 
-    def ordkey(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        ord_ = pc.add(
-            pc.multiply(pc.cast(t[id_col], pa.int64()), pa.scalar(1 << 32, pa.int64())),
-            t["chunk_idx"],
-        )
-        return t.append_column("_ord", ord_)
-
+    # first occurrence = lexicographic (id, chunk_idx) min — a multi-column
+    # tie-break, NOT an id*2^32+idx packed key (which wraps int64 for
+    # doc_id >= 2^31 and crashes on non-numeric ids)
     kept = exact_dedup(
-        chunks.map_batches(ordkey, batch_format="pyarrow", batch_size=batch_size),
+        chunks,
         ["chunk_text"],
-        tie_break="_ord",
+        tie_break=[id_col, "chunk_idx"],
         batch_size=batch_size,
     )
 
     def tag(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks().drop_columns(["_ord"])
+        t = t.combine_chunks()
         b = bucket_of_keys(t, [id_col], num_buckets)
         return t.append_column("_cbucket", pa.array(b, pa.int64()))
 

@@ -38,7 +38,12 @@ import pyarrow.compute as pc
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
-from odibel_ray.dedup import _MIX, _flat_token_hashes, _segment_arange
+from odibel_ray.dedup import (
+    _MIX,
+    _collapse_doc_grams,
+    _flat_token_hashes,
+    _segment_arange,
+)
 
 __all__ = ["bigram_logprob", "perplexity_buckets", "disc_quantile"]
 
@@ -185,19 +190,13 @@ def bigram_logprob(
         starts = np.repeat(offs[:-1], blens) + _segment_arange(blens)
         b = th[starts] * _MIX + th[starts + 1]
         doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), blens)
-        order = np.lexsort((b, doc_idx))
-        sd, sb = doc_idx[order], b[order]
-        new = np.empty(len(sd), dtype=bool)
-        new[0] = True
-        new[1:] = (sd[1:] != sd[:-1]) | (sb[1:] != sb[:-1])
-        firsts = np.flatnonzero(new)
-        counts = np.diff(np.append(firsts, len(sd)))
-        pos = starts[order][firsts]
+        flat_firsts, counts = _collapse_doc_grams(doc_idx, b)
+        pos = starts[flat_firsts]
         return pa.table({
-            id_col: t[id_col].take(pa.array(sd[firsts])),
-            "b_key": pa.array(sb[firsts].view(np.int64), pa.int64()),
+            id_col: t[id_col].take(pa.array(doc_idx[flat_firsts])),
+            "b_key": pa.array(b[flat_firsts].view(np.int64), pa.int64()),
             "w_key": pa.array(th[pos + 1].view(np.int64), pa.int64()),
-            "n_pos": pa.array(counts.astype(np.int64), pa.int64()),
+            "n_pos": pa.array(counts, pa.int64()),
         })
 
     firsts = docs.map_batches(_first_rows, batch_format="pyarrow",
@@ -320,6 +319,13 @@ def perplexity_buckets(
     from ray.data.aggregate import Count, Sum
 
     from odibel_ray.ops.relational import _small_table
+
+    # the cuts pass and the assignment pass both consume `scored`; pin ONE
+    # execution (the LM-scoring pipeline is the dominant cost, and float
+    # summation order could otherwise flip a doc sitting exactly on a
+    # cutoff between the two passes — the same boundary hazard the SQL
+    # oracle pins with AS MATERIALIZED)
+    scored = scored.materialize()
 
     def _cuts(g: pa.Table) -> pa.Table:
         vals = np.sort(g[value_col].to_numpy(zero_copy_only=False))

@@ -32,16 +32,52 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
-from odibel_ray.ops.sketches import _row_hashes
-
 __all__ = ["Bloom", "build_bloom", "bloom_semi_filter"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_hashes(t: pa.Table, cols: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Null-safe, dtype-canonical 64-bit key hashes + validity mask.
+
+    Build and probe sides MUST hash a key to the same value: integer keys
+    cast to int64 and floats to float64 (an int32 probe then matches an
+    int64 build side), and NULL slots are filled before hashing — one null
+    in an int column otherwise converts the whole batch to float64/NaN and
+    silently changes every OTHER row's hash (false negatives). Nulls are
+    reported in the validity mask instead: a NULL key never matches under
+    SQL inner/semi-join semantics, so callers drop those rows.
+    """
+    n = len(t)
+    h = np.zeros(n, dtype=np.uint64)
+    valid = np.ones(n, dtype=bool)
+    for c in cols:
+        arr = t[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        ty = arr.type
+        if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
+            arr = pc.fill_null(arr.cast(pa.int64()), 0)
+        elif pa.types.is_floating(ty):
+            arr = pc.fill_null(arr.cast(pa.float64()), 0.0)
+        elif pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            arr = pc.fill_null(arr, "")
+        elif pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+            arr = pc.fill_null(arr, b"")
+        else:  # temporal, decimal, ... — canonical string form per type
+            arr = pc.fill_null(pc.cast(arr, pa.string()), "")
+        h = h * _MIX + pd.util.hash_array(
+            arr.to_numpy(zero_copy_only=False), categorize=False
+        )
+    return h, valid
 
 
 class Bloom:
@@ -101,7 +137,8 @@ def build_bloom(
 
     def _partial(t: pa.Table) -> pa.Table:
         bloom = Bloom(np.zeros(n_words, dtype=np.uint64), num_hashes)
-        bloom.add(_row_hashes(t.combine_chunks(), on))
+        h, valid = _key_hashes(t.combine_chunks(), on)
+        bloom.add(h[valid])  # a NULL build key can never match — skip it
         return pa.table({
             "words": pa.FixedSizeListArray.from_arrays(
                 pa.array(bloom.words, pa.uint64()), n_words
@@ -167,8 +204,10 @@ def bloom_semi_filter(
     def _filter(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         b = Bloom(ray.get(words_ref), k)
-        mask = b.contains(_row_hashes(t, on))
-        return t.filter(pa.array(mask))
+        h, valid = _key_hashes(t, on)
+        # NULL-key probe rows never match an inner/semi join — dropping them
+        # here keeps the superset-of-true-semi-join guarantee
+        return t.filter(pa.array(b.contains(h) & valid))
 
     return probe.map_batches(_filter, batch_format="pyarrow",
                              batch_size=batch_size)

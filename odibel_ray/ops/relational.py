@@ -685,14 +685,14 @@ def exact_dedup(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     *,
-    tie_break: str | None = None,
+    tie_break: str | Sequence[str] | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Exact dedup: one representative row per distinct ``keys`` value —
     hash-shuffle then per-group first (``distinct``/``dropDuplicates`` analog,
-    SURVEY.md §2.7 D3). ``tie_break`` picks the min of that column as the
-    representative (deterministic); default is min over all non-key columns'
-    sort order.
+    SURVEY.md §2.7 D3). ``tie_break`` picks the lexicographic min of those
+    column(s) as the representative (deterministic); default is min over all
+    non-key columns' sort order.
 
     Pre-compaction: each batch first dedups locally (combiner), so the shuffle
     moves one row per (batch, key) instead of every row.
@@ -713,10 +713,13 @@ def exact_dedup(
     return ds.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 
 
-def _first_per_key(t: pa.Table, keys: Sequence[str], tie_break: str | None) -> pa.Table:
+def _first_per_key(
+    t: pa.Table, keys: Sequence[str], tie_break: str | Sequence[str] | None
+) -> pa.Table:
     if len(t) <= 1:
         return t
-    sort_cols = keys + ([tie_break] if tie_break and tie_break not in keys else [])
+    ties = [tie_break] if isinstance(tie_break, str) else list(tie_break or [])
+    sort_cols = list(keys) + [c for c in ties if c not in keys]
     t = t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in sort_cols]))
     n = len(t)
     same_prev = np.ones(n, dtype=bool)

@@ -36,6 +36,7 @@ def curate_corpus(
     min_docs: int = 2,
     num_buckets: int | None = None,
     batch_size: int = 65536,
+    carry_types: dict | None = None,
 ) -> "ray.data.Dataset":
     """Kept-document profile after the three standard curation gates.
 
@@ -51,10 +52,21 @@ def curate_corpus(
 
     Returns one row per kept doc: ``(id_col, *carry, n_tokens, n_grams,
     n_dup)``. The result is a pure function of the input corpus — no stage
-    samples or depends on partitioning."""
+    samples or depends on partitioning. ``carry_types`` maps non-string
+    ``carry`` columns to their Arrow types (forwarded to the gram join's
+    schema, like :func:`odibel_ray.dedup.cross_doc_ngram_dup`).
+
+    Requires ``min_tokens >= ngram``: a doc with fewer than ``ngram`` tokens
+    emits zero grams, so the duplication profile has no row for it and it
+    would silently vanish from the kept set despite passing every gate."""
     from odibel_ray.dedup import cross_doc_ngram_dup
     from odibel_ray.ops.relational import exact_dedup
 
+    if min_tokens < ngram:
+        raise ValueError(
+            f"min_tokens={min_tokens} < ngram={ngram}: docs shorter than one "
+            "gram would pass the gates but emit no profile row"
+        )
     deduped = exact_dedup(
         docs, [text_col], tie_break=id_col, batch_size=batch_size
     )
@@ -73,7 +85,7 @@ def curate_corpus(
         gated, n=ngram, text_col=text_col, id_col=id_col,
         carry=carry + ("n_tokens",), min_docs=min_docs,
         num_buckets=num_buckets, batch_size=batch_size,
-        carry_types={"n_tokens": pa.int64()},
+        carry_types={**(carry_types or {}), "n_tokens": pa.int64()},
     )
 
     def _gate_dup(t: pa.Table) -> pa.Table:

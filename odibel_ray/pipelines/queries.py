@@ -2011,6 +2011,9 @@ def q_urgent_order_lineitems(sf_dir: str):
     urgent = load_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).filter(
         expr="o_orderpriority == '1-URGENT'"
     ).rename_columns({"o_orderkey": "l_orderkey"})
+    # pin ONE execution of the selective slice: it feeds both the bloom
+    # build and the join's build side (it's the bounded ~1/5 of orders)
+    urgent = urgent.materialize()
     probe = bloom_semi_filter(li, urgent.select_columns(["l_orderkey"]),
                               "l_orderkey", num_bits=1 << 20)
     j = bucketed_join(

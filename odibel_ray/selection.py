@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
-from odibel_ray.dedup import _shingle_hashes_flat
+from odibel_ray.dedup import _collapse_doc_grams, _shingle_hashes_flat
 
 __all__ = ["dsir_logweights", "gram_counts"]
 
@@ -141,17 +141,11 @@ def dsir_logweights(
                              id_col: pa.array([], id_type),
                              "n_pos": pa.array([], pa.int64())})
         doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
-        order = np.lexsort((gh, doc_idx))
-        sd, sg = doc_idx[order], gh[order]
-        new = np.empty(len(sd), dtype=bool)
-        new[0] = True
-        new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, len(sd)))
+        flat_firsts, counts = _collapse_doc_grams(doc_idx, gh)
         return pa.table({
-            "gram_key": pa.array(sg[starts].view(np.int64), pa.int64()),
-            id_col: t[id_col].take(pa.array(sd[starts])),
-            "n_pos": pa.array(counts.astype(np.int64), pa.int64()),
+            "gram_key": pa.array(gh[flat_firsts].view(np.int64), pa.int64()),
+            id_col: t[id_col].take(pa.array(doc_idx[flat_firsts])),
+            "n_pos": pa.array(counts, pa.int64()),
         })
 
     doc_grams = raw.map_batches(_doc_grams, batch_format="pyarrow",
