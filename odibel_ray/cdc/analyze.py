@@ -131,6 +131,7 @@ def analyze_published(
         "rows": rows_total,
         "method": method,
         "version": snaps[-1]["version"] if snaps else None,
+        "run": _last_run_id(out_dir),
     }
     if persist:
         tmp = os.path.join(out_dir, COLSTATS_FILE + ".tmp")
@@ -140,9 +141,39 @@ def analyze_published(
     return stats
 
 
+def _last_run_id(out_dir: str):
+    from odibel_ray.cdc.sink import TABLE_MANIFEST
+
+    path = os.path.join(out_dir, TABLE_MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get("last_run_id")
+
+
+def stats_fresh(out_dir: str, stats: dict) -> bool:
+    """True iff the persisted ANALYZE pin matches the live table state.
+
+    Compares the snapshot-version pin AND the table manifest's
+    ``last_run_id`` — the run pin keeps freshness verifiable on tables
+    WITHOUT snapshot retention, where versions are ``None`` on both sides
+    and a version-only compare would report stale statistics as fresh after
+    any write."""
+    from odibel_ray.cdc.sink import list_snapshots
+
+    snaps = list_snapshots(out_dir)
+    live_v = snaps[-1]["version"] if snaps else None
+    t = stats.get("_table", {})
+    if t.get("version") != live_v:
+        return False
+    if "run" not in t:  # stats persisted before the run pin existed
+        return live_v is not None
+    return t.get("run") == _last_run_id(out_dir)
+
+
 def load_column_stats(out_dir: str) -> dict | None:
-    """Previously persisted ANALYZE output, or None. Callers should compare
-    the ``_table.version`` pin against the live table before trusting it."""
+    """Previously persisted ANALYZE output, or None. Callers should check
+    :func:`stats_fresh` (version + run pins) before trusting it."""
     path = os.path.join(out_dir, COLSTATS_FILE)
     if not os.path.exists(path):
         return None
@@ -264,6 +295,7 @@ def refresh_column_stats(out_dir: str, feed, *, persist: bool = True) -> dict:
             s["ndv"] = int(round(_hll_estimate(regs)))
     snaps = list_snapshots(out_dir)
     stats["_table"]["version"] = snaps[-1]["version"] if snaps else None
+    stats["_table"]["run"] = _last_run_id(out_dir)
     stats["_table"]["stale_columns"] = sorted(set(cols) - set(live))
     if persist:
         tmp = os.path.join(out_dir, COLSTATS_FILE + ".tmp")

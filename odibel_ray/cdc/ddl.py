@@ -303,12 +303,15 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
     if not ops:
         return {"materialized": 0, "skipped": 0, "out_dir": out_dir}
     with table_lock(out_dir, owner=f"materialize_ddl:{run_id}"):
+        manifests = load_manifests(out_dir)
+        # refuse BEFORE stamping: a stamp followed by this raise would wedge
+        # the table (upserts/alter refuse while the stamp is in flight, and
+        # re-running would just re-raise)
+        if any(m.get("deltas") for m in manifests.values()):  # pragma: no cover
+            raise ValueError("compact merge-on-read deltas before materialize_ddl")
         rid = meta.get("materialized_run") or run_id
         if not meta.get("materialized_run"):
             _atomic_write_json(_ops_path(out_dir), {**meta, "materialized_run": rid})
-        manifests = load_manifests(out_dir)
-        if any(m.get("deltas") for m in manifests.values()):  # pragma: no cover
-            raise ValueError("compact merge-on-read deltas before materialize_ddl")
         pending = {b: m for b, m in sorted(manifests.items()) if m.get("run_id") != rid}
         n_done = 0
         if pending:
@@ -317,6 +320,11 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
             smap = SchemaMap(physical, ops)
             staging = os.path.join(out_dir, STAGING_DIR, rid)
             os.makedirs(staging, exist_ok=True)
+            layout_path = os.path.join(out_dir, "_layout.json")
+            bloom_cols: list[str] = []
+            if os.path.exists(layout_path):
+                with open(layout_path) as f:
+                    bloom_cols = list(json.load(f).get("bloom_cols") or [])
             descs = [
                 {
                     "bucket": int(b),
@@ -338,6 +346,16 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
                     fname = _bucket_filename(bucket, rid)
                     staged = os.path.join(staging, fname)
                     _write_data_file(out, staged)
+                    # a bloom-indexed table keeps its equality pruning through
+                    # the rewrite (upsert/compact rebuild sidecars the same way)
+                    live_blooms = [c for c in bloom_cols if c in out.column_names]
+                    if live_blooms:
+                        from odibel_ray.cdc.skipping import (
+                            BLOOM_SUFFIX,
+                            build_bloom_sidecar,
+                        )
+
+                        build_bloom_sidecar(out, live_blooms, staged + BLOOM_SUFFIX)
                     outs.append(pa.table({
                         "bucket": pa.array([bucket], pa.int64()),
                         "rows_out": pa.array([len(out)], pa.int64()),

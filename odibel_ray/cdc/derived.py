@@ -279,6 +279,7 @@ def refresh_derived(
     run_id: str = "refresh-0",
     strategy: str = "rescan",
     feed=None,
+    feed_covers_version: int | None = None,
     batch_size: int = 65536,
     emit_feed: str | None = None,
     mode: str = "cow",
@@ -289,6 +290,14 @@ def refresh_derived(
     Returns ``{refreshed, strategy, base_version, rows_upserted,
     rows_deleted, buckets_rewritten}``. A no-op (base unchanged, no feed)
     returns ``refreshed=False`` without writing.
+
+    A caller-supplied ``feed`` MUST cover every base change since the pinned
+    ``base_version`` (the :func:`~odibel_ray.cdc.pipeline.refresh_pipeline`
+    contract — accumulated feed dirs satisfy it by construction); the pin
+    then advances to the base's latest version. When the feed covers only a
+    PREFIX of the base's new versions, pass ``feed_covers_version=<v>`` so
+    the pin advances exactly that far and a later refresh picks up the
+    remainder via snapshot diff instead of silently skipping it.
 
     ``emit_feed``: write THIS refresh's own change feed (upsert-time CDF,
     :func:`odibel_ray.cdc.sink.upsert_published`) so a table maintained over
@@ -327,7 +336,14 @@ def refresh_derived(
         feed_ds = table_changes(base, v0, v1, keys=keys, values=inputs)
     else:
         feed_ds = _feed_dataset(feed)
-        if v1 is None:
+        if feed_covers_version is not None:
+            if v1 is not None and feed_covers_version > v1:
+                raise ValueError(
+                    f"feed_covers_version={feed_covers_version} is beyond the "
+                    f"base's latest snapshot {v1}"
+                )
+            v1 = feed_covers_version
+        elif v1 is None:
             v1 = v0
 
     if strategy == "feed":

@@ -251,14 +251,19 @@ def _check_merge_cond(clauses: Sequence | None, what: str) -> None:
             raise ValueError(f"{what}: clause must be (ref, op) or (l, op, r), got {cl!r}")
 
 
-def _merge_operand(tbl: pa.Table, o):
+def _merge_operand(tbl: pa.Table, o, keys: Sequence[str] = ()):
     if _is_col_ref(o):
-        name = o[1] if o[0] == "s" else _T_PREFIX + o[1]
+        # target KEY columns keep their plain names through the classify
+        # join (they ARE the join key, equal to the source's for matched
+        # rows); only non-key target columns carry the _T_PREFIX rename
+        name = o[1] if (o[0] == "s" or o[1] in keys) else _T_PREFIX + o[1]
         return tbl[name]
     return pa.scalar(o)
 
 
-def _eval_merge_cond(tbl: pa.Table, clauses: Sequence | None) -> pa.ChunkedArray:
+def _eval_merge_cond(
+    tbl: pa.Table, clauses: Sequence | None, keys: Sequence[str] = ()
+) -> pa.ChunkedArray:
     """Conjunctive clause evaluation with SQL WHERE NULL semantics (a NULL
     clause fails, so the row does NOT take the action — exactly the SQL
     MERGE ``AND <condition>`` behavior)."""
@@ -267,10 +272,11 @@ def _eval_merge_cond(tbl: pa.Table, clauses: Sequence | None) -> pa.ChunkedArray
     mask = None
     for cl in clauses or ():
         if len(cl) == 2:
-            arr = _merge_operand(tbl, cl[0])
+            arr = _merge_operand(tbl, cl[0], keys)
             res = pc.is_null(arr) if cl[1] == "is_null" else pc.is_valid(arr)
         else:
-            res = _MERGE_OPS[cl[1]](_merge_operand(tbl, cl[0]), _merge_operand(tbl, cl[2]))
+            res = _MERGE_OPS[cl[1]](_merge_operand(tbl, cl[0], keys),
+                                    _merge_operand(tbl, cl[2], keys))
         res = pc.fill_null(res, False)
         mask = res if mask is None else pc.and_(mask, res)
     if mask is None:
@@ -406,11 +412,11 @@ def merge_published(
     )
     if bucket_file:
         canon = pq.read_schema(next(iter(sorted(bucket_file.values()))))
-        for c in t_cond_cols:
-            if c not in canon.names:
-                raise ValueError(f"condition references target column {c!r} not in table")
     else:
         canon = src_schema  # merge into an empty table: inserts define the schema
+    for c in t_cond_cols:
+        if c not in canon.names:
+            raise ValueError(f"condition references target column {c!r} not in table")
     tcols_read = keys + [c for c in t_cond_cols if c not in keys]
     tgt_read_schema = pa.schema([canon.field(c) for c in tcols_read])
     out_schema = src_schema.append(pa.field("_action", pa.string()))
@@ -479,17 +485,17 @@ def merge_published(
             joined = src.join(marked, keys=keys, join_type="left outer").combine_chunks()
             matched = pc.is_valid(joined["__matched"])
             if when_matched:
-                m = pc.and_(matched, _eval_merge_cond(joined, matched_condition))
+                m = pc.and_(matched, _eval_merge_cond(joined, matched_condition, keys))
                 hit = joined.filter(m)
                 _emit(hit.select(src_names) if when_matched == "update"
                       else hit.select(keys), when_matched)
             if when_not_matched:
                 m = pc.and_(pc.invert(matched),
-                            _eval_merge_cond(joined, not_matched_condition))
+                            _eval_merge_cond(joined, not_matched_condition, keys))
                 _emit(joined.filter(m).select(src_names), "insert")
         if when_not_matched_by_source and len(tgt):
             only_t = tgt.join(src.select(keys), keys=keys, join_type="left anti")
-            m = _eval_merge_cond(only_t, not_matched_by_source_condition)
+            m = _eval_merge_cond(only_t, not_matched_by_source_condition, keys)
             _emit(only_t.filter(m).select(keys), "delete")
         if not pieces:
             return out_schema.empty_table()
@@ -499,45 +505,63 @@ def merge_published(
     # the classification scratch lives under the TABLE's staging dir, not
     # local /tmp: on a multi-node cluster the write tasks and the re-reading
     # driver only share the table's storage. Deterministic name (run_id, no
-    # pid) so a crash-resume replaces the dead run's leftovers; "-merge"
-    # suffix keeps it clear of upsert_published's own staging/<run_id>
+    # pid); "-merge" suffix keeps it clear of upsert_published's own
+    # staging/<run_id>
     from odibel_ray.cdc.sink import STAGING_DIR
 
     tmp = os.path.join(out_dir, STAGING_DIR, f"{run_id}-merge")
-    shutil.rmtree(tmp, ignore_errors=True)
-    classified.write_parquet(tmp)
-    counts = {"update": 0, "delete": 0, "insert": 0}
-    # an all-empty classification writes no files (and may not create tmp)
-    if os.path.isdir(tmp) and any(f.endswith(".parquet") for f in os.listdir(tmp)):
-        for row in (rd.read_parquet(tmp, columns=["_action"])
-                    .groupby("_action").count().take_all()):
-            counts[row["_action"]] = int(row["count()"])
+    data_dir = os.path.join(tmp, "data")
+    marker = os.path.join(tmp, "_classified.json")
+    if os.path.exists(marker):
+        # crash-resume: REUSE the first run's completed classification.
+        # Reclassifying against the half-published table would diverge —
+        # e.g. with when_matched='delete' + when_not_matched='insert', a key
+        # whose bucket already published its delete would re-classify as
+        # not-matched and be resurrected as an insert.
+        with open(marker) as f:
+            counts = json.load(f)["counts"]
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        classified.write_parquet(data_dir)
+        counts = {"update": 0, "delete": 0, "insert": 0}
+        # an all-empty classification writes no files (and may not create the dir)
+        if os.path.isdir(data_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(data_dir)
+        ):
+            for row in (rd.read_parquet(data_dir, columns=["_action"])
+                        .groupby("_action").count().take_all()):
+                counts[row["_action"]] = int(row["count()"])
+        os.makedirs(tmp, exist_ok=True)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"counts": counts}, f)
+        os.replace(marker + ".tmp", marker)
     n_upsert = counts["update"] + counts["insert"]
     n_delete = counts["delete"]
-    try:
-        if n_upsert == 0 and n_delete == 0:
-            return {"rows_updated": 0, "rows_inserted": 0, "rows_deleted": 0,
-                    "buckets_rewritten": 0, "run_id": run_id}
-
-        def _actions(want: tuple, cols: list[str]):
-            def f(t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t["_action"], pa.array(want))).select(cols)
-            return rd.read_parquet(tmp).map_batches(
-                f, batch_format="pyarrow", batch_size=batch_size)
-
-        res = upsert_published(
-            _actions(("update", "insert"), src_names) if n_upsert else None,
-            out_dir,
-            deletes=_actions(("delete",), keys) if n_delete else None,
-            run_id=run_id,
-            mode=mode,
-            feed_dir=feed_dir,
-            feed_values=feed_values,
-            metrics=metrics,
-            batch_size=batch_size,
-        )
-    finally:
+    if n_upsert == 0 and n_delete == 0:
         shutil.rmtree(tmp, ignore_errors=True)
+        return {"rows_updated": 0, "rows_inserted": 0, "rows_deleted": 0,
+                "buckets_rewritten": 0, "run_id": run_id}
+
+    def _actions(want: tuple, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["_action"], pa.array(want))).select(cols)
+        return rd.read_parquet(data_dir).map_batches(
+            f, batch_format="pyarrow", batch_size=batch_size)
+
+    # scratch is removed only AFTER a successful publish: a crash mid-upsert
+    # leaves it (plus the marker) for the resume path above
+    res = upsert_published(
+        _actions(("update", "insert"), src_names) if n_upsert else None,
+        out_dir,
+        deletes=_actions(("delete",), keys) if n_delete else None,
+        run_id=run_id,
+        mode=mode,
+        feed_dir=feed_dir,
+        feed_values=feed_values,
+        metrics=metrics,
+        batch_size=batch_size,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
     res.update(rows_updated=counts["update"], rows_inserted=counts["insert"],
                rows_deleted=counts["delete"])
     return res

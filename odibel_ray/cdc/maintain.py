@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import os
 
-from odibel_ray.cdc.analyze import load_column_stats, refresh_column_stats
+from odibel_ray.cdc.analyze import (
+    load_column_stats,
+    refresh_column_stats,
+    stats_fresh,
+)
 
 
 def maintain_table(
@@ -74,18 +78,14 @@ def maintain_table(
     else:
         stats = load_column_stats(out_dir)
         if stats is not None:
-            snaps = list_snapshots(out_dir)
-            live = snaps[-1]["version"] if snaps else None
-            pinned = stats["_table"].get("version")
             report["stats_stale"] = (
-                sorted(c for c in stats if not c.startswith("_"))
-                if live != pinned
-                else []
+                [] if stats_fresh(out_dir, stats)
+                else sorted(c for c in stats if not c.startswith("_"))
             )
 
     # retention + vacuum LAST: compaction may have superseded files, and
     # vacuum(keep_snapshots=...) folds the expiry in before its orphan scan
-    if vacuum_after or keep_snapshots is not None:
+    if vacuum_after:
         removed = vacuum(
             out_dir,
             keep_snapshots=keep_snapshots,
@@ -94,6 +94,15 @@ def maintain_table(
             feed_dir=stats_feed if isinstance(stats_feed, str) else None,
         )
         report["vacuum"] = removed
+    elif keep_snapshots is not None:
+        # tighten retention WITHOUT the staging/orphan sweep: vacuum's
+        # contract requires no publish in flight, and the caller explicitly
+        # disabled it — expire_snapshots only drops retired snapshot files
+        from odibel_ray.cdc.sink import expire_snapshots
+
+        report["snapshots_expired"] = expire_snapshots(
+            out_dir, keep_last=keep_snapshots
+        )
     return report
 
 
@@ -139,10 +148,7 @@ def catalog(root: str) -> list[dict]:
         stats = load_column_stats(dirpath)
         stats_state = "none"
         if stats is not None:
-            live = snaps[-1]["version"] if snaps else None
-            stats_state = (
-                "fresh" if stats["_table"].get("version") == live else "stale"
-            )
+            stats_state = "fresh" if stats_fresh(dirpath, stats) else "stale"
         rows.append({
             "table": dirpath,
             "kind": kind,
@@ -208,6 +214,13 @@ def clone_table(
     def _link(rel: str, always_copy: bool = False) -> str:
         s, d = os.path.join(src_dir, rel), os.path.join(dst_dir, rel)
         os.makedirs(os.path.dirname(d), exist_ok=True)
+        if os.path.exists(d):
+            # resume after a mid-clone crash (dst manifest not yet written):
+            # an existing hardlink of the source is already correct; anything
+            # else is a partial copy — replace it
+            if os.path.samefile(s, d):
+                return "linked"
+            os.remove(d)
         if not always_copy:
             try:
                 os.link(s, d)

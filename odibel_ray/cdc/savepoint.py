@@ -12,7 +12,8 @@ expressed over this sink's snapshot files.
 
 A savepoint is:
 
-1. one **pin file** per member table, ``_snapshots/pins/<name>.json`` —
+1. one **pin file** per member table,
+   ``_snapshots/pins/<name>-<manifest-path-hash>.json`` —
    ``expire_snapshots`` (and thus every publish op and ``vacuum``) keeps
    pinned versions and their data files no matter how far past
    ``keep_last`` they fall;
@@ -45,6 +46,16 @@ def _pins_dir(out_dir: str) -> str:
     from odibel_ray.cdc.sink import SNAPSHOT_DIR
 
     return os.path.join(out_dir, SNAPSHOT_DIR, PINS_DIR)
+
+
+def _pin_filename(name: str, manifest_path: str) -> str:
+    """Pin files are keyed by (name, MANIFEST PATH), not name alone — two
+    savepoints whose manifests share a basename (e.g. releases/<month>/cut.json)
+    must not clobber each other's pins on a shared member table."""
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(manifest_path).encode()).hexdigest()[:10]
+    return f"{name}-{h}.json"
 
 
 def pinned_versions(out_dir: str) -> dict[int, list[str]]:
@@ -87,7 +98,12 @@ def create_savepoint(
     if not path.endswith(".json"):
         path = path + ".json"
     name = name or os.path.splitext(os.path.basename(path))[0]
+    prev = None
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
     members = {}
+    written = set()
     for label, out_dir in tables.items():
         if snapshot_policy(out_dir) is None:
             enable_snapshots(out_dir)
@@ -97,11 +113,28 @@ def create_savepoint(
             raise FileNotFoundError(f"table {out_dir!r} has no published state")
         version = snaps[-1]["version"]
         os.makedirs(_pins_dir(out_dir), exist_ok=True)
+        pin = os.path.join(_pins_dir(out_dir), _pin_filename(name, path))
         _atomic_write_json(
-            os.path.join(_pins_dir(out_dir), f"{name}.json"),
-            {"name": name, "version": version, "unix_ts": time.time()},
+            pin,
+            {"name": name, "version": version, "unix_ts": time.time(),
+             "manifest": os.path.abspath(path)},
         )
+        written.add(os.path.abspath(pin))
         members[label] = {"dir": os.path.abspath(out_dir), "version": version}
+    if prev:
+        # replacing the savepoint at this manifest path: unpin the PREVIOUS
+        # cut's members (new pins are written above, so there is no window
+        # with zero pins) — otherwise pins of tables dropped from the set
+        # leak forever, holding their versions and data files
+        pname = prev.get("name", name)
+        for m in prev.get("tables", {}).values():
+            for fn in (_pin_filename(pname, path), f"{pname}.json"):
+                p = os.path.join(_pins_dir(m["dir"]), fn)
+                if os.path.abspath(p) not in written and os.path.exists(p):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
     sp = {"name": name, "unix_ts": time.time(), "tables": members}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     _atomic_write_json(path, sp)
@@ -159,16 +192,19 @@ def drop_savepoint(path: str) -> dict:
     """Remove the savepoint's pins and manifest (metadata-only). The pinned
     versions become ordinary snapshots; the next retention pass may expire
     them."""
+    if not path.endswith(".json"):
+        path = path + ".json"
     sp = load_savepoint(path)
     dropped = 0
     for m in sp["tables"].values():
-        pin = os.path.join(_pins_dir(m["dir"]), f"{sp['name']}.json")
-        try:
-            os.remove(pin)
-            dropped += 1
-        except OSError:
-            pass
-    if not path.endswith(".json"):
-        path = path + ".json"
+        # new-style (name + manifest-path hash) first, legacy name-only second
+        for fn in (_pin_filename(sp["name"], path), f"{sp['name']}.json"):
+            pin = os.path.join(_pins_dir(m["dir"]), fn)
+            try:
+                os.remove(pin)
+                dropped += 1
+                break
+            except OSError:
+                pass
     os.remove(path)
     return {"name": sp["name"], "pins_dropped": dropped}

@@ -111,3 +111,19 @@ def test_catalog_reports_clone_lineage(ray_session, tmp_path):
     assert dst_row["kind"] == "generic-clone"
     assert dst_row["cloned_from"]["table"] == src
     assert "cloned_from" not in rows[src]
+
+
+def test_clone_resumes_after_partial_crash(ray_session, tmp_path):
+    # simulate a mid-clone crash: some bucket files already hardlinked into
+    # dst but no dst table manifest yet — re-running must converge instead
+    # of dying on FileExistsError/SameFileError
+    src = _publish(tmp_path, "src-resume")
+    dst = str(tmp_path / "dst-resume")
+    m = next(iter(load_manifests(src).values()))
+    partial = os.path.join(dst, m["file"])
+    os.makedirs(os.path.dirname(partial), exist_ok=True)
+    os.link(os.path.join(src, m["file"]), partial)
+
+    res = clone_table(src, dst, run_id="c-resume")
+    assert res["buckets"] == 2
+    assert _rows(dst) == _rows(src)

@@ -176,3 +176,32 @@ def test_count_published_paths(table, ray_session):
                            run_id="d1", mode="mor")
     assert res["rows_deleted"] == 1
     assert count_published(table) == len(full) - 1
+
+
+def test_maintain_keep_snapshots_without_vacuum(table, ray_session):
+    # vacuum_after=False must NOT run the staging/orphan sweep even when
+    # retention tightening is requested — a publish may be in flight
+    enable_snapshots(table)
+    for i in range(3):
+        _mor_update(table, 4, f"s{i}")
+    staging = os.path.join(table, "_staging", "in-flight")
+    os.makedirs(staging, exist_ok=True)
+    probe = os.path.join(staging, "bucket-000000-r9.parquet")
+    open(probe, "w").close()
+    rep = maintain_table(table, compact_min_deltas=0, keep_snapshots=1,
+                         vacuum_after=False)
+    assert "vacuum" not in rep
+    assert os.path.exists(probe)  # sweep did not run
+    assert len(list_snapshots(table)) <= 1  # retention still tightened
+    os.remove(probe)
+
+
+def test_stats_freshness_without_snapshots(table, ray_session):
+    # on a table without snapshot retention, version pins are None on both
+    # sides; the run pin must still flag statistics stale after a write
+    analyze_published(table)
+    rep = maintain_table(table, compact_min_deltas=0, vacuum_after=False)
+    assert rep.get("stats_stale") == []
+    _mor_update(table, 4, "w1")
+    rep = maintain_table(table, compact_min_deltas=0, vacuum_after=False)
+    assert rep.get("stats_stale")  # no longer reported fresh

@@ -245,3 +245,37 @@ def test_merge_kill_resume_converges(ray_session, tmp_path):
     want = sorted([(f"k{i:03d}", 1, 0.9) for i in range(n)]
                   + [("new1", 1, 0.9), ("new2", 1, 0.9)])
     assert got == want
+
+
+def test_merge_key_column_conditions(ray_session, tmp_path):
+    # conditions referencing a target KEY column (the only way to gate a
+    # NOT-MATCHED-BY-SOURCE delete on key values) read the plain key column
+    # through the classify join instead of crashing on a missing __t_ rename
+    import ray.data as rd
+
+    out = _publish(tmp_path, BASE)
+    src = pa.table({"k": ["a"], "v": [10], "score": [0.2]})
+    merge_published(
+        rd.from_arrow(src), out,
+        when_matched="update",
+        matched_condition=[(("t", "k"), "==", "a")],
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=[(("t", "k"), "==", "b")],
+        run_id="m-key",
+    )
+    assert _rows(out) == [("a", 10, 0.2), ("c", 3, 0.5), ("d", 4, None)]
+
+
+def test_merge_empty_table_condition_validation(ray_session, tmp_path):
+    # an empty target must reject unknown target-condition columns with the
+    # module's clear ValueError, not a raw KeyError from schema construction
+    import ray.data as rd
+
+    out = _publish(tmp_path, BASE.slice(0, 0))
+    with pytest.raises(ValueError, match="not in table"):
+        merge_published(
+            rd.from_arrow(BASE), out,
+            matched_condition=[(("t", "nope"), "==", 1)],
+            run_id="m-empty-cond",
+        )

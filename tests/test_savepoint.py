@@ -136,3 +136,27 @@ def test_savepoint_idempotent_and_validation(ray_session, lake, tmp_path):
     assert load_savepoint(sp)["name"] == "r1"
     with pytest.raises(ValueError, match="at least one table"):
         create_savepoint(str(tmp_path / "x"), {})
+
+
+def test_savepoint_same_basename_and_member_removal(ray_session, lake, tmp_path):
+    """Pins are keyed by (name, manifest path): a second savepoint whose
+    manifest shares a basename must not clobber the first's pins, and
+    re-creating a savepoint with a member removed unpins that member."""
+    sp1 = create_savepoint(str(tmp_path / "rel-07" / "cut.json"),
+                           {"bronze": lake["bronze"], "silver": lake["silver"]})
+    v1 = sp1["tables"]["bronze"]["version"]
+    incremental_apply(lake["log"], lake["bronze"], run_id="r2")
+    sp2 = create_savepoint(str(tmp_path / "rel-08" / "cut.json"),
+                           {"bronze": lake["bronze"]})
+    v2 = sp2["tables"]["bronze"]["version"]
+    assert v2 != v1
+    pins = pinned_versions(lake["bronze"])
+    assert v1 in pins and v2 in pins  # same basename did not clobber
+
+    # re-create rel-07 WITHOUT silver: its old pins (incl. the dropped
+    # member's) are removed; rel-08's pin survives
+    create_savepoint(str(tmp_path / "rel-07" / "cut.json"),
+                     {"bronze": lake["bronze"]})
+    assert pinned_versions(lake["silver"]) == {}
+    pins = pinned_versions(lake["bronze"])
+    assert v1 not in pins and v2 in pins
