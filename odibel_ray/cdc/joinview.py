@@ -86,6 +86,14 @@ def _norm_right_columns(right_columns, right_schema: pa.Schema, right_keys) -> d
     return {c: c for c in right_columns}
 
 
+def _phys_schema(table_dir: str) -> pa.Schema:
+    """A published table's physical Arrow schema (metadata-only read)."""
+    from odibel_ray.cdc.sink import read_published
+
+    s = read_published(table_dir).schema()
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
 def _join_once(
     left_ds,
     right_ds,
@@ -97,10 +105,14 @@ def _join_once(
     left_columns: list[str],
     right_columns: dict,
     batch_size: int,
+    right_schema: pa.Schema | None = None,
 ):
     """left ⟕/⨝ right with the right side renamed into the view's namespace.
     The probe side streams; the build side goes through the guarded broadcast
-    (bucketed-shuffle fallback past the byte budget)."""
+    (bucketed-shuffle fallback past the byte budget). ``right_schema`` (the
+    right table's physical schema) keeps the join well-typed when the build
+    side restricts to ZERO rows (e.g. a refresh whose dirty keys all lost
+    their match)."""
     from odibel_ray.ops.relational import broadcast_hash_join
 
     def shape_right(t: pa.Table) -> pa.Table:
@@ -110,9 +122,18 @@ def _join_once(
             cols[dst] = t[src]
         return pa.table(cols)
 
+    build_schema = None
+    if right_schema is not None:
+        build_schema = pa.schema(
+            [pa.field(o, right_schema.field(rk).type)
+             for o, rk in zip(on, right_keys)]
+            + [pa.field(dst, right_schema.field(src).type)
+               for src, dst in right_columns.items()]
+        )
     build = right_ds.map_batches(shape_right, batch_format="pyarrow", batch_size=batch_size)
     joined = broadcast_hash_join(
-        left_ds, build, on, how=how, batch_size=batch_size
+        left_ds, build, on, how=how, batch_size=batch_size,
+        small_schema=build_schema,
     )
     out_cols = [*left_keys, *left_columns, *right_columns.values()]
 
@@ -176,8 +197,12 @@ def create_join_view(
         left_columns = list(left_columns)
     # the join columns ride along as ordinary view columns — a right-driven
     # refresh needs them to exist in left reads, and dropping them from the
-    # view would make the join key invisible downstream
-    left_columns = list(dict.fromkeys([*left_columns, *on]))
+    # view would make the join key invisible downstream. Left KEY columns are
+    # excluded: they are always selected as keys, and listing them here too
+    # would duplicate the column in the view schema (e.g. joining ON a key)
+    left_columns = [
+        c for c in dict.fromkeys([*left_columns, *on]) if c not in left_keys
+    ]
     taken = set(left_keys) | set(left_columns)
     clash = [dst for dst in rcols.values() if dst in taken]
     if clash:
@@ -200,6 +225,7 @@ def create_join_view(
         read_published(right_out, columns=need_right),
         left_keys=left_keys, on=on, right_keys=right_keys, how=how,
         left_columns=left_columns, right_columns=rcols, batch_size=batch_size,
+        right_schema=right_schema,
     )
     res = publish_dataset(
         rows, out_dir, key_cols=left_keys, num_buckets=num_buckets, run_id=run_id
@@ -280,7 +306,9 @@ def refresh_join_view(
         v1r != v0r and v0r not in {s["version"] for s in rsnaps}
     )
     if expired:
-        return _full_refresh(out_dir, meta, run_id=run_id, batch_size=batch_size, emit_feed=emit_feed)
+        return _full_refresh(out_dir, meta, run_id=run_id,
+                             batch_size=batch_size, emit_feed=emit_feed,
+                             mode=mode)
 
     # ---- dirty left keys --------------------------------------------------
     dirty_parts = []
@@ -359,10 +387,12 @@ def refresh_join_view(
         scoped_left, right_restricted,
         left_keys=left_keys, on=on, right_keys=right_keys, how=how,
         left_columns=left_columns, right_columns=rcols, batch_size=batch_size,
+        right_schema=_phys_schema(right),
     ).materialize()
     # dirty keys with no recomputed row: left row deleted, or how='inner'
-    # and the match vanished
-    deletes = exact_dedup(broadcast_anti_join(dirty, updates, on=left_keys), left_keys)
+    # and the match vanished (dirty is already globally distinct, so the
+    # anti-join output needs no further dedup exchange)
+    deletes = broadcast_anti_join(dirty, updates, on=left_keys)
 
     n_up, n_del = updates.count(), deletes.count()
     if n_up == 0 and n_del == 0:
@@ -390,7 +420,8 @@ def refresh_join_view(
     }
 
 
-def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int, emit_feed: str | None = None) -> dict:
+def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int,
+                  emit_feed: str | None = None, mode: str = "cow") -> dict:
     """Snapshot-expired fallback: recompute the whole join, delete view keys
     that no longer qualify, upsert the rest (changed buckets only)."""
     from odibel_ray.cdc.sink import (
@@ -412,13 +443,14 @@ def _full_refresh(out_dir: str, meta: dict, *, run_id: str, batch_size: int, emi
         read_published(right, columns=need_right),
         left_keys=left_keys, on=on, right_keys=right_keys, how=how,
         left_columns=left_columns, right_columns=rcols, batch_size=batch_size,
+        right_schema=_phys_schema(right),
     ).materialize()
     cur_keys = read_published(out_dir, system=True, columns=left_keys)
     deletes = broadcast_anti_join(cur_keys, updates, on=left_keys)
     n_del = deletes.count()
     res = upsert_published(
         updates, out_dir, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size, feed_dir=emit_feed,
+        batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     v1l = list_snapshots(left)[-1]["version"]
     v1r = list_snapshots(right)[-1]["version"]

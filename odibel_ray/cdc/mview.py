@@ -146,11 +146,26 @@ def _partial_specs(plan: _Plan):
     return specs, gen2canon
 
 
+def _reject_null_groups(t: pa.Table, keys: Sequence[str]) -> None:
+    """NULL group-key values are rejected up front: Arrow joins never match
+    NULL keys, so the refresh paths (semi-join scoping, delta left join,
+    anti-join deletes) would silently corrupt or drop the NULL group while
+    create_view happily aggregates it — a loud error beats silent skew."""
+    for g in keys:
+        if t[g].null_count:
+            raise ValueError(
+                f"group key {g!r} contains NULL values; incremental view "
+                "maintenance cannot track the NULL group (Arrow joins never "
+                "match NULL keys) — COALESCE it in the base table first"
+            )
+
+
 def _partial_batch(t: pa.Table, plan: _Plan, num_buckets: int) -> pa.Table:
     from odibel_ray.cdc.lww import bucket_of_keys
 
     keys = list(plan.group_keys)
     t = t.combine_chunks().select(list(dict.fromkeys(keys + plan.src_cols)))
+    _reject_null_groups(t, keys)
     specs, ren = _partial_specs(plan)
     g = t.group_by(keys).aggregate(specs)
     g = g.rename_columns([ren.get(c, c) for c in g.column_names])
@@ -349,6 +364,7 @@ def _dirty_batch(t: pa.Table, plan: _Plan, base_keys: list[str]) -> pa.Table:
             pa.table({g: _group_col(tt, g, side, base_keys) for g in plan.group_keys})
         )
     out = pa.concat_tables(parts, promote_options="default")
+    _reject_null_groups(out, plan.group_keys)
     return out.group_by(list(plan.group_keys)).aggregate([])
 
 
@@ -373,10 +389,14 @@ def _delta_batch(t: pa.Table, plan: _Plan, base_keys: list[str], num_buckets: in
             x = _group_col(tt, s, side, base_keys)
             valid = pc.cast(pc.is_valid(x), pa.int64())
             cols[_hid_cnt(s)] = pc.multiply(valid, sign)
-            xs = pc.fill_null(pc.cast(x, pa.float64()), 0.0)
-            cols[_hid_sum(s)] = pc.multiply(xs, float(sign))
+            # integer sums stay int64 through the whole delta chain (float64
+            # rounds beyond 2^53); floats keep float64
+            acc = pa.int64() if pa.types.is_integer(x.type) else pa.float64()
+            xs = pc.fill_null(pc.cast(x, acc), pa.scalar(0, acc))
+            cols[_hid_sum(s)] = pc.multiply(xs, pa.scalar(sign, acc))
         parts.append(pa.table(cols))
     out = pa.concat_tables(parts, promote_options="default")
+    _reject_null_groups(out, plan.group_keys)
     keys = list(plan.group_keys)
     specs = [(_HIDDEN_N, "sum")]
     ren = {f"{_HIDDEN_N}_sum": _HIDDEN_N}
@@ -423,15 +443,18 @@ def _apply_deltas(t: pa.Table, plan: _Plan, canon: pa.Schema) -> pa.Table:
     for s in plan.sum_srcs:
         dc = pc.add(t[_hid_cnt(s)], old(_hid_cnt(s), pa.int64()))
         stype = canon.field(_hid_sum(s)).type
+        # integer sums stay in int64 end-to-end — routing through float64
+        # silently rounds beyond 2^53, drifting from the exact rescan answer
+        acc = pa.int64() if pa.types.is_integer(stype) else pa.float64()
         ds_ = pc.add(
-            pc.cast(t[_hid_sum(s)], pa.float64()),
-            pc.cast(old(_hid_sum(s), pa.float64()), pa.float64()),
+            pc.cast(t[_hid_sum(s)], acc),
+            pc.cast(old(_hid_sum(s), acc), acc),
         )
         # restore SQL null semantics: a group with no valid values has a NULL
         # sum, and float noise from telescoped deltas is pinned to 0 there
         hidden[_hid_cnt(s)] = dc
         hidden[_hid_sum(s)] = pc.cast(
-            pc.if_else(pc.greater(dc, 0), ds_, pa.nulls(n, pa.float64())), stype
+            pc.if_else(pc.greater(dc, 0), ds_, pa.nulls(n, acc)), stype
         )
     g = pa.table({**cols, **hidden})
     out = _finalize(g, plan)
@@ -497,7 +520,9 @@ def refresh_view(
             # the pinned version expired — snapshot diff impossible; fall back
             # to a full recompute through the same upsert (still only rewrites
             # buckets whose groups changed)
-            return _full_refresh(view_out, meta, plan, run_id=run_id, batch_size=batch_size, emit_feed=emit_feed)
+            return _full_refresh(view_out, meta, plan, run_id=run_id,
+                                 batch_size=batch_size, emit_feed=emit_feed,
+                                 mode=mode)
         feed_ds = table_changes(base, v0, v1, keys=base_keys, values=need_vals)
     else:
         feed_ds = _feed_dataset(feed)
@@ -508,38 +533,74 @@ def refresh_view(
     canon = _view_schema(view_out)
 
     if strategy == "delta":
-        deltas = (
-            feed_ds.map_batches(
-                _p(_delta_batch, plan=plan, base_keys=base_keys, num_buckets=nb),
+        import shutil
+
+        import ray.data as rd
+
+        from odibel_ray.cdc.sink import STAGING_DIR
+
+        # delta resolution reads the view's CURRENT partials, so a crash
+        # between upsert_published and the base_version pin must NOT lead a
+        # rerun to recompute against the half-updated view (double-applied
+        # deltas). The resolved rows are staged deterministically with a
+        # completion marker; a rerun with the same run_id reuses them.
+        tmp = os.path.join(view_out, STAGING_DIR, f"{run_id}-mview")
+        data_dir = os.path.join(tmp, "data")
+        marker = os.path.join(tmp, "_resolved.json")
+        mk = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                mk = json.load(f)
+        if mk and mk.get("v0") == v0 and mk.get("v1") == v1:
+            resolved = rd.read_parquet(data_dir)
+            n_up, n_del = int(mk["n_up"]), int(mk["n_del"])
+        else:
+            deltas = (
+                feed_ds.map_batches(
+                    _p(_delta_batch, plan=plan, base_keys=base_keys, num_buckets=nb),
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                )
+                .groupby("_b")
+                .map_groups(_p(_delta_merge, plan=plan), batch_format="pyarrow")
+            )
+            # bounded by the number of dirty groups (≤ feed rows), not the base
+            deltas = deltas.materialize()
+            # only the group keys + hidden partials feed the join; visible
+            # aggregates are recomputed from partials by _finalize anyway
+            cur = read_published(
+                view_out, system=True,
+                columns=list(plan.group_keys) + list(plan.hidden_cols),
+            )
+            scoped = broadcast_semi_join(cur, deltas, on=list(plan.group_keys)).materialize()
+            from odibel_ray.ops.relational import broadcast_hash_join
+
+            if scoped.count() == 0:
+                joined = deltas  # every dirty group is new: all olds default to 0
+            else:
+                joined = broadcast_hash_join(
+                    deltas, scoped, on=list(plan.group_keys), how="left", suffix="_old"
+                )
+            resolved = joined.map_batches(
+                _p(_apply_deltas, plan=plan, canon=canon),
                 batch_format="pyarrow",
                 batch_size=batch_size,
-            )
-            .groupby("_b")
-            .map_groups(_p(_delta_merge, plan=plan), batch_format="pyarrow")
-        )
-        # bounded by the number of dirty groups (≤ feed rows), not the base
-        deltas = deltas.materialize()
-        cur = read_published(view_out, system=True)
-        scoped = broadcast_semi_join(cur, deltas, on=list(plan.group_keys)).materialize()
-        from odibel_ray.ops.relational import broadcast_hash_join
-
-        if scoped.count() == 0:
-            joined = deltas  # every dirty group is new: all olds default to 0
-        else:
-            joined = broadcast_hash_join(
-                deltas, scoped, on=list(plan.group_keys), how="left", suffix="_old"
-            )
-        resolved = joined.map_batches(
-            _p(_apply_deltas, plan=plan, canon=canon),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        ).materialize()
+            ).materialize()
+            n_total = resolved.count()
+            n_del = resolved.filter(expr="__dead == True").count()
+            n_up = n_total - n_del
+            if n_total:
+                shutil.rmtree(tmp, ignore_errors=True)
+                resolved.write_parquet(data_dir)
+                resolved = rd.read_parquet(data_dir)
+                os.makedirs(tmp, exist_ok=True)
+                with open(marker + ".tmp", "w") as f:
+                    json.dump({"v0": v0, "v1": v1, "n_up": n_up, "n_del": n_del}, f)
+                os.replace(marker + ".tmp", marker)
         updates = resolved.filter(expr="__dead == False").drop_columns(["__dead"])
         deletes = resolved.filter(expr="__dead == True").select_columns(
             list(plan.group_keys)
         )
-        n_del = deletes.count()
-        n_up = resolved.count() - n_del
     else:
         dirty = feed_ds.map_batches(
             _p(_dirty_batch, plan=plan, base_keys=base_keys),
@@ -566,6 +627,13 @@ def refresh_view(
         batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     _atomic_write_json(_meta_path(view_out), {**meta, "base_version": v1})
+    if strategy == "delta":
+        import shutil
+
+        from odibel_ray.cdc.sink import STAGING_DIR
+
+        shutil.rmtree(os.path.join(view_out, STAGING_DIR, f"{run_id}-mview"),
+                      ignore_errors=True)
     return {
         "refreshed": True,
         "strategy": strategy,
@@ -588,7 +656,9 @@ def _view_schema(view_out: str) -> pa.Schema:
     raise FileNotFoundError(f"view {view_out} has no published state")
 
 
-def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str, batch_size: int, emit_feed: str | None = None) -> dict:
+def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str,
+                  batch_size: int, emit_feed: str | None = None,
+                  mode: str = "cow") -> dict:
     """Recompute every group (the snapshot-expired fallback): aggregate the
     whole base, delete view groups that no longer exist, upsert the rest."""
     from odibel_ray.cdc.sink import (
@@ -610,7 +680,7 @@ def _full_refresh(view_out: str, meta: dict, plan: _Plan, *, run_id: str, batch_
     n_del = deletes.count()
     res = upsert_published(
         updates, view_out, deletes=deletes if n_del else None, run_id=run_id,
-        batch_size=batch_size, feed_dir=emit_feed,
+        batch_size=batch_size, feed_dir=emit_feed, mode=mode,
     )
     v1 = list_snapshots(base)[-1]["version"]
     _atomic_write_json(_meta_path(view_out), {**meta, "base_version": v1})

@@ -307,9 +307,18 @@ def refresh_pipeline(
         shutil.rmtree(fdir, ignore_errors=True)
     sp = None
     if savepoint:
+        from collections import Counter
+
         from odibel_ray.cdc.savepoint import create_savepoint
 
+        # label by basename, but fall back to the full path for tables whose
+        # basenames collide (e.g. .../orders/stats and .../users/stats) —
+        # a dict comprehension would silently pin only the last one
+        base = {t: os.path.basename(os.path.normpath(t)) for t in tables}
+        dup = {b for b, n in Counter(base.values()).items() if n > 1}
         sp = create_savepoint(
-            savepoint, {os.path.basename(os.path.normpath(t)): t for t in tables}
+            savepoint,
+            {(os.path.normpath(t) if base[t] in dup else base[t]): t
+             for t in tables},
         )
     return {"order": [n["table"] for n in order], "results": results, "savepoint": sp}

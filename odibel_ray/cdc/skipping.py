@@ -58,6 +58,14 @@ def check_where(where: Sequence[Sequence]) -> list[tuple]:
             raise ValueError(f"unsupported where op {op!r} (have {sorted(_OPS)})")
         if op in ("in", "not_in") and not isinstance(val, (list, tuple, set)):
             raise ValueError(f"where op {op!r} needs a list value")
+        if val is None and op not in ("is_null", "not_null", "in", "not_in"):
+            # a comparison against NULL is NULL for every row (SQL), i.e. a
+            # clause that never matches — as an expectation it would pass
+            # everything; reject instead of storing a vacuous constraint
+            raise ValueError(
+                f"where clause ({col!r}, {op!r}) has no value; comparisons "
+                "against NULL never match — use is_null/not_null"
+            )
         out.append((col, op, list(val) if op in ("in", "not_in") else val))
     return out
 

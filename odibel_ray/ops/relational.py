@@ -46,6 +46,15 @@ DEFAULT_BROADCAST_LIMIT = int(
 )
 
 
+def _empty_like(ds) -> pa.Table:
+    """Zero-row Arrow table CARRYING the dataset's schema — a bare
+    ``pa.table({})`` has no columns, so a downstream ``Table.join`` against
+    it fails with 'no match for key field' instead of joining empty."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) if schema is not None else None
+    return base.empty_table() if base is not None else pa.table({})
+
+
 def _small_table(obj) -> pa.Table:
     """Materialize a small side to one Arrow table (Dataset | Table).
 
@@ -58,7 +67,7 @@ def _small_table(obj) -> pa.Table:
 
     tables = [ray.get(r) for r in obj.to_arrow_refs()]
     if not tables:
-        return pa.table({})
+        return _empty_like(obj)
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
@@ -91,7 +100,7 @@ def _collect_small(obj, max_bytes: int | None):
             return None, rd.from_arrow_refs(refs)
         tables.append(t)
     if not tables:
-        return pa.table({}), None
+        return _empty_like(obj), None
     return pa.concat_tables(tables, promote_options="default").combine_chunks(), None
 
 
@@ -199,8 +208,14 @@ def broadcast_hash_join(
     batch_size: int = 65536,
     max_broadcast_bytes: int | None = None,
     ds_schema: pa.Schema | None = None,
+    small_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Join ``ds`` (probe, streaming) with a small build side, broadcast once.
+
+    Pass ``small_schema`` when the build side is a lazy pipeline that can
+    produce ZERO rows — an executed-empty pipeline reports no schema, and a
+    column-less build table would fail the per-batch join instead of joining
+    empty (left rows keep null right columns).
 
     The per-batch probe is ``pyarrow.Table.join`` (vectorized hash join inside
     Arrow). ``how`` ∈ {'inner', 'left'} — the two modes of the reference's
@@ -215,6 +230,8 @@ def broadcast_hash_join(
     on = [on] if isinstance(on, str) else list(on)
     limit = DEFAULT_BROADCAST_LIMIT if max_broadcast_bytes is None else max_broadcast_bytes
     small_t, fallback = _collect_small(small, limit)
+    if small_t is not None and small_t.num_columns == 0 and small_schema is not None:
+        small_t = small_schema.empty_table()
     if fallback is not None:
         return bucketed_join(
             ds,

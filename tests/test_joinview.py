@@ -200,3 +200,25 @@ def test_collision_and_bad_on_rejected(ray_session, based, tmp_path):
             based["base"], based["dim_dir"], str(tmp_path / "b"),
             on=["tool_name", "role"],  # dim has a single key column
         )
+
+
+def test_join_on_left_key_column(ray_session, tmp_path):
+    # joining ON a left KEY column must not duplicate it in the view schema
+    left = pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    right = pa.table({"k": ["a", "c"], "label": ["A", "C"]})
+    ldir, rdir = str(tmp_path / "lkey"), str(tmp_path / "rkey")
+    publish_dataset(rd.from_arrow(left), ldir, key_cols=["k"], num_buckets=2,
+                    run_id="l1")
+    publish_dataset(rd.from_arrow(right), rdir, key_cols=["k"], num_buckets=2,
+                    run_id="r1")
+    vdir = str(tmp_path / "vkey")
+    create_join_view(ldir, rdir, vdir, on="k", how="left", run_id="v1")
+    got = read_join_view(vdir).to_pandas().sort_values("k", ignore_index=True)
+    assert list(got.columns).count("k") == 1
+    assert got["label"].tolist() == ["A", None, "C"]
+    # a refresh over the key-joined view stays healthy
+    upsert_published(rd.from_arrow(pa.table({"k": ["b"], "v": [20]})), ldir,
+                     run_id="l2")
+    refresh_join_view(vdir, run_id="v2")
+    got = read_join_view(vdir).to_pandas().sort_values("k", ignore_index=True)
+    assert got["v"].tolist() == [1, 20, 3]

@@ -243,3 +243,49 @@ def test_upsert_rejects_missing_columns_and_non_generic(ray_session, generic_tab
         upsert_published(bad, generic_table, run_id="u2")
     with pytest.raises(FileNotFoundError, match="generic"):
         upsert_published(bad, str(tmp_path / "nope"), run_id="u2")
+
+
+def test_view_rejects_null_group_keys(ray_session, tmp_path):
+    # Arrow joins never match NULL keys, so incremental maintenance of a NULL
+    # group would silently corrupt it — create_view refuses loudly instead
+    import ray.data as rd
+
+    from odibel_ray.cdc.mview import create_view
+
+    base = str(tmp_path / "nullbase")
+    publish_dataset(
+        rd.from_arrow(pa.table({"k": ["a", "b", "c"],
+                                "g": ["x", None, "y"],
+                                "v": [1, 2, 3]})),
+        base, key_cols=["k"], num_buckets=2, run_id="b1",
+    )
+    with pytest.raises((ValueError, Exception), match="NULL"):
+        create_view(base, str(tmp_path / "nullview"),
+                    group_keys=["g"], aggs={"n": ("count", "")}, run_id="v1")
+
+
+def test_delta_refresh_int_sums_exact_beyond_2_53(ray_session, tmp_path):
+    # integer sums must not round through float64: deltas on values near
+    # 2^60 stay exact end-to-end
+    import ray.data as rd
+
+    from odibel_ray.cdc.mview import create_view, read_view, refresh_view
+
+    big = 1 << 60
+    base = str(tmp_path / "bigbase")
+    publish_dataset(
+        rd.from_arrow(pa.table({"k": ["a", "b"], "g": ["x", "x"],
+                                "v": pa.array([big, 7], pa.int64())})),
+        base, key_cols=["k"], num_buckets=2, run_id="b1",
+    )
+    view = str(tmp_path / "bigview")
+    create_view(base, view, group_keys=["g"], aggs={"s": ("sum", "v")},
+                run_id="v1")
+    upsert_published(
+        rd.from_arrow(pa.table({"k": ["c"], "g": ["x"],
+                                "v": pa.array([3], pa.int64())})),
+        base, run_id="b2",
+    )
+    refresh_view(view, strategy="delta", run_id="v2")
+    rows = read_view(view).take_all()
+    assert rows[0]["s"] == big + 7 + 3  # float64 would round this
