@@ -258,8 +258,8 @@ def clone_table(
             _atomic_write_json(
                 os.path.join(dst_dir, MANIFEST_DIR, f"bucket-{b:06d}.json"), m
             )
-        for meta in ("_layout.json", SCHEMA_OPS, "_expectations.json",
-                     "_colstats.json"):
+        for meta in ("_layout.json", "_replay_layout.json", SCHEMA_OPS,
+                     "_expectations.json", "_colstats.json"):
             if os.path.exists(os.path.join(src_dir, meta)):
                 _link(meta, always_copy=True)
         with open(os.path.join(src_dir, TABLE_MANIFEST)) as f:

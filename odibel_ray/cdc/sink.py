@@ -110,6 +110,19 @@ class table_lock:
         #: jobs hitting one table serialize instead of one of them dying.
         self.wait_s = float(wait_s)
         self._held = False
+        # Unique per-lock-instance fencing token: release()/refresh() verify
+        # it against the on-disk lock before acting, so a writer whose lease
+        # was reclaimed (TTL expiry on another host) cannot delete or extend
+        # the NEW holder's lease.
+        import uuid
+
+        self._token = uuid.uuid4().hex
+
+    #: An acquire()-side .takeover file lives for milliseconds (create →
+    #: os.replace). One older than this is an orphan from a reclaimer that
+    #: crashed between the two steps — without cleanup it wedges reclaim
+    #: forever (O_EXCL create always fails, nothing else removes it).
+    TAKEOVER_TTL_S = 60.0
 
     def _payload(self) -> bytes:
         import socket
@@ -120,8 +133,17 @@ class table_lock:
                 "pid": os.getpid(),
                 "host": socket.gethostname(),
                 "ttl_s": self.ttl_s,
+                "token": self._token,
             }
         ).encode()
+
+    def _owns(self) -> bool:
+        """True iff the on-disk lock file still carries OUR fencing token."""
+        try:
+            with open(self.path) as f:
+                return json.load(f).get("token") == self._token
+        except (OSError, ValueError):
+            return False
 
     def _try_create(self, path: str) -> bool:
         try:
@@ -166,6 +188,13 @@ class table_lock:
                 return self
             if self._is_stale():
                 takeover = self.path + ".takeover"
+                try:
+                    # Clear an orphaned takeover (reclaimer died between
+                    # create and replace) so reclaim can't wedge permanently.
+                    if _time.time() - os.path.getmtime(takeover) > self.TAKEOVER_TTL_S:
+                        os.remove(takeover)
+                except OSError:
+                    pass
                 if self._try_create(takeover):
                     os.replace(takeover, self.path)
                     self._held = True
@@ -186,14 +215,30 @@ class table_lock:
         )
 
     def refresh(self) -> None:
-        """Bump the lease mtime (long writers call this between rounds)."""
-        if self._held:
-            os.utime(self.path, None)
+        """Bump the lease mtime (long writers call this between rounds).
+
+        Raises :class:`ConcurrentWriterError` if the lease was reclaimed
+        (TTL expiry) and is now held by another writer — extending it would
+        keep the WRONG writer's lease alive, and the caller must stop
+        mutating the table immediately.
+        """
+        if not self._held:
+            return
+        if not self._owns():
+            self._held = False
+            raise ConcurrentWriterError(
+                f"lease on {self.out_dir} was reclaimed by another writer "
+                "(TTL expired mid-run) — aborting to preserve single-writer"
+            )
+        os.utime(self.path, None)
 
     def release(self) -> None:
         if self._held:
             try:
-                os.remove(self.path)
+                # Fencing check: only remove the lock if it is still OURS —
+                # a reclaimed lease now belongs to the new holder.
+                if self._owns():
+                    os.remove(self.path)
             except OSError:
                 pass
             self._held = False
@@ -831,7 +876,9 @@ def _shard_apply_write(batch: pa.Table, *, timeline: SchemaTimeline, staging: st
     outs = []
     for row in batch.to_pylist():
         part = int(row["part"])
-        if part in done:
+        if part in done or not row["files"]:
+            # empty part=N dir: producer created it but never wrote a file
+            # (or it was vacuumed) — nothing to apply, not an error
             continue
         tables = [pq_.read_table(f) for f in row["files"]]
         t = pa.concat_tables(tables, promote_options="default").combine_chunks()
@@ -870,6 +917,25 @@ def replay_publish(
     import ray.data as rd
 
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    # Pin the bucket layout BEFORE any staging (the publish_dataset pattern):
+    # a crashed run resumed with a different num_buckets would otherwise
+    # filter new-modulus bucket ids against old-modulus manifests in
+    # _drop_done — silently dropping rows and splitting keys across
+    # inconsistent buckets. TABLE_MANIFEST can't serve as the pin because it
+    # is only written at the very end of a successful run.
+    pin_path = os.path.join(out_dir, "_replay_layout.json")
+    pin = {"num_buckets": num_buckets, "partitioned": bool(partitioned)}
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            prev = json.load(f)
+        if prev != pin:
+            raise ValueError(
+                f"resume layout mismatch for {out_dir}: a prior run pinned "
+                f"{prev}, this run asked for {pin} — finish/vacuum the table "
+                "with the pinned layout or use rebucket_published to resize"
+            )
+    else:
+        _atomic_write_json(pin_path, pin)
     if snapshots is not None:
         enable_snapshots(out_dir, keep_last=snapshots)
     staging = os.path.join(out_dir, STAGING_DIR, run_id)
@@ -888,7 +954,9 @@ def replay_publish(
             part = int(os.path.basename(pdir).split("=", 1)[1])
             files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
             items.append({"part": part, "files": files})
-        shard_ds = rd.from_items(items, override_num_blocks=len(items))
+        # max(.., 1): an empty log dir (no part=* yet) must publish zero
+        # buckets, not crash from_items with override_num_blocks=0
+        shard_ds = rd.from_items(items, override_num_blocks=max(len(items), 1))
         # task_cpus sizes per-stage concurrency (session cpus / task_cpus
         # concurrent shard tasks) — raise it when logical CPUs exceed the
         # node's real parallel capacity so tasks don't thrash.
@@ -910,11 +978,13 @@ def replay_publish(
             "last_run_id": run_id,
         }
         _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), table_manifest)
+        snap = record_snapshot(out_dir, "replay_publish")
         return {
             "published_now": len(published),
             "published_total": len(all_manifests),
             "n_events_applied": int(sum(p["n_events"] for p in published)),
             "rows_total": table_manifest["rows_total"],
+            "snapshot": snap["version"] if snap else None,
             "out_dir": out_dir,
         }
 
@@ -1288,9 +1358,22 @@ def lookup_key(
     single_key_hash = num_buckets and not generic_multi
     candidates = list(manifests.values())
     if single_key_hash:
-        b = int(
-            bucket_of_keys(pa.table({"k": [conv_id]}), ["k"], int(num_buckets))[0]
-        )
+        probe = pa.array([conv_id])
+        if manifests:
+            # Cast the probe to the CANONICAL key type before hashing:
+            # pd.util.hash_array hashes int32(-5) and int64(-5) (or s/ms
+            # timestamps) differently, so an uncast probe on a non-int64
+            # generic key would route to the wrong bucket and silently
+            # return empty. Keys are layout-pinned, so the first file's
+            # key field is authoritative even mid-DDL.
+            try:
+                canon = pq.read_schema(
+                    os.path.join(out_dir, next(iter(manifests.values()))["file"])
+                )
+                probe = probe.cast(canon.field(key_cols[0]).type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, KeyError):
+                pass  # unroutable probe type: keep the inferred type
+        b = int(bucket_of_keys(pa.table({"k": probe}), ["k"], int(num_buckets))[0])
         candidates = [manifests[b]] if b in manifests else []
     elif (num_buckets and generic_multi and len(key_cols) == 2
           and turn_idx is not None and manifests
@@ -1442,15 +1525,25 @@ def table_changes(
     exactly those columns."""
     from odibel_ray.cdc.lww import change_feed
 
+    generic = os.path.exists(os.path.join(out_dir, "_layout.json"))
     if keys is None:
-        layout_path = os.path.join(out_dir, "_layout.json")
-        if os.path.exists(layout_path):
-            with open(layout_path) as f:
+        if generic:
+            with open(os.path.join(out_dir, "_layout.json")) as f:
                 keys = list(json.load(f)["key_cols"])
         else:
             keys = ["conv_id", "turn_idx"]
     if values is None:
-        values = ["text"]
+        if generic:
+            # generic tables have no 'text' column by contract — default to
+            # every non-key, non-system column (footer-only schema probe)
+            mans = load_manifests(out_dir)
+            names: list[str] = []
+            if mans:
+                first = next(iter(mans.values()))
+                names = pq.read_schema(os.path.join(out_dir, first["file"])).names
+            values = [c for c in names if c not in keys and not c.startswith("_")]
+        else:
+            values = ["text"]
     cols = keys + values
     old = read_published(out_dir, version=from_version, columns=cols, system=True)
     new = read_published(out_dir, version=to_version, columns=cols, system=True)
@@ -1535,17 +1628,12 @@ def fsck_table(out_dir: str) -> dict:
         if (fn.startswith("part-") or fn.startswith("delta-")) and fn.endswith(".parquet"):
             if fn not in referenced:
                 warnings.append(f"orphan data file {fn} (vacuum)")
-    lock = os.path.join(out_dir, "_LOCK.json")
-    if os.path.exists(lock):
-        try:
-            with open(lock) as f:
-                holder = json.load(f)
-            pid = int(holder.get("pid", -1))
-            alive = pid > 0 and os.path.exists(f"/proc/{pid}")
-        except Exception:
-            alive = False
-        if not alive:
-            warnings.append("stale writer lease (_LOCK.json, holder dead)")
+    # Reuse table_lock's staleness rule (TTL + same-host pid liveness via
+    # os.kill(pid, 0)) — a /proc probe is Linux-only and, cross-host, tests
+    # the WRONG machine's pid table, flagging healthy remote writers stale.
+    if os.path.exists(os.path.join(out_dir, "_LOCK.json")):
+        if table_lock(out_dir)._is_stale():
+            warnings.append("stale writer lease (_LOCK.json, holder dead or TTL expired)")
     return {"ok": not errors, "errors": errors, "warnings": warnings}
 
 
@@ -2436,9 +2524,12 @@ def incremental_apply(
             keep = np.ones(n, dtype=bool)
             if n > 1:
                 conv, turn = t["conv_id"], t["turn_idx"]
-                same_next = pc.and_(
-                    pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-                    pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+                same_next = pc.fill_null(
+                    pc.and_(
+                        pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                        pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+                    ),
+                    False,
                 ).to_numpy(zero_copy_only=False)
                 b = t["_base"].to_numpy(zero_copy_only=False).astype(bool)
                 keep[: n - 1] = ~(same_next & (b[:-1] == b[1:]))
@@ -2973,6 +3064,11 @@ def _upsert_write_group(
     old = None
     if old_file is not None:
         old = pq.read_table(os.path.join(out_dir, old_file))
+    if old is None and len(ups) == 0:
+        # delete-only group aimed at a bucket that was never published:
+        # nothing to remove, nothing to write — publishing here would pin a
+        # phantom zero-row bucket file that every future read opens
+        return _MANIFEST_SCHEMA.empty_table()
     if old is not None:
         survivors = old.join(touched, keys=key_cols, join_type="left anti")
         new = pa.concat_tables([survivors, ups], promote_options="default")
