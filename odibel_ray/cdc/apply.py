@@ -213,17 +213,16 @@ def dead_letter_scan(
 
 def _keep_last_mask(t: pa.Table) -> np.ndarray:
     """Boolean mask of the max-LSN row per key. ``t`` MUST already be sorted by
-    ``(conv_id, turn_idx, lsn)`` and combined into one chunk."""
+    ``(conv_id, turn_idx, lsn)`` and combined into one chunk. One shared
+    neighbor-compare kernel (:func:`odibel_ray.cdc.lww._same_next_key_mask`)
+    backs every LWW mask in the package so null-safety fixes propagate."""
+    from odibel_ray.cdc.lww import _same_next_key_mask
+
     n = len(t)
     mask = np.ones(n, dtype=bool)
     if n <= 1:
         return mask
-    conv, turn = t["conv_id"], t["turn_idx"]
-    same_next = pc.and_(
-        pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-        pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-    )
-    mask[: n - 1] = ~same_next.to_numpy(zero_copy_only=False)
+    mask[: n - 1] = ~_same_next_key_mask(t, ("conv_id", "turn_idx"))
     return mask
 
 
@@ -276,15 +275,19 @@ def apply_group_history(t: pa.Table) -> pa.Table:
     t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
     n = len(t)
     lsn = t["lsn"].to_numpy(zero_copy_only=False)
-    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # ts is nullable in LOG_SCHEMA and a null must not poison the int64 path
+    # (to_numpy would round-trip through float64 NaN and crash the cast
+    # below). Fill for the window arithmetic; a null CLOSING ts re-emerges
+    # as a null ts_end (exact lsn_end still bounds the window).
+    ts_col = t["ts"].cast(pa.int64())
+    ts_null = pc.is_null(ts_col).to_numpy(zero_copy_only=False)
+    ts = pc.fill_null(ts_col, TS_SENTINEL_US).to_numpy(zero_copy_only=False)
 
     next_same = np.zeros(n, dtype=bool)
     if n > 1:
-        conv, turn = t["conv_id"], t["turn_idx"]
-        next_same[: n - 1] = pc.and_(
-            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-        ).to_numpy(zero_copy_only=False)
+        from odibel_ray.cdc.lww import _same_next_key_mask
+
+        next_same[: n - 1] = _same_next_key_mask(t, ("conv_id", "turn_idx"))
 
     lsn_end = np.where(next_same, np.roll(lsn, -1), INT64_MAX)
     ts_end = np.where(next_same, np.roll(ts, -1), TS_SENTINEL_US)
@@ -300,7 +303,9 @@ def apply_group_history(t: pa.Table) -> pa.Table:
             "lsn_start": t["lsn"],
             "lsn_end": pa.array(lsn_end, pa.int64()),
             "ts_start": t["ts"],
-            "ts_end": pa.array(ts_end, pa.int64()).cast(pa.timestamp("us")),
+            "ts_end": pa.array(
+                ts_end, pa.int64(), mask=next_same & np.roll(ts_null, -1)
+            ).cast(pa.timestamp("us")),
         }
     )
     return out.filter(pc.not_equal(t["op"], "D"))
@@ -475,11 +480,9 @@ def _compact_sides(t: pa.Table, *, cut: int) -> pa.Table:
     n = len(t)
     keep = np.ones(n, dtype=bool)
     if n > 1:
-        conv, turn = t["conv_id"], t["turn_idx"]
-        same_next = pc.and_(
-            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-        ).to_numpy(zero_copy_only=False)
+        from odibel_ray.cdc.lww import _same_next_key_mask
+
+        same_next = _same_next_key_mask(t, ("conv_id", "turn_idx"))
         le = t["lsn"].to_numpy(zero_copy_only=False) <= cut
         keep[: n - 1] = ~(same_next & (le[:-1] == le[1:]))
     return t.filter(pa.array(keep))
@@ -502,12 +505,9 @@ def _feed_states(
     n = len(t)
     first = np.ones(n, dtype=bool)
     if n > 1:
-        conv, turn = t["conv_id"], t["turn_idx"]
-        same = pc.and_(
-            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-        ).to_numpy(zero_copy_only=False)
-        first[1:] = ~same
+        from odibel_ray.cdc.lww import _same_next_key_mask
+
+        first[1:] = ~_same_next_key_mask(t, ("conv_id", "turn_idx"))
     starts = np.flatnonzero(first)
     ends = np.append(starts[1:], n) - 1  # max-LSN row per key
     if mask_col is not None:
@@ -595,13 +595,20 @@ def replay_snapshot_stats(
     per_group = _two_state_replay(
         log_dir, cut, counts, num_buckets=num_buckets, batch_size=batch_size
     )
-    # dimension-sized: one count row per bucket
-    tot = pa.concat_tables([ray.get(r) for r in per_group.to_arrow_refs()])
+    # dimension-sized: one count row per bucket. Batched ray.get (one RPC,
+    # concurrent fetch), and blocks without the counts schema are skipped —
+    # a schema-only / fully-malformed log leaves map_groups emitting nothing,
+    # which must mean all-zero stats, not a concat crash.
+    cols = ["rows_t1", "rows_t2", "added", "deleted", "changed"]
+    blocks = [
+        b for b in ray.get(list(per_group.to_arrow_refs()))
+        if "rows_t1" in b.column_names
+    ]
+    if not blocks:
+        return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+    tot = pa.concat_tables(blocks)
     return pa.table(
-        {
-            c: pa.array([int(pc.sum(tot[c]).as_py() or 0)], pa.int64())
-            for c in ["rows_t1", "rows_t2", "added", "deleted", "changed"]
-        }
+        {c: pa.array([int(pc.sum(tot[c]).as_py() or 0)], pa.int64()) for c in cols}
     )
 
 
@@ -685,12 +692,23 @@ def replay_summary_stats(
     per_group = (
         ds.groupby("bucket").map_groups(summary, batch_format="pyarrow").materialize()
     )
-    n_versions = int(
-        count_distinct(per_group.filter(expr="stat == 'v'"), ["val"])
-        .take_all()[0]["n"]
-    )
-    tot = pa.concat_tables(
-        [ray.get(r) for r in per_group.filter(expr="stat != 'v'").to_arrow_refs()]
+    # A log whose events are all filtered out (schema-only, all-malformed)
+    # leaves per_group without the stat/val schema — that is the all-zero
+    # summary, not a filter/concat crash.
+    schema = per_group.schema()
+    if schema is None or "stat" not in (schema.names or []):
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_facts": z, "n_keys": z, "n_convs": z,
+                         "n_versions": z, "n_live": z})
+    vrows = count_distinct(per_group.filter(expr="stat == 'v'"), ["val"]).take_all()
+    n_versions = int(vrows[0]["n"]) if vrows else 0
+    # batched ray.get: one RPC fetching all count blocks concurrently
+    refs = list(per_group.filter(expr="stat != 'v'").to_arrow_refs())
+    tot = (
+        pa.concat_tables(ray.get(refs))
+        if refs
+        else pa.table({"stat": pa.array([], pa.string()),
+                       "val": pa.array([], pa.int64())})
     )
     sums = {"n_facts": 0, "n_keys": 0, "n_convs": 0, "n_live": 0}
     stat = tot["stat"].to_pylist()
@@ -794,14 +812,29 @@ def suggest_salt(
 
     from odibel_ray.ops.sketches import approx_count_distinct, approx_heavy_hitters
 
-    ds = rd.read_parquet(log_dir).select_columns(["conv_id"])
+    # data events only: schema rows (op='S', null conv_id) and malformed rows
+    # are skipped by the replay, so they must not dilute the skew estimate
+    ds = (
+        rd.read_parquet(log_dir, columns=["conv_id", "op"])
+        .filter(expr="op == 'I' or op == 'U' or op == 'D'")
+        .select_columns(["conv_id"])
+    )
     n_total = ds.count()
     top = approx_heavy_hitters(ds, "conv_id", k=16).take_all()
     if not top or n_total == 0:
         return {"hot_keys": [], "salt": 0}
-    from odibel_ray.tuning import default_num_buckets
+    if num_buckets is None:
+        # the advised replay (num_buckets=None) buckets by WAL partition, so
+        # the mean load must be computed over the ACTUAL partition count —
+        # the cluster-derived default would mis-scale the salt by the ratio
+        import glob as _glob
 
-    mean_per_bucket = n_total / default_num_buckets(num_buckets)
+        eff_buckets = max(len(_glob.glob(os.path.join(log_dir, "part=*"))), 1)
+    else:
+        from odibel_ray.tuning import default_num_buckets
+
+        eff_buckets = default_num_buckets(num_buckets)
+    mean_per_bucket = n_total / eff_buckets
     hottest = max(int(r["n"]) for r in top)
     n_keys = max(approx_count_distinct(ds, ["conv_id"]), 1)
     if hottest < hot_ratio * (n_total / n_keys):
@@ -839,9 +872,14 @@ def _replay_shard(batch: pa.Table, *, timeline: SchemaTimeline, history: bool,
     outs = []
     for row in batch.to_pylist():
         part = int(row["part"])
-        tables = [pq.read_table(f) for f in row["files"]]
-        t = pa.concat_tables(tables, promote_options="default").combine_chunks()
-        t = t.append_column("part", pa.array(np.full(len(t), part, np.int64)))
+        if row["files"]:
+            tables = [pq.read_table(f) for f in row["files"]]
+            t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+            t = t.append_column("part", pa.array(np.full(len(t), part, np.int64)))
+        else:
+            # empty part=N dir (producer died pre-first-file): typed empty
+            # batch so the shard contributes schema, not a concat crash
+            t = _empty_log_table()
         ev = prepare_events(t, timeline, num_buckets=None)
         outs.append(apply_group_history(ev) if history else apply_group_final(ev))
     return pa.concat_tables(outs, promote_options="default")
@@ -871,12 +909,17 @@ def replay_partitioned(
 
     from odibel_ray.cdc.schema import extract_timeline
 
-    tl = timeline or extract_timeline(log_dir)
     items = []
     for pdir in sorted(_glob.glob(os.path.join(log_dir, "part=*"))):
         part = int(os.path.basename(pdir).split("=", 1)[1])
         files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
         items.append({"part": part, "files": files})
+    if not items:
+        raise FileNotFoundError(
+            f"no WAL partitions (part=*/) found under {log_dir!r} — wrong "
+            "path, or the log has not been written yet"
+        )
+    tl = timeline or extract_timeline(log_dir)
     ds = rd.from_items(items, override_num_blocks=len(items))
     from functools import partial
 

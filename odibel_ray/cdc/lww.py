@@ -55,13 +55,20 @@ def bucket_of_keys(
 
 
 def _same_next_key_mask(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
-    """``same[i]`` = row i and i+1 share the key (t sorted by keys, 1 chunk)."""
+    """``same[i]`` = row i and i+1 share the key (t sorted by keys, 1 chunk).
+
+    Null-SAFE: ``null == null`` counts as the same key (SQL ``IS NOT
+    DISTINCT FROM``), matching the modules' null-equality rule for compare
+    columns — otherwise every null-keyed row looks distinct and LWW keeps
+    all of its stale versions (``sort_indices`` groups nulls together, so
+    the neighbor compare is valid for them too)."""
     n = len(t)
     same = np.ones(max(n - 1, 0), dtype=bool)
     for k in keys:
-        col = t[k]
-        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
-        same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        hi, lo = t[k].slice(1), t[k].slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(hi, lo), False)
+        both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
+        same &= pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
     return same
 
 
