@@ -219,12 +219,31 @@ def alter_published(
                 "tables evolve through in-log schema-change events"
             )
     with open(os.path.join(out_dir, "_layout.json")) as f:
-        key_cols = set(json.load(f)["key_cols"])
+        _layout = json.load(f)
+    key_cols = set(_layout["key_cols"])
+    cluster_cols = set(_layout.get("cluster_by") or [])
 
     manifests = load_manifests(out_dir)
     if not manifests:
         raise FileNotFoundError(f"no published buckets under {out_dir}")
     import pyarrow.parquet as pq
+
+    from odibel_ray.cdc.sink import table_lock
+
+    # the op log is a read-modify-write: without the writer lease a
+    # concurrent alter (or an in-flight materialize_ddl stamping
+    # materialized_run between our load and our write) would be clobbered
+    with table_lock(out_dir, owner="alter_published"):
+        return _alter_locked(out_dir, add=add, rename=rename, drop=drop,
+                             widen=widen, key_cols=key_cols,
+                             cluster_cols=cluster_cols, manifests=manifests)
+
+
+def _alter_locked(out_dir, *, add, rename, drop, widen, key_cols,
+                  cluster_cols, manifests):
+    import pyarrow.parquet as pq
+
+    from odibel_ray.cdc.sink import _atomic_write_json
 
     meta = load_schema_meta(out_dir)
     if meta.get("materialized_run"):
@@ -248,6 +267,12 @@ def alter_published(
     for name in drop or ():
         if name in key_cols:
             raise ValueError(f"cannot drop key column {name!r} (layout-pinned)")
+        if name in cluster_cols:
+            raise ValueError(
+                f"cannot drop clustering column {name!r} (the layout's range/"
+                "z-order bounds are derived from it); re-publish with a new "
+                "cluster_by instead"
+            )
         new_ops.append({"kind": "drop", "name": name})
     for name, typ in (widen or {}).items():
         pa.type_for_alias(typ)  # validate early; promotion checked in the fold
@@ -309,7 +334,14 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
         # re-running would just re-raise)
         if any(m.get("deltas") for m in manifests.values()):  # pragma: no cover
             raise ValueError("compact merge-on-read deltas before materialize_ddl")
-        rid = meta.get("materialized_run") or run_id
+        with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
+            gen = int(json.load(f).get("ddl_generation", 0))
+        # Scope the rewrite id to a per-cycle GENERATION: a bare reused
+        # run_id (the CLI always passes the default) would make a SECOND
+        # alter+materialize cycle see every bucket as already-flipped
+        # (manifest run_id == rid), rewrite nothing, and still clear the op
+        # log — silently discarding the new schema ops.
+        rid = meta.get("materialized_run") or f"{run_id}-g{gen}"
         if not meta.get("materialized_run"):
             _atomic_write_json(_ops_path(out_dir), {**meta, "materialized_run": rid})
         pending = {b: m for b, m in sorted(manifests.items()) if m.get("run_id") != rid}
@@ -324,7 +356,38 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
             bloom_cols: list[str] = []
             if os.path.exists(layout_path):
                 with open(layout_path) as f:
-                    bloom_cols = list(json.load(f).get("bloom_cols") or [])
+                    layout = json.load(f)
+                # Translate layout column references through the rename/drop
+                # ops BEFORE the first rewrite: files come out carrying
+                # logical names, so a bloom/cluster column pinned under its
+                # old physical name would stop matching — dropping the
+                # sidecar and crashing every later upsert/DML bloom build.
+                # Idempotent (resume-safe): already-logical names map to
+                # themselves; names dropped by the ops are removed.
+                p2l = {p: n for n, p in smap.to_physical.items()}
+
+                def _xlate(names):
+                    out = []
+                    for c in names or []:
+                        if c in p2l:
+                            out.append(p2l[c])
+                        elif c in smap.names:  # already logical (resume)
+                            out.append(c)
+                        # else: dropped column — reference removed
+                    return out
+
+                changed = False
+                if layout.get("bloom_cols"):
+                    nb = _xlate(layout["bloom_cols"])
+                    changed |= nb != layout["bloom_cols"]
+                    layout["bloom_cols"] = nb or None
+                if layout.get("cluster_by"):
+                    nc = _xlate(layout["cluster_by"])
+                    changed |= nc != layout["cluster_by"]
+                    layout["cluster_by"] = nc
+                if changed:
+                    _atomic_write_json(layout_path, layout)
+                bloom_cols = list(layout.get("bloom_cols") or [])
             descs = [
                 {
                     "bucket": int(b),
@@ -377,6 +440,9 @@ def materialize_ddl(out_dir: str, *, run_id: str = "ddl-rw-0") -> dict:
         with open(os.path.join(out_dir, TABLE_MANIFEST)) as f:
             tman = json.load(f)
         tman["last_run_id"] = rid
+        # bump the DDL generation so the NEXT alter+materialize cycle derives
+        # a fresh rewrite id even with the same caller run_id
+        tman["ddl_generation"] = gen + 1
         _atomic_write_json(os.path.join(out_dir, TABLE_MANIFEST), tman)
         snap = record_snapshot(out_dir, "materialize_ddl")
     return {

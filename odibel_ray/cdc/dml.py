@@ -44,6 +44,21 @@ from odibel_ray.cdc.derived import _FNS, _derive_col
 _BATCH = 65536
 
 
+def _dml_run_id(run_id: str | None, stmt: str) -> str:
+    """Default run ids are UNIQUE per statement: a fixed default would make
+    two different DML statements stage the same bucket filename, turning
+    copy-on-write into an in-place overwrite of the live file (with a
+    crash window in which the bucket's manifest audit fails and the bucket
+    silently disappears from reads). Pass an explicit ``run_id`` to make a
+    statement crash-resumable / idempotently re-runnable — and reuse it
+    only for re-runs of the SAME statement."""
+    if run_id is not None:
+        return run_id
+    import uuid
+
+    return f"{stmt}-{uuid.uuid4().hex[:8]}"
+
+
 def _layout_keys(out_dir: str) -> list[str]:
     path = os.path.join(out_dir, "_layout.json")
     if not os.path.exists(path):
@@ -60,7 +75,7 @@ def delete_published(
     out_dir: str,
     where: Sequence[Sequence],
     *,
-    run_id: str = "delete-0",
+    run_id: str | None = None,
     mode: str = "cow",
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
@@ -86,6 +101,7 @@ def delete_published(
             "refusing DELETE with an empty predicate (would truncate the "
             "table); pass an explicit always-true clause if you mean it"
         )
+    run_id = _dml_run_id(run_id, "delete")
     keys = _layout_keys(out_dir)
     matching = read_published(out_dir, where=list(where), columns=keys)
     n = matching.count()
@@ -107,7 +123,8 @@ def delete_published(
 
 
 def _check_assignments(
-    assign: Mapping, keys: Sequence[str], columns: Sequence[str]
+    assign: Mapping, keys: Sequence[str], columns: Sequence[str],
+    types: Mapping | None = None,
 ) -> dict:
     if not assign:
         raise ValueError("UPDATE needs at least one SET assignment")
@@ -128,6 +145,16 @@ def _check_assignments(
                 raise ValueError(f"SET source column {src!r} not in table")
             out[col] = ("fn", fn, src)
         else:
+            if types is not None:
+                # fail-fast on a lossy/invalid literal BEFORE the predicate
+                # scan runs and anything stages (the documented contract)
+                try:
+                    pa.scalar(expr).cast(types[col])
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                    raise ValueError(
+                        f"SET {col!r}: literal {expr!r} does not cast to the "
+                        f"column type {types[col]}: {e}"
+                    ) from None
             out[col] = ("lit", expr)
     return out
 
@@ -137,7 +164,7 @@ def update_published(
     assign: Mapping,
     where: Sequence[Sequence],
     *,
-    run_id: str = "update-0",
+    run_id: str | None = None,
     mode: str = "cow",
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
@@ -159,12 +186,13 @@ def update_published(
     """
     from odibel_ray.cdc.sink import read_published, upsert_published
 
+    run_id = _dml_run_id(run_id, "update")
     keys = _layout_keys(out_dir)
     matching = read_published(out_dir, where=list(where) or None)
     schema = matching.schema()
     columns = list(schema.names)
-    assigns = _check_assignments(assign, keys, columns)
     types = {n: t for n, t in zip(schema.names, schema.types)}
+    assigns = _check_assignments(assign, keys, columns, types)
 
     def apply_set(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -294,7 +322,7 @@ def merge_published(
     not_matched_condition: Sequence | None = None,
     when_not_matched_by_source: str | None = None,
     not_matched_by_source_condition: Sequence | None = None,
-    run_id: str = "merge-0",
+    run_id: str | None = None,
     mode: str = "cow",
     feed_dir: str | None = None,
     feed_values: list[str] | None = None,
@@ -347,6 +375,7 @@ def merge_published(
     from odibel_ray.cdc.lww import _same_next_key_mask, bucket_of_keys
     from odibel_ray.cdc.sink import load_manifests, merge_base_deltas, upsert_published
 
+    run_id = _dml_run_id(run_id, "merge")
     if when_matched not in ("update", "delete", None):
         raise ValueError("when_matched must be 'update', 'delete' or None")
     if when_not_matched not in ("insert", None):
@@ -417,6 +446,18 @@ def merge_published(
     for c in t_cond_cols:
         if c not in canon.names:
             raise ValueError(f"condition references target column {c!r} not in table")
+    if bucket_file and (when_matched == "update" or when_not_matched):
+        # fail BEFORE the classification shuffle: update/insert actions write
+        # through upsert_published, which requires the source to carry every
+        # table column — catching it here avoids burning a full classify pass
+        # and leaving a stale resume marker behind
+        need = [c for c in canon.names if not c.startswith("_")]
+        missing = [c for c in need if c not in src_names]
+        if missing:
+            raise ValueError(
+                f"MERGE source is missing table column(s) {missing} required "
+                "by the update/insert actions"
+            )
     tcols_read = keys + [c for c in t_cond_cols if c not in keys]
     tgt_read_schema = pa.schema([canon.field(c) for c in tcols_read])
     out_schema = src_schema.append(pa.field("_action", pa.string()))
@@ -512,6 +553,15 @@ def merge_published(
     tmp = os.path.join(out_dir, STAGING_DIR, f"{run_id}-merge")
     data_dir = os.path.join(tmp, "data")
     marker = os.path.join(tmp, "_classified.json")
+    stmt_fp = json.dumps({
+        "when_matched": when_matched,
+        "when_not_matched": when_not_matched,
+        "when_not_matched_by_source": when_not_matched_by_source,
+        "matched_condition": repr(matched_condition),
+        "not_matched_condition": repr(not_matched_condition),
+        "not_matched_by_source_condition": repr(not_matched_by_source_condition),
+        "keys": keys, "src_names": src_names, "mode": mode,
+    }, sort_keys=True)
     if os.path.exists(marker):
         # crash-resume: REUSE the first run's completed classification.
         # Reclassifying against the half-published table would diverge —
@@ -519,7 +569,18 @@ def merge_published(
         # whose bucket already published its delete would re-classify as
         # not-matched and be resurrected as an insert.
         with open(marker) as f:
-            counts = json.load(f)["counts"]
+            mk = json.load(f)
+        if mk.get("stmt") != stmt_fp:
+            # same run_id, DIFFERENT statement: publishing the abandoned
+            # statement's staged actions would be silent wrong data. (Source
+            # ROW content is not fingerprinted — reuse a run_id only to
+            # resume the identical statement.)
+            raise ValueError(
+                f"staging for run_id {run_id!r} holds a DIFFERENT merge "
+                f"statement's classification; remove {tmp!r} to abandon it "
+                "or re-run the original statement to finish it"
+            )
+        counts = mk["counts"]
     else:
         shutil.rmtree(tmp, ignore_errors=True)
         classified.write_parquet(data_dir)
@@ -528,12 +589,15 @@ def merge_published(
         if os.path.isdir(data_dir) and any(
             f.endswith(".parquet") for f in os.listdir(data_dir)
         ):
-            for row in (rd.read_parquet(data_dir, columns=["_action"])
-                        .groupby("_action").count().take_all()):
-                counts[row["_action"]] = int(row["count()"])
+            from odibel_ray.ops.aggregates import group_count
+
+            for row in group_count(
+                rd.read_parquet(data_dir, columns=["_action"]), ["_action"]
+            ).take_all():
+                counts[row["_action"]] = int(row["n"])
         os.makedirs(tmp, exist_ok=True)
         with open(marker + ".tmp", "w") as f:
-            json.dump({"counts": counts}, f)
+            json.dump({"counts": counts, "stmt": stmt_fp}, f)
         os.replace(marker + ".tmp", marker)
     n_upsert = counts["update"] + counts["insert"]
     n_delete = counts["delete"]
@@ -545,7 +609,8 @@ def merge_published(
     def _actions(want: tuple, cols: list[str]):
         def f(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["_action"], pa.array(want))).select(cols)
-        return rd.read_parquet(data_dir).map_batches(
+        # scan-level projection: the delete stream decodes only keys+_action
+        return rd.read_parquet(data_dir, columns=[*cols, "_action"]).map_batches(
             f, batch_format="pyarrow", batch_size=batch_size)
 
     # scratch is removed only AFTER a successful publish: a crash mid-upsert

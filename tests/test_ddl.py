@@ -284,7 +284,8 @@ def test_materialize_crash_window_reads(ray_session, gen, monkeypatch):
     from odibel_ray.cdc import sink as _sink
 
     manifests0 = load_manifests(gen)
-    ops0 = {"ops": load_schema_ops(gen), "materialized_run": "rwX"}
+    # the engine stamps the generation-scoped rewrite id (run_id + "-g<gen>")
+    ops0 = {"ops": load_schema_ops(gen), "materialized_run": "rwX-g0"}
     pre = {b: dict(m) for b, m in manifests0.items()}
     monkeypatch.setattr(_sink, "_sweep_bucket_versions", lambda *a, **k: None)
     materialize_ddl(gen, run_id="rwX")
@@ -413,9 +414,9 @@ def test_materialize_kill_resume(ray_session, tmp_path):
         proc.wait(timeout=60)
 
     meta = load_schema_meta(out)
-    assert meta.get("materialized_run") == "victim"  # stamped, partially flipped
+    assert meta.get("materialized_run") == "victim-g0"  # stamped, partially flipped
     flipped = {
-        b for b, m in load_manifests(out).items() if m.get("run_id") == "victim"
+        b for b, m in load_manifests(out).items() if m.get("run_id") == "victim-g0"
     }
     assert 0 < len(flipped) < 6
     # reads during the crash window: identical logical table
