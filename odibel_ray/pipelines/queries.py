@@ -2936,6 +2936,31 @@ def q_er_link_classes(sf_dir: str):
     )
 
 
+def q_er_name_matches(sf_dir: str):
+    """Recall-complete string-similarity self-join (ER match generation):
+    every customer-key pair within Levenshtein distance 1 over the derived
+    name ``'cust-' || custkey`` — variable-length keys, so real
+    insert/delete edits, not just substitutions. FastSS deletion-variant
+    blocking + batch-DP verification (:mod:`odibel_ray.er`); the DuckDB
+    oracle is the full quadratic ``levenshtein`` cross join."""
+    from odibel_ray.er import edit_distance_join
+    from odibel_ray.ops.relational import load_table
+
+    def mk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = pc.binary_join_element_wise(
+            pa.array(np.full(len(t), "cust-"), pa.string()),
+            pc.cast(t["c_custkey"], pa.string()),
+            "",
+        )
+        return pa.table({"id": t["c_custkey"], "s": s})
+
+    names = load_table(sf_dir, "customer", ["c_custkey"]).map_batches(
+        mk, batch_format="pyarrow"
+    )
+    return edit_distance_join(names, id_col="id", text_col="s", tau=1)
+
+
 def ensure_raw_dump(sf_dir: str) -> str:
     """Materialize (once) a deterministic wiki-style raw dump derived from
     ``documents.parquet`` — 4 gzip files, one ``<page>`` per document with two
@@ -3780,6 +3805,7 @@ QUERIES: dict[str, Callable] = {
     "er_cluster_stats": q_er_cluster_stats,
     "benchmark_split_stats": q_benchmark_split_stats,
     "er_link_classes": q_er_link_classes,
+    "er_name_matches": q_er_name_matches,
     "rawlog_page_revisions": q_rawlog_page_revisions,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "fusion_cluster_values": q_fusion_cluster_values,
@@ -4954,6 +4980,14 @@ SELECT src, dst, sim,
        CASE WHEN n_max >= 2 THEN 'strong' WHEN n_max = 1 THEN 'normal'
             ELSE 'weak' END AS link_type
 FROM f
+""",
+        "er_name_matches": """
+WITH n AS (SELECT c_custkey AS id, 'cust-' || CAST(c_custkey AS VARCHAR) AS s
+           FROM customer)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 1
 """,
         "rawlog_page_revisions": """
 SELECT doc_id AS page_id,
