@@ -1,0 +1,284 @@
+"""Distributed PageRank over an edge Dataset (graph analytics family).
+
+Reference parity: the reference ships graph-shaped analytics (Gradoop/FAMER
+readers, connected components over similarity graphs —
+`graph_construction.py`, `famer/*`); PageRank is the canonical iterative
+companion: node importance over the same edge tables (e.g. the RDF
+subject→object graph, A16's schema-graph input).
+
+Semantics (power iteration, fixed ``iterations``):
+
+    rank0(v)   = 1/N
+    rank_t+1(v) = (1 - d)/N + d * Σ_{(u,v) ∈ E} rank_t(u) / outdeg(u)
+
+Multi-edges contribute once per edge instance; dangling nodes (outdeg 0)
+leak their mass (the plain formulation — deterministic and exactly
+SQL-replicable, which is what pins this operator to its oracle). NULL
+endpoints are dropped (SQL join semantics).
+
+Two execution paths behind one API, chosen by the same guarded-broadcast
+rule as every dimension join in the engine (``_collect_small``):
+
+- **broadcast** (node table under the byte budget): per iteration, ONE
+  streaming pass over the edges — the rank vector is ``ray.put`` once and
+  probed per batch (pandas Index lookup, works for string URIs and int ids
+  alike); per-batch contributions collapse to distinct-dst partials and the
+  node-sized partial stream folds on the driver. Zero all-to-all.
+- **distributed** (node table over budget — the 100-TB path): per
+  iteration, one task-based ``bucketed_join`` (edges ⋈ rank weights on
+  src) plus one union+groupby fold over the node universe. 2 exchanges per
+  iteration, nothing node-sized on the driver.
+
+Both paths compute the identical formula; ``tests/test_graph.py`` pins them
+against each other and the registry query ``rdf_pagerank`` pins the result
+against an unrolled-iteration DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _drop_null_edges(t: pa.Table, src: str, dst: str) -> pa.Table:
+    t = t.combine_chunks()
+    keep = pc.and_(pc.is_valid(t[src]), pc.is_valid(t[dst]))
+    return t.filter(keep)
+
+
+def _universe(
+    edges: "ray.data.Dataset", src: str, dst: str
+) -> "ray.data.Dataset":
+    """(node, outdeg) over src ∪ dst — per-batch partial degree counts +
+    distinct dsts, folded by ONE groupby exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_edges(t, src, dst)
+        deg = (
+            t.select([src])
+            .group_by([src])
+            .aggregate([(src, "count")])
+            .rename_columns(["node", "outdeg"])
+        )
+        dsts = pc.unique(t[dst])
+        dst_part = pa.table(
+            {"node": dsts, "outdeg": pa.array(np.zeros(len(dsts), np.int64))}
+        )
+        return pa.concat_tables(
+            [deg.set_column(1, "outdeg", deg["outdeg"].cast(pa.int64())), dst_part]
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+    )
+
+
+def _pagerank_broadcast(
+    edges, src, dst, universe_tbl: pa.Table, iterations, damping, batch_size
+):
+    import ray
+    import ray.data as rd
+
+    nodes = universe_tbl["node"].combine_chunks()
+    idx = pd.Index(nodes.to_pandas())
+    outdeg = universe_tbl["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(idx)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        w = np.where(outdeg > 0, rank / np.maximum(outdeg, 1.0), 0.0)
+        ref = ray.put((idx, w))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            i, wv = ray.get(_ref)
+            t = _drop_null_edges(t, src, dst)
+            pos = i.get_indexer(t[src].to_pandas())
+            part = pa.table({"node": t[dst], "contrib": pa.array(wv[pos])})
+            return (
+                part.group_by(["node"])
+                .aggregate([("contrib", "sum")])
+                .rename_columns(["node", "contrib"])
+            )
+
+        partials = edges.map_batches(
+            contrib, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()  # node-sized × blocks; bounded by the broadcast budget
+        sums = partials.groupby("node")["contrib"].sum()
+        vec = np.zeros(n)
+        vec[idx.get_indexer(sums.index)] = sums.to_numpy()
+        rank = base + damping * vec
+    return rd.from_arrow(pa.table({"node": nodes, "rank": pa.array(rank)}))
+
+
+def _pagerank_distributed(
+    edges,
+    src,
+    dst,
+    universe,
+    n,
+    iterations,
+    damping,
+    edge_schema,
+    num_buckets,
+    batch_size,
+):
+    from ray.data.aggregate import Max, Sum
+
+    from odibel_ray.ops.relational import bucketed_join
+
+    base = (1.0 - damping) / n
+    uni_schema = pa.schema([("node", universe.schema().base_schema.field("node").type),
+                            ("outdeg", pa.int64())])
+    node_t = uni_schema.field("node").type
+
+    def seed(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column("rank", pa.array(np.full(len(t), 1.0 / n)))
+
+    ranks = universe.map_batches(seed, batch_format="pyarrow")
+
+    def weights(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        deg = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        w = np.where(deg > 0, r / np.maximum(deg, 1.0), 0.0)
+        return pa.table({src: t["node"], "_w": pa.array(w)})
+
+    def fold_contrib(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        part = pa.table({"node": t[dst], "contrib": t["_w"]})
+        out = (
+            part.group_by(["node"])
+            .aggregate([("contrib", "sum")])
+            .rename_columns(["node", "contrib"])
+        )
+        return out.append_column("outdeg", pa.array(np.zeros(len(out), np.int64)))
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table(
+            {
+                "node": t["node"],
+                "contrib": pa.array(np.zeros(len(t))),
+                "outdeg": t["outdeg"].cast(pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        c = t["contrib"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": t["node"],
+                "outdeg": t["outdeg"],
+                "rank": pa.array(base + damping * c),
+            }
+        )
+
+    for _ in range(iterations):
+        w_tbl = ranks.map_batches(weights, batch_format="pyarrow")
+        joined = bucketed_join(
+            edges,
+            w_tbl,
+            src,
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=pa.schema([(src, node_t), ("_w", pa.float64())]),
+            batch_size=batch_size,
+        )
+        contribs = joined.map_batches(fold_contrib, batch_format="pyarrow")
+        zeros = universe.map_batches(zero_rows, batch_format="pyarrow")
+        folded = (
+            contribs.union(zeros)
+            .groupby("node")
+            .aggregate(
+                Sum("contrib", alias_name="contrib"),
+                Max("outdeg", alias_name="outdeg"),
+            )
+        )
+        ranks = folded.map_batches(finish, batch_format="pyarrow")
+    return ranks.select_columns(["node", "rank"])
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    edge_schema: pa.Schema | None = None,
+    max_broadcast_bytes: int | None = None,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+    force_distributed: bool = False,
+) -> "ray.data.Dataset":
+    """PageRank of every node in ``edges`` → Dataset ``(node, rank)``.
+
+    Path choice is the engine's standard guarded broadcast: the (node,
+    outdeg) universe is collected under ``max_broadcast_bytes``
+    (:data:`odibel_ray.ops.relational.DEFAULT_BROADCAST_LIMIT`); over
+    budget — or with ``force_distributed`` — the shuffle path runs instead
+    (2 task-based exchanges per iteration, nothing node-sized on the
+    driver). Pass ``edge_schema`` when ``edges`` is a lazy pipeline so the
+    distributed path never executes it just to infer column types.
+    """
+    from odibel_ray.ops.relational import (
+        DEFAULT_BROADCAST_LIMIT,
+        _collect_small,
+    )
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    limit = DEFAULT_BROADCAST_LIMIT if max_broadcast_bytes is None else max_broadcast_bytes
+    edge_schema = edge_schema or edges.schema().base_schema
+    edges = edges.select_columns([src_col, dst_col])
+    edge_schema = pa.schema([edge_schema.field(src_col), edge_schema.field(dst_col)])
+
+    universe = _universe(edges, src_col, dst_col).materialize()
+    if not force_distributed:
+        tbl, fallback = _collect_small(universe, limit)
+        if tbl is not None:
+            if len(tbl) == 0:
+                import ray.data as rd
+
+                return rd.from_arrow(
+                    pa.table(
+                        {"node": pa.array([], edge_schema.field(src_col).type),
+                         "rank": pa.array([], pa.float64())}
+                    )
+                )
+            return _pagerank_broadcast(
+                edges, src_col, dst_col, tbl, iterations, damping, batch_size
+            )
+        universe = fallback
+    n = universe.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], edge_schema.field(src_col).type),
+                      "rank": pa.array([], pa.float64())})
+        )
+    return _pagerank_distributed(
+        edges,
+        src_col,
+        dst_col,
+        universe,
+        n,
+        iterations,
+        damping,
+        edge_schema,
+        num_buckets,
+        batch_size,
+    )

@@ -3659,6 +3659,61 @@ def q_rdf_subgraph(sf_dir: str):
     )
 
 
+def q_rdf_pagerank(sf_dir: str):
+    """Distributed PageRank over the RDF subject→object graph (5 power
+    iterations, d=0.85) — the iterative graph-analytics companion to the
+    reference's similarity-graph components (`graph_construction.py`).
+    Guarded-broadcast rank vector with a 2-exchange-per-iteration shuffle
+    fallback (:mod:`odibel_ray.graph`); the oracle is the same recurrence
+    unrolled in SQL."""
+    import ray.data as rd
+
+    from odibel_ray.graph import pagerank
+    from odibel_ray.rdf import RDF_TYPE
+
+    _ensure_rdf_corpus(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keep = pc.and_(
+            pc.invert(t["isLiteral"]), pc.not_equal(t["p"], pa.scalar(RDF_TYPE))
+        )
+        t = t.filter(keep)
+        return pa.table({"src": t["s"], "dst": t["o"]})
+
+    edges = rd.read_parquet(
+        _rdf_pq(sf_dir), columns=["s", "p", "o", "isLiteral"]
+    ).map_batches(prep, batch_format="pyarrow")
+    pr = pagerank(
+        edges,
+        iterations=5,
+        edge_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
+    )
+    return _round_cols(pr, {"rank": 6})
+
+
+def _pagerank_sql(rdf_pq: str, iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle — one chained CTE per iteration,
+    the exact recurrence of :func:`odibel_ray.graph.pagerank`."""
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    sql = f"""
+WITH e AS (SELECT s AS src, o AS dst FROM read_parquet('{rdf_pq}')
+           WHERE NOT isLiteral AND p <> '{rdf_type}'),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+r{i} AS (SELECT nodes.node,
+    (1 - {damping}) / (SELECT n FROM nn) + {damping} * coalesce(s.c, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank / deg.outdeg) AS c
+    FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node JOIN deg ON e.src = deg.node
+    GROUP BY e.dst) s ON nodes.node = s.node)"""
+    return sql + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
 def q_events_nested_roundtrip(sf_dir: str):
     """Nested ``list<struct>`` end-to-end (SURVEY.md §1.2, reference
     ``data/RevisionTemplateInfo.scala:3``): flat events → :func:`nest_turns`
@@ -3831,6 +3886,7 @@ QUERIES: dict[str, Callable] = {
     "rdf_clean_types": q_rdf_clean_types,
     "rdf_schema_graph": q_rdf_schema_graph,
     "rdf_subgraph": q_rdf_subgraph,
+    "rdf_pagerank": q_rdf_pagerank,
     "events_nested_roundtrip": q_events_nested_roundtrip,
 }
 
@@ -4068,6 +4124,7 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     rdf_sqls = {
         "rdf_parse": f"SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')",
+        "rdf_pagerank": _pagerank_sql(rdf_pq),
         "rdf_filter_by_type": f"""
 SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')
 WHERE s IN (SELECT s FROM read_parquet('{rdf_pq}')

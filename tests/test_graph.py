@@ -1,0 +1,95 @@
+"""PageRank (odibel_ray/graph.py): both execution paths vs a single-threaded
+reference, plus degenerate graphs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ref_pagerank(src, dst, iterations=5, d=0.85):
+    nodes = sorted(set(src) | set(dst))
+    pos = {v: k for k, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s in src:
+        outdeg[pos[s]] += 1
+    r = np.full(n, 1 / n)
+    for _ in range(iterations):
+        w = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0)
+        c = np.zeros(n)
+        for s, t in zip(src, dst):
+            c[pos[t]] += w[pos[s]]
+        r = (1 - d) / n + d * c
+    return {v: r[pos[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("forced", [False, True])
+def test_pagerank_matches_reference(ray_session, forced):
+    import ray.data as rd
+
+    from odibel_ray.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    src = [f"n{i}" for i in rng.integers(0, 60, 300)]
+    dst = [f"n{i}" for i in rng.integers(0, 80, 300)]  # 60..79 are dangling
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    ref = _ref_pagerank(src, dst)
+    out = pagerank(ds, iterations=5, force_distributed=forced).take_all()
+    assert len(out) == len(ref)
+    for row in out:
+        assert abs(row["rank"] - ref[row["node"]]) < 1e-12
+    # total mass <= 1 (dangling leak), > (1-d) base floor
+    total = sum(r["rank"] for r in out)
+    assert 0.15 < total <= 1.0 + 1e-9
+
+
+def test_pagerank_broadcast_budget_forces_fallback(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.graph import pagerank
+
+    src = ["a", "b", "c", "a"]
+    dst = ["b", "c", "a", "c"]
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    ref = _ref_pagerank(src, dst, iterations=3)
+    # 1-byte budget: _collect_small must refuse and route to the shuffle path
+    out = pagerank(ds, iterations=3, max_broadcast_bytes=1).take_all()
+    assert {r["node"]: round(r["rank"], 12) for r in out} == {
+        k: round(v, 12) for k, v in ref.items()
+    }
+
+
+def test_pagerank_null_edges_and_empty(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.graph import pagerank
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", None, "b"]),
+                "dst": pa.array(["b", "c", None]),
+            }
+        )
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(ds, iterations=2).take_all()}
+    assert set(out) == {"a", "b"}  # null-endpoint edges dropped entirely
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert pagerank(empty, iterations=2).count() == 0
+
+
+def test_pagerank_int_node_ids(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.graph import pagerank
+
+    src, dst = [1, 2, 3, 1], [2, 3, 1, 3]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    ref = _ref_pagerank(src, dst, iterations=4)
+    out = pagerank(ds, iterations=4).take_all()
+    for row in out:
+        assert abs(row["rank"] - ref[row["node"]]) < 1e-12
