@@ -410,29 +410,43 @@ def rollup_counts(
     count_name: str = "n",
     sum_prefix: str = "sum_",
     grouping: str = "rollup",
+    sets: Sequence[Sequence[str]] | None = None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
-    """SQL ``GROUP BY ROLLUP(keys...)`` (or ``CUBE`` with
-    ``grouping='cube'``): counts (and sums of ``value_col``) at every
-    key-prefix granularity — every key SUBSET for cube — grouped-out key
-    columns null.
+    """SQL ``GROUP BY ROLLUP(keys...)`` (``CUBE`` with ``grouping='cube'``,
+    or arbitrary ``GROUPING SETS`` with ``grouping='sets'`` + ``sets=``):
+    counts (and sums of ``value_col``) at every key-prefix granularity —
+    every key SUBSET for cube, exactly the requested subsets for sets —
+    grouped-out key columns null.
 
-    Scale shape: the CORPUS is exchanged exactly once (the finest groupby);
-    every coarser level re-aggregates an already-aggregated table
-    (cardinality of a finer key set, not the corpus — rollup chains prefix
-    levels, cube derives each of the 2^k−2 proper subsets from the finest),
-    and the final union is level-sized. Caveat: like SQL without
+    Scale shape: the CORPUS is exchanged exactly once (the finest groupby on
+    the full ``keys``); every coarser level re-aggregates an
+    already-aggregated table (cardinality of a finer key set, not the
+    corpus — rollup chains prefix levels, cube derives each of the 2^k−2
+    proper subsets from the finest, sets derives each requested subset),
+    and the final union is level-sized. Caveats: like SQL without
     ``GROUPING()``, a genuine null key value is indistinguishable from a
-    subtotal row — use non-null keys or pre-coalesce.
+    subtotal row — use non-null keys or pre-coalesce; ``sets`` entries must
+    be subsets of ``keys`` (order within a set is irrelevant) and duplicate
+    sets emit duplicate rows, exactly like SQL ``GROUPING SETS``.
     """
     import itertools
 
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    if grouping not in ("rollup", "cube"):
+    if grouping not in ("rollup", "cube", "sets"):
         raise ValueError(f"unknown grouping: {grouping!r}")
     keys = list(keys)
+    if grouping == "sets":
+        if sets is None:
+            raise ValueError("grouping='sets' requires sets=[...]")
+        sets = [list(s) for s in sets]
+        for s in sets:
+            if not set(s) <= set(keys):
+                raise ValueError(f"grouping set {s!r} is not a subset of {keys!r}")
+    elif sets is not None:
+        raise ValueError("sets= is only valid with grouping='sets'")
     sum_col = f"{sum_prefix}{value_col}" if value_col is not None else None
 
     aggs = [Count(alias_name=count_name)]
@@ -459,15 +473,18 @@ def rollup_counts(
     if sum_col is not None:
         sub_aggs.append(Sum(sum_col, alias_name=sum_col))
 
-    levels = [finest]
+    levels = []
     prev = finest  # always the un-null-filled aggregate at the finer level
+    n_totals = 1  # how many grand-total rows the output needs
     if grouping == "rollup":
+        levels.append(finest)
         for k in range(len(keys) - 1, 0, -1):
             prev = prev.groupby(keys[:k]).aggregate(*sub_aggs).materialize()
             levels.append(prev.map_batches(_null_fill(keys[k:]),
                                            batch_format="pyarrow",
                                            batch_size=batch_size))
-    else:  # cube: every proper non-empty subset, derived from the finest
+    elif grouping == "cube":  # every proper non-empty subset, from the finest
+        levels.append(finest)
         for r in range(len(keys) - 1, 0, -1):
             for subset in itertools.combinations(keys, r):
                 lvl = finest.groupby(list(subset)).aggregate(*sub_aggs)
@@ -475,13 +492,32 @@ def rollup_counts(
                 levels.append(lvl.map_batches(_null_fill(missing),
                                               batch_format="pyarrow",
                                               batch_size=batch_size))
-    tot = prev.aggregate(*sub_aggs) or {}  # grand total: one global row
-    # SQL semantics on zero-row input: one grand-total row, COUNT = 0, SUM null
-    row: dict = {count_name: pa.array([int(tot.get(count_name) or 0)], pa.int64())}
-    if sum_col:
-        row[sum_col] = pa.array([tot.get(sum_col)])
-    levels.append(rd.from_arrow(pa.table(row)).map_batches(
-        _null_fill(keys), batch_format="pyarrow", batch_size=batch_size))
+    else:  # sets: exactly the requested subsets, each from the finest
+        n_totals = sum(1 for s in sets if not s)
+        for s in sets:
+            if not s:
+                continue  # grand-total row(s) appended below
+            if set(s) == set(keys):
+                levels.append(finest)
+                continue
+            lvl = finest.groupby(list(s)).aggregate(*sub_aggs)
+            missing = [k for k in keys if k not in s]
+            levels.append(lvl.map_batches(_null_fill(missing),
+                                          batch_format="pyarrow",
+                                          batch_size=batch_size))
+    if n_totals:
+        tot = prev.aggregate(*sub_aggs) or {}  # grand total: one global row
+        # SQL semantics on zero-row input: grand-total row, COUNT = 0, SUM null
+        row: dict = {
+            count_name: pa.array([int(tot.get(count_name) or 0)] * n_totals,
+                                 pa.int64())
+        }
+        if sum_col:
+            row[sum_col] = pa.array([tot.get(sum_col)] * n_totals)
+        levels.append(rd.from_arrow(pa.table(row)).map_batches(
+            _null_fill(keys), batch_format="pyarrow", batch_size=batch_size))
+    if not levels:  # sets=[] — SQL GROUPING SETS needs >= 1 set
+        raise ValueError("grouping='sets' requires at least one grouping set")
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)

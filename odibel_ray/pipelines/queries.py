@@ -1828,6 +1828,28 @@ def q_orders_rollup(sf_dir: str):
     return _round_cols(r, {"sum_o_totalprice": 2})
 
 
+def q_orders_grouping_sets(sf_dir: str):
+    """SQL GROUP BY GROUPING SETS (`ops.aggregates.rollup_counts` with
+    ``grouping='sets'``): exactly the requested granularities — (priority,
+    status), (status), and grand total — each subtotal derived from the one
+    corpus exchange, like ROLLUP/CUBE."""
+    from odibel_ray.ops.aggregates import rollup_counts
+    from odibel_ray.ops.relational import load_table
+
+    orders = load_table(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    r = rollup_counts(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        value_col="o_totalprice",
+        count_name="n_orders",
+        grouping="sets",
+        sets=[["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+    )
+    return _round_cols(r, {"sum_o_totalprice": 2})
+
+
 def q_user_event_melt(sf_dir: str):
     """UNPIVOT round-trip (`ops.aggregates.melt`, the inverse of
     `pivot_counts`): the wide per-user pivot melted back to long
@@ -3771,6 +3793,7 @@ QUERIES: dict[str, Callable] = {
     "events_running_value": q_events_running_value,
     "user_event_pivot": q_user_event_pivot,
     "orders_rollup": q_orders_rollup,
+    "orders_grouping_sets": q_orders_grouping_sets,
     "user_event_melt": q_user_event_melt,
     "user_top_event": q_user_top_event,
     "events_ranked": q_events_ranked,
@@ -4623,6 +4646,12 @@ SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey % 2 = 1
 SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_o_totalprice
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "orders_grouping_sets": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_o_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
 """,
         "orders_cube": """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,

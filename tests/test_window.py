@@ -3,6 +3,7 @@ boundaries (odibel_ray/ops/aggregates.py)."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from odibel_ray.ops.aggregates import sessionize, window_lag
@@ -330,3 +331,55 @@ def test_sessionize_multi_key_boundaries(ray_session):
         .to_pandas().sort_values("eid", ignore_index=True)
     )
     assert out.session_id.tolist() == [0, 0, 0, 1]
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    from odibel_ray.ops.aggregates import rollup_counts
+    rng = np.random.default_rng(8)
+    n = 400
+    t = pa.table({
+        "a": rng.choice(["x", "y", "z"], n).tolist(),
+        "b": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    # includes a duplicate set — SQL emits the duplicate subtotal rows too
+    sets = [["a", "b"], ["b"], [], ["b"]]
+    got = (
+        rollup_counts(ray.data.from_arrow(t).repartition(2), ["a", "b"],
+                      value_col="v", grouping="sets", sets=sets)
+        .to_pandas()
+        .sort_values(["a", "b", "n"], ignore_index=True, na_position="last")
+    )
+    import duckdb
+    want = duckdb.arrow(t).query(
+        "t", "SELECT a, b, count(*) AS n, sum(v) AS sum_v FROM t "
+             "GROUP BY GROUPING SETS ((a, b), (b), (), (b)) "
+             "ORDER BY a NULLS LAST, b NULLS LAST, n"
+    ).fetchdf()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.n.to_numpy(), want.n.to_numpy())
+    np.testing.assert_array_equal(got.sum_v.to_numpy(),
+                                  want.sum_v.astype("int64").to_numpy())
+
+
+def test_grouping_sets_validation(ray_session):
+    from odibel_ray.ops.aggregates import rollup_counts
+    t = pa.table({"a": ["x"], "b": [1], "v": [2]})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="requires sets"):
+        rollup_counts(ds, ["a", "b"], grouping="sets")
+    with pytest.raises(ValueError, match="not a subset"):
+        rollup_counts(ds, ["a", "b"], grouping="sets", sets=[["a", "zz"]])
+    with pytest.raises(ValueError, match="only valid"):
+        rollup_counts(ds, ["a", "b"], grouping="rollup", sets=[["a"]])
+    with pytest.raises(ValueError, match="at least one"):
+        rollup_counts(ds, ["a", "b"], grouping="sets", sets=[]).take_all()
+
+
+def test_grouping_sets_total_only(ray_session):
+    from odibel_ray.ops.aggregates import rollup_counts
+    t = pa.table({"a": ["x", "y"], "b": [1, 2], "v": [5, 7]})
+    rows = rollup_counts(ray.data.from_arrow(t), ["a", "b"], value_col="v",
+                         grouping="sets", sets=[[]]).take_all()
+    assert len(rows) == 1
+    assert rows[0]["a"] is None and rows[0]["n"] == 2 and rows[0]["sum_v"] == 12
