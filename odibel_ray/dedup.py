@@ -934,29 +934,34 @@ def cross_doc_ngram_dup(
     span-removal signal.
 
     Scale shape (the honest cost of substring-level dedup — the working set is
-    one row per (doc, distinct n-gram), never the corpus text):
+    one row per (doc, distinct n-gram), never the corpus text), a SINGLE
+    consumption of ``docs`` and exactly two exchanges:
 
     1. one ``map_batches`` pass emits ``(gram_key, doc, n_pos)`` — n-grams are
        ROLLING HASHES over the flat token-hash array (no gram string is ever
        materialized), per-(doc, gram) position counts collapse duplicates
        within the doc before anything is shuffled;
-    2. ``groupby(gram_key).count()`` — rows are per-(doc, gram) unique, so the
-       count IS the distinct-doc count (no count-distinct machinery);
-    3. a keyed ``bucketed_join`` (left) of the gram rows against the
-       ``>= min_docs`` gram keys marks duplicated positions;
-    4. ``groupby(doc)`` sums positions into the per-doc profile.
+    2. ONE gram-hash-bucket groupby co-locates every row of a gram; inside
+       each bucket the distinct-doc count per gram is a vectorized bincount
+       (rows are per-(doc, gram) unique, so row count IS the doc count),
+       duplicated positions are marked, and the bucket pre-folds to one row
+       per (doc, bucket) — the self-join-free replacement for the previous
+       count→``bucketed_join`` shape, which consumed the gram stream twice
+       (re-executing the upstream read/dedup) and paid a third exchange;
+    3. ``groupby(doc)`` sums the per-bucket partials into the per-doc profile.
 
     Reference parity: this generalizes the reference's content-hash dedup
     (``utils/WikiUtil.scala:13-30``) from whole-document identity to
     substring-level overlap.
     """
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
-    from odibel_ray.ops.relational import bucketed_join
+    from odibel_ray.tuning import default_num_buckets
 
     carry = tuple(carry)
     if id_type is None:
         id_type = pa.int64()
+    nb = default_num_buckets(num_buckets)
 
     def _emit(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -966,6 +971,7 @@ def cross_doc_ngram_dup(
         doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
         if len(gh) == 0:
             cols = {
+                "_gb": pa.array([], pa.int64()),
                 "gram_key": pa.array([], pa.int64()),
                 id_col: pa.array([], id_type),
                 "n_pos": pa.array([], pa.int64()),
@@ -978,6 +984,10 @@ def cross_doc_ngram_dup(
         flat_firsts, counts = _collapse_doc_grams(doc_idx, gh)
         ud, ug = doc_idx[flat_firsts], gh[flat_firsts]
         cols = {
+            # shuffle bucket: pure function of the gram key, so every row of
+            # a gram co-locates and the in-bucket row count per gram is its
+            # corpus-wide distinct-doc count
+            "_gb": pa.array((ug % np.uint64(nb)).astype(np.int64)),
             "gram_key": pa.array(ug.view(np.int64), pa.int64()),
             id_col: t[id_col].take(pa.array(ud)),
             "n_pos": pa.array(counts, pa.int64()),
@@ -990,50 +1000,53 @@ def cross_doc_ngram_dup(
             cols[c] = t[c].take(pa.array(ud))
         return pa.table(cols)
 
-    carry_types = carry_types or {}
-    gram_schema = pa.schema(
-        [("gram_key", pa.int64()), (id_col, id_type),
-         ("n_pos", pa.int64()), ("n_grams", pa.int64())]
-        + [(c, carry_types.get(c, pa.string())) for c in carry]
-    )
     grams = docs.map_batches(_emit, batch_format="pyarrow", batch_size=batch_size)
 
-    def _gc_finish(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["gram_key", "nd"])
-        return t.filter(pc.greater_equal(t["nd"], min_docs)).select(["gram_key"])
+    def _mark_fold(g: pa.Table) -> pa.Table:
+        """One gram-hash bucket: mark duplicated grams (in-bucket distinct-doc
+        bincount — complete, because the bucket is a pure function of the
+        gram key) and pre-fold to one row per (doc, bucket)."""
+        g = g.combine_chunks()
+        out_cols = [id_col, "dup_pos", "n_grams", *carry]
+        if len(g) == 0:
+            empty = {
+                id_col: pa.array([], id_type),
+                "dup_pos": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+            }
+            ctypes = carry_types or {}
+            for c in carry:
+                empty[c] = (
+                    g[c].slice(0, 0)
+                    if c in g.column_names
+                    else pa.array([], ctypes.get(c, pa.string()))
+                )
+            return pa.table({c: empty[c] for c in out_cols})
+        gk = g["gram_key"].to_numpy(zero_copy_only=False)
+        _, inv, nd = np.unique(gk, return_inverse=True, return_counts=True)
+        dup = nd[inv] >= min_docs
+        dup_pos = g["n_pos"].to_numpy(zero_copy_only=False) * dup
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        uid, dinv = np.unique(ids, return_inverse=True)
+        sums = np.bincount(dinv, weights=dup_pos, minlength=len(uid))
+        firsts = np.zeros(len(uid), np.int64)
+        firsts[dinv[::-1]] = np.arange(len(g) - 1, -1, -1, dtype=np.int64)
+        take = pa.array(firsts)
+        cols = {
+            id_col: g[id_col].take(take),
+            "dup_pos": pa.array(sums.astype(np.int64)),
+            "n_grams": g["n_grams"].take(take),
+        }
+        for c in carry:
+            cols[c] = g[c].take(take)
+        return pa.table({c: cols[c] for c in out_cols})
 
-    dup_keys = (
-        grams.map_batches(
-            lambda t: t.select(["gram_key"]), batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-        .groupby("gram_key")
-        .aggregate(Count(alias_name="nd"))
-        .map_batches(_gc_finish, batch_format="pyarrow")
-    )
-
-    marked = bucketed_join(
-        grams, dup_keys.map_batches(
-            lambda t: t.append_column("is_dup", pa.array([1] * len(t), pa.int64())),
-            batch_format="pyarrow",
-        ),
-        on="gram_key", how="left", num_buckets=num_buckets,
-        left_schema=gram_schema,
-        right_schema=pa.schema([("gram_key", pa.int64()), ("is_dup", pa.int64())]),
-    )
-
-    def _dup_pos(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        dup = pc.cast(pc.is_valid(t["is_dup"]), pa.int64())
-        t = t.append_column("dup_pos", pc.multiply(t["n_pos"], dup))
-        return t.drop_columns(["gram_key", "is_dup"])
-
-    per_gram = marked.map_batches(_dup_pos, batch_format="pyarrow", batch_size=batch_size)
+    per_bucket = grams.groupby("_gb").map_groups(_mark_fold, batch_format="pyarrow")
     aggs = [
         Sum("dup_pos", alias_name="n_dup"),
         Max("n_grams", alias_name="n_grams"),
     ] + [Max(c, alias_name=c) for c in carry]
-    per_doc = per_gram.groupby(id_col).aggregate(*aggs)
+    per_doc = per_bucket.groupby(id_col).aggregate(*aggs)
 
     def _order(t: pa.Table) -> pa.Table:
         return t.select([id_col, *carry, "n_grams", "n_dup"])
