@@ -3225,6 +3225,39 @@ def q_dedup_minhash_clusters(sf_dir: str):
     )
 
 
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end near-dup corpus dedup — the product an LLM-data pipeline
+    actually ships: MinHash/LSH spanning edges → size-adaptive connected
+    components → keep each duplicate group's min-id representative, drop
+    the other members, return the surviving corpus rows. Components are
+    min-label, so the drop list is exactly the CC rows with
+    ``node != component`` — a near-dup-member-sized build side fed to the
+    guarded anti join (automatic bucketed fallback above the byte budget,
+    so a 100-TB corpus with a huge dup rate still works). Oracle: the exact
+    all-pairs Jaccard reachability CTE, anti-joined the same way."""
+    from odibel_ray.dedup import minhash_lsh_pairs
+    from odibel_ray.ops.relational import broadcast_anti_join, load_table
+    from odibel_ray.state import connected_components_auto
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "source", "text"])
+    comp = connected_components_auto(
+        minhash_lsh_pairs(docs, threshold=0.4, emit="spanning")
+    )
+
+    def _members(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        t = t.filter(pc.not_equal(t["node"], t["component"]))
+        return pa.table({"doc_id": t["node"]})
+
+    drop = comp.map_batches(_members, batch_format="pyarrow")
+    return broadcast_anti_join(
+        docs.select_columns(["doc_id", "source"]),
+        drop,
+        "doc_id",
+        ds_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+
+
 def q_dedup_jaccard_verified(sf_dir: str):
     """Exact n-gram Jaccard verification over SQL-expressible blocking
     candidates — oracles the verification kernel that `dedup_minhash` shares
@@ -3893,6 +3926,7 @@ QUERIES: dict[str, Callable] = {
     "doc_lang_id": q_doc_lang_id,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
@@ -5226,6 +5260,28 @@ r(node, reach) AS (
   SELECT r.node, ed.dst FROM r JOIN ed ON ed.src = r.reach
 )
 SELECT node, min(reach) AS component FROM r GROUP BY node
+""",
+        "dedup_survivors": """
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ka FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ka) - 1, 1)),
+        i -> ka[i] || ' ' || ka[i+1] || ' ' || ka[i+2])) AS s FROM t),
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS sz FROM sh),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT doc_a, doc_b FROM i WHERE 1.0 * inter / (sa + sb - inter) >= 0.4),
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT src AS node FROM ed),
+r(node, reach) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, ed.dst FROM r JOIN ed ON ed.src = r.reach
+),
+comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """,
         "dedup_jaccard_verified": """
 WITH k AS (SELECT doc_id, text,
