@@ -535,6 +535,64 @@ def verify_pairs_jaccard(
     return p.map_batches(verify, batch_format="pyarrow", batch_size=batch_size)
 
 
+def corpus_dedup_survivors(
+    docs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    keep_schema: pa.Schema | None = None,
+    verify: bool = True,
+    **lsh_kw,
+) -> "ray.data.Dataset":
+    """End-to-end near-dup corpus dedup: LSH candidates → (optional) exact
+    n-gram Jaccard verify → size-adaptive connected components → keep each
+    duplicate group's min-id representative, anti-join the rest out of the
+    corpus. Returns the surviving rows projected to ``keep_cols``.
+
+    ``verify=True`` (default) inserts :func:`verify_pairs_jaccard` between
+    candidate generation and clustering, so documents are only ever dropped
+    on EXACT duplicate evidence — at 100-TB scale the MinHash estimator's
+    variance would otherwise delete false-positive "duplicates" (a pair with
+    estimated Jaccard ≥ t but true Jaccard < t severs a real document). The
+    verified path feeds raw multi-band candidates (``dedup=False`` — the
+    verify join's first bucket dedups them for free) with no signature
+    shipping (``est_filter=False``). ``verify=False`` keeps the cheaper
+    estimate-only path (spanning edges straight into CC) for callers that
+    accept estimator-variance deletions.
+
+    Components are min-label, so the drop list is exactly the CC rows with
+    ``node != component`` — a near-dup-member-sized build side fed to the
+    guarded anti join (automatic bucketed fallback above the byte budget)."""
+    from odibel_ray.ops.relational import broadcast_anti_join
+    from odibel_ray.state import connected_components_auto
+
+    if verify:
+        cand = minhash_lsh_pairs(
+            docs, threshold=threshold, est_filter=False, dedup=False, **lsh_kw
+        )
+        edges = verify_pairs_jaccard(
+            cand,
+            docs,
+            n=n,
+            threshold=threshold,
+            pair_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        ).select_columns(["doc_a", "doc_b"])
+    else:
+        edges = minhash_lsh_pairs(docs, threshold=threshold, emit="spanning", **lsh_kw)
+    comp = connected_components_auto(edges)
+
+    def _members(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        t = t.filter(pc.not_equal(t["node"], t["component"]))
+        return pa.table({"doc_id": t["node"]})
+
+    drop = comp.map_batches(_members, batch_format="pyarrow")
+    return broadcast_anti_join(
+        docs.select_columns(list(keep_cols)), drop, "doc_id", ds_schema=keep_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -3227,34 +3227,22 @@ def q_dedup_minhash_clusters(sf_dir: str):
 
 def q_dedup_survivors(sf_dir: str):
     """End-to-end near-dup corpus dedup — the product an LLM-data pipeline
-    actually ships: MinHash/LSH spanning edges → size-adaptive connected
-    components → keep each duplicate group's min-id representative, drop
-    the other members, return the surviving corpus rows. Components are
-    min-label, so the drop list is exactly the CC rows with
-    ``node != component`` — a near-dup-member-sized build side fed to the
-    guarded anti join (automatic bucketed fallback above the byte budget,
-    so a 100-TB corpus with a huge dup rate still works). Oracle: the exact
-    all-pairs Jaccard reachability CTE, anti-joined the same way."""
-    from odibel_ray.dedup import minhash_lsh_pairs
-    from odibel_ray.ops.relational import broadcast_anti_join, load_table
-    from odibel_ray.state import connected_components_auto
+    actually ships: MinHash/LSH candidates → EXACT n-gram Jaccard verify →
+    size-adaptive connected components → keep each duplicate group's min-id
+    representative, drop the other members, return the surviving corpus
+    rows. The exact-verify stage means survivors are only dropped on
+    verified duplicate evidence — estimator variance at 100× scale cannot
+    delete false-positive "duplicates". Oracle: the exact all-pairs Jaccard
+    reachability CTE, anti-joined the same way."""
+    from odibel_ray.dedup import corpus_dedup_survivors
+    from odibel_ray.ops.relational import load_table
 
     docs = load_table(sf_dir, "documents", ["doc_id", "source", "text"])
-    comp = connected_components_auto(
-        minhash_lsh_pairs(docs, threshold=0.4, emit="spanning")
-    )
-
-    def _members(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        t = t.filter(pc.not_equal(t["node"], t["component"]))
-        return pa.table({"doc_id": t["node"]})
-
-    drop = comp.map_batches(_members, batch_format="pyarrow")
-    return broadcast_anti_join(
-        docs.select_columns(["doc_id", "source"]),
-        drop,
-        "doc_id",
-        ds_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    return corpus_dedup_survivors(
+        docs,
+        threshold=0.4,
+        keep_cols=("doc_id", "source"),
+        keep_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
     )
 
 
@@ -4623,7 +4611,7 @@ l AS (SELECT role,
              epoch_us(ts) - epoch_us(lag(ts) OVER (
                  PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
       FROM f)
-SELECT role, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
+SELECT role, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
        CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM l WHERE gap_us IS NOT NULL GROUP BY role
 """,
@@ -4654,9 +4642,9 @@ WHERE rn <= 3
 """,
         "events_moving_value": """
 SELECT user_id, event_id, ts,
-       sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_value
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_value
 FROM events
 """,
         "building_revenue_topk": """
@@ -4703,9 +4691,9 @@ FROM events GROUP BY user_id
 """,
         "events_running_value": """
 SELECT user_id, event_id, ts,
-       sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS UNBOUNDED PRECEDING) AS running_value
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value
 FROM events
 """,
         "urgent_order_lineitems": """
@@ -5347,8 +5335,8 @@ WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 <
 """,
         "doc_redacted_stats": """
 SELECT lang, count(*) AS n_docs,
-       SUM(length(regexp_extract_all(text, '[0-9]+'))) AS n_red,
-       SUM(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS sum_red_len
+       CAST(SUM(length(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_red,
+       CAST(SUM(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS BIGINT) AS sum_red_len
 FROM documents GROUP BY lang
 """,
         "embedding_label_centroids": """

@@ -767,3 +767,75 @@ def test_split_chunks_short_doc(ray_session):
     assert rows == [
         {"doc_id": 7, "chunk_idx": 0, "chunk_text": "lone", "n_chunks": 1}
     ]
+
+
+def _near_miss_pair():
+    """A deterministic LSH near-miss: the pair shares an LSH band bucket and
+    the seeded 64-perm MinHash estimate is 0.469 (>= 0.4), but the EXACT
+    3-gram Jaccard is 0.333 (< 0.4). Found by seeded search against the
+    default ``MinHasher``; pinned here verbatim."""
+    base_toks = [f"w{i}" for i in range(60)]
+    var_toks = list(base_toks)
+    for i in [17, 5, 49, 26, 59, 6, 53, 2, 24, 34, 35, 21]:
+        var_toks[i] = f"x0_{i}"
+    return " ".join(base_toks), " ".join(var_toks)
+
+
+def test_near_miss_pair_is_what_it_claims(ray_session):
+    """Pin the near-miss properties so MinHasher changes that invalidate the
+    fixture fail loudly here instead of silently weakening the next test."""
+    from odibel_ray.dedup import MinHasher, ngram_jaccard
+
+    a, b = _near_miss_pair()
+    assert ngram_jaccard(a, b) < 0.4
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array([a, b])})
+    out = MinHasher()(t).combine_chunks()
+    by_doc: dict = {0: {}, 1: {}}
+    for r in out.to_pylist():
+        by_doc[r["doc_id"]][r["band"]] = r["band_hash"]
+        by_doc[r["doc_id"]].setdefault("_sig", r["sig"])
+    shared = sum(
+        1
+        for k, v in by_doc[0].items()
+        if k != "_sig" and by_doc[1].get(k) == v
+    )
+    assert shared >= 1  # LSH emits the pair as a candidate
+    s0 = np.array(by_doc[0]["_sig"])
+    s1 = np.array(by_doc[1]["_sig"])
+    assert (s0 == s1).mean() >= 0.4  # the estimator says "duplicate"
+
+
+def test_survivors_exact_verify_keeps_near_miss(ray_session):
+    """`corpus_dedup_survivors` must only drop docs on EXACT duplicate
+    evidence: a planted pair with estimated Jaccard >= t but exact Jaccard
+    < t survives intact, while a genuine near-identical pair still loses
+    its non-representative member. verify=False (the estimate-only path)
+    drops a near-miss member — demonstrating why verify is the default."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import corpus_dedup_survivors
+
+    a, b = _near_miss_pair()
+    dup = " ".join(f"d{i}" for i in range(50))
+    dup2 = dup.replace("d25", "MUT")  # one-token change: exact jaccard ~0.88
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([a, b, dup, dup2]),
+        }
+    )
+    kept = {
+        r["doc_id"]
+        for r in corpus_dedup_survivors(
+            rd.from_arrow(docs), threshold=0.4
+        ).take_all()
+    }
+    assert kept == {1, 2, 3}  # near-miss pair intact; dup group keeps min id
+
+    kept_est = {
+        r["doc_id"]
+        for r in corpus_dedup_survivors(
+            rd.from_arrow(docs), threshold=0.4, verify=False
+        ).take_all()
+    }
+    assert kept_est == {1, 3}  # the estimate-only path wrongly drops doc 2

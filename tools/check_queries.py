@@ -28,11 +28,79 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+def _dtype_class(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    type-sensitive value hash distinguishes. Only same-class widening
+    (e.g. int32 -> int64) is considered equivalent; decimal128 (DuckDB
+    HUGEINT from ``sum(BIGINT)``) is its own class so mistyped oracles
+    go red here exactly as they do in the driver."""
+    if pa.types.is_signed_integer(t):
+        return "int"
+    if pa.types.is_unsigned_integer(t):
+        return "uint"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def dtype_check(ray_tbl: pa.Table, sql_tbl: pa.Table) -> str | None:
+    """Return an error string when any shared column's Arrow type class
+    differs between the Ray result and the DuckDB oracle result."""
+    sql_types = {f.name: f.type for f in sql_tbl.schema}
+    for f in ray_tbl.schema:
+        st = sql_types.get(f.name)
+        if st is None:
+            continue
+        rc, sc = _dtype_class(f.type), _dtype_class(st)
+        # an all-NULL column (e.g. CAST(NULL ...) edge) matches anything
+        if "null" in (rc, sc):
+            continue
+        if rc != sc:
+            return f"DTYPE col={f.name} ray={f.type} sql={st}"
+    return None
+
+
+def to_arrow(ray_res) -> pa.Table:
+    """Materialize a queries() result (Dataset / DataFrame / Table) as Arrow."""
+    if isinstance(ray_res, pa.Table):
+        return ray_res
+    if isinstance(ray_res, pd.DataFrame):
+        return pa.Table.from_pandas(ray_res, preserve_index=False)
+    import ray as _ray
+
+    parts = list(_ray.get(ray_res.to_arrow_refs()))
+    return pa.concat_tables(parts, promote_options="default") if parts else pa.table({})
+
+
+def compare(name: str, ray_tbl: pa.Table, sql_rel) -> str:
+    """ray_tbl: materialized Arrow result; sql_rel: duckdb relation result."""
+    sql_tbl = sql_rel.arrow() if hasattr(sql_rel, "arrow") else sql_rel
+    ray_df, sql_df = ray_tbl.to_pandas(), sql_tbl.to_pandas()
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         return f"SCHEMA ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
+    err = dtype_check(ray_tbl, sql_tbl)
+    if err:
+        return err
     a, b = canon(ray_df), canon(sql_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
@@ -62,7 +130,8 @@ def run_checks(sf_dir: str, only: set[str] | None = None) -> int:
             continue
         t0 = time.time()
         try:
-            ray_df = to_pandas(fn(sf_dir))
+            ray_tbl = to_arrow(fn(sf_dir))
+            n_rows = ray_tbl.num_rows
         except Exception as e:
             print(f"{name:32s} RAY-ERROR {str(e).splitlines()[-1][:160]}")
             failures += 1
@@ -70,16 +139,16 @@ def run_checks(sf_dir: str, only: set[str] | None = None) -> int:
         dt = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"{name:32s} rows-only rows={len(ray_df)} ({dt:.1f}s)")
+            print(f"{name:32s} rows-only rows={n_rows} ({dt:.1f}s)")
             continue
         try:
-            sql_df = con.execute(sql).fetchdf()
+            sql_rel = con.execute(sql)
         except Exception as e:
             print(f"{name:32s} SQL-ERROR {str(e).splitlines()[-1][:160]}")
             failures += 1
             continue
-        verdict = compare(name, ray_df, sql_df)
-        print(f"{name:32s} {verdict} rows={len(ray_df)} ({dt:.1f}s)")
+        verdict = compare(name, ray_tbl, sql_rel)
+        print(f"{name:32s} {verdict} rows={n_rows} ({dt:.1f}s)")
         if verdict != "OK":
             failures += 1
     return failures
