@@ -311,6 +311,46 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_bpe_compare(sf_dir: str, num_cpus: int, *, num_merges: int = 200) -> dict:
+    """Round-reduction evidence for the batched distributed BPE plan: train
+    on the documents table with the distributed merge loop forced
+    (``driver_budget_rows=0``) at speculation batch 1 vs 16, identical
+    merge sequences asserted, and report wall time + histogram rounds per
+    mode. Batch 1 is one histogram round per merge (the per-merge exchange
+    shape the loop replaced); batch 16 amortizes ~16 merges per round."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, REPO)
+    import ray.data as rd
+
+    from odibel_ray.bpe import train_bpe
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"]).materialize()
+    out: dict = {"metric": "bpe_batched_round_reduction", "unit": "ratio",
+                 "num_merges": num_merges, "sf": _sf_name(sf_dir),
+                 "num_cpus": num_cpus}
+    seqs = {}
+    for k in (1, 16):
+        stats: dict = {}
+        t0 = time.time()
+        seqs[k] = train_bpe(docs, num_merges=num_merges, min_count=2,
+                            driver_budget_rows=0, batch_merges=k, stats=stats)
+        out[f"wall_batch{k}"] = round(time.time() - t0, 2)
+        out[f"rounds_batch{k}"] = stats.get("rounds")
+    assert seqs[1] == seqs[16], "merge sequences diverged between batch sizes"
+    out["merges_learned"] = len(seqs[16])
+    out["value"] = round(out["rounds_batch1"] / max(out["rounds_batch16"], 1), 2)
+    out["speedup"] = round(out["wall_batch1"] / max(out["wall_batch16"], 1e-9), 2)
+    return out
+
+
 def run_mor_compare(sf_dir: str, num_cpus: int, *, n_slices: int = 8,
                     base_frac: float = 0.5) -> dict:
     """Write-amplification evidence for the merge-on-read sink path: publish
@@ -445,6 +485,9 @@ def main() -> None:
     ap.add_argument("--mor-compare", action="store_true",
                     help="measure CoW vs merge-on-read incremental applies "
                          "(wall + bytes written) over the same tail slices")
+    ap.add_argument("--bpe-compare", action="store_true",
+                    help="measure the batched distributed BPE merge loop "
+                         "(batch 1 vs 16 rounds/wall, identical sequences)")
     ap.add_argument("--mor-slices", type=int, default=8,
                     help="tail slice count for --mor-compare (higher = more "
                          "frequent applies; CoW bytes stay O(table) per "
@@ -453,6 +496,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.bpe_compare:
+        print(json.dumps(run_bpe_compare(sf_dir, num_cpus),
+                         separators=(",", ":")))
+        return
 
     if args.mor_compare:
         print(json.dumps(

@@ -142,3 +142,66 @@ def test_merges_table_roundtrip():
     t = merges_table(merges)
     assert t.column_names == ["rank", "a", "b"]
     assert merges_from_table(t) == merges
+
+
+def test_train_distributed_batched_long_sequence(ray_session):
+    """40 merges at min_count=1 through the batched distributed plan — the
+    full merge sequence (including end-of-vocabulary degenerate merges)
+    must equal the naive serial reference."""
+    expected = _naive_bpe(CORPUS, 40, 1)
+    got = train_bpe(
+        _corpus_ds(), num_merges=40, min_count=1, driver_budget_rows=0
+    )
+    assert got == expected
+
+
+def test_train_distributed_speculation_rollback(ray_session):
+    """Adversarial corpus where a newly fused pair outranks the rest of the
+    speculative batch: 'abc'×8 makes (ab,c) count 8 right after (a,b) is
+    merged, beating (d,e) count 3 — the exact-delta validation must
+    truncate the batch so the sequence still equals serial. 'aaaa' words
+    additionally pin the vectorized greedy non-overlap run handling."""
+    import ray.data as rd
+
+    corpus = ["abc abc abc abc", "abc abc abc abc", "de de de", "aaaa aaaa aaaa"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus)), pa.int64()),
+                "text": pa.array(corpus),
+            }
+        )
+    )
+    expected = _naive_bpe(corpus, 12, 1)
+    got = train_bpe(ds, num_merges=12, min_count=1, driver_budget_rows=0)
+    assert got == expected
+
+
+@pytest.mark.parametrize("batch_merges", [1, 3, 64])
+def test_train_distributed_batch_size_invariant(ray_session, batch_merges):
+    """The merge sequence must not depend on the speculation batch size."""
+    expected = _naive_bpe(CORPUS, 20, 2)
+    got = train_bpe(
+        _corpus_ds(),
+        num_merges=20,
+        min_count=2,
+        driver_budget_rows=0,
+        batch_merges=batch_merges,
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("sample_rows", [1, 4, 100])
+def test_train_distributed_partial_sample_still_exact(ray_session, sample_rows):
+    """With a speculation sample much smaller than the histogram, the
+    prediction is wrong often — full-corpus exact-delta validation must
+    still pin the serial sequence exactly (just in more rounds)."""
+    expected = _naive_bpe(CORPUS, 25, 1)
+    got = train_bpe(
+        _corpus_ds(),
+        num_merges=25,
+        min_count=1,
+        driver_budget_rows=0,
+        sample_rows=sample_rows,
+    )
+    assert got == expected
