@@ -59,8 +59,9 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "cdc_events_snapshot",
     # same verify kernel as dedup_minhash, over SQL-expressible blocking
     "dedup_jaccard_verified",
-    # 1->k serializer twin of the timed transcript_named_graphs
+    # 1->k serializer twins of the timed transcript_named_graphs
     "transcript_reification",
+    "transcript_rdf_star",
     # anti-join twin of the timed customers_with_orders
     "customers_without_orders",
     # same apply+refresh loop as the timed transcript_derived (rescan);
@@ -351,6 +352,78 @@ def run_bpe_compare(sf_dir: str, num_cpus: int, *, num_merges: int = 200) -> dic
     return out
 
 
+def run_stream_latency(sf_dir: str, num_cpus: int, *, n_events: int = 400_000,
+                       batch_rows: int = 25_000) -> dict:
+    """Second headline number after throughput: measured micro-batch-to-
+    published visibility latency of the live tailing path. Streams a JSONL
+    feed (LSN-ordered prefix of the bench change log) through
+    ``tail_stream`` with one exactly-once apply per micro-batch, in both
+    copy-on-write and merge-on-read modes, and reports p50/p95 of each
+    apply's ingest-to-queryable latency (stamped from the micro-batch's
+    spool start to publish+archive return)."""
+    import io as _io
+    import shutil
+
+    import numpy as np
+    import ray
+
+    log_dir, _ = ensure_bench_log(sf_dir)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, REPO)
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from odibel_ray.sources.stream import tail_stream
+
+    # LSN-ordered JSONL prefix of the bench log — the live-binlog shape
+    tables, total = [], 0
+    for f in sorted(_glob.glob(os.path.join(log_dir, "part=*", "*.parquet"))):
+        t = pq.read_table(f)
+        tables.append(t)
+        total += len(t)
+        if total >= n_events * 2:  # head of the global LSN order needs slack
+            break
+    t = pa.concat_tables(tables, promote_options="default")
+    t = t.take(pc.sort_indices(t, sort_keys=[("lsn", "ascending")]))
+    df = t.slice(0, min(n_events, len(t))).to_pandas()
+    for f in t.schema:
+        # null-bearing int columns float-ify in pandas and would serialize
+        # as "0.0", which the int32 JSONL parse rejects — keep them integer
+        if pa.types.is_integer(f.type):
+            df[f.name] = df[f.name].astype("Int64")
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    payload = df.to_json(orient="records", lines=True).encode()
+
+    out: dict = {"metric": "stream_visibility_latency_p95_s", "unit": "sec",
+                 "n_events": int(len(df)), "batch_rows": batch_rows,
+                 "sf": _sf_name(sf_dir), "num_cpus": num_cpus}
+    for mode in ("cow", "mor"):
+        root = os.path.join(BENCH_CACHE, _sf_name(sf_dir) + f"_lat_{mode}")
+        shutil.rmtree(root, ignore_errors=True)
+        res = tail_stream(
+            _io.BytesIO(payload), os.path.join(root, "table"),
+            spool_dir=os.path.join(root, "spool"), num_parts=8,
+            batch_rows=batch_rows, rounds_per_apply=1, num_buckets=16,
+            mode=mode, compact_every=(8 if mode == "mor" else 0),
+        )
+        lats = [a["visibility_latency_s"] for a in res["history"]
+                if "visibility_latency_s" in a]
+        out[f"p50_{mode}"] = round(float(np.percentile(lats, 50)), 3)
+        out[f"p95_{mode}"] = round(float(np.percentile(lats, 95)), 3)
+        out[f"applies_{mode}"] = len(lats)
+        out[f"rows_{mode}"] = res["rows_total"]
+    out["value"] = out["p95_mor"]
+    return out
+
+
 def run_mor_compare(sf_dir: str, num_cpus: int, *, n_slices: int = 8,
                     base_frac: float = 0.5) -> dict:
     """Write-amplification evidence for the merge-on-read sink path: publish
@@ -485,6 +558,9 @@ def main() -> None:
     ap.add_argument("--mor-compare", action="store_true",
                     help="measure CoW vs merge-on-read incremental applies "
                          "(wall + bytes written) over the same tail slices")
+    ap.add_argument("--latency", action="store_true",
+                    help="measure micro-batch-to-published visibility "
+                         "latency of the tail_stream path (p50/p95, cow+mor)")
     ap.add_argument("--bpe-compare", action="store_true",
                     help="measure the batched distributed BPE merge loop "
                          "(batch 1 vs 16 rounds/wall, identical sequences)")
@@ -496,6 +572,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.latency:
+        print(json.dumps(run_stream_latency(sf_dir, num_cpus),
+                         separators=(",", ":")))
+        return
 
     if args.bpe_compare:
         print(json.dumps(run_bpe_compare(sf_dir, num_cpus),

@@ -508,6 +508,11 @@ def verify_pairs_jaccard(
         left_schema=pair_schema,
         right_schema=text_schema("doc_a", "_text_a"),
         left_distinct=["doc_a", "doc_b"],
+        # cross-band copies from a capped + an uncapped bucket keep
+        # capped=True deterministically (any-copy-capped semantics)
+        left_distinct_max=(
+            ["capped"] if pair_schema.get_field_index("capped") >= 0 else None
+        ),
     )
     p = bucketed_join(
         p,

@@ -89,6 +89,11 @@ def _variant_rows(
     combo is one fancy-index slice of the group's byte matrix + one hashed
     pass — no per-string Python loop."""
     t = t.combine_chunks()
+    if not pa.types.is_integer(t[id_col].type):
+        raise ValueError(
+            f"edit_distance_join: id_col {id_col!r} must be an integer column "
+            f"(got {t[id_col].type}); map string ids to int64 surrogates first"
+        )
     ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     mat, lens = _byte_matrix(t[text_col])
     if len(lens) and int(lens.max()) > max_len:
@@ -207,6 +212,11 @@ def verify_pairs_editdist(
         left_schema=pair_schema,
         right_schema=side("a_id", "_s_a"),
         left_distinct=["a_id", "b_id"],
+        # a pair emitted from both a capped and an uncapped variant bucket
+        # keeps capped=True deterministically (any-copy-capped semantics)
+        left_distinct_max=(
+            ["capped"] if pair_schema.get_field_index("capped") >= 0 else None
+        ),
     )
     p = bucketed_join(
         p,

@@ -103,6 +103,16 @@ def _pagerank_broadcast(
             i, wv = ray.get(_ref)
             t = _drop_null_edges(t, src, dst)
             pos = i.get_indexer(t[src].to_pandas())
+            if len(pos) and pos.min() < 0:
+                # get_indexer returns -1 for an unknown src, which would
+                # silently read wv[-1]; unreachable when the universe comes
+                # from these edges, but the lazy edge pipeline re-executes
+                # per iteration — a nondeterministic upstream map must fail
+                # loudly, not corrupt ranks
+                raise ValueError(
+                    "pagerank: edge source node absent from the node "
+                    "universe (nondeterministic upstream edge pipeline?)"
+                )
             part = pa.table({"node": t[dst], "contrib": pa.array(wv[pos])})
             return (
                 part.group_by(["node"])

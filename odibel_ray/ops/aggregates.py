@@ -443,6 +443,8 @@ def rollup_counts(
             raise ValueError("grouping='sets' requires sets=[...]")
         sets = [list(s) for s in sets]
         for s in sets:
+            if len(s) != len(set(s)):
+                raise ValueError(f"grouping set {s!r} repeats a column")
             if not set(s) <= set(keys):
                 raise ValueError(f"grouping set {s!r} is not a subset of {keys!r}")
     elif sets is not None:

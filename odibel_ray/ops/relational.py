@@ -301,6 +301,7 @@ def bucketed_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     left_distinct: Sequence[str] | None = None,
+    left_distinct_max: Sequence[str] | None = None,
 ) -> "ray.data.Dataset":
     """Distributed hash join without broadcast and without Ray Data's
     hash-shuffle join actors: tag-union both sides, sort-shuffle groupby on a
@@ -313,7 +314,10 @@ def bucketed_join(
     key (all copies of a row then land in the same bucket); it fuses an
     upstream ``exact_dedup`` exchange into the join — e.g. LSH candidate
     pairs duplicated across bands are deduped here for free instead of
-    paying a dedicated all-to-all.
+    paying a dedicated all-to-all. Which copy survives is otherwise
+    arbitrary (shuffle arrival order); ``left_distinct_max`` names columns
+    to aggregate by per-group MAX across the copies instead, making flags
+    like ``capped`` deterministic (True wins when any copy carries it).
 
     ``how`` ∈ {'inner', 'left', 'outer', 'semi', 'anti'} ('outer' is full
     outer — decomposable per bucket because every copy of a key lands in one
@@ -397,7 +401,22 @@ def bucketed_join(
             srt = keys[order]
             first = np.ones(len(lt), dtype=bool)
             first[1:] = (srt[1:] != srt[:-1]).any(axis=1)
-            lt = lt.take(pa.array(np.sort(order[first])))
+            if left_distinct_max:
+                # keep rows in group order so reduceat output aligns 1:1
+                starts = np.flatnonzero(first)
+                agg = {
+                    c: np.maximum.reduceat(
+                        lt[c].to_numpy(zero_copy_only=False)[order], starts
+                    )
+                    for c in left_distinct_max
+                }
+                lt = lt.take(pa.array(order[first]))
+                for c, v in agg.items():
+                    lt = lt.set_column(
+                        lt.schema.get_field_index(c), c, pa.array(v)
+                    )
+            else:
+                lt = lt.take(pa.array(np.sort(order[first])))
         return lt.join(rt, keys=on, join_type=join_type, right_suffix=suffix)
 
     return tagged_l.union(tagged_r).groupby("_jbucket").map_groups(

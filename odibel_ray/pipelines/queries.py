@@ -2080,6 +2080,18 @@ def q_transcript_reification(sf_dir: str):
     )
 
 
+def q_transcript_rdf_star(sf_dir: str):
+    """M9 RDF-star serializer: replay history → 4 RDF-star annotation lines
+    per fact-version (the ``CSVToRDFStar`` sketch the reference left
+    commented at ``TKGModelMgr.scala:124-136``, shipped here)."""
+    from odibel_ray.cdc.apply import replay_dataset
+    from odibel_ray.rdf import history_to_rdf_star
+
+    return history_to_rdf_star(
+        replay_dataset(ensure_transcript_log(sf_dir), history=True)
+    )
+
+
 def q_events_change_stream(sf_dir: str):
     """±1 change stream (A6, ``countChangesOverTime``): +1 at each window
     start, −1 at each close, net count per LSN position."""
@@ -3824,6 +3836,7 @@ QUERIES: dict[str, Callable] = {
     "orders_cube": q_orders_cube,
     "transcript_named_graphs": q_transcript_named_graphs,
     "transcript_reification": q_transcript_reification,
+    "transcript_rdf_star": q_transcript_rdf_star,
     "events_change_stream": q_events_change_stream,
     "transcript_publish_read": q_transcript_publish_read,
     "transcript_clustered_read": q_transcript_clustered_read,
@@ -4040,6 +4053,19 @@ UNION ALL SELECT subj || ' <urn:p:tStart> "' || tsf || '{_dt}' || g || ' .' FROM
 UNION ALL SELECT subj || ' <urn:p:tEnd> "' || tef || '{_dt}' || g || ' .' FROM parts
 UNION ALL SELECT subj || ' <urn:p:rStart> "' || ls || '{_lg}' || g || ' .' FROM parts
 UNION ALL SELECT subj || ' <urn:p:rEnd> "' || le || '{_lg}' || g || ' .' FROM parts
+"""
+    )
+    t_rdf_star = (
+        _TRANSCRIPT_EV_CTE.format(glob=glob, where="")
+        + _hist_cte
+        + _ser_parts
+        + f"""
+, q AS (SELECT '<< ' || subj || ' <urn:p:value> "' || text || '" >>' AS qt,
+               ls, le, tsf, tef FROM parts)
+SELECT qt || ' <urn:p:tStart> "' || tsf || '{_dt}.' AS line FROM q
+UNION ALL SELECT qt || ' <urn:p:tEnd> "' || tef || '{_dt}.' FROM q
+UNION ALL SELECT qt || ' <urn:p:rStart> "' || ls || '{_lg}.' FROM q
+UNION ALL SELECT qt || ' <urn:p:rEnd> "' || le || '{_lg}.' FROM q
 """
     )
     _rns = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -4705,6 +4731,7 @@ GROUP BY 1
 """,
         "transcript_named_graphs": t_named_graphs,
         "transcript_reification": t_reification,
+        "transcript_rdf_star": t_rdf_star,
         "events_change_stream": ev_stream,
         "cdc_events_lww": ev_lww,
         "cdc_events_snapshot": ev_snap,

@@ -411,6 +411,44 @@ def history_to_reification(history: "ray.data.Dataset") -> "ray.data.Dataset":
     return history.map_batches(f, batch_format="pyarrow")
 
 
+def history_to_rdf_star(history: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M9 RDF-star serializer (1 row → 4 RDF-star lines), the
+    ``CSVToRDFStar.convertRowToRDF`` shape the reference sketches but never
+    shipped (commented out at ``transform/TKGModelMgr.scala:124-136``): the
+    fact triple is quoted (``<< s p o >>``) as the subject of the four
+    validity-window annotation triples — tStart/tEnd as xsd:dateTime,
+    rStart/rEnd as xsd:long (matching this engine's named-graph/reification
+    analogs; the reference sketch typed all four as dateTime, including the
+    revision ids, which is plainly a sketch bug). No minted graph/bnode id
+    at all — the quoted triple IS the identity, so this is the only
+    serializer of the family that needs no M10 deterministic-id treatment."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        subj, _key, ls, le, ts, te = _history_parts(t)
+        lit = pc.binary_join_element_wise('"', t["text"], '"', "")
+        quoted = pc.binary_join_element_wise(
+            "<< ", subj, " <urn:p:value> ", lit, " >>", ""
+        )
+
+        def star(pred: str, obj, typ: str) -> pa.Array:
+            return pc.binary_join_element_wise(
+                quoted, " " + pred + " ", obj, typ + " .", ""
+            ).combine_chunks()
+
+        lines = pa.concat_arrays(
+            [
+                star("<urn:p:tStart>", pc.binary_join_element_wise('"', ts, '"', ""), _XSD_DT),
+                star("<urn:p:tEnd>", pc.binary_join_element_wise('"', te, '"', ""), _XSD_DT),
+                star("<urn:p:rStart>", pc.binary_join_element_wise('"', ls, '"', ""), _XSD_LONG),
+                star("<urn:p:rEnd>", pc.binary_join_element_wise('"', le, '"', ""), _XSD_LONG),
+            ]
+        )
+        return pa.table({"line": lines})
+
+    return history.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deterministic NT corpus generator (writes BOTH .nt text and the equivalent
 # parquet triple table, so DuckDB can oracle the parsed result)

@@ -28,6 +28,7 @@ import io
 import json
 import os
 import sys
+import time
 from typing import IO, TYPE_CHECKING, Iterator
 
 import numpy as np
@@ -346,9 +347,13 @@ def tail_stream(
     spooled_rounds = 0
     total_events = 0
     run_i = 0
+    # monotonic stamp of the first spool of the current pending set — the
+    # apply's visibility latency is measured from the OLDEST buffered
+    # micro-batch (the conservative, p95-relevant end-to-end number)
+    pending_since: float | None = None
 
     def _apply() -> None:
-        nonlocal run_i, pending_files
+        nonlocal run_i, pending_files, pending_since
         if not pending_files:
             return
         consumed = list(pending_files)
@@ -389,13 +394,23 @@ def tail_stream(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(f, dst)
         pending_files = []  # _apply always consumes the whole pending set
+        if pending_since is not None:
+            # stamped AFTER archiving: the table is published AND the spool
+            # reflects it — the full ingest-to-queryable path
+            res["visibility_latency_s"] = round(
+                time.monotonic() - pending_since, 6
+            )
+        pending_since = None
 
     with ThroughputMonitor(heartbeat_interval_s, what="events") as mon:
         for chunk in _read_line_chunks(stream, batch_rows):
+            t_round = time.monotonic()
             info = spool_jsonl(
                 io.BytesIO(chunk), spool_dir,
                 num_parts=num_parts, batch_rows=batch_rows, fmt=fmt,
             )
+            if pending_since is None and info["n_events"]:
+                pending_since = t_round
             total_events += info["n_events"]
             mon.add(info["n_events"])
             pending_files.extend(info["files"])

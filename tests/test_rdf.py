@@ -66,3 +66,41 @@ def test_history_to_quads(ray_session, small_log):
     # deterministic graph ids: rerun produces the identical multiset
     again = history_to_quads(replay_dataset(small_log["log_dir"], history=True)).take_all()
     assert sorted(l["line"] for l in lines) == sorted(l["line"] for l in again)
+
+
+def test_history_to_rdf_star_shape(ray_session):
+    """One history row → exactly 4 RDF-star lines with the quoted fact
+    triple as subject and the window annotations typed like the
+    named-graph/reification family (dateTime for t*, long for r*)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.rdf import history_to_rdf_star
+
+    row = pa.table(
+        {
+            "conv_id": pa.array(["c1"]),
+            "turn_idx": pa.array([3], pa.int32()),
+            "text": pa.array(["hello"]),
+            "lsn_start": pa.array([7], pa.int64()),
+            "lsn_end": pa.array([12], pa.int64()),
+            "ts_start": pa.array([datetime.datetime(2026, 1, 2, 3, 4, 5)]),
+            "ts_end": pa.array([datetime.datetime(2026, 1, 2, 3, 9, 5)]),
+        }
+    )
+    lines = sorted(
+        r["line"] for r in history_to_rdf_star(rd.from_arrow(row)).take_all()
+    )
+    q = '<< <urn:turn:c1:3> <urn:p:value> "hello" >>'
+    dt = "^^<http://www.w3.org/2001/XMLSchema#dateTime>"
+    lg = "^^<http://www.w3.org/2001/XMLSchema#long>"
+    assert lines == sorted(
+        [
+            f'{q} <urn:p:tStart> "2026-01-02T03:04:05"{dt} .',
+            f'{q} <urn:p:tEnd> "2026-01-02T03:09:05"{dt} .',
+            f'{q} <urn:p:rStart> "7"{lg} .',
+            f'{q} <urn:p:rEnd> "12"{lg} .',
+        ]
+    )

@@ -612,3 +612,61 @@ def test_stratified_sample_rates(ray_session):
         rd.from_arrow(t), "k", "g", {"a": 100, "b": 10}, default_pct=50
     ).to_pandas()
     assert sorted(out2.k) == sorted(out.k)
+
+
+def test_bucketed_join_left_distinct_max_capped(ray_session):
+    """A pair present with capped=True and capped=False copies must keep
+    capped=True deterministically (any-copy-capped), not an arbitrary
+    shuffle-order copy."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import bucketed_join
+
+    pairs = pa.table(
+        {
+            "a_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "b_id": pa.array([5, 5, 5, 6], pa.int64()),
+            "capped": pa.array([False, True, False, False]),
+        }
+    )
+    names = pa.table(
+        {"a_id": pa.array([1, 2], pa.int64()), "s": pa.array(["x", "y"])}
+    )
+    out = bucketed_join(
+        rd.from_arrow(pairs),
+        rd.from_arrow(names),
+        "a_id",
+        left_distinct=["a_id", "b_id"],
+        left_distinct_max=["capped"],
+        num_buckets=4,
+    ).take_all()
+    got = {(r["a_id"], r["b_id"]): r["capped"] for r in out}
+    assert got == {(1, 5): True, (2, 6): False}
+
+
+def test_grouping_sets_rejects_duplicate_column(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from odibel_ray.ops.aggregates import rollup_counts
+
+    ds = rd.range(10).map_batches(
+        lambda t: t.append_column("a", t["id"]), batch_format="pyarrow"
+    )
+    with _pytest.raises(ValueError, match="repeats a column"):
+        rollup_counts(ds, ["a"], grouping="sets", sets=[["a", "a"]])
+
+
+def test_edit_distance_join_rejects_string_ids(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from odibel_ray.er import edit_distance_join
+
+    docs = pa.table(
+        {"doc_id": pa.array(["x1", "x2"]), "text": pa.array(["abc", "abd"])}
+    )
+    with _pytest.raises(Exception, match="must be an integer column"):
+        edit_distance_join(rd.from_arrow(docs), tau=1).take_all()
