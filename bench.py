@@ -352,6 +352,68 @@ def run_bpe_compare(sf_dir: str, num_cpus: int, *, num_merges: int = 200) -> dic
     return out
 
 
+def run_stress(sf_dir: str, num_cpus: int, *, mult: int = 12,
+               parts: int = 128) -> dict:
+    """Memory-bounded-streaming evidence at the largest size this sandbox
+    allows: the headline replay over a ``mult``× log (~93M events at sf0.1
+    × 12 — 10× the per-round bench) with the object store sampled
+    throughout. Reports peak object-store usage and Ray's spill counters —
+    the claim under test is that the streaming executor's backpressure keeps
+    the working set bounded (no spill-death) while throughput holds."""
+    import threading
+
+    import ray
+
+    ensure_bench_log(sf_dir, mult=mult, num_parts=parts)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    total_store = ray.cluster_resources().get("object_store_memory", 0.0)
+    peak = {"used": 0.0}
+    stop = threading.Event()
+
+    def sample() -> None:
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory", total_store)
+            peak["used"] = max(peak["used"], total_store - avail)
+            stop.wait(0.25)
+
+    th = threading.Thread(target=sample, daemon=True)
+    th.start()
+    try:
+        headline = run_headline(sf_dir, num_cpus, mult=mult, num_parts=parts)
+    finally:
+        stop.set()
+        th.join()
+    # spilled objects land as files under the session's object_spilling dir
+    # (no grpc in this env, so the memory_summary API is unavailable)
+    spilled_mb = 0
+    try:
+        import glob as _glob
+
+        sess = os.path.realpath("/tmp/ray/session_latest")
+        for f in _glob.glob(os.path.join(sess, "**", "*object_spilling*", "*"),
+                            recursive=True):
+            spilled_mb += os.path.getsize(f)
+        spilled_mb = int(spilled_mb / 1e6)
+    except Exception:
+        spilled_mb = None
+    return {
+        "metric": "stress_replay_events_per_sec",
+        "value": headline["events_per_sec"],
+        "unit": "events/sec",
+        "wall_sec": headline["wall_sec"],
+        "n_events": headline["n_events"],
+        "rows_out": headline["rows_out"],
+        "peak_object_store_mb": int(peak["used"] / 1e6),
+        "object_store_total_mb": int(total_store / 1e6),
+        "spilled_mb": spilled_mb,
+        "sf": _sf_name(sf_dir),
+        "mult": mult,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_stream_latency(sf_dir: str, num_cpus: int, *, n_events: int = 400_000,
                        batch_rows: int = 25_000) -> dict:
     """Second headline number after throughput: measured micro-batch-to-
@@ -558,6 +620,9 @@ def main() -> None:
     ap.add_argument("--mor-compare", action="store_true",
                     help="measure CoW vs merge-on-read incremental applies "
                          "(wall + bytes written) over the same tail slices")
+    ap.add_argument("--stress", action="store_true",
+                    help="headline replay over a 12x log with object-store "
+                         "peak + spill counters (memory-bounded evidence)")
     ap.add_argument("--latency", action="store_true",
                     help="measure micro-batch-to-published visibility "
                          "latency of the tail_stream path (p50/p95, cow+mor)")
@@ -572,6 +637,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.stress:
+        print(json.dumps(run_stress(sf_dir, num_cpus), separators=(",", ":")))
+        return
 
     if args.latency:
         print(json.dumps(run_stream_latency(sf_dir, num_cpus),
