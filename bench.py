@@ -59,6 +59,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "cdc_events_snapshot",
     # same verify kernel as dedup_minhash, over SQL-expressible blocking
     "dedup_jaccard_verified",
+    # interval-union fold over the timed doc_dup_spans pipeline
+    "doc_dup_span_coverage",
     # 1->k serializer twins of the timed transcript_named_graphs
     "transcript_reification",
     "transcript_rdf_star",

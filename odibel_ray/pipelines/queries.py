@@ -3258,6 +3258,32 @@ def q_dedup_survivors(sf_dir: str):
     )
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact cross-document duplicate substrings ≥ 32 bytes (Lee et al.
+    2022's exact-substring dedup signal), via winnowing-sampled rolling-hash
+    anchors + byte-exact maximal extension (`spans.duplicate_spans`; the
+    winnowing guarantee makes the sampled index exact for spans ≥ min_len).
+    Oracle: all-pairs 24-gram equality join + gaps-and-islands maximal-run
+    reconstruction along each (doc_a, doc_b, diagonal)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.spans import duplicate_spans
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(docs, min_len=32, window=24)
+
+
+def q_doc_dup_span_coverage(sf_dir: str):
+    """Per-document duplicated-byte totals (union of the doc's duplicate
+    spans) — the per-doc boilerplate signal exact-substring dedup policies
+    cut on. Oracle: interval union over the span oracle via running-max
+    gaps-and-islands."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.spans import duplicate_span_coverage
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_span_coverage(docs, min_len=32, window=24)
+
+
 def q_dedup_jaccard_verified(sf_dir: str):
     """Exact n-gram Jaccard verification over SQL-expressible blocking
     candidates — oracles the verification kernel that `dedup_minhash` shares
@@ -3929,6 +3955,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
+    "doc_dup_spans": q_doc_dup_spans,
+    "doc_dup_span_coverage": q_doc_dup_span_coverage,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
@@ -4883,6 +4911,84 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
        round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS avg_tokens
 FROM documents GROUP BY lang
+""",
+        # exact duplicate substrings >= 32 bytes: all-pairs 24-gram equality
+        # join, maximal runs reassembled per (doc_a, doc_b, diagonal) with
+        # gaps-and-islands (run of c consecutive matching grams = span of
+        # c + 23 bytes). ASCII corpus, so char == byte offsets.
+        "doc_dup_spans": """
+WITH g AS (
+  SELECT doc_id, p - 1 AS pos, substr(text, p, 24) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS p
+        FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + 23 AS BIGINT) AS span_len
+FROM r GROUP BY doc_a, doc_b, diag, grp
+HAVING count(*) + 23 >= 32
+""",
+        # per-doc union of duplicate-span intervals (running-max islands
+        # over both sides of the span oracle)
+        "doc_dup_span_coverage": """
+WITH g AS (
+  SELECT doc_id, p - 1 AS pos, substr(text, p, 24) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS p
+        FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+sp AS (
+  SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+         count(*) + 23 AS span_len
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) + 23 >= 32
+),
+iv AS (
+  SELECT doc_a AS doc_id, a_start AS s, a_start + span_len AS e FROM sp
+  UNION ALL
+  SELECT doc_b, b_start, b_start + span_len FROM sp
+),
+o AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+segs AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS seg
+  FROM o
+),
+agg AS (
+  SELECT doc_id, seg, max(e) - min(s) AS seg_len FROM segs
+  GROUP BY doc_id, seg
+)
+SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS dup_bytes,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM agg GROUP BY doc_id
 """,
         # decontamination: per-train-doc count of distinct 3-gram shingles
         # shared with the held-out test split (doc_id % 13 == 0)

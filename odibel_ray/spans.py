@@ -1,0 +1,397 @@
+"""Exact cross-document duplicate-substring spans at corpus scale.
+
+The missing dedup modality next to MinHash/SimHash (document-level) and
+chunk hashing (fixed-boundary): find every maximal substring of length
+>= ``min_len`` BYTES shared verbatim by two documents, with byte positions
+— the operation behind "exact substring deduplication" in Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"), which builds
+a corpus-wide suffix array. A suffix array is the wrong shape for a
+streaming shuffle engine; this module gets the SAME exact answer with a
+winnowing-sampled fingerprint index (Schleimer et al. 2003, "Winnowing:
+Local Algorithms for Document Fingerprinting"):
+
+1. **Fingerprint** (``map_batches``, vectorized): per document, 64-bit
+   polynomial rolling hashes of every ``window``-byte gram (wraparound
+   mod 2^64 — one cumsum + two vector multiplies, no per-byte Python),
+   then winnowing selects the minimum hash of each ``k`` consecutive
+   grams (``k = min_len - window + 1``). Winnowing's guarantee is exact:
+   ANY shared substring of length >= ``min_len`` contains a selected
+   fingerprint in BOTH documents. Index size is ~2/(k+1) of corpus bytes,
+   not O(corpus bytes).
+2. **Anchor** (``groupby(hash)``): fingerprint buckets with more than one
+   document emit candidate anchor pairs (uncapped by default — house
+   pair-API policy; ``max_bucket`` opt-in caps degenerate buckets, e.g.
+   boilerplate headers shared by millions of docs, marking survivors
+   ``capped``).
+3. **Extend** (two ``bucketed_join`` text attachments + a batch kernel):
+   each anchor is verified byte-for-byte (hash collisions die here — the
+   output is exact, not probabilistic) and extended left/right to the
+   MAXIMAL equal run, vectorized across the pair axis like
+   ``er.levenshtein_batch`` (the loop is over extension distance, every
+   step one O(pairs) numpy compare). Multiple anchors inside one shared
+   span all extend to the same maximal span; one exact dedup collapses
+   them.
+
+Output: one row per maximal shared span, ``(doc_a, doc_b, a_start,
+b_start, span_len)`` with ``doc_a < doc_b``, ``span_len >= min_len``,
+0-based byte offsets — deterministic and bit-equal to the all-pairs
+gaps-and-islands SQL over every ``window``-gram (the registry oracle),
+because spans >= ``min_len`` are guaranteed anchored and extension is
+byte-exact. Spans in ``[window, min_len)`` are deliberately NOT emitted
+(winnowing only samples them); ``min_len`` is the contract.
+
+Reference analog: none — the reference's dedup surface stops at content
+hashing (``utils/WikiUtil.scala:13-30``); this is part of the
+training-data suite mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+#: Rolling-hash base (odd => invertible mod 2^64, so inverse powers exist).
+_BASE = np.uint64(0x9E3779B97F4A7C15)
+_INV_BASE = np.uint64(pow(int(_BASE), -1, 1 << 64))
+
+
+def _rolling_hashes(b: np.ndarray, window: int) -> np.ndarray:
+    """64-bit polynomial hashes of every ``window``-gram of byte vector
+    ``b`` (wraparound arithmetic): H[i] = sum_m b[i+m] * BASE^(window-1-m).
+    Fully vectorized — cumsum of b[j]*BASE^-j, then one rescale multiply."""
+    n = len(b)
+    if n < window:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        inv_pows = np.empty(n, np.uint64)
+        inv_pows[0] = np.uint64(1)
+        pows = np.empty(n, np.uint64)
+        pows[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _INV_BASE, np.uint64), out=inv_pows[1:]
+            )
+            np.multiply.accumulate(np.full(n - 1, _BASE, np.uint64), out=pows[1:])
+        s = np.zeros(n + 1, np.uint64)
+        np.cumsum(b.astype(np.uint64) * inv_pows, out=s[1:])
+        i = np.arange(n - window + 1)
+        return (s[i + window] - s[i]) * pows[i + window - 1]
+
+
+def _winnow(h: np.ndarray, k: int) -> np.ndarray:
+    """Positions selected by winnowing: the index of the minimum hash in
+    every window of ``k`` consecutive gram hashes (leftmost min on ties),
+    deduplicated. Guarantee: any run of >= k grams contributes a pick."""
+    if len(h) == 0:
+        return np.empty(0, np.int64)
+    if len(h) <= k or k <= 1:
+        return np.unique(np.argmin(h, keepdims=True)).astype(np.int64) if k > 1 else np.arange(len(h), dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, k)
+    picks = win.argmin(axis=1) + np.arange(len(win), dtype=np.int64)
+    return np.unique(picks)
+
+
+class _Fingerprinter:
+    """Batch kernel: (doc_id, text) -> (fp, doc_id, pos) winnowed anchors."""
+
+    def __init__(self, window: int, k: int, id_col: str, text_col: str):
+        self.window, self.k = window, k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        out_f: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for did, s in zip(ids, t[self.text_col].to_pylist()):
+            if not s:
+                continue
+            b = np.frombuffer(s.encode(), dtype=np.uint8)
+            h = _rolling_hashes(b, self.window)
+            if len(h) == 0:
+                continue
+            picks = _winnow(h, self.k)
+            out_f.append(h[picks])
+            out_d.append(np.full(len(picks), did, np.int64))
+            out_p.append(picks)
+        if not out_f:
+            return pa.table(
+                {"fp": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"fp": pa.array(np.concatenate(out_f)),
+             "doc_id": pa.array(np.concatenate(out_d)),
+             "pos": pa.array(np.concatenate(out_p).astype(np.int64))}
+        )
+
+
+def _anchor_pairs(t: pa.Table, max_bucket: int | None) -> pa.Table:
+    """Cross-document anchor pairs inside one fingerprint bucket
+    (doc_a < doc_b; same-doc repeats excluded)."""
+    t = t.combine_chunks()
+    docs = t["doc_id"].to_numpy(zero_copy_only=False)
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    cols: dict = {
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+        "pos_a": pa.array([], pa.int64()), "pos_b": pa.array([], pa.int64()),
+    }
+    if max_bucket is not None:
+        cols["capped"] = pa.array([], pa.bool_())
+    n = len(docs)
+    if n < 2 or (docs == docs[0]).all():
+        return pa.table(cols)
+    capped = max_bucket is not None and n > max_bucket
+    if capped:
+        # keep the first max_bucket rows by (doc, pos) order — deterministic
+        order = np.lexsort((pos, docs))[:max_bucket]
+        docs, pos = docs[order], pos[order]
+        n = len(docs)
+    ia, ib = np.triu_indices(n, k=1)
+    keep = docs[ia] != docs[ib]
+    ia, ib = ia[keep], ib[keep]
+    swap = docs[ia] > docs[ib]
+    ia2 = np.where(swap, ib, ia)
+    ib2 = np.where(swap, ia, ib)
+    out = {
+        "doc_a": pa.array(docs[ia2].astype(np.int64)),
+        "doc_b": pa.array(docs[ib2].astype(np.int64)),
+        "pos_a": pa.array(pos[ia2].astype(np.int64)),
+        "pos_b": pa.array(pos[ib2].astype(np.int64)),
+    }
+    if max_bucket is not None:
+        out["capped"] = pa.array(np.full(len(ia2), capped))
+    return pa.table(out)
+
+
+def _extend_anchors(t: pa.Table, *, window: int, min_len: int) -> pa.Table:
+    """Verify + maximally extend a batch of anchors, vectorized across the
+    pair axis: encode both texts to padded byte matrices once, then walk
+    left/right with whole-batch compares (each step one O(pairs) numpy op,
+    loop length = longest extension in the batch)."""
+    t = t.combine_chunks()
+    npairs = len(t)
+    base_cols = ["doc_a", "doc_b", "a_start", "b_start", "span_len"]
+    has_capped = "capped" in t.column_names
+
+    def _empty() -> pa.Table:
+        cols = {c: pa.array([], pa.int64()) for c in base_cols}
+        if has_capped:
+            cols["capped"] = pa.array([], pa.bool_())
+        return pa.table(cols)
+
+    if npairs == 0:
+        return _empty()
+    enc_a = [s.encode() for s in t["_t_a"].to_pylist()]
+    enc_b = [s.encode() for s in t["_t_b"].to_pylist()]
+    la = np.array([len(e) for e in enc_a], np.int64)
+    lb = np.array([len(e) for e in enc_b], np.int64)
+    ma = np.zeros((npairs, int(la.max()) if npairs else 0), np.uint8)
+    mb = np.zeros((npairs, int(lb.max()) if npairs else 0), np.uint8)
+    for i, e in enumerate(enc_a):
+        ma[i, : len(e)] = np.frombuffer(e, np.uint8)
+    for i, e in enumerate(enc_b):
+        mb[i, : len(e)] = np.frombuffer(e, np.uint8)
+    pa_ = t["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pb_ = t["pos_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.arange(npairs)
+
+    # verify the anchor window byte-for-byte (hash collisions die here)
+    ok = np.ones(npairs, bool)
+    for m in range(window):
+        ok &= (pa_ + m < la) & (pb_ + m < lb)
+        idx = np.where(ok)[0]
+        if len(idx) == 0:
+            break
+        ok[idx] &= ma[idx, pa_[idx] + m] == mb[idx, pb_[idx] + m]
+    rows, pa_, pb_ = rows[ok], pa_[ok], pb_[ok]
+    if len(rows) == 0:
+        return _empty()
+    la, lb = la[ok], lb[ok]
+    sel_a = ma[ok]
+    sel_b = mb[ok]
+    n = len(rows)
+
+    # extend left: largest d with bytes equal at (pa-d, pb-d)
+    left = np.zeros(n, np.int64)
+    active = np.arange(n)
+    while len(active):
+        d = left[active] + 1
+        i, j = pa_[active] - d, pb_[active] - d
+        okl = (i >= 0) & (j >= 0)
+        okl[okl] = (
+            sel_a[active[okl], i[okl]] == sel_b[active[okl], j[okl]]
+        )
+        left[active[okl]] += 1
+        active = active[okl]
+    # extend right past the window end
+    right = np.zeros(n, np.int64)
+    active = np.arange(n)
+    while len(active):
+        i = pa_[active] + window + right[active]
+        j = pb_[active] + window + right[active]
+        okr = (i < la[active]) & (j < lb[active])
+        okr[okr] = (
+            sel_a[active[okr], i[okr]] == sel_b[active[okr], j[okr]]
+        )
+        right[active[okr]] += 1
+        active = active[okr]
+
+    a0 = pa_ - left
+    b0 = pb_ - left
+    ln = left + window + right
+    keep = ln >= min_len
+    cols = {
+        "doc_a": t["doc_a"].take(pa.array(rows[keep])),
+        "doc_b": t["doc_b"].take(pa.array(rows[keep])),
+        "a_start": pa.array(a0[keep]),
+        "b_start": pa.array(b0[keep]),
+        "span_len": pa.array(ln[keep]),
+    }
+    if "capped" in t.column_names:  # recall-reduced-bucket marker survives
+        cols["capped"] = t["capped"].take(pa.array(rows[keep]))
+    return pa.table(cols)
+
+
+def duplicate_spans(
+    docs: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    num_partitions: int | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """All maximal cross-document duplicate substrings of ``>= min_len``
+    bytes: ``(doc_a, doc_b, a_start, b_start, span_len)`` with
+    ``doc_a < doc_b``, 0-based byte offsets. Exact — see module docstring
+    for the winnowing guarantee and the scale shape."""
+    if window < 4 or min_len < window:
+        raise ValueError("need min_len >= window >= 4")
+    k = min_len - window + 1
+    anchors = docs.select_columns([id_col, text_col]).map_batches(
+        _Fingerprinter(window, k, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    pairs = anchors.groupby("fp").map_groups(
+        partial(_anchor_pairs, max_bucket=max_bucket), batch_format="pyarrow"
+    )
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("pos_a", pa.int64()), ("pos_b", pa.int64())]
+    )
+    if max_bucket is not None:
+        pair_schema = pair_schema.append(pa.field("capped", pa.bool_()))
+    txt = docs.select_columns([id_col, text_col])
+    side = lambda c, tc: pa.schema([(c, pa.int64()), (tc, pa.string())])  # noqa: E731
+    p = bucketed_join(
+        pairs,
+        txt.rename_columns({id_col: "doc_a", text_col: "_t_a"}),
+        "doc_a",
+        num_buckets=num_partitions,
+        left_schema=pair_schema,
+        right_schema=side("doc_a", "_t_a"),
+        # same anchor pair can surface from several fingerprint buckets
+        # inside one shared span — dedup in-bucket for free
+        left_distinct=["doc_a", "doc_b", "pos_a", "pos_b"],
+        left_distinct_max=(["capped"] if max_bucket is not None else None),
+    )
+    p = bucketed_join(
+        p,
+        txt.rename_columns({id_col: "doc_b", text_col: "_t_b"}),
+        "doc_b",
+        num_buckets=num_partitions,
+        left_schema=pair_schema.append(pa.field("_t_a", pa.string())),
+        right_schema=side("doc_b", "_t_b"),
+    )
+    spans = p.map_batches(
+        partial(_extend_anchors, window=window, min_len=min_len),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    # every anchor inside one maximal span extends to the same span row
+    return exact_dedup(
+        spans, ["doc_a", "doc_b", "a_start", "b_start", "span_len"]
+    )
+
+
+def duplicate_span_coverage(
+    docs: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> "ray.data.Dataset":
+    """Per-document duplicated-byte totals: ``(doc_id, dup_bytes,
+    n_spans)`` where ``dup_bytes`` is the size of the UNION of this doc's
+    duplicate-span intervals (both sides of every pair contribute). The
+    per-doc signal exact-substring dedup policies cut on (Lee et al. 2022
+    drop one copy of each duplicated span; a doc mostly covered by spans
+    is boilerplate)."""
+    spans = duplicate_spans(
+        docs, min_len=min_len, window=window, id_col=id_col,
+        text_col=text_col, **kw,
+    )
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ln = t["span_len"].to_numpy(zero_copy_only=False)
+        d = np.concatenate(
+            [t["doc_a"].to_numpy(zero_copy_only=False),
+             t["doc_b"].to_numpy(zero_copy_only=False)]
+        )
+        s = np.concatenate(
+            [t["a_start"].to_numpy(zero_copy_only=False),
+             t["b_start"].to_numpy(zero_copy_only=False)]
+        )
+        return pa.table(
+            {"doc_id": pa.array(d.astype(np.int64)),
+             "start": pa.array(s.astype(np.int64)),
+             "end": pa.array((s + np.concatenate([ln, ln])).astype(np.int64))}
+        )
+
+    def merge_doc(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = t["start"].to_numpy(zero_copy_only=False)
+        e = t["end"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, doc))
+        doc, s, e = doc[order], s[order], e[order]
+        # classic interval union, vectorized per group via running max
+        out_d, out_b, out_n = [], [], []
+        uniq, starts = np.unique(doc, return_index=True)
+        bounds = np.append(starts, len(doc))
+        for gi, d0 in enumerate(uniq):
+            gs, ge = s[bounds[gi]:bounds[gi + 1]], e[bounds[gi]:bounds[gi + 1]]
+            run_e = np.maximum.accumulate(ge)
+            new = np.ones(len(gs), bool)
+            new[1:] = gs[1:] > run_e[:-1]
+            seg = np.cumsum(new) - 1
+            seg_start = gs[new]
+            seg_end = np.maximum.reduceat(ge, np.flatnonzero(new))
+            out_d.append(d0)
+            out_b.append(int((seg_end - seg_start).sum()))
+            out_n.append(int(seg.max()) + 1)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "dup_bytes": pa.array(out_b, pa.int64()),
+             "n_spans": pa.array(out_n, pa.int64())}
+        )
+
+    iv = spans.map_batches(to_intervals, batch_format="pyarrow")
+    return iv.groupby("doc_id").map_groups(merge_doc, batch_format="pyarrow")

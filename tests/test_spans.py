@@ -1,0 +1,168 @@
+"""Exact duplicate-substring spans vs a naive diagonal-scan reference."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _naive_spans(docs: dict, T: int) -> set:
+    """All maximal cross-doc byte runs >= T, brute force over diagonals —
+    deliberately a different algorithm (no hashing, no winnowing)."""
+    out = set()
+    items = list(docs.items())
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            (da, sa), (db, sb) = items[x], items[y]
+            if da > db:
+                (da, sa), (db, sb) = (db, sb), (da, sa)
+            A, B = sa.encode(), sb.encode()
+            for diag in range(-(len(B) - 1), len(A)):
+                i = max(diag, 0)
+                j = i - diag
+                run = 0
+                start_i = i
+                while i < len(A) and j < len(B):
+                    if A[i] == B[j]:
+                        if run == 0:
+                            start_i = i
+                        run += 1
+                    else:
+                        if run >= T:
+                            out.add((da, db, start_i, start_i - diag, run))
+                        run = 0
+                    i += 1
+                    j += 1
+                if run >= T:
+                    out.add((da, db, start_i, start_i - diag, run))
+    return out
+
+
+def _rand_text(rng, n: int) -> str:
+    return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+
+def _planted_docs():
+    rng = np.random.default_rng(5)
+    base = _rand_text(rng, 400)
+    return {
+        1: base,
+        2: base[:150] + _rand_text(rng, 60) + base[200:370],
+        3: _rand_text(rng, 300),
+        4: _rand_text(rng, 100) + base[50:130] + _rand_text(rng, 50),
+        5: "zz" + base,  # full copy at a shifted offset
+        6: "",  # empty text
+        7: "tiny",  # shorter than the window
+    }
+
+
+def _docs_table(docs: dict) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+
+
+def test_duplicate_spans_exact_vs_naive(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.spans import duplicate_spans
+
+    docs = _planted_docs()
+    W, T = 32, 48
+    expected = _naive_spans(docs, T)
+    got = {
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_len"])
+        for r in duplicate_spans(
+            rd.from_arrow(_docs_table(docs)), min_len=T, window=W
+        ).take_all()
+    }
+    assert got == expected
+    assert len(got) >= 6  # the corpus genuinely plants spans
+
+
+def test_duplicate_spans_min_len_equals_window(ray_session):
+    """k=1 degenerates winnowing to every gram — still exact."""
+    import ray.data as rd
+
+    from odibel_ray.spans import duplicate_spans
+
+    docs = _planted_docs()
+    expected = _naive_spans(docs, 32)
+    got = {
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_len"])
+        for r in duplicate_spans(
+            rd.from_arrow(_docs_table(docs)), min_len=32, window=32
+        ).take_all()
+    }
+    assert got == expected
+
+
+def test_duplicate_span_coverage_matches_union(ray_session):
+    import ray.data as rd
+
+    from odibel_ray.spans import duplicate_span_coverage
+
+    docs = _planted_docs()
+    W, T = 32, 48
+    expected_spans = _naive_spans(docs, T)
+    by_doc: dict = {}
+    for da, db, a0, b0, ln in expected_spans:
+        by_doc.setdefault(da, []).append((a0, a0 + ln))
+        by_doc.setdefault(db, []).append((b0, b0 + ln))
+    exp = {}
+    for d, ivs in by_doc.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        exp[d] = (sum(e - s for s, e in merged), len(merged))
+    got = {
+        r["doc_id"]: (r["dup_bytes"], r["n_spans"])
+        for r in duplicate_span_coverage(
+            rd.from_arrow(_docs_table(docs)), min_len=T, window=W
+        ).take_all()
+    }
+    assert got == exp
+
+
+def test_duplicate_spans_capped_marker(ray_session):
+    """A fingerprint shared by many docs gets capped with the marker; the
+    span still surfaces for the surviving pairs."""
+    import ray.data as rd
+
+    from odibel_ray.spans import duplicate_spans
+
+    shared = "the same boilerplate header line for everyone here"  # 50 bytes
+    rng = np.random.default_rng(9)
+    docs = {i: shared + _rand_text(rng, 100) for i in range(1, 9)}
+    rows = duplicate_spans(
+        rd.from_arrow(_docs_table(docs)), min_len=40, window=32, max_bucket=4
+    ).take_all()
+    assert rows, "capped buckets must still emit surviving pairs"
+    assert all("capped" in r for r in rows)
+    uncapped = duplicate_spans(
+        rd.from_arrow(_docs_table(docs)), min_len=40, window=32
+    ).take_all()
+    # uncapped finds every pair (28 = C(8,2)), all spanning the full header
+    assert len({(r["doc_a"], r["doc_b"]) for r in uncapped}) == 28
+    assert all(r["span_len"] >= 50 for r in uncapped)
+
+
+def test_rolling_hash_matches_direct():
+    """The wraparound prefix trick equals a direct polynomial evaluation."""
+    from odibel_ray.spans import _BASE, _rolling_hashes
+
+    rng = np.random.default_rng(3)
+    b = rng.integers(0, 256, 100).astype(np.uint8)
+    W = 8
+    got = _rolling_hashes(b, W)
+    for i in range(0, len(b) - W + 1, 7):
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for m in range(W):
+                h = h * _BASE + np.uint64(b[i + m])
+        assert got[i] == h
