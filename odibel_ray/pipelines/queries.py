@@ -3284,6 +3284,19 @@ def q_doc_dup_span_coverage(sf_dir: str):
     return duplicate_span_coverage(docs, min_len=32, window=24)
 
 
+def q_doc_span_dedup(sf_dir: str):
+    """Exact-substring corpus dedup (the shipped transform over
+    `doc_dup_spans`): every byte also present in a lower-id doc as part of
+    a ≥32-byte span is cut; lowest-id copy kept verbatim. Oracle: the span
+    oracle's doc_b-side intervals, merged with running-max islands, then
+    complement reconstruction via ordered string_agg."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.spans import cut_duplicate_spans
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return cut_duplicate_spans(docs, min_len=32, window=24)
+
+
 def q_dedup_jaccard_verified(sf_dir: str):
     """Exact n-gram Jaccard verification over SQL-expressible blocking
     candidates — oracles the verification kernel that `dedup_minhash` shares
@@ -3957,6 +3970,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_dup_span_coverage": q_doc_dup_span_coverage,
+    "doc_span_dedup": q_doc_span_dedup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
@@ -4989,6 +5003,72 @@ agg AS (
 SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS dup_bytes,
        CAST(count(*) AS BIGINT) AS n_spans
 FROM agg GROUP BY doc_id
+""",
+        # exact-substring corpus dedup: doc_b-side cut intervals from the
+        # span oracle, merged via islands, complement rebuilt by ordered
+        # string_agg of the kept pieces
+        "doc_span_dedup": """
+WITH g AS (
+  SELECT doc_id, p - 1 AS pos, substr(text, p, 24) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS p
+        FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+sp AS (
+  SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+         count(*) + 23 AS span_len
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) + 23 >= 32
+),
+iv AS (SELECT doc_b AS doc_id, b_start AS s, b_start + span_len AS e FROM sp),
+o AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+segs0 AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS seg
+  FROM o
+),
+segs AS (
+  SELECT doc_id, seg, min(s) AS s, max(e) AS e FROM segs0
+  GROUP BY doc_id, seg
+),
+pieces AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ps
+  FROM segs
+),
+final AS (
+  SELECT p.doc_id,
+         string_agg(substr(d.text, CAST(p.ps + 1 AS BIGINT),
+                           CAST(p.s - p.ps AS BIGINT)), '' ORDER BY p.s)
+           AS head,
+         max(p.e) AS last_e,
+         CAST(sum(p.e - p.s) AS BIGINT) AS n_cut
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN f.doc_id IS NULL THEN d.text
+            ELSE coalesce(f.head, '') ||
+                 substr(d.text, CAST(f.last_e + 1 AS BIGINT)) END AS text,
+       CAST(coalesce(f.n_cut, 0) AS BIGINT) AS n_cut_bytes
+FROM documents d LEFT JOIN final f USING (doc_id)
 """,
         # decontamination: per-train-doc count of distinct 3-gram shingles
         # shared with the held-out test split (doc_id % 13 == 0)

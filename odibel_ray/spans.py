@@ -328,6 +328,110 @@ def duplicate_spans(
     )
 
 
+def cut_duplicate_spans(
+    docs: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> "ray.data.Dataset":
+    """Exact-substring dedup as a shipped corpus transform (Lee et al. 2022
+    policy): every byte of a document that also appears in a LOWER-id
+    document as part of a ``>= min_len`` duplicate span is removed; the
+    lowest-id document keeps its copy verbatim. Returns every corpus row as
+    ``(doc_id, text, n_cut_bytes)`` — untouched docs pass through with
+    ``n_cut_bytes = 0``.
+
+    Deterministic keep rule: spans are cut only from the ``doc_b`` side of
+    the pairwise span table (``doc_a < doc_b`` always), so a span chain
+    1→2→3 keeps doc 1's copy and cuts docs 2 and 3. Cut positions are byte
+    offsets; the corpus contract is single-byte text (ASCII) — a cut can
+    otherwise split a multi-byte sequence.
+
+    Scale shape: merged cut intervals are a per-duplicated-doc-sized table
+    (two int64 lists per doc) attached to the corpus by the guarded
+    broadcast join (automatic bucketed fallback above the byte budget); the
+    cut kernel is a numpy mask per doc."""
+    from odibel_ray.ops.relational import broadcast_hash_join
+
+    spans = duplicate_spans(
+        docs, min_len=min_len, window=window, id_col=id_col,
+        text_col=text_col, **kw,
+    )
+
+    def b_side(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["b_start"].to_numpy(zero_copy_only=False)
+        ln = t["span_len"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: t["doc_b"],
+             "start": pa.array(s.astype(np.int64)),
+             "end": pa.array((s + ln).astype(np.int64))}
+        )
+
+    def merge_lists(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["start"].to_numpy(zero_copy_only=False)
+        e = t["end"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, e = s[order], e[order]
+        run_e = np.maximum.accumulate(e)
+        new = np.ones(len(s), bool)
+        new[1:] = s[1:] > run_e[:-1]
+        seg_s = s[new].astype("<i8")
+        seg_e = np.maximum.reduceat(e, np.flatnonzero(new)).astype("<i8")
+        # packed (starts || ends) int64 blob — Arrow's hash join does not
+        # carry list-typed payload columns, a single binary cell does fine
+        blob = np.concatenate([seg_s, seg_e]).tobytes()
+        return pa.table(
+            {id_col: t[id_col][:1],
+             "_cuts": pa.array([blob], pa.binary())}
+        )
+
+    cuts = spans.map_batches(b_side, batch_format="pyarrow").groupby(
+        id_col
+    ).map_groups(merge_lists, batch_format="pyarrow")
+
+    joined = broadcast_hash_join(
+        docs.select_columns([id_col, text_col]),
+        cuts,
+        id_col,
+        how="left",
+        small_schema=pa.schema(
+            [(id_col, pa.int64()), ("_cuts", pa.binary())]
+        ),
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t[text_col].to_pylist()
+        blobs = t["_cuts"].to_pylist()
+        out_t: list[str] = []
+        out_n: list[int] = []
+        for s, blob in zip(texts, blobs):
+            if not blob:
+                out_t.append(s)
+                out_n.append(0)
+                continue
+            iv = np.frombuffer(blob, "<i8")
+            starts, ends = iv[: len(iv) // 2], iv[len(iv) // 2:]
+            b = np.frombuffer(s.encode(), np.uint8)
+            keep = np.ones(len(b), bool)
+            for s0, e0 in zip(starts, ends):
+                keep[s0:e0] = False
+            out_t.append(b[keep].tobytes().decode())
+            out_n.append(int((~keep).sum()))
+        return pa.table(
+            {id_col: t[id_col],
+             text_col: pa.array(out_t, pa.string()),
+             "n_cut_bytes": pa.array(out_n, pa.int64())}
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
 def duplicate_span_coverage(
     docs: "ray.data.Dataset",
     *,

@@ -166,3 +166,29 @@ def test_rolling_hash_matches_direct():
             for m in range(W):
                 h = h * _BASE + np.uint64(b[i + m])
         assert got[i] == h
+
+
+def test_cut_duplicate_spans_keeps_lowest_id_copy(ray_session):
+    """doc 5 ('zz' + full copy of doc 1) loses the copied 400 bytes but
+    keeps its unique prefix; doc 1 (the lowest-id owner) is untouched;
+    doc 3 (no duplicates) passes through with n_cut_bytes=0."""
+    import ray.data as rd
+
+    from odibel_ray.spans import cut_duplicate_spans
+
+    docs = _planted_docs()
+    out = {
+        r["doc_id"]: r
+        for r in cut_duplicate_spans(
+            rd.from_arrow(_docs_table(docs)), min_len=48, window=32
+        ).take_all()
+    }
+    assert set(out) == set(docs)
+    assert out[1]["text"] == docs[1] and out[1]["n_cut_bytes"] == 0
+    assert out[3]["text"] == docs[3] and out[3]["n_cut_bytes"] == 0
+    assert out[5]["n_cut_bytes"] == 400
+    assert out[5]["text"] == "zz"
+    # doc 2 loses its two shared regions, keeps its unique middle (interior
+    # slice: span extension may eat a couple of coincidental boundary bytes)
+    assert out[2]["n_cut_bytes"] >= 300
+    assert docs[2][155:205] in out[2]["text"]
