@@ -162,22 +162,21 @@ def _train_driver(
 
 
 def _pair_partials(t: pa.Table) -> pa.Table:
-    """Per-batch combiner: adjacent-pair counts weighted by word count."""
-    counts = t["count"].to_numpy(zero_copy_only=False)
-    pair_counts: dict[tuple[str, str], int] = {}
-    for syms, c in zip(t["symbols"].to_pylist(), counts):
-        for i in range(len(syms) - 1):
-            p = (syms[i], syms[i + 1])
-            pair_counts[p] = pair_counts.get(p, 0) + int(c)
-    if not pair_counts:
+    """Per-batch combiner: adjacent-pair counts weighted by word count —
+    vectorized over the flattened symbols column (no per-word Python)."""
+    t = t.combine_chunks()
+    weights = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, _off, wid = _flat_symbols(t["symbols"])
+    counts = _pair_scan_counts(flat, wid, weights)
+    if counts.empty:
         return pa.table(
             {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
              "count": pa.array([], pa.int64())}
         )
-    a, b = zip(*pair_counts.keys())
     return pa.table(
-        {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
-         "count": pa.array(list(pair_counts.values()), pa.int64())}
+        {"a": pa.array(counts.index.get_level_values(0), pa.string()),
+         "b": pa.array(counts.index.get_level_values(1), pa.string()),
+         "count": pa.array(counts.to_numpy(), pa.int64())}
     )
 
 

@@ -258,7 +258,19 @@ def _extend_anchors(t: pa.Table, *, window: int, min_len: int) -> pa.Table:
     }
     if "capped" in t.column_names:  # recall-reduced-bucket marker survives
         cols["capped"] = t["capped"].take(pa.array(rows[keep]))
-    return pa.table(cols)
+    out = pa.table(cols)
+    if len(out) > 1:
+        # local pre-fold: anchors inside one shared span all extend to the
+        # same row — dedup here shrinks the global dedup exchange payload
+        key = np.column_stack(
+            [out[c].to_numpy(zero_copy_only=False) for c in base_cols]
+        )
+        order = np.lexsort(key.T[::-1])
+        srt = key[order]
+        first = np.ones(len(out), bool)
+        first[1:] = (srt[1:] != srt[:-1]).any(axis=1)
+        out = out.take(pa.array(np.sort(order[first])))
+    return out
 
 
 def duplicate_spans(
