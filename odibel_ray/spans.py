@@ -134,10 +134,16 @@ class _Fingerprinter:
         )
 
 
-def _anchor_pairs(t: pa.Table, max_bucket: int | None) -> pa.Table:
-    """Cross-document anchor pairs inside one fingerprint bucket
-    (doc_a < doc_b; same-doc repeats excluded)."""
+def _anchor_pairs_bucketed(t: pa.Table, max_bucket: int | None) -> pa.Table:
+    """Cross-document anchor pairs for ONE hash bucket of fingerprints
+    (many fingerprint values per call — per-fingerprint ``map_groups``
+    would pay per-group overhead for every sampled gram in the corpus;
+    here equal-fp segments are found by one lexsort and only the
+    duplicated segments are visited). doc_a < doc_b; same-doc repeats
+    excluded; ``max_bucket`` caps a degenerate fingerprint's rows with the
+    ``capped`` marker (deterministic first-(doc,pos) survivors)."""
     t = t.combine_chunks()
+    fp = t["fp"].to_numpy(zero_copy_only=False)
     docs = t["doc_id"].to_numpy(zero_copy_only=False)
     pos = t["pos"].to_numpy(zero_copy_only=False)
     cols: dict = {
@@ -146,29 +152,49 @@ def _anchor_pairs(t: pa.Table, max_bucket: int | None) -> pa.Table:
     }
     if max_bucket is not None:
         cols["capped"] = pa.array([], pa.bool_())
-    n = len(docs)
-    if n < 2 or (docs == docs[0]).all():
+    if len(fp) < 2:
         return pa.table(cols)
-    capped = max_bucket is not None and n > max_bucket
-    if capped:
-        # keep the first max_bucket rows by (doc, pos) order — deterministic
-        order = np.lexsort((pos, docs))[:max_bucket]
-        docs, pos = docs[order], pos[order]
-        n = len(docs)
-    ia, ib = np.triu_indices(n, k=1)
-    keep = docs[ia] != docs[ib]
-    ia, ib = ia[keep], ib[keep]
-    swap = docs[ia] > docs[ib]
-    ia2 = np.where(swap, ib, ia)
-    ib2 = np.where(swap, ia, ib)
+    order = np.lexsort((pos, docs, fp))
+    fp, docs, pos = fp[order], docs[order], pos[order]
+    new = np.ones(len(fp), bool)
+    new[1:] = fp[1:] != fp[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(fp)))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_pa: list[np.ndarray] = []
+    out_pb: list[np.ndarray] = []
+    out_cap: list[np.ndarray] = []
+    for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        d = docs[s0:s0 + sz]
+        p = pos[s0:s0 + sz]
+        if (d == d[0]).all():
+            continue
+        capped = max_bucket is not None and sz > max_bucket
+        if capped:
+            d, p = d[:max_bucket], p[:max_bucket]
+        ia, ib = np.triu_indices(len(d), k=1)
+        keep = d[ia] != d[ib]
+        ia, ib = ia[keep], ib[keep]
+        swap = d[ia] > d[ib]
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        out_a.append(d[ia2])
+        out_b.append(d[ib2])
+        out_pa.append(p[ia2])
+        out_pb.append(p[ib2])
+        if max_bucket is not None:
+            out_cap.append(np.full(len(ia2), capped))
+    if not out_a:
+        return pa.table(cols)
     out = {
-        "doc_a": pa.array(docs[ia2].astype(np.int64)),
-        "doc_b": pa.array(docs[ib2].astype(np.int64)),
-        "pos_a": pa.array(pos[ia2].astype(np.int64)),
-        "pos_b": pa.array(pos[ib2].astype(np.int64)),
+        "doc_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+        "doc_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+        "pos_a": pa.array(np.concatenate(out_pa).astype(np.int64)),
+        "pos_b": pa.array(np.concatenate(out_pb).astype(np.int64)),
     }
     if max_bucket is not None:
-        out["capped"] = pa.array(np.full(len(ia2), capped))
+        out["capped"] = pa.array(np.concatenate(out_cap))
     return pa.table(out)
 
 
@@ -296,8 +322,22 @@ def duplicate_spans(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    pairs = anchors.groupby("fp").map_groups(
-        partial(_anchor_pairs, max_bucket=max_bucket), batch_format="pyarrow"
+    from odibel_ray.tuning import default_num_buckets
+
+    nb_fp = default_num_buckets(num_partitions)
+
+    def add_fb(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        fb = t["fp"].to_numpy(zero_copy_only=False) % np.uint64(nb_fp)
+        return t.append_column("_fb", pa.array(fb.astype(np.int64)))
+
+    # one group per HASH BUCKET of fingerprints, not per fingerprint —
+    # per-fp map_groups would pay per-group overhead for every sampled gram
+    pairs = anchors.map_batches(add_fb, batch_format="pyarrow").groupby(
+        "_fb"
+    ).map_groups(
+        partial(_anchor_pairs_bucketed, max_bucket=max_bucket),
+        batch_format="pyarrow",
     )
     from odibel_ray.ops.relational import bucketed_join, exact_dedup
 
