@@ -449,3 +449,55 @@ def test_table_lock_wait_queues_writers(ray_session, tmp_path):
         assert time.monotonic() >= release_at - 0.05  # actually waited
     # env default keeps fail-fast semantics (wait_s=0)
     assert table_lock(out, owner="c").wait_s == 0.0
+
+
+COMPACT_KILL_SCRIPT = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from odibel_ray.cdc import compact_published
+compact_published(sys.argv[1], run_id="victim-compact")
+"""
+
+
+def test_compaction_kill_resume(ray_session, small_log, oracle_final, tmp_path):
+    """SIGKILL a compaction mid-publish. Readers must never see a
+    half-compacted table (every read matches the oracle throughout), and a
+    re-run compaction converges: all deltas folded, read unchanged."""
+    out, _ = _mor_base(small_log, tmp_path, frac=0.5)
+    incremental_apply(small_log["log_dir"], out, run_id="d1", mode="mor")
+    assert any(m.get("deltas") for m in load_manifests(out).values())
+    assert _published_table(out).equals(oracle_final)
+
+    env = dict(os.environ, ODIBEL_TEST_PUBLISH_DELAY="1.0", RAY_ADDRESS="local")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", COMPACT_KILL_SCRIPT, out],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 120
+    partially_folded = False
+    while time.time() < deadline:
+        manifests = load_manifests(out)
+        folded = sum(1 for m in manifests.values() if not m.get("deltas"))
+        if 0 < folded < len(manifests):
+            partially_folded = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    # mid-crash state: reads are still exactly the converged table
+    assert _published_table(out).equals(oracle_final)
+
+    # the dead victim's lease is auto-reclaimed (dead pid, same host) —
+    # the resume needs no operator intervention
+    compact_published(out, run_id="resume-compact")
+    manifests = load_manifests(out)
+    assert all(not m.get("deltas") for m in manifests.values())
+    assert _published_table(out).equals(oracle_final)
+    del partially_folded  # informational only: kill may land before any fold
