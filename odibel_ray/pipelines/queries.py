@@ -3297,6 +3297,18 @@ def q_doc_span_dedup(sf_dir: str):
     return cut_duplicate_spans(docs, min_len=32, window=24)
 
 
+def q_doc_self_repeat(sf_dir: str):
+    """Maximal WITHIN-document repeated substrings ≥ 16 bytes
+    (`spans.self_repeat_spans`) — the boilerplate/degeneration byte-span
+    signal; zero shuffles (per-row computation). Oracle: same-doc gram
+    self-join (pa < pb) + gaps-and-islands per (doc, diagonal)."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.spans import self_repeat_spans
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return self_repeat_spans(docs, min_len=16, window=12)
+
+
 def q_dedup_jaccard_verified(sf_dir: str):
     """Exact n-gram Jaccard verification over SQL-expressible blocking
     candidates — oracles the verification kernel that `dedup_minhash` shares
@@ -3971,6 +3983,7 @@ QUERIES: dict[str, Callable] = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_dup_span_coverage": q_doc_dup_span_coverage,
     "doc_span_dedup": q_doc_span_dedup,
+    "doc_self_repeat": q_doc_self_repeat,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
@@ -5069,6 +5082,32 @@ SELECT d.doc_id,
                  substr(d.text, CAST(f.last_e + 1 AS BIGINT)) END AS text,
        CAST(coalesce(f.n_cut, 0) AS BIGINT) AS n_cut_bytes
 FROM documents d LEFT JOIN final f USING (doc_id)
+""",
+        # within-doc repeats: same-doc 12-gram self-join (pa < pb), maximal
+        # runs per (doc, diagonal) via gaps-and-islands, >= 16 bytes
+        "doc_self_repeat": """
+WITH g AS (
+  SELECT doc_id, p - 1 AS pos, substr(text, p, 12) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 10, 1))) AS p
+        FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id = b.doc_id
+                    AND a.pos < b.pos
+),
+r AS (
+  SELECT doc_id, pa, pb, pb - pa AS diag,
+         pa - row_number() OVER (PARTITION BY doc_id, pb - pa
+                                 ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_id, CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + 11 AS BIGINT) AS span_len
+FROM r GROUP BY doc_id, diag, grp
+HAVING count(*) + 11 >= 16
 """,
         # decontamination: per-train-doc count of distinct 3-gram shingles
         # shared with the held-out test split (doc_id % 13 == 0)

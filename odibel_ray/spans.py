@@ -484,6 +484,119 @@ def cut_duplicate_spans(
     return joined.map_batches(cut, batch_format="pyarrow")
 
 
+def _self_repeat_doc(
+    b: np.ndarray, window: int, min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Maximal within-doc repeats of one byte vector: equal gram hashes
+    nominate candidate diagonals (a repeat of length >= min_len >= window
+    implies equal grams at its period, so coverage is complete); each
+    nominated diagonal gets ONE vectorized byte scan (A[:-d] == A[d:]) and
+    run-length extraction. Exact — the hashes only choose diagonals, the
+    runs come from the bytes."""
+    h = _rolling_hashes(b, window)
+    if len(h) < 2:
+        return (np.empty(0, np.int64),) * 3
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    new = np.ones(len(hs), bool)
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(hs)))
+    diags: set[int] = set()
+    for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        p = np.sort(order[s0:s0 + sz])
+        # ALL pairwise distances between equal-gram occurrences — adjacent
+        # diffs alone miss higher multiples of a periodic region's period
+        # (a d=3q repeat whose grams recur every q). O(m²) per group is the
+        # honest cost: m is per-gram occurrence count (tiny for natural
+        # text; degenerate periodic docs inflate the PRODUCT itself, not
+        # just this step).
+        d2 = (p[None, :] - p[:, None])[np.triu_indices(len(p), k=1)]
+        diags.update(np.unique(d2).tolist())
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_l: list[int] = []
+    n = len(b)
+    for d in sorted(x for x in diags if x > 0):
+        m = b[: n - d] == b[d:]
+        if not m.any():
+            continue
+        idx = np.flatnonzero(m)
+        brk = np.ones(len(idx), bool)
+        brk[1:] = np.diff(idx) != 1
+        run_start = idx[brk]
+        run_len = np.diff(np.append(np.flatnonzero(brk), len(idx)))
+        keep = run_len >= min_len
+        for s0, ln in zip(run_start[keep], run_len[keep]):
+            out_a.append(int(s0))
+            out_b.append(int(s0 + d))
+            out_l.append(int(ln))
+    return (
+        np.array(out_a, np.int64),
+        np.array(out_b, np.int64),
+        np.array(out_l, np.int64),
+    )
+
+
+def self_repeat_spans(
+    docs: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """All maximal WITHIN-document repeated substrings >= ``min_len``
+    bytes: ``(doc_id, a_start, b_start, span_len)`` with
+    ``a_start < b_start`` (the same maximal run per (doc, period) reported
+    once). The within-doc half of exact-substring dedup — long internal
+    repetition is the strongest boilerplate/degeneration signal
+    (`text.repetition_stats` measures gram RATES; this pins the actual
+    byte spans).
+
+    Scale shape: ZERO shuffles — repeats of one document are a per-row
+    computation, so the whole operator is one ``map_batches`` pass
+    (embarrassingly parallel at any corpus size). Per doc: gram hashes
+    nominate candidate periods, one vectorized byte scan per period."""
+    if window < 4 or min_len < window:
+        raise ValueError("need min_len >= window >= 4")
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_d: list[np.ndarray] = []
+        out = {"a": [], "b": [], "l": []}  # type: dict[str, list[np.ndarray]]
+        for did, s in zip(ids, t[text_col].to_pylist()):
+            if not s:
+                continue
+            a, bb, ln = _self_repeat_doc(
+                np.frombuffer(s.encode(), np.uint8), window, min_len
+            )
+            if len(a):
+                out_d.append(np.full(len(a), did, np.int64))
+                out["a"].append(a)
+                out["b"].append(bb)
+                out["l"].append(ln)
+        if not out_d:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "a_start": pa.array([], pa.int64()),
+                 "b_start": pa.array([], pa.int64()),
+                 "span_len": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_d)),
+             "a_start": pa.array(np.concatenate(out["a"])),
+             "b_start": pa.array(np.concatenate(out["b"])),
+             "span_len": pa.array(np.concatenate(out["l"]))}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def duplicate_span_coverage(
     docs: "ray.data.Dataset",
     *,

@@ -192,3 +192,55 @@ def test_cut_duplicate_spans_keeps_lowest_id_copy(ray_session):
     # slice: span extension may eat a couple of coincidental boundary bytes)
     assert out[2]["n_cut_bytes"] >= 300
     assert docs[2][155:205] in out[2]["text"]
+
+
+def _naive_self_spans(docs: dict, T: int) -> set:
+    """All maximal within-doc byte runs >= T on every positive diagonal."""
+    out = set()
+    for did, s in docs.items():
+        A = s.encode()
+        for d in range(1, len(A)):
+            run = 0
+            start = 0
+            for j in range(len(A) - d):
+                if A[j] == A[j + d]:
+                    if run == 0:
+                        start = j
+                    run += 1
+                else:
+                    if run >= T:
+                        out.add((did, start, start + d, run))
+                    run = 0
+            if run >= T:
+                out.add((did, start, start + d, run))
+    return out
+
+
+def test_self_repeat_spans_exact_vs_naive(ray_session):
+    """Pins exactness incl. the periodic case (multiples of the period are
+    their own diagonals) and a doc with three occurrences of one block."""
+    import ray.data as rd
+
+    from odibel_ray.spans import self_repeat_spans
+
+    rng = np.random.default_rng(11)
+    block = _rand_text(rng, 60)
+    docs = {
+        1: _rand_text(rng, 50) + block + _rand_text(rng, 40) + block
+           + _rand_text(rng, 30) + block,          # 3 occurrences
+        2: _rand_text(rng, 200),                   # no repeats
+        3: "ab" * 120,                             # periodic, period 2
+        4: block + block,                          # adjacent doubling
+        5: "",
+    }
+    T, W = 48, 32
+    expected = _naive_self_spans(docs, T)
+    got = {
+        (r["doc_id"], r["a_start"], r["b_start"], r["span_len"])
+        for r in self_repeat_spans(
+            rd.from_arrow(_docs_table(docs)), min_len=T, window=W
+        ).take_all()
+    }
+    assert got == expected
+    # the periodic doc alone contributes every diagonal 2,4,...,<=192
+    assert sum(1 for g in got if g[0] == 3) >= 90
