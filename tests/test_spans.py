@@ -244,3 +244,81 @@ def test_self_repeat_spans_exact_vs_naive(ray_session):
     assert got == expected
     # the periodic doc alone contributes every diagonal 2,4,...,<=192
     assert sum(1 for g in got if g[0] == 3) >= 90
+
+
+# ---------------------------------------------------------------------------
+# property tests over the pure kernels (no Ray) — hypothesis drives random
+# byte strings; the references are brute-force scans
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=220),
+    st.integers(min_value=4, max_value=10),
+)
+def test_prop_self_repeat_doc_matches_naive(data, window):
+    from odibel_ray.spans import _self_repeat_doc
+
+    min_len = window + 3
+    b = np.frombuffer(data, np.uint8)
+    a, bb, ln = _self_repeat_doc(b, window, min_len)
+    got = set(zip(a.tolist(), bb.tolist(), ln.tolist()))
+    exp = set()
+    A = bytes(data)
+    for d in range(1, len(A)):
+        run = 0
+        start = 0
+        for j in range(len(A) - d):
+            if A[j] == A[j + d]:
+                if run == 0:
+                    start = j
+                run += 1
+            else:
+                if run >= min_len:
+                    exp.add((start, start + d, run))
+                run = 0
+        if run >= min_len:
+            exp.add((start, start + d, run))
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=200),
+    st.integers(min_value=4, max_value=12),
+)
+def test_prop_rolling_hash_equal_iff_grams_equal(data, window):
+    """Equal grams hash equal (exactness relies on it); for random input,
+    hash equality also implies gram equality in practice (64-bit)."""
+    from odibel_ray.spans import _rolling_hashes
+
+    b = np.frombuffer(data, np.uint8)
+    h = _rolling_hashes(b, window)
+    grams = [bytes(data[i:i + window]) for i in range(max(len(data) - window + 1, 0))]
+    assert len(h) == len(grams)
+    seen: dict = {}
+    for i, g in enumerate(grams):
+        if g in seen:
+            assert h[i] == h[seen[g]]
+        seen[g] = i
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=60),
+    st.integers(min_value=1, max_value=8),
+)
+def test_prop_winnow_guarantee(hs, k):
+    """Every window of k consecutive hashes contains a selected position —
+    the invariant the cross-doc detection proof rests on."""
+    from odibel_ray.spans import _winnow
+
+    h = np.array(hs, np.uint64)
+    picks = set(_winnow(h, k).tolist())
+    if len(h) >= k and k > 1:
+        for w0 in range(len(h) - k + 1):
+            assert picks & set(range(w0, w0 + k)), (w0, k)
