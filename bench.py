@@ -61,6 +61,8 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "dedup_jaccard_verified",
     # interval-union fold over the timed doc_dup_spans pipeline
     "doc_dup_span_coverage",
+    # cross-parity variant of the timed doc_dup_spans machinery
+    "doc_decontaminate_spans",
     # 1->k serializer twins of the timed transcript_named_graphs
     "transcript_reification",
     "transcript_rdf_star",

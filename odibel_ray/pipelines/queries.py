@@ -3309,6 +3309,31 @@ def q_doc_self_repeat(sf_dir: str):
     return self_repeat_spans(docs, min_len=16, window=12)
 
 
+def q_doc_decontaminate_spans(sf_dir: str):
+    """Span-level train/test decontamination: exact shared substrings
+    ≥ 32 bytes between the train split (doc_id % 13 ≠ 0) and the held-out
+    test split (`spans.cross_duplicate_spans`) — the byte-range upgrade of
+    `doc_decontaminate`'s n-gram counting. Oracle: cross-split gram join +
+    gaps-and-islands."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.spans import cross_duplicate_spans
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def split(keep_test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = pa.array((ids % 13 == 0) if keep_test else (ids % 13 != 0))
+            return t.filter(m)
+
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    test = docs.map_batches(split(True), batch_format="pyarrow")
+    return cross_duplicate_spans(train, test, min_len=32, window=24)
+
+
 def q_dedup_jaccard_verified(sf_dir: str):
     """Exact n-gram Jaccard verification over SQL-expressible blocking
     candidates — oracles the verification kernel that `dedup_minhash` shares
@@ -3984,6 +4009,7 @@ QUERIES: dict[str, Callable] = {
     "doc_dup_span_coverage": q_doc_dup_span_coverage,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_self_repeat": q_doc_self_repeat,
+    "doc_decontaminate_spans": q_doc_decontaminate_spans,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "embedding_near_dups": q_embedding_near_dups,
@@ -5082,6 +5108,33 @@ SELECT d.doc_id,
                  substr(d.text, CAST(f.last_e + 1 AS BIGINT)) END AS text,
        CAST(coalesce(f.n_cut, 0) AS BIGINT) AS n_cut_bytes
 FROM documents d LEFT JOIN final f USING (doc_id)
+""",
+        # span decontamination: train-split grams joined to test-split
+        # grams, maximal cross-split runs via gaps-and-islands
+        "doc_decontaminate_spans": """
+WITH g AS (
+  SELECT doc_id, p - 1 AS pos, substr(text, p, 24) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS p
+        FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS contaminant_id,
+         a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0
+),
+r AS (
+  SELECT doc_id, contaminant_id, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_id, contaminant_id,
+                                 pa - pb ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_id, contaminant_id, CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + 23 AS BIGINT) AS span_len
+FROM r GROUP BY doc_id, contaminant_id, diag, grp
+HAVING count(*) + 23 >= 32
 """,
         # within-doc repeats: same-doc 12-gram self-join (pa < pb), maximal
         # runs per (doc, diagonal) via gaps-and-islands, >= 16 bytes

@@ -134,7 +134,9 @@ class _Fingerprinter:
         )
 
 
-def _anchor_pairs_bucketed(t: pa.Table, max_bucket: int | None) -> pa.Table:
+def _anchor_pairs_bucketed(
+    t: pa.Table, max_bucket: int | None, cross_parity: bool = False
+) -> pa.Table:
     """Cross-document anchor pairs for ONE hash bucket of fingerprints
     (many fingerprint values per call — per-fingerprint ``map_groups``
     would pay per-group overhead for every sampled gram in the corpus;
@@ -174,9 +176,16 @@ def _anchor_pairs_bucketed(t: pa.Table, max_bucket: int | None) -> pa.Table:
         if capped:
             d, p = d[:max_bucket], p[:max_bucket]
         ia, ib = np.triu_indices(len(d), k=1)
-        keep = d[ia] != d[ib]
-        ia, ib = ia[keep], ib[keep]
-        swap = d[ia] > d[ib]
+        if cross_parity:
+            # pairs across the two parity-tagged sides only; the even
+            # (left) side is always doc_a
+            keep = (d[ia] & 1) != (d[ib] & 1)
+            ia, ib = ia[keep], ib[keep]
+            swap = (d[ia] & 1) == 1
+        else:
+            keep = d[ia] != d[ib]
+            ia, ib = ia[keep], ib[keep]
+            swap = d[ia] > d[ib]
         ia2 = np.where(swap, ib, ia)
         ib2 = np.where(swap, ia, ib)
         out_a.append(d[ia2])
@@ -339,6 +348,27 @@ def duplicate_spans(
         partial(_anchor_pairs_bucketed, max_bucket=max_bucket),
         batch_format="pyarrow",
     )
+    return _pairs_to_spans(
+        pairs, docs, id_col=id_col, text_col=text_col, window=window,
+        min_len=min_len, max_bucket=max_bucket,
+        num_partitions=num_partitions, batch_size=batch_size,
+    )
+
+
+def _pairs_to_spans(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_len: int,
+    max_bucket: int | None,
+    num_partitions: int | None,
+    batch_size: int,
+) -> "ray.data.Dataset":
+    """Attach both texts to the anchor-pair stream (two keyed joins, never
+    a corpus broadcast), byte-verify + maximally extend, dedup spans."""
     from odibel_ray.ops.relational import bucketed_join, exact_dedup
 
     pair_schema = pa.schema(
@@ -378,6 +408,103 @@ def duplicate_spans(
     return exact_dedup(
         spans, ["doc_a", "doc_b", "a_start", "b_start", "span_len"]
     )
+
+
+def cross_duplicate_spans(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    num_partitions: int | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Maximal substrings >= ``min_len`` bytes shared verbatim BETWEEN two
+    corpora — span-level train/test decontamination (the exact-substring
+    upgrade of n-gram overlap counting: a 13-gram collision policy flags
+    probabilistically, this pins the actual contaminated byte ranges).
+    Output: ``(doc_id, contaminant_id, a_start, b_start, span_len)`` —
+    ``doc_id``/``a_start`` on the LEFT (train) side, ``contaminant_id``/
+    ``b_start`` on the RIGHT (test) side. Within-corpus duplicates are NOT
+    reported.
+
+    Scale shape identical to :func:`duplicate_spans`; the two corpora are
+    parity-tagged into one surrogate id space (``doc_id*2 + side``), so
+    the fingerprint index, anchor buckets, text joins and extension all
+    run unchanged — only the pair rule differs (cross-side only)."""
+    if window < 4 or min_len < window:
+        raise ValueError("need min_len >= window >= 4")
+    k = min_len - window + 1
+
+    def tag(side_bit: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) and (ids < 0).any():
+                raise ValueError("cross_duplicate_spans: ids must be >= 0")
+            sid = ids * 2 + side_bit
+            return pa.table(
+                {id_col: pa.array(sid), text_col: t[text_col]}
+            )
+
+        return f
+
+    union = left.select_columns([id_col, text_col]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([id_col, text_col]).map_batches(
+            tag(1), batch_format="pyarrow"
+        )
+    )
+    anchors = union.map_batches(
+        _Fingerprinter(window, k, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    from odibel_ray.tuning import default_num_buckets
+
+    nb_fp = default_num_buckets(num_partitions)
+
+    def add_fb(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        fb = t["fp"].to_numpy(zero_copy_only=False) % np.uint64(nb_fp)
+        return t.append_column("_fb", pa.array(fb.astype(np.int64)))
+
+    pairs = anchors.map_batches(add_fb, batch_format="pyarrow").groupby(
+        "_fb"
+    ).map_groups(
+        partial(
+            _anchor_pairs_bucketed, max_bucket=max_bucket, cross_parity=True
+        ),
+        batch_format="pyarrow",
+    )
+    spans = _pairs_to_spans(
+        pairs, union, id_col=id_col, text_col=text_col, window=window,
+        min_len=min_len, max_bucket=max_bucket,
+        num_partitions=num_partitions, batch_size=batch_size,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cols = {
+            "doc_id": pa.array(
+                t["doc_a"].to_numpy(zero_copy_only=False) // 2
+            ),
+            "contaminant_id": pa.array(
+                t["doc_b"].to_numpy(zero_copy_only=False) // 2
+            ),
+            "a_start": t["a_start"],
+            "b_start": t["b_start"],
+            "span_len": t["span_len"],
+        }
+        if "capped" in t.column_names:
+            cols["capped"] = t["capped"]
+        return pa.table(cols)
+
+    return spans.map_batches(decode, batch_format="pyarrow")
 
 
 def cut_duplicate_spans(

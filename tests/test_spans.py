@@ -322,3 +322,61 @@ def test_prop_winnow_guarantee(hs, k):
     if len(h) >= k and k > 1:
         for w0 in range(len(h) - k + 1):
             assert picks & set(range(w0, w0 + k)), (w0, k)
+
+
+def test_cross_duplicate_spans_exact_and_cross_only(ray_session):
+    """Train/test span decontamination: exact vs a naive cross scan;
+    within-corpus duplicates (two identical train docs) are NOT reported;
+    id spaces may overlap between the corpora."""
+    import ray.data as rd
+
+    from odibel_ray.spans import cross_duplicate_spans
+
+    rng = np.random.default_rng(17)
+    secret = _rand_text(rng, 120)
+    train = {
+        1: _rand_text(rng, 80) + secret[:70] + _rand_text(rng, 60),
+        2: _rand_text(rng, 150),
+        3: _rand_text(rng, 150),  # planted within-train duplicate of 4
+        4: None,  # filled below with doc 3's text
+    }
+    train[4] = train[3]
+    test = {
+        1: secret,  # same id as a train doc — id spaces are independent
+        2: _rand_text(rng, 90),
+    }
+    W, T = 32, 48
+    exp = set()
+    for lid, lt in train.items():
+        for rid, rt in test.items():
+            A, B = lt.encode(), rt.encode()
+            for diag in range(-(len(B) - 1), len(A)):
+                i, j = max(diag, 0), max(diag, 0) - diag
+                run, start = 0, 0
+                while i < len(A) and j < len(B):
+                    if A[i] == B[j]:
+                        if run == 0:
+                            start = i
+                        run += 1
+                    else:
+                        if run >= T:
+                            exp.add((lid, rid, start, start - diag, run))
+                        run = 0
+                    i += 1
+                    j += 1
+                if run >= T:
+                    exp.add((lid, rid, start, start - diag, run))
+    got = {
+        (r["doc_id"], r["contaminant_id"], r["a_start"], r["b_start"],
+         r["span_len"])
+        for r in cross_duplicate_spans(
+            rd.from_arrow(_docs_table(train)),
+            rd.from_arrow(_docs_table(test)),
+            min_len=T,
+            window=W,
+        ).take_all()
+    }
+    assert got == exp
+    assert any(g[0] == 1 and g[1] == 1 for g in got)  # planted contamination
+    # the train-train duplicate pair (3,4) must not surface anywhere
+    assert not any(g[0] in (3, 4) or g[1] in (3, 4) for g in got)
