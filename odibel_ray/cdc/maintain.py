@@ -285,3 +285,61 @@ def clone_table(
         "files_linked": n_linked,
         "files_copied": n_copied,
     }
+
+
+def system_kg(root: str) -> "pyarrow.Table":  # noqa: F821
+    """The engine's operations/catalog as a knowledge graph — the shipped
+    form of the reference's ``management/systemkg.py`` intent (itself a
+    stub over an external ``kgcore`` package): every published table under
+    ``root`` becomes a typed entity with its state and lineage as triples,
+    in the rDF2 fixed schema ``(s, p, o, isLiteral)`` — so the engine's own
+    RDF operator surface (type filters, subgraphs, schema graph, N-Triples
+    serialization) queries the engine itself.
+
+    Metadata-only (walks manifests via :func:`catalog`; no Ray session, no
+    data file opened); returns a pyarrow Table — wrap with
+    ``ray.data.from_arrow`` to feed the distributed RDF operators."""
+    import pyarrow as pa
+
+    rows = catalog(root)
+    s: list[str] = []
+    p: list[str] = []
+    o: list[str] = []
+    lit: list[bool] = []
+
+    def add(subj: str, pred: str, obj: str, is_lit: bool) -> None:
+        s.append(subj)
+        p.append(pred)
+        o.append(f'"{obj}"' if is_lit else obj)
+        lit.append(is_lit)
+
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    for r in rows:
+        subj = f"<urn:odibel:table:{os.path.relpath(r['table'], root)}>"
+        add(subj, rdf_type, f"<urn:odibel:kind:{r['kind']}>", False)
+        for key in ("rows", "buckets", "mor_deltas", "snapshots", "stats"):
+            if r.get(key) is not None:
+                add(subj, f"<urn:odibel:p:{key}>", str(r[key]), True)
+        for up in r.get("upstreams", []):
+            add(
+                subj,
+                "<urn:odibel:p:upstream>",
+                f"<urn:odibel:table:{os.path.relpath(up, root)}>",
+                False,
+            )
+        cloned = r.get("cloned_from")
+        if cloned:
+            add(
+                subj,
+                "<urn:odibel:p:clonedFrom>",
+                f"<urn:odibel:table:{os.path.relpath(cloned['table'], root)}>",
+                False,
+            )
+    return pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o": pa.array(o, pa.string()),
+            "isLiteral": pa.array(lit, pa.bool_()),
+        }
+    )

@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     tb.add_argument("--root", required=True)
 
+    kg = sub.add_parser(
+        "kg", help="the catalog/lineage as a knowledge graph: one N-Triples "
+                   "line per fact (typed table entities, state literals, "
+                   "upstream edges; metadata-only)"
+    )
+    kg.add_argument("--root", required=True)
+
     mt = sub.add_parser(
         "maintain", help="one-call table maintenance: compact MOR deltas, "
                          "tighten snapshot retention, vacuum, stats health"
@@ -443,6 +450,13 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in catalog(args.root):
             print(json.dumps(row))
+        return 0
+
+    if args.cmd == "kg":  # metadata-only, no Ray session needed
+        from odibel_ray.cdc.maintain import system_kg
+
+        for r in system_kg(args.root).to_pylist():
+            print(f"{r['s']} {r['p']} {r['o']} .")
         return 0
 
     if args.cmd == "describe":  # metadata-only, no Ray session needed

@@ -205,3 +205,60 @@ def test_stats_freshness_without_snapshots(table, ray_session):
     _mor_update(table, 4, "w1")
     rep = maintain_table(table, compact_min_deltas=0, vacuum_after=False)
     assert rep.get("stats_stale")  # no longer reported fresh
+
+
+def test_system_kg_triples_feed_rdf_surface(ray_session, small_log, tmp_path):
+    """The catalog/lineage as rDF2-schema triples (the reference's
+    systemkg.py intent): typed table entities, literal state, upstream
+    edges — and the triple table plugs straight into the engine's RDF
+    operators (type filter + N-Triples serialization prove composition)."""
+    import ray.data as rd
+
+    from odibel_ray.cdc import create_derived
+    from odibel_ray.cdc.maintain import system_kg
+    from odibel_ray.rdf import filter_by_subject_types, serialize_ntriples
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    bronze = os.path.join(root, "bronze")
+    replay_publish(small_log["log_dir"], bronze, num_buckets=4, run_id="r1")
+    silver = os.path.join(root, "silver")
+    create_derived(bronze, silver,
+                   transform={"where": [["score", ">=", 0.5]],
+                              "columns": ["role", "score"]}, run_id="d1")
+
+    kg = system_kg(root)
+    assert kg.schema.names == ["s", "p", "o", "isLiteral"]
+    trip = {(r["s"], r["p"], r["o"]) for r in kg.to_pylist()}
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    assert ("<urn:odibel:table:bronze>", rdf_type,
+            "<urn:odibel:kind:transcript>") in trip
+    assert ("<urn:odibel:table:silver>", rdf_type,
+            "<urn:odibel:kind:derived>") in trip
+    assert ("<urn:odibel:table:silver>", "<urn:odibel:p:upstream>",
+            "<urn:odibel:table:bronze>") in trip
+    assert any(p == "<urn:odibel:p:rows>" and lit
+               for _, p, o, lit in ((r["s"], r["p"], r["o"], r["isLiteral"])
+                                    for r in kg.to_pylist()))
+
+    # composition: the engine's own RDF operators query the engine
+    ds = rd.from_arrow(kg)
+    derived_only = filter_by_subject_types(ds, ["<urn:odibel:kind:derived>"])
+    assert {r["s"] for r in derived_only.take_all()} == {
+        "<urn:odibel:table:silver>"
+    }
+    lines = serialize_ntriples(ds).take_all()
+    assert all(l["line"].endswith(" .") for l in lines)
+
+
+def test_cli_kg_prints_ntriples(ray_session, small_log, tmp_path, capsys):
+    from odibel_ray.cli import main
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    replay_publish(small_log["log_dir"], os.path.join(root, "t1"),
+                   num_buckets=2, run_id="r1")
+    assert main(["kg", "--root", root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(l.endswith(" .") for l in out)
+    assert any("<urn:odibel:kind:transcript>" in l for l in out)
