@@ -533,8 +533,6 @@ def cut_duplicate_spans(
     (two int64 lists per doc) attached to the corpus by the guarded
     broadcast join (automatic bucketed fallback above the byte budget); the
     cut kernel is a numpy mask per doc."""
-    from odibel_ray.ops.relational import broadcast_hash_join
-
     spans = duplicate_spans(
         docs, min_len=min_len, window=window, id_col=id_col,
         text_col=text_col, **kw,
@@ -549,6 +547,24 @@ def cut_duplicate_spans(
              "start": pa.array(s.astype(np.int64)),
              "end": pa.array((s + ln).astype(np.int64))}
         )
+
+    intervals = spans.map_batches(b_side, batch_format="pyarrow")
+    return cut_intervals(docs, intervals, id_col=id_col, text_col=text_col)
+
+
+def cut_intervals(
+    docs: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Remove byte ``intervals`` (``id_col, start, end`` rows) from a text
+    corpus: intervals merge per doc (union), travel as one packed int64
+    blob through the guarded broadcast join, and the cut is a numpy byte
+    mask per doc. Returns every corpus row as
+    ``(id_col, text_col, n_cut_bytes)``."""
+    from odibel_ray.ops.relational import broadcast_hash_join
 
     def merge_lists(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -569,9 +585,9 @@ def cut_duplicate_spans(
              "_cuts": pa.array([blob], pa.binary())}
         )
 
-    cuts = spans.map_batches(b_side, batch_format="pyarrow").groupby(
-        id_col
-    ).map_groups(merge_lists, batch_format="pyarrow")
+    cuts = intervals.groupby(id_col).map_groups(
+        merge_lists, batch_format="pyarrow"
+    )
 
     joined = broadcast_hash_join(
         docs.select_columns([id_col, text_col]),
@@ -609,6 +625,40 @@ def cut_duplicate_spans(
         )
 
     return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def cut_contaminated_spans(
+    train: "ray.data.Dataset",
+    test: "ray.data.Dataset",
+    *,
+    min_len: int = 64,
+    window: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> "ray.data.Dataset":
+    """Span-level decontamination as a shipped transform: every byte of a
+    TRAIN document that appears verbatim (>= ``min_len``) in any TEST
+    document is removed; the test corpus is untouched. Returns every train
+    row as ``(id_col, text_col, n_cut_bytes)`` — the cut complement of
+    :func:`cross_duplicate_spans`'s flagging."""
+    spans = cross_duplicate_spans(
+        train, test, min_len=min_len, window=window, id_col=id_col,
+        text_col=text_col, **kw,
+    )
+
+    def a_side(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["a_start"].to_numpy(zero_copy_only=False)
+        ln = t["span_len"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: t["doc_id"],
+             "start": pa.array(s.astype(np.int64)),
+             "end": pa.array((s + ln).astype(np.int64))}
+        )
+
+    intervals = spans.map_batches(a_side, batch_format="pyarrow")
+    return cut_intervals(train, intervals, id_col=id_col, text_col=text_col)
 
 
 def _self_repeat_doc(

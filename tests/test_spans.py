@@ -380,3 +380,33 @@ def test_cross_duplicate_spans_exact_and_cross_only(ray_session):
     assert any(g[0] == 1 and g[1] == 1 for g in got)  # planted contamination
     # the train-train duplicate pair (3,4) must not surface anywhere
     assert not any(g[0] in (3, 4) or g[1] in (3, 4) for g in got)
+
+
+def test_cut_contaminated_spans(ray_session):
+    """Train docs lose exactly the bytes shared with the test corpus; the
+    clean train doc and all ids pass through."""
+    import ray.data as rd
+
+    from odibel_ray.spans import cut_contaminated_spans
+
+    rng = np.random.default_rng(29)
+    secret = _rand_text(rng, 100)
+    train = {
+        1: _rand_text(rng, 60) + secret + _rand_text(rng, 40),
+        2: _rand_text(rng, 150),
+    }
+    test = {9: _rand_text(rng, 30) + secret}
+    out = {
+        r["doc_id"]: r
+        for r in cut_contaminated_spans(
+            rd.from_arrow(_docs_table(train)),
+            rd.from_arrow(_docs_table(test)),
+            min_len=48,
+            window=32,
+        ).take_all()
+    }
+    assert set(out) == {1, 2}
+    assert out[2]["text"] == train[2] and out[2]["n_cut_bytes"] == 0
+    assert out[1]["n_cut_bytes"] >= 100  # the secret (+ maybe a flank byte)
+    assert secret not in out[1]["text"]
+    assert train[1][:55] in out[1]["text"]  # unique prefix survives
