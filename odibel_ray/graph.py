@@ -292,3 +292,171 @@ def pagerank(
         num_buckets,
         batch_size,
     )
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    edge_schema: pa.Schema | None = None,
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    ``edges`` (direction/multi-edges/self-loops normalized away) — one row
+    ``(n_triangles)``.
+
+    The textbook distributed shape: (1) normalize to distinct undirected
+    edges, (2) one degree aggregate, (3) orient every edge from its lower
+    (degree, node) endpoint to the higher — each node's out-neighborhood
+    is then O(sqrt(m))-amortized, so (4) per-center wedge generation is
+    m^{3/2}-bounded instead of sum-of-degrees-squared (the hub blowup),
+    and (5) one semi join of wedges against the oriented edge set counts
+    each triangle exactly once (only the wedge at the triangle's
+    lowest-ordered node matches an edge). Wedges are generated per HASH
+    BUCKET of centers (lexsorted segments — no per-node map_groups
+    overhead), mirroring the span detector's anchor stage.
+    """
+    import ray  # noqa: F401
+    from functools import partial as _partial
+
+    from odibel_ray.ops.relational import bucketed_join, exact_dedup
+    from odibel_ray.tuning import default_num_buckets
+
+    edge_schema = edge_schema or edges.schema().base_schema
+    ntype = edge_schema.field(src_col).type
+
+    def normalize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        t = _drop_null_edges(t, src_col, dst_col)
+        u = pc.min_element_wise(t[src_col], t[dst_col])
+        v = pc.max_element_wise(t[src_col], t[dst_col])
+        keep = pc.not_equal(u, v)  # drop self loops
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    und = exact_dedup(
+        edges.map_batches(normalize, batch_format="pyarrow",
+                          batch_size=batch_size),
+        ["u", "v"],
+    ).materialize()
+
+    # degrees of the simple graph — endpoint stream, combiner-first
+    def endpoints(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()]
+        )
+        vc = pc.value_counts(n)
+        return pa.table(
+            {"node": vc.field("values"),
+             "deg": vc.field("counts").cast(pa.int64())}
+        )
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow",
+                        batch_size=batch_size)
+        .groupby("node").sum("deg")
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow")
+    )
+
+    # attach both degrees, orient low -> high by (deg, node)
+    j = bucketed_join(
+        und,
+        deg.map_batches(lambda t: t.rename_columns(["u", "du"]),
+                        batch_format="pyarrow"),
+        "u",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("u", ntype), ("v", ntype)]),
+        right_schema=pa.schema([("u", ntype), ("du", pa.int64())]),
+    )
+    j = bucketed_join(
+        j,
+        deg.map_batches(lambda t: t.rename_columns(["v", "dv"]),
+                        batch_format="pyarrow"),
+        "v",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("u", ntype), ("v", ntype),
+                               ("du", pa.int64())]),
+        right_schema=pa.schema([("v", ntype), ("dv", pa.int64())]),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["du"].to_numpy(zero_copy_only=False)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {"a": pa.array(np.where(fwd, u, v)),
+             "b": pa.array(np.where(fwd, v, u)),
+             "da": pa.array(np.where(fwd, du, dv)),
+             "db": pa.array(np.where(fwd, dv, du))}
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+
+    nb = default_num_buckets(num_buckets)
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = pd.util.hash_array(
+            np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=object),
+            categorize=False,
+        )
+        return t.append_column(
+            "_cb", pa.array((h % np.uint64(nb)).astype(np.int64))
+        )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        """All ordered out-neighbor pairs per center in this hash bucket:
+        lexsort by center, per-segment triu over neighbors sorted by the
+        same (deg, node) orientation order."""
+        t = t.combine_chunks()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        db = t["db"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], ntype), "b": pa.array([], ntype)})
+        order = np.lexsort((b, db, a))
+        a, b, db = a[order], b[order], db[order]
+        new = np.ones(len(a), bool)
+        new[1:] = a[1:] != a[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(a)))
+        out_x: list[np.ndarray] = []
+        out_y: list[np.ndarray] = []
+        for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            nb_ = b[s0:s0 + sz]  # already in orientation order
+            ix, iy = np.triu_indices(sz, k=1)
+            out_x.append(nb_[ix])
+            out_y.append(nb_[iy])
+        if not out_x:
+            return pa.table({"a": pa.array([], ntype), "b": pa.array([], ntype)})
+        return pa.table(
+            {"a": pa.array(np.concatenate(out_x)),
+             "b": pa.array(np.concatenate(out_y))}
+        )
+
+    wedge_ds = oriented.map_batches(
+        add_cb, batch_format="pyarrow"
+    ).groupby("_cb").map_groups(wedges, batch_format="pyarrow")
+
+    closed = bucketed_join(
+        wedge_ds,
+        oriented,
+        ["a", "b"],
+        how="semi",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("a", ntype), ("b", ntype)]),
+        right_schema=pa.schema([("a", ntype), ("b", ntype),
+                                ("da", pa.int64()), ("db", pa.int64())]),
+    )
+    n_tri = closed.count()
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"n_triangles": pa.array([int(n_tri)], pa.int64())})
+    )

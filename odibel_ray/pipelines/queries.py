@@ -3823,6 +3823,36 @@ def q_rdf_pagerank(sf_dir: str):
     return _round_cols(pr, {"rank": 6})
 
 
+def q_rdf_triangles(sf_dir: str):
+    """Exact triangle count of the undirected RDF entity graph
+    (`graph.triangle_count`: degree-ordered orientation + hash-bucketed
+    wedge generation + one semi join — the m^1.5-bounded distributed
+    shape). Oracle: three-way self-join over the distinct undirected edge
+    set."""
+    import ray.data as rd
+
+    from odibel_ray.graph import triangle_count
+    from odibel_ray.rdf import RDF_TYPE
+
+    _ensure_rdf_corpus(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keep = pc.and_(
+            pc.invert(t["isLiteral"]), pc.not_equal(t["p"], pa.scalar(RDF_TYPE))
+        )
+        t = t.filter(keep)
+        return pa.table({"src": t["s"], "dst": t["o"]})
+
+    edges = rd.read_parquet(
+        _rdf_pq(sf_dir), columns=["s", "p", "o", "isLiteral"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return triangle_count(
+        edges,
+        edge_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
+    )
+
+
 def _pagerank_sql(rdf_pq: str, iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled power-iteration oracle — one chained CTE per iteration,
     the exact recurrence of :func:`odibel_ray.graph.pagerank`."""
@@ -4026,6 +4056,7 @@ QUERIES: dict[str, Callable] = {
     "rdf_schema_graph": q_rdf_schema_graph,
     "rdf_subgraph": q_rdf_subgraph,
     "rdf_pagerank": q_rdf_pagerank,
+    "rdf_triangles": q_rdf_triangles,
     "events_nested_roundtrip": q_events_nested_roundtrip,
 }
 
@@ -4277,6 +4308,16 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
     rdf_sqls = {
         "rdf_parse": f"SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')",
         "rdf_pagerank": _pagerank_sql(rdf_pq),
+        "rdf_triangles": f"""
+WITH e0 AS (
+  SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v
+  FROM read_parquet('{rdf_pq}')
+  WHERE NOT isLiteral AND p <> '{rdf_type}' AND s <> o
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
+          JOIN e0 c ON c.u = a.v AND c.v = b.v
+""",
         "rdf_filter_by_type": f"""
 SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')
 WHERE s IN (SELECT s FROM read_parquet('{rdf_pq}')

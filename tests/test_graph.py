@@ -93,3 +93,52 @@ def test_pagerank_int_node_ids(ray_session):
     out = pagerank(ds, iterations=4).take_all()
     for row in out:
         assert abs(row["rank"] - ref[row["node"]]) < 1e-12
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    """Random multigraph with self loops and reversed duplicates — the
+    normalized triangle count must equal an itertools brute force."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n, m = 60, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    names = [f"n{i}" for i in range(n)]
+    edges = pa.table(
+        {"src": pa.array([names[i] for i in src]),
+         "dst": pa.array([names[i] for i in dst])}
+    )
+    und = {tuple(sorted((a, b)))
+           for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(
+        1 for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    got = triangle_count(rd.from_arrow(edges), edge_schema=edges.schema)
+    assert got.take_all() == [{"n_triangles": expected}]
+    assert expected > 50  # the random graph genuinely has triangles
+
+
+def test_triangle_count_empty_and_triangle_free(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.graph import triangle_count
+
+    path = pa.table(  # a path graph has zero triangles
+        {"src": pa.array(["a", "b", "c"]), "dst": pa.array(["b", "c", "d"])}
+    )
+    assert triangle_count(
+        rd.from_arrow(path), edge_schema=path.schema
+    ).take_all() == [{"n_triangles": 0}]
