@@ -20,7 +20,14 @@ reference (temporal change replay + relational operator library, see
                               (as-of/range join, sessionize, windows, LAG/cumsum),
                               aggregates, sketches, cron
 - ``odibel_ray.dedup``      — exact / MinHash-LSH / SimHash / chunk-level dedup,
-                              decontamination, n-gram dup profiling
+                              decontamination, n-gram dup profiling, end-to-end
+                              verified corpus dedup (``corpus_dedup_survivors``)
+- ``odibel_ray.spans``      — exact duplicate-substring spans (winnowing
+                              anchors + byte-exact extension): cross-doc,
+                              within-doc, cross-corpus decontamination, span
+                              cutting transforms
+- ``odibel_ray.classifier`` — trainable fastText-style hashed-n-gram linear
+                              classifier (broadcast-weight GD, scoring pass)
 - ``odibel_ray.sim``        — ANN (brute/IVF), k-means, SemDeDup, cosine pairs
 - ``odibel_ray.text``       — lang-ID, quality, tokens, templates, chunking,
                               redaction, normalization, fingerprints
@@ -29,6 +36,7 @@ reference (temporal change replay + relational operator library, see
 - ``odibel_ray.rdf``        — triple parse/serialize, typing joins, subgraphs
 - ``odibel_ray.benchmark``  — Benchmark/BenchmarkBuilder, ER/fusion evaluators
 - ``odibel_ray.state``      — distributed connected components, cluster manager
+- ``odibel_ray.graph``      — PageRank, exact triangle counting
 - ``odibel_ray.multimodal`` — image/audio/video decode + feature plumbing
 - ``odibel_ray.pipelines``  — the query registry (queries()/oracle_sql()),
                               corpus curation, training feed

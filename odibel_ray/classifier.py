@@ -25,6 +25,14 @@ full-batch gradient descent expressed Ray-Data-first:
 Inference (:func:`classify`) is a stateless ``map_batches`` against the
 broadcast weights — the shape every scoring stage in this engine uses.
 
+Scale posture: the 100-TB use is train-on-seed, score-the-corpus — the
+labeled training set is curation-budget-sized (labels are the expensive
+part; fastText quality filters are trained on 10⁴–10⁶ seed docs), so the
+iters × seed-passes training cost is small, while the corpus only ever
+pays the single stateless scoring pass. Full-batch GD is chosen over SGD
+deliberately: it is deterministic and exactly pinned to a one-process
+reference, and at seed scale its cost is irrelevant.
+
 Reference analog: none (the reference has no trainable models); part of
 the training-data suite mandated by the build brief. Not SQL-expressible
 (training is iterative), so it is pinned by pytest rather than a DuckDB
