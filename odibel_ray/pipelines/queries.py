@@ -3853,6 +3853,37 @@ def q_rdf_triangles(sf_dir: str):
     )
 
 
+def q_rdf_link_scores(sf_dir: str):
+    """Link-prediction scores over the undirected RDF entity graph
+    (`graph.link_scores`): common neighbors, Jaccard, Adamic–Adar for
+    every two-hop pair with ≥ 2 common neighbors — the graph-similarity
+    signal ER link refinement uses. Oracle: adjacency self-join + degree
+    joins."""
+    import ray.data as rd
+
+    from odibel_ray.graph import link_scores
+    from odibel_ray.rdf import RDF_TYPE
+
+    _ensure_rdf_corpus(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keep = pc.and_(
+            pc.invert(t["isLiteral"]), pc.not_equal(t["p"], pa.scalar(RDF_TYPE))
+        )
+        t = t.filter(keep)
+        return pa.table({"src": t["s"], "dst": t["o"]})
+
+    edges = rd.read_parquet(
+        _rdf_pq(sf_dir), columns=["s", "p", "o", "isLiteral"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return link_scores(
+        edges,
+        min_common=2,
+        edge_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
+    )
+
+
 def _pagerank_sql(rdf_pq: str, iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled power-iteration oracle — one chained CTE per iteration,
     the exact recurrence of :func:`odibel_ray.graph.pagerank`."""
@@ -4057,6 +4088,7 @@ QUERIES: dict[str, Callable] = {
     "rdf_subgraph": q_rdf_subgraph,
     "rdf_pagerank": q_rdf_pagerank,
     "rdf_triangles": q_rdf_triangles,
+    "rdf_link_scores": q_rdf_link_scores,
     "events_nested_roundtrip": q_events_nested_roundtrip,
 }
 
@@ -4308,6 +4340,31 @@ WHERE s.user_id IS NULL OR f.user_id IS NULL
     rdf_sqls = {
         "rdf_parse": f"SELECT s, p, o, isLiteral FROM read_parquet('{rdf_pq}')",
         "rdf_pagerank": _pagerank_sql(rdf_pq),
+        "rdf_link_scores": f"""
+WITH e0 AS (
+  SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v
+  FROM read_parquet('{rdf_pq}')
+  WHERE NOT isLiteral AND p <> '{rdf_type}' AND s <> o
+),
+adj AS (SELECT u AS c, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+w AS (
+  SELECT l.n AS a, r.n AS b, l.c AS c
+  FROM adj l JOIN adj r ON l.c = r.c AND l.n < r.n
+),
+folded AS (
+  SELECT a, b, count(*) AS n_common,
+         sum(1.0 / ln(d.deg)) AS aa
+  FROM w JOIN deg d ON d.c = w.c GROUP BY a, b
+)
+SELECT f.a AS node_a, f.b AS node_b,
+       CAST(f.n_common AS BIGINT) AS n_common,
+       round(CAST(f.n_common AS DOUBLE)
+             / greatest(da.deg + db.deg - f.n_common, 1), 6) AS jaccard,
+       round(f.aa, 6) AS adamic_adar
+FROM folded f JOIN deg da ON da.c = f.a JOIN deg db ON db.c = f.b
+WHERE f.n_common >= 2
+""",
         "rdf_triangles": f"""
 WITH e0 AS (
   SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v

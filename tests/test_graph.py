@@ -142,3 +142,67 @@ def test_triangle_count_empty_and_triangle_free(ray_session):
     assert triangle_count(
         rd.from_arrow(path), edge_schema=path.schema
     ).take_all() == [{"n_triangles": 0}]
+
+
+def test_link_scores_match_brute_force(ray_session):
+    """Common-neighbor / Jaccard / Adamic-Adar for every two-hop pair of a
+    random multigraph, vs an itertools brute force; plus the hub-cap mode
+    drops exactly the pairs whose only evidence is a capped center."""
+    import itertools
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.graph import link_scores
+
+    rng = np.random.default_rng(13)
+    n, m = 40, 160
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    names = [f"n{i:02d}" for i in range(n)]
+    edges = pa.table(
+        {"src": pa.array([names[i] for i in src]),
+         "dst": pa.array([names[i] for i in dst])}
+    )
+    und = {tuple(sorted((a, b)))
+           for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        common = adj[x] & adj[y]
+        if not common:
+            continue
+        nc = len(common)
+        exp[(names[x], names[y])] = (
+            nc,
+            round(nc / len(adj[x] | adj[y]), 6),
+            round(sum(1.0 / math.log(len(adj[c])) for c in common), 6),
+        )
+    got = {
+        (r["node_a"], r["node_b"]):
+            (r["n_common"], r["jaccard"], r["adamic_adar"])
+        for r in link_scores(
+            rd.from_arrow(edges), edge_schema=edges.schema
+        ).take_all()
+    }
+    assert set(got) == set(exp)
+    for k, (nc, jac, aa) in exp.items():
+        gnc, gjac, gaa = got[k]
+        assert gnc == nc and abs(gjac - jac) < 1e-6 and abs(gaa - aa) < 1e-6
+
+    # hub cap: skipping centers with degree > cap only removes evidence
+    capped = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in link_scores(
+            rd.from_arrow(edges), edge_schema=edges.schema,
+            max_center_degree=6,
+        ).take_all()
+    }
+    assert set(capped) <= set(exp)
+    for k, v in capped.items():
+        assert v <= exp[k][0]
