@@ -664,6 +664,138 @@ def range_join(
     return tagged.groupby("_rbucket").map_groups(merge, batch_format="pyarrow")
 
 
+def interval_overlap_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str] | str,
+    *,
+    start_col: str = "start",
+    end_col: str = "end",
+    left_payload: Sequence[str] = (),
+    right_payload: Sequence[str] = (),
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+    batch_size: int = 65536,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """Keyed interval-OVERLAP join (interval × interval — the inequality
+    join neither Ray Data nor :func:`range_join` covers): every pair of a
+    left and a right interval with the same key and
+    ``l.start < r.end AND r.start < l.end`` (half-open ``[start, end)``
+    overlap). Output: key cols + left ``start``/``end``/payloads + right
+    columns with ``suffix``.
+
+    Shape mirrors :func:`range_join`: one key-hash shuffle co-locates both
+    sides; the per-bucket kernel sorts LEFT by (key, start) once, resolves
+    every right interval's candidate run with two batched searchsorted
+    passes (key-run start; ``l.start < r.end`` bound via
+    :func:`_lex_insertion_index`) and filters the expanded candidates on
+    ``l.end > r.start`` — vectorized end to end. Per-key cost is
+    O(candidate pairs): bounded for time-clustered intervals; for dense
+    always-overlapping keys the OUTPUT itself is quadratic, and the
+    standard mitigation is a coarse time-bucket appended to the key (same
+    note as :func:`range_join`)."""
+    from odibel_ray.tuning import default_num_buckets
+
+    num_buckets = default_num_buckets(num_buckets)
+    from odibel_ray.cdc.lww import bucket_of_keys
+
+    on = [on] if isinstance(on, str) else list(on)
+    left_payload = list(left_payload)
+    right_payload = list(right_payload)
+    l_schema: pa.Schema = left_schema or left.schema().base_schema
+    r_schema: pa.Schema = right_schema or right.schema().base_schema
+    l_cols = on + [start_col, end_col] + left_payload
+    r_cols = on + [start_col, end_col] + right_payload
+    all_cols = on + [start_col, end_col] + [
+        c for c in left_payload + right_payload
+    ]
+
+    def _tag(side: int, schema: pa.Schema):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    cols[c] = t[c]
+                else:
+                    other = r_schema if side == 0 else l_schema
+                    typ = (
+                        other.field(c).type
+                        if other.get_field_index(c) >= 0
+                        else pa.null()
+                    )
+                    cols[c] = pa.nulls(len(t), typ)
+            out = pa.table(cols)
+            out = out.append_column(
+                "_side", pa.array(np.full(len(t), side, np.int8))
+            )
+            b = bucket_of_keys(out, on, num_buckets)
+            return out.append_column("_obucket", pa.array(b, pa.int64()))
+
+        return f
+
+    tagged = left.map_batches(
+        _tag(0, l_schema), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(_tag(1, r_schema), batch_format="pyarrow",
+                          batch_size=batch_size)
+    )
+
+    out_names = (
+        l_cols
+        + [start_col + suffix, end_col + suffix]
+        + [c + suffix for c in right_payload]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(l_cols)
+        rt = g.filter(pa.array(side == 1)).select(r_cols)
+        empty_cols = {}
+        for c in l_cols:
+            empty_cols[c] = pa.chunked_array([[]], l_schema.field(c).type)
+        for c in [start_col, end_col] + right_payload:
+            empty_cols[c + suffix] = pa.chunked_array(
+                [[]], r_schema.field(c).type
+            )
+        empty = pa.table(empty_cols)
+        if len(lt) == 0 or len(rt) == 0:
+            return empty
+        lk = bucket_of_keys(lt, on, 1 << 62)
+        ls = lt[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ls, lk))
+        lt = lt.take(pa.array(order))
+        lk, ls = lk[order], ls[order]
+        le = lt[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rk = bucket_of_keys(rt, on, 1 << 62)
+        rs = rt[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        re_ = rt[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(lk, rk, side="left")
+        hi = _lex_insertion_index(lk, ls, rk, re_)  # l.start < r.end bound
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        r_idx = np.repeat(np.arange(len(rt), dtype=np.int64), counts)
+        seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        l_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(seg, counts)
+            + np.repeat(lo, counts)
+        )
+        keep = le[l_idx] > rs[r_idx]  # the second overlap bound
+        l_idx, r_idx = l_idx[keep], r_idx[keep]
+        out = lt.take(pa.array(l_idx))
+        for c in [start_col, end_col] + right_payload:
+            out = out.append_column(c + suffix, rt[c].take(pa.array(r_idx)))
+        return out.rename_columns(out_names)
+
+    return tagged.groupby("_obucket").map_groups(merge, batch_format="pyarrow")
+
+
 def bag_set_op(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -2463,6 +2463,52 @@ def q_events_sliding_windows(sf_dir: str):
     )
 
 
+def q_events_overlap_join(sf_dir: str):
+    """Interval-overlap join (interval × interval — the inequality join
+    Ray Data lacks): per-user click vs view 10-minute activity intervals,
+    one pair per concurrent (click, view). One key-hash shuffle; batched
+    searchsorted candidate runs inside each bucket."""
+    from odibel_ray.ops.relational import interval_overlap_join, load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def mk(et: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            t = t.filter(pc.equal(t["event_type"], et))
+            s = pc.cast(t["ts"], pa.int64())
+            return pa.table(
+                {"user_id": t["user_id"], "event_id": t["event_id"],
+                 "start": s,
+                 "end": pc.add(s, pa.scalar(600_000_000, pa.int64()))}
+            )
+
+        return f
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("event_id", pa.int64()),
+         ("start", pa.int64()), ("end", pa.int64())]
+    )
+    j = interval_overlap_join(
+        ev.map_batches(mk("click"), batch_format="pyarrow"),
+        ev.map_batches(mk("view"), batch_format="pyarrow"),
+        "user_id",
+        left_payload=["event_id"],
+        right_payload=["event_id"],
+        left_schema=schema,
+        right_schema=schema,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table(
+            {"user_id": t["user_id"], "click_id": t["event_id"],
+             "view_id": t["event_id_r"]}
+        )
+
+    return j.map_batches(proj, batch_format="pyarrow")
+
+
 def q_events_sessionized(sf_dir: str):
     """Gap-based session windows over the events stream: per-user sessions
     split at >30-minute gaps, aggregated to (user, session) event counts —
@@ -4027,6 +4073,7 @@ QUERIES: dict[str, Callable] = {
     "events_sessionized": q_events_sessionized,
     "events_sliding_windows": q_events_sliding_windows,
     "events_range_join": q_events_range_join,
+    "events_overlap_join": q_events_overlap_join,
     "events_asof_profile": q_events_asof_profile,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
@@ -5002,6 +5049,20 @@ SELECT event_type,
        count(*) AS n
 FROM events, (SELECT unnest(range(0, 4)) AS i)
 GROUP BY 1, 2
+""",
+        "events_overlap_join": """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 600000000 AS e
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 600000000 AS e
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id AS user_id, c.click_id, v.view_id
+FROM c JOIN v ON c.user_id = v.user_id AND c.s < v.e AND v.s < c.e
 """,
         "events_sessionized": """
 WITH o AS (

@@ -670,3 +670,55 @@ def test_edit_distance_join_rejects_string_ids(ray_session):
     )
     with _pytest.raises(Exception, match="must be an integer column"):
         edit_distance_join(rd.from_arrow(docs), tau=1).take_all()
+
+
+def test_interval_overlap_join_matches_brute_force(ray_session):
+    """Keyed interval-overlap pairs vs an O(n*m) scan — half-open
+    [start, end) semantics, cross-key pairs excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.relational import interval_overlap_join
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        k = r.integers(0, 6, n)
+        s = r.integers(0, 1000, n)
+        return pa.table(
+            {"k": pa.array([f"u{i}" for i in k]),
+             "start": pa.array(s.astype(np.int64)),
+             "end": pa.array((s + r.integers(1, 120, n)).astype(np.int64)),
+             "id": pa.array(np.arange(n, dtype=np.int64) + seed * 1000)}
+        )
+
+    L, R = mk(80, 1), mk(70, 2)
+    exp = {
+        (L["id"][i].as_py(), R["id"][j].as_py())
+        for i in range(len(L))
+        for j in range(len(R))
+        if L["k"][i].as_py() == R["k"][j].as_py()
+        and L["start"][i].as_py() < R["end"][j].as_py()
+        and R["start"][j].as_py() < L["end"][i].as_py()
+    }
+    got = {
+        (r_["id"], r_["id_r"])
+        for r_ in interval_overlap_join(
+            rd.from_arrow(L), rd.from_arrow(R), "k",
+            left_payload=["id"], right_payload=["id"],
+            left_schema=L.schema, right_schema=R.schema,
+        ).take_all()
+    }
+    assert got == exp and len(exp) > 50
+    # touching intervals ([0,10) vs [10,20)) do NOT overlap (half-open)
+    a = pa.table({"k": pa.array(["x"]), "start": pa.array([0], pa.int64()),
+                  "end": pa.array([10], pa.int64()),
+                  "id": pa.array([1], pa.int64())})
+    b = pa.table({"k": pa.array(["x"]), "start": pa.array([10], pa.int64()),
+                  "end": pa.array([20], pa.int64()),
+                  "id": pa.array([2], pa.int64())})
+    assert interval_overlap_join(
+        rd.from_arrow(a), rd.from_arrow(b), "k",
+        left_payload=["id"], right_payload=["id"],
+        left_schema=a.schema, right_schema=b.schema,
+    ).count() == 0
