@@ -627,6 +627,166 @@ def window_rank(
     return _window_bucketed(ds, keys, num_buckets, batch_size, local)
 
 
+def window_ntile(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    n: int,
+    *,
+    tie_cols: Sequence[str] = (),
+    out: str = "ntile",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``NTILE(n) OVER (PARTITION BY keys ORDER BY order_col)`` —
+    SQL's remainder rule (the first ``size % n`` tiles get one extra row).
+    Same one-shuffle kernel as :func:`window_rank`."""
+    if n < 1:
+        raise ValueError("ntile requires n >= 1")
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        nr = len(t)
+        if nr == 0:
+            return t.append_column(out, pa.array([], pa.int64()))
+        sort_keys = (
+            [(k, "ascending") for k in keys]
+            + [(order_col, "ascending")]
+            + [(k, "ascending") for k in tie_cols]
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _partition_firsts(t, keys, nr)
+        pos = np.arange(nr, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first, pos, 0))
+        rownum = pos - seg_start  # 0-based within segment
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, nr))
+        size = np.repeat(sizes, sizes)
+        base = size // n
+        rem = size % n
+        cut = (base + 1) * rem  # rows covered by the fat tiles
+        fat = rownum < cut
+        tile = np.where(
+            fat,
+            rownum // np.maximum(base + 1, 1),
+            rem + (rownum - cut) // np.maximum(base, 1),
+        ) + 1
+        # more partitions than rows: SQL gives row i tile i+1
+        tile = np.where(base == 0, np.minimum(rownum + 1, size), tile)
+        return t.append_column(out, pa.array(tile.astype(np.int64)))
+
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
+
+
+def window_percent_rank(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    *,
+    tie_cols: Sequence[str] = (),
+    out: str = "percent_rank",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY keys ORDER BY order_col)``
+    = (rank − 1) / (partition_size − 1), 0.0 for single-row partitions;
+    ties on equal order values rank together (NULLs are peers)."""
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        nr = len(t)
+        if nr == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        sort_keys = (
+            [(k, "ascending") for k in keys]
+            + [(order_col, "ascending")]
+            + [(k, "ascending") for k in tie_cols]
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _partition_firsts(t, keys, nr)
+        pos = np.arange(nr, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first, pos, 0))
+        a, b = t[order_col].slice(1), t[order_col].slice(0, nr - 1)
+        oeq = pc.or_(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+        ).to_numpy(zero_copy_only=False) if nr > 1 else np.zeros(0, bool)
+        new_val = first.copy()
+        new_val[1:] |= ~oeq
+        anchor = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rank = anchor - seg_start + 1
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, nr))
+        size = np.repeat(sizes, sizes)
+        pr = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1), 0.0)
+        return t.append_column(out, pa.array(np.round(pr, 6)))
+
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
+
+
+def window_partition_values(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    tie_cols: Sequence[str] = (),
+    first_out: str | None = "first_value",
+    last_out: str | None = "last_value",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``FIRST_VALUE`` / ``LAST_VALUE`` over the FULL partition frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`` — the
+    frame people almost always mean; SQL's default frame makes LAST_VALUE
+    the current row, a classic footgun this API sidesteps)."""
+    keys = list(keys)
+    tie_cols = list(tie_cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wbucket"]).combine_chunks()
+        nr = len(t)
+        if nr == 0:
+            out = t
+            if first_out:
+                out = out.append_column(
+                    first_out, pa.nulls(0, t.schema.field(value_col).type)
+                )
+            if last_out:
+                out = out.append_column(
+                    last_out, pa.nulls(0, t.schema.field(value_col).type)
+                )
+            return out
+        sort_keys = (
+            [(k, "ascending") for k in keys]
+            + [(order_col, "ascending")]
+            + [(k, "ascending") for k in tie_cols]
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        first = _partition_firsts(t, keys, nr)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, nr))
+        ends = starts + sizes - 1
+        out = t
+        if first_out:
+            out = out.append_column(
+                first_out,
+                t[value_col].take(pa.array(np.repeat(starts, sizes))),
+            )
+        if last_out:
+            out = out.append_column(
+                last_out,
+                t[value_col].take(pa.array(np.repeat(ends, sizes))),
+            )
+        return out
+
+    return _window_bucketed(ds, keys, num_buckets, batch_size, local)
+
+
 def group_mode(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

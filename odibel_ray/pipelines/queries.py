@@ -2509,6 +2509,34 @@ def q_events_overlap_join(sf_dir: str):
     return j.map_batches(proj, batch_format="pyarrow")
 
 
+def q_events_window_funcs(sf_dir: str):
+    """NTILE / PERCENT_RANK / FIRST_VALUE / LAST_VALUE over per-user
+    windows (`ops.aggregates.window_ntile` / `window_percent_rank` /
+    `window_partition_values`) — percent_rank ordered by a TIE-heavy
+    column (event_type) to exercise the rank-together rule; first/last
+    over the full partition frame."""
+    from odibel_ray.ops.aggregates import (
+        window_ntile,
+        window_partition_values,
+        window_percent_rank,
+    )
+    from odibel_ray.ops.relational import load_table
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    q = window_ntile(ev, ["user_id"], "ts", 4, tie_cols=["event_id"],
+                     out="tile4")
+    q = window_percent_rank(q, ["user_id"], "event_type",
+                            tie_cols=["event_id"], out="pr_type")
+    q = window_partition_values(q, ["user_id"], "ts", "event_id",
+                                tie_cols=["event_id"],
+                                first_out="first_event",
+                                last_out="last_event")
+    return q.select_columns(
+        ["user_id", "event_id", "tile4", "pr_type", "first_event",
+         "last_event"]
+    )
+
+
 def q_events_sessionized(sf_dir: str):
     """Gap-based session windows over the events stream: per-user sessions
     split at >30-minute gaps, aggregated to (user, session) event counts —
@@ -4074,6 +4102,7 @@ QUERIES: dict[str, Callable] = {
     "events_sliding_windows": q_events_sliding_windows,
     "events_range_join": q_events_range_join,
     "events_overlap_join": q_events_overlap_join,
+    "events_window_funcs": q_events_window_funcs,
     "events_asof_profile": q_events_asof_profile,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
@@ -5049,6 +5078,21 @@ SELECT event_type,
        count(*) AS n
 FROM events, (SELECT unnest(range(0, 4)) AS i)
 GROUP BY 1, 2
+""",
+        "events_window_funcs": """
+SELECT user_id, event_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile4,
+       round(percent_rank() OVER (PARTITION BY user_id
+                                  ORDER BY event_type), 6) AS pr_type,
+       first_value(event_id) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS first_event,
+       last_value(event_id) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_event
+FROM events
 """,
         "events_overlap_join": """
 WITH c AS (

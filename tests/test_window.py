@@ -383,3 +383,65 @@ def test_grouping_sets_total_only(ray_session):
                          grouping="sets", sets=[[]]).take_all()
     assert len(rows) == 1
     assert rows[0]["a"] is None and rows[0]["n"] == 2 and rows[0]["sum_v"] == 12
+
+
+def test_window_ntile_remainder_rule(ray_session):
+    """SQL NTILE: first size%n tiles get one extra row; n > size gives
+    row i tile i+1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.aggregates import window_ntile
+
+    t = pa.table(
+        {"k": pa.array(["a"] * 7 + ["b"] * 2),
+         "o": pa.array(list(range(7)) + [0, 1], pa.int64())}
+    )
+    rows = window_ntile(
+        rd.from_arrow(t), ["k"], "o", 3, out="t3"
+    ).take_all()
+    got = {(r["k"], r["o"]): r["t3"] for r in rows}
+    # size 7, n 3 -> tiles of 3,2,2
+    assert [got[("a", i)] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    # size 2, n 3 -> rows get tiles 1, 2
+    assert [got[("b", i)] for i in range(2)] == [1, 2]
+
+
+def test_window_percent_rank_ties_and_singleton(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.aggregates import window_percent_rank
+
+    t = pa.table(
+        {"k": pa.array(["a"] * 5 + ["s"]),
+         "o": pa.array([10, 10, 20, 20, 30, 1], pa.int64()),
+         "i": pa.array(range(6), pa.int64())}
+    )
+    rows = window_percent_rank(
+        rd.from_arrow(t), ["k"], "o", tie_cols=["i"], out="pr"
+    ).take_all()
+    got = {r["i"]: r["pr"] for r in rows}
+    # ranks: 1,1,3,3,5 over size 5 -> (r-1)/4
+    assert [got[i] for i in range(5)] == [0.0, 0.0, 0.5, 0.5, 1.0]
+    assert got[5] == 0.0  # single-row partition
+
+
+def test_window_partition_values_full_frame(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.aggregates import window_partition_values
+
+    t = pa.table(
+        {"k": pa.array(["a", "a", "a", "b"]),
+         "o": pa.array([3, 1, 2, 9], pa.int64()),
+         "v": pa.array(["x3", "x1", "x2", "y"], pa.string())}
+    )
+    rows = window_partition_values(
+        rd.from_arrow(t), ["k"], "o", "v"
+    ).take_all()
+    got = {(r["k"], r["o"]): (r["first_value"], r["last_value"]) for r in rows}
+    assert got[("a", 1)] == ("x1", "x3")
+    assert got[("a", 3)] == ("x1", "x3")
+    assert got[("b", 9)] == ("y", "y")
