@@ -628,3 +628,91 @@ def link_scores(
         return out.filter(keep)
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def k_core(
+    edges: "ray.data.Dataset",
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    edge_schema: pa.Schema | None = None,
+    max_rounds: int = 100,
+) -> "ray.data.Dataset":
+    """Nodes of the ``k``-core of the undirected simple graph: the maximal
+    subgraph where every node has degree >= k. Classic distributed
+    peeling: each round recomputes degrees within the surviving subgraph
+    and drops nodes below ``k``, until a fixpoint (rounds needed = peeling
+    depth, typically small; ``max_rounds`` is a runaway guard). Output:
+    ``(node, core_degree)`` — the node's degree inside the k-core.
+
+    Each round is one combiner-first degree aggregate over the surviving
+    edge set plus one guarded-broadcast semi join of edges against the
+    surviving node set (automatic bucketed fallback above the byte
+    budget) — no driver-side graph state."""
+    from ray.data.aggregate import Sum
+
+    from odibel_ray.ops.relational import broadcast_semi_join, exact_dedup
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edge_schema = edge_schema or edges.schema().base_schema
+    ntype = edge_schema.field(src_col).type
+
+    def normalize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        t = _drop_null_edges(t, src_col, dst_col)
+        u = pc.min_element_wise(t[src_col], t[dst_col])
+        v = pc.max_element_wise(t[src_col], t[dst_col])
+        keep = pc.not_equal(u, v)
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    cur = exact_dedup(
+        edges.map_batches(normalize, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])
+        vc = pc.value_counts(n)
+        return pa.table(
+            {"node": vc.field("values"),
+             "deg": vc.field("counts").cast(pa.int64())}
+        )
+
+    deg_schema = pa.schema([("node", ntype), ("deg", pa.int64())])
+    for _ in range(max_rounds):
+        deg = (
+            cur.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .materialize()
+        )
+        total = deg.count()
+        surviving = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        n_surv = surviving.count()
+        if n_surv == total:  # fixpoint: nothing dropped this round
+            return surviving
+        if n_surv == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], ntype),
+                          "deg": pa.array([], pa.int64())})
+            )
+        keep = surviving.select_columns(["node"])
+        cur = broadcast_semi_join(
+            cur,
+            keep.map_batches(lambda t: t.rename_columns(["u"]),
+                             batch_format="pyarrow"),
+            "u",
+            ds_schema=pa.schema([("u", ntype), ("v", ntype)]),
+        )
+        cur = broadcast_semi_join(
+            cur,
+            keep.map_batches(lambda t: t.rename_columns(["v"]),
+                             batch_format="pyarrow"),
+            "v",
+            ds_schema=pa.schema([("u", ntype), ("v", ntype)]),
+        ).materialize()
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -482,3 +482,33 @@ def repetition_stats(
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def add_compression_ratio(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    out: str = "compression_ratio",
+    level: int = 6,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Per-doc zlib compression ratio (compressed/raw bytes, rounded to 6;
+    1.0 for empty docs) — the Dolma/Gopher-style repetitiveness signal:
+    highly compressible text is boilerplate or degenerate repetition, and
+    unlike gram-rate features it catches long-range structure. Per-row
+    codec work in a streaming map pass (no state, no shuffle). Not
+    SQL-expressible (no zlib in SQL), so it is pytest-pinned like the
+    other codec stages."""
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ratios = []
+        for s in t[text_col].to_pylist():
+            b = (s or "").encode()
+            ratios.append(
+                round(len(zlib.compress(b, level)) / len(b), 6) if b else 1.0
+            )
+        return t.append_column(out, pa.array(ratios, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -206,3 +206,56 @@ def test_link_scores_match_brute_force(ray_session):
     assert set(capped) <= set(exp)
     for k, v in capped.items():
         assert v <= exp[k][0]
+
+
+def test_k_core_matches_iterative_reference(ray_session):
+    """Peeling fixpoint vs a plain-Python peel on a random multigraph;
+    plus the planted clique survives k just below its size and the empty
+    result above it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.graph import k_core
+
+    rng = np.random.default_rng(21)
+    n, m = 50, 140
+    src = rng.integers(0, n, m).tolist()
+    dst = rng.integers(0, n, m).tolist()
+    # plant a 6-clique on nodes 90..95
+    for a in range(90, 96):
+        for b in range(a + 1, 96):
+            src.append(a)
+            dst.append(b)
+    names = {i: f"n{i:02d}" for i in set(src) | set(dst)}
+    edges = pa.table(
+        {"src": pa.array([names[i] for i in src]),
+         "dst": pa.array([names[i] for i in dst])}
+    )
+
+    def ref_core(k):
+        adj: dict = {}
+        for a, b in {tuple(sorted(e)) for e in zip(src, dst) if e[0] != e[1]}:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v in list(adj) if len(adj[v]) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return {names[v]: len(nb) for v, nb in adj.items()}
+
+    for k in (2, 3, 5):
+        got = {
+            r["node"]: r["deg"]
+            for r in k_core(
+                rd.from_arrow(edges), k, edge_schema=edges.schema
+            ).take_all()
+        }
+        assert got == ref_core(k), k
+    got5 = {r["node"] for r in k_core(
+        rd.from_arrow(edges), 5, edge_schema=edges.schema).take_all()}
+    assert {names[i] for i in range(90, 96)} <= got5
+    assert k_core(rd.from_arrow(edges), 40, edge_schema=edges.schema).count() == 0

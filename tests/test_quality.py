@@ -92,3 +92,26 @@ def test_expectations_with_ddl_rename(ray_session, tmp_path):
             rd.from_arrow(pa.table({"k": ["z"], "quality": [-0.5], "role": ["user"]})),
             out, run_id="u1",
         )
+
+
+def test_compression_ratio_orders_repetitive_below_random(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import zlib
+
+    from odibel_ray.text import add_compression_ratio
+
+    rng = np.random.default_rng(31)
+    rand = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000))
+    rep = "spam and eggs " * 150
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array([rand, rep, ""])}
+    )
+    rows = {r["doc_id"]: r["compression_ratio"]
+            for r in add_compression_ratio(rd.from_arrow(docs)).take_all()}
+    assert rows[2] < 0.1 < rows[1] <= 1.1
+    assert rows[3] == 1.0
+    b = rand.encode()
+    assert abs(rows[1] - len(zlib.compress(b, 6)) / len(b)) < 1e-9
