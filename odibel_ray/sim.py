@@ -480,3 +480,158 @@ def semdedup(
                             batch_size=batch_size)
     return tagged.groupby("cluster").map_groups(dedup_cluster,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the embedding-compression scale path)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    ds: "ray.data.Dataset",
+    *,
+    m: int = 8,
+    k: int = 16,
+    emb_col: str = "embedding",
+    sample: int = 65536,
+    iters: int = 15,
+    seed: int = 17,
+) -> np.ndarray:
+    """Train product-quantization codebooks: the embedding dimension splits
+    into ``m`` subspaces, each with a ``k``-centroid L2 codebook fitted by
+    seeded Lloyd on a bounded head sample (codebook training is
+    sample-sized by construction — Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"). Returns a
+    ``(m, k, dim/m)`` float64 array. Vectors are L2-normalized first, so
+    ADC L2 ranking is cosine ranking."""
+    head = ds.limit(sample).take_all()
+    if not head:
+        raise ValueError("pq_train: empty input")
+    x = _normalize(
+        np.stack([np.asarray(r[emb_col], np.float64) for r in head])
+    )
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        c = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        if len(c) < k:  # degenerate tiny sample: pad with jitter
+            c = np.concatenate([c, c[rng.integers(0, len(c), k - len(c))]
+                                + rng.normal(0, 1e-6, (k - len(c), dsub))])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                hit = a == j
+                if hit.any():
+                    c[j] = xs[hit].mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    out: str = "pq_code",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Encode every vector to ``m`` uint8 code bytes (one binary cell per
+    row — 8–64× smaller than the float vectors; the form a 10^10-vector
+    index actually stores). Streaming pass against the broadcast
+    codebooks."""
+    mm, kk, dsub = codebooks.shape
+    ref = _broadcast(codebooks)
+
+    def enc(t: pa.Table, b) -> pa.Table:
+        books = _deref(b)
+        t = t.combine_chunks()
+        x = _normalize(_emb_matrix(t, emb_col))
+        codes = np.empty((len(x), mm), np.uint8)
+        for s in range(mm):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return t.drop_columns([emb_col]).append_column(
+            out, pa.array([c.tobytes() for c in codes], pa.binary())
+        )
+
+    return ds.map_batches(enc, fn_args=[ref], batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def pq_topk(
+    codes: "ray.data.Dataset",
+    queries,
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Asymmetric-distance top-k over PQ codes: each query precomputes its
+    (m × k) subspace distance table once; scoring a code row is ``m``
+    table lookups (no float vectors read) — the classic ADC scan. Same
+    output contract as :func:`cosine_topk` (``query_id, vec_id, rank``,
+    approximate ranking; recall measured in tests)."""
+    mm, kk, dsub = codebooks.shape
+    q_t = _small_table(queries)
+    q_ids = q_t[query_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_emb_matrix(q_t, emb_col))
+    # (nq, m, k) distance tables
+    dt = np.empty((len(q_ids), mm, kk))
+    for s in range(mm):
+        qs = q_mat[:, s * dsub:(s + 1) * dsub]
+        dt[:, s, :] = ((qs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+    ref = _broadcast((q_ids, dt))
+
+    def local_topk(t: pa.Table, b) -> pa.Table:
+        q_ids, dt = _deref(b)
+        t = t.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blob = b"".join(t[code_col].to_pylist())
+        codes = np.frombuffer(blob, np.uint8).reshape(len(t), mm)
+        # dist[q, i] = sum_s dt[q, s, codes[i, s]] — fancy (s, code) index
+        # broadcasts to (n, m), full axis-0 slice keeps the query axis
+        d = dt[:, np.arange(mm), codes].sum(axis=2)
+        d[q_ids[:, None] == ids[None, :]] = np.inf  # exclude self
+        nq = len(q_ids)
+        kk2 = min(k, d.shape[1])
+        part = np.argpartition(d, kk2 - 1, axis=1)[:, :kk2]
+        rows = np.repeat(q_ids, kk2)
+        cols = part.reshape(-1)
+        s = d[np.repeat(np.arange(nq), kk2), cols]
+        keep = s < np.inf
+        return pa.table(
+            {query_id_col: pa.array(rows[keep]),
+             id_col: pa.array(ids[cols[keep]]),
+             "_adc": pa.array(s[keep])}
+        )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        d = t["_adc"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        order = order[np.argsort(d[order], kind="stable")]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(len(order), dtype=np.int64))
+        )
+
+    local = codes.map_batches(
+        local_topk, fn_args=[ref], batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    res = local.groupby(query_id_col).map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+    return res.drop_columns(["_adc"])

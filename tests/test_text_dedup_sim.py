@@ -839,3 +839,53 @@ def test_survivors_exact_verify_keeps_near_miss(ray_session):
         ).take_all()
     }
     assert kept_est == {1, 3}  # the estimate-only path wrongly drops doc 2
+
+
+def test_pq_topk_recall_vs_exact(ray_session):
+    """PQ codes are 8 bytes/vector (vs 256 for the float64 dim-64 vector);
+    ADC top-10 must keep high recall vs the exact cosine ranking, and the
+    exact nearest neighbor (a planted near-duplicate) must rank first."""
+    import ray.data as rd
+
+    from odibel_ray.sim import cosine_topk, pq_encode, pq_topk, pq_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(t)
+    books = pq_train(ds, m=16, k=256, iters=15)
+    assert books.shape == (16, 256, 4)
+    codes = pq_encode(ds, books).materialize()
+    one_code = codes.take(1)[0]["pq_code"]
+    assert isinstance(one_code, bytes) and len(one_code) == 16
+
+    queries = pa.table(
+        {"query_id": t["vec_id"][:8], "embedding": t["embedding"][:8]}
+    )
+    exact = {}
+    for r in cosine_topk(ds, queries, k=10).take_all():
+        exact.setdefault(r["query_id"], []).append(r["vec_id"])
+    approx = {}
+    for r in pq_topk(codes, queries, books, k=10).take_all():
+        approx.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(exact) == set(approx)
+    recalls = [
+        len(set(exact[q]) & set(approx[q])) / len(exact[q]) for q in exact
+    ]
+    # these synthetic embeddings have a nearly flat neighbor structure
+    # (top-10 cosines 0.27-0.33 vs ~0.2 bulk), the hardest case for PQ;
+    # the standard 8-bit config still keeps most of the ranking at 32x
+    # compression with no reranking
+    assert sum(recalls) / len(recalls) >= 0.6
+
+    # a planted near-duplicate is found at rank 0 despite quantization
+    base = np.asarray(t["embedding"][3].as_py())
+    dup = base + np.random.default_rng(1).normal(0, 1e-3, len(base))
+    aug = pa.table(
+        {"vec_id": pa.array([99991], pa.int64()),
+         "embedding": pa.array([dup.tolist()],
+                               t.schema.field("embedding").type)}
+    )
+    codes2 = pq_encode(rd.from_arrow(aug), books)
+    q1 = pa.table({"query_id": pa.array([3], pa.int64()),
+                   "embedding": t["embedding"][3:4]})
+    rows = pq_topk(codes.union(codes2), q1, books, k=3).take_all()
+    assert rows[0]["vec_id"] == 99991 and rows[0]["rank"] == 0
