@@ -635,3 +635,182 @@ def pq_topk(
         final_topk, batch_format="pyarrow"
     )
     return res.drop_columns(["_adc"])
+
+
+def ivfpq_encode(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """IVF-PQ index rows ``(id, ivf_list, pq_code)``: each vector routes to
+    its nearest coarse centroid and its RESIDUAL (vector − centroid) is
+    PQ-encoded — the composition a billion-vector index ships (coarse
+    routing bounds the scan, residual codes bound the bytes). Train
+    ``codebooks`` on residuals via :func:`ivfpq_train`."""
+    mm, kk, dsub = codebooks.shape
+    ref = _broadcast((centroids, codebooks))
+
+    def enc(t: pa.Table, b) -> pa.Table:
+        cent, books = _deref(b)
+        t = t.combine_chunks()
+        x = _normalize(_emb_matrix(t, emb_col))
+        lists = (x @ cent.T).argmax(axis=1)
+        res = x - cent[lists]
+        codes = np.empty((len(x), mm), np.uint8)
+        for s in range(mm):
+            rs = res[:, s * dsub:(s + 1) * dsub]
+            d2 = ((rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {id_col: t[id_col],
+             "ivf_list": pa.array(lists.astype(np.int64)),
+             "pq_code": pa.array([c.tobytes() for c in codes], pa.binary())}
+        )
+
+    return ds.map_batches(enc, fn_args=[ref], batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def ivfpq_train(
+    ds: "ray.data.Dataset",
+    *,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 256,
+    emb_col: str = "embedding",
+    sample: int = 65536,
+    iters: int = 15,
+    seed: int = 17,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse centroids, residual PQ codebooks) from a bounded head
+    sample: coarse k-means first, then per-subspace Lloyd on the coarse
+    RESIDUALS (the quantity :func:`ivfpq_encode` actually codes)."""
+    head = ds.limit(sample).take_all()
+    if not head:
+        raise ValueError("ivfpq_train: empty input")
+    tbl = pa.table(
+        {emb_col: pa.array([r[emb_col] for r in head])}
+    )
+    cent = fit_centroids(tbl, n_lists, iters=iters, seed=seed, emb_col=emb_col)
+    x = _normalize(
+        np.stack([np.asarray(r[emb_col], np.float64) for r in head])
+    )
+    res = x - cent[(x @ cent.T).argmax(axis=1)]
+    dim = res.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed + 1)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = res[:, s * dsub:(s + 1) * dsub]
+        c = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        if len(c) < k:
+            c = np.concatenate([c, c[rng.integers(0, len(c), k - len(c))]
+                                + rng.normal(0, 1e-6, (k - len(c), dsub))])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                hit = a == j
+                if hit.any():
+                    c[j] = xs[hit].mean(axis=0)
+        books[s] = c
+    return cent, books
+
+
+def ivfpq_topk(
+    index: "ray.data.Dataset",
+    queries,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Approximate top-k over an :func:`ivfpq_encode` index: each query
+    probes its ``n_probe`` nearest lists with a PER-LIST residual ADC
+    table (the residual is list-relative, so each probed list gets its own
+    (m × k) table) and only rows of probed lists are scored — the full
+    IVF-PQ scan. Output contract matches :func:`cosine_topk`."""
+    mm, kk, dsub = codebooks.shape
+    q_t = _small_table(queries)
+    q_ids = q_t[query_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_emb_matrix(q_t, emb_col))
+    q_lists = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    # dt[qi][list] = (m, k) table of ||(q - c_list)_sub - code||^2
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(q_ids)):
+        for l in q_lists[qi]:
+            r = q_mat[qi] - centroids[int(l)]
+            dt = np.empty((mm, kk))
+            for s in range(mm):
+                rs = r[s * dsub:(s + 1) * dsub]
+                dt[s] = ((rs[None, :] - codebooks[s]) ** 2).sum(axis=1)
+            tables[(qi, int(l))] = dt
+    ref = _broadcast((q_ids, q_lists, tables))
+
+    def scan(t: pa.Table, b) -> pa.Table:
+        q_ids, q_lists, tables = _deref(b)
+        t = t.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = t["ivf_list"].to_numpy(zero_copy_only=False)
+        blob = b"".join(t["pq_code"].to_pylist())
+        codes = np.frombuffer(blob, np.uint8).reshape(len(t), mm)
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qi in range(len(q_ids)):
+            for l in q_lists[qi]:
+                rows = np.flatnonzero(lists == int(l))
+                if len(rows) == 0:
+                    continue
+                dt = tables[(qi, int(l))]
+                d = dt[np.arange(mm), codes[rows]].sum(axis=1)
+                hit = ids[rows] != q_ids[qi]  # exclude self
+                kk2 = min(k, int(hit.sum()))
+                if kk2 == 0:
+                    continue
+                cand = rows[hit]
+                dc = d[hit]
+                part = np.argpartition(dc, kk2 - 1)[:kk2]
+                out_q.append(np.full(kk2, q_ids[qi], np.int64))
+                out_i.append(ids[cand[part]])
+                out_d.append(dc[part])
+        if not out_q:
+            return pa.table(
+                {query_id_col: pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "_adc": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {query_id_col: pa.array(np.concatenate(out_q)),
+             id_col: pa.array(np.concatenate(out_i)),
+             "_adc": pa.array(np.concatenate(out_d))}
+        )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        d = t["_adc"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        order = order[np.argsort(d[order], kind="stable")]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(len(order), dtype=np.int64))
+        )
+
+    local = index.map_batches(
+        scan, fn_args=[ref], batch_format="pyarrow", batch_size=batch_size
+    )
+    return local.groupby(query_id_col).map_groups(
+        final_topk, batch_format="pyarrow"
+    ).drop_columns(["_adc"])

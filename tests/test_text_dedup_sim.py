@@ -889,3 +889,48 @@ def test_pq_topk_recall_vs_exact(ray_session):
                    "embedding": t["embedding"][3:4]})
     rows = pq_topk(codes.union(codes2), q1, books, k=3).take_all()
     assert rows[0]["vec_id"] == 99991 and rows[0]["rank"] == 0
+
+
+def test_ivfpq_topk_recall(ray_session):
+    """IVF routing + residual PQ codes: recall vs exact cosine must beat
+    plain PQ-level noise at full probe coverage, and a planted
+    near-duplicate is retrieved at rank 0."""
+    import ray.data as rd
+
+    from odibel_ray.sim import cosine_topk, ivfpq_encode, ivfpq_topk, ivfpq_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(t)
+    cent, books = ivfpq_train(ds, n_lists=8, m=16, k=256, iters=15)
+    assert cent.shape[0] == 8 and books.shape == (16, 256, 4)
+    index = ivfpq_encode(ds, cent, books).materialize()
+    assert index.count() == len(t)
+
+    queries = pa.table(
+        {"query_id": t["vec_id"][:8], "embedding": t["embedding"][:8]}
+    )
+    exact = {}
+    for r in cosine_topk(ds, queries, k=10).take_all():
+        exact.setdefault(r["query_id"], []).append(r["vec_id"])
+    approx = {}
+    for r in ivfpq_topk(index, queries, cent, books, k=10,
+                        n_probe=8).take_all():
+        approx.setdefault(r["query_id"], []).append(r["vec_id"])
+    recalls = [
+        len(set(exact[q]) & set(approx.get(q, []))) / 10 for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # all lists probed: PQ-limited
+
+    # planted near-duplicate survives routing + quantization at rank 0
+    base = np.asarray(t["embedding"][5].as_py())
+    dup = base + np.random.default_rng(2).normal(0, 1e-3, len(base))
+    aug = pa.table(
+        {"vec_id": pa.array([99992], pa.int64()),
+         "embedding": pa.array([dup.tolist()],
+                               t.schema.field("embedding").type)}
+    )
+    idx2 = index.union(ivfpq_encode(rd.from_arrow(aug), cent, books))
+    q1 = pa.table({"query_id": pa.array([5], pa.int64()),
+                   "embedding": t["embedding"][5:6]})
+    rows = ivfpq_topk(idx2, q1, cent, books, k=3, n_probe=2).take_all()
+    assert rows[0]["vec_id"] == 99992 and rows[0]["rank"] == 0
