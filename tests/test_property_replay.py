@@ -172,3 +172,56 @@ def test_replay_matches_oracle_under_schema_fuzz(
             assert got.num_rows == 0
         else:
             assert got.select(oracle.column_names).equals(oracle)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(st.one_of(data_event_st, schema_event_st),
+                    min_size=6, max_size=36),
+    cuts=st.lists(st.floats(0.1, 0.9), min_size=1, max_size=3, unique=True),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_incremental_slicing_converges_under_fuzz(
+    ray_session, tmp_path_factory, events, cuts, mode
+):
+    """ANY random log (schema fuzz included) applied through the
+    exactly-once sink as ANY random sequence of micro-batch slices, in
+    either write mode, must converge to the single-threaded oracle — the
+    replay-equivalence property the tailing CDC engine rests on."""
+    from odibel_ray.cdc import incremental_apply, read_published, replay_publish
+    from odibel_ray.datagen import slice_log
+
+    tmpdir = str(tmp_path_factory.mktemp("fuzzinc"))
+    log_dir = _write_mixed_log(tmpdir, events)
+    oracle = replay_oracle(log_dir)
+
+    fracs = sorted(set(round(c, 3) for c in cuts)) + [1.0]
+    slices_root = os.path.join(tmpdir, "slices")
+    slice_log(log_dir, slices_root, fracs)
+    from odibel_ray.cdc.sink import load_manifests
+
+    table = os.path.join(tmpdir, "tbl")
+    for i in range(len(fracs)):
+        sl = os.path.join(slices_root, f"slice-{i:03d}", "change_log")
+        if not load_manifests(table):
+            # bootstrap-if-unpublished, exactly like tail_stream._apply —
+            # a prefix of only-malformed/only-schema events publishes
+            # nothing and the first real slice bootstraps
+            replay_publish(sl, table, num_buckets=4, run_id=f"s{i}")
+        else:
+            incremental_apply(sl, table, run_id=f"s{i}", mode=mode)
+    try:
+        got = collect_sorted(read_published(table), KEYS)
+    except FileNotFoundError:
+        # a log with zero valid data events publishes zero buckets — the
+        # sink's empty-table contract; the oracle must agree it is empty
+        assert oracle.num_rows == 0
+        return
+    if oracle.num_rows == 0:
+        assert got.num_rows == 0
+    else:
+        assert got.select(oracle.column_names).equals(oracle)
