@@ -1120,7 +1120,13 @@ def read_published(
         manifests = _bucket_prune(
             out_dir, manifests, where, pq.read_schema(schema_src)
         )
-    plain_m = [m for _, m in sorted(manifests.items()) if not m.get("deltas")]
+    # zero-row buckets exist for their watermarks (a bucket whose only
+    # events were deletes-of-nonexistent still pins resume state) — but
+    # scanning their empty files yields schema-less empty blocks from the
+    # parquet reader, which poison any downstream concat; the manifest
+    # already knows they contribute no rows, so skip them at the scan
+    plain_m = [m for _, m in sorted(manifests.items())
+               if not m.get("deltas") and m.get("rows_out", 1) != 0]
     mor = [m for _, m in sorted(manifests.items()) if m.get("deltas")]
     plain = [os.path.join(out_dir, m["file"]) for m in plain_m]
     # metadata-only DDL (generic tables): resolve the op log once, then run
