@@ -63,6 +63,21 @@ SKIP_QUERY_TIMINGS: set[str] = {
     "doc_dup_span_coverage",
     # cross-parity variant of the timed doc_dup_spans machinery
     "doc_decontaminate_spans",
+    # cut-transform product of the timed doc_dup_spans pipeline
+    "doc_span_dedup",
+    # per-doc zero-shuffle sibling of the timed doc_dup_spans detector
+    "doc_self_repeat",
+    # wedge-machinery sibling of the timed rdf_triangles
+    "rdf_link_scores",
+    # window-kernel siblings of the timed transcript_turn_latency family
+    "events_window_funcs",
+    # inequality-join sibling of the timed events_range_join
+    "events_overlap_join",
+    # gram-profile sibling of the timed corpus_curation composition
+    "doc_repetition",
+    # evaluator siblings of the timed er_cluster_stats/benchmark_split_stats
+    "fusion_cluster_values",
+    "schema_mapping_stats",
     # 1->k serializer twins of the timed transcript_named_graphs
     "transcript_reification",
     "transcript_rdf_star",
