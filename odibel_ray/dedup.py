@@ -1243,3 +1243,79 @@ def chunk_dedup(
         .groupby("_cbucket")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def decontaminate_bloom(
+    train: "ray.data.Dataset",
+    test: "ray.data.Dataset",
+    *,
+    n: int = 3,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """BFF-style Bloom decontamination (the Dolma/"Bloom Filter Filtering"
+    scale path): the held-out split's word-``n``-gram hashes build ONE
+    packed Bloom filter (streaming partials, bitwise-OR fold — no shuffle,
+    no join), which broadcasts to a single scoring pass over the train
+    corpus. Returns ``(id_col, n_grams, n_hits, hit_frac)`` per train doc.
+
+    Contract: NO false negatives — every gram truly shared with the test
+    split counts in ``n_hits`` (the Bloom property), so thresholding
+    ``hit_frac`` can only over-remove; the false-positive inflation is
+    ~(1 − e^{−k·N/m})^k, tuned by ``num_bits``. The exact-join complement
+    is :func:`decontaminate`; this variant costs O(test) + one broadcast
+    instead of a two-sided shuffle — right when the test split is large
+    and the train corpus is 100 TB."""
+    import ray
+
+    from odibel_ray.ops.bloom import Bloom
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    n_words = num_bits // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        bloom = Bloom(np.zeros(n_words, dtype=np.uint64), num_hashes)
+        h, _ = _shingle_hashes_flat(t[text_col], n)
+        bloom.add(h)
+        return pa.table(
+            {"words": pa.FixedSizeListArray.from_arrays(
+                pa.array(bloom.words, pa.uint64()), n_words
+            )}
+        )
+
+    words = np.zeros(n_words, dtype=np.uint64)
+    for part in test.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        flat = part["words"].combine_chunks()
+        for row in range(len(flat)):
+            words |= np.asarray(flat[row].values, dtype=np.uint64)
+    ref = ray.put(Bloom(words, num_hashes))
+
+    def score(t: pa.Table, b=ref) -> pa.Table:
+        bloom = ray.get(b)
+        t = t.combine_chunks()
+        h, sh_offs = _shingle_hashes_flat(t[text_col], n)
+        hits = bloom.contains(h).astype(np.int64)
+        n_docs = len(t)
+        g_lens = np.diff(sh_offs)  # already per-doc SHINGLE counts
+        per_doc = np.add.reduceat(
+            np.append(hits, 0), sh_offs[:-1]
+        ) * (g_lens > 0)
+        frac = np.divide(per_doc, g_lens, out=np.zeros(n_docs),
+                         where=g_lens > 0)
+        return pa.table(
+            {id_col: t[id_col],
+             "n_grams": pa.array(g_lens.astype(np.int64)),
+             "n_hits": pa.array(per_doc.astype(np.int64)),
+             "hit_frac": pa.array(np.round(frac, 6))}
+        )
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -934,3 +934,55 @@ def test_ivfpq_topk_recall(ray_session):
                    "embedding": t["embedding"][5:6]})
     rows = ivfpq_topk(idx2, q1, cent, books, k=3, n_probe=2).take_all()
     assert rows[0]["vec_id"] == 99992 and rows[0]["rank"] == 0
+
+
+def test_bloom_decontamination_no_false_negatives(ray_session):
+    """Every gram truly shared with the test split must count (Bloom
+    property), clean docs score near zero with a roomy filter, and the
+    exact shared-gram count lower-bounds n_hits."""
+    import ray.data as rd
+
+    from odibel_ray.dedup import decontaminate_bloom
+
+    rng = np.random.default_rng(41)
+
+    def words(n):
+        return " ".join(f"w{int(x)}" for x in rng.integers(0, 5000, n))
+
+    secret = words(60)
+    train = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array([
+             words(40) + " " + secret,      # contaminated
+             words(120),                    # clean
+             secret,                        # fully contaminated
+         ])}
+    )
+    test = pa.table(
+        {"doc_id": pa.array([9], pa.int64()),
+         "text": pa.array([words(30) + " " + secret + " " + words(20)])}
+    )
+
+    def grams(s, n=3):
+        t = s.split(" ")
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    test_g = grams(test["text"][0].as_py())
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_bloom(
+            rd.from_arrow(train), rd.from_arrow(test), num_bits=1 << 20
+        ).take_all()
+    }
+    for did in (1, 2, 3):
+        txt = train["text"][did - 1].as_py()
+        true_shared = len([
+            g for g in (
+                " ".join(txt.split(" ")[i:i + 3])
+                for i in range(len(txt.split(" ")) - 2)
+            ) if g in test_g
+        ])
+        assert out[did]["n_hits"] >= true_shared  # no false negatives
+    assert out[3]["hit_frac"] == 1.0
+    assert out[1]["hit_frac"] > 0.5
+    assert out[2]["hit_frac"] < 0.05  # fp-rate only
