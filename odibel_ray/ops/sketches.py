@@ -217,3 +217,65 @@ def approx_heavy_hitters(
         )
     )
     return topk(summed, "n", k)
+
+
+def approx_heavy_hitters_per_group(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    col: str,
+    k: int = 5,
+    *,
+    candidates_per_key: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-KEY approximate top-k most frequent ``col`` values — the grouped
+    grain of :func:`approx_heavy_hitters` (per-user top tools, per-domain
+    top templates). Per-batch (key, value) counts truncated to the top
+    ``candidates_per_key`` per key (combiner), ONE key-hash groupby fold,
+    then a per-key top-k with deterministic ties (count desc, value asc).
+    Returns ``(*keys, value, n)``; ``n`` is a lower bound that is EXACT
+    whenever a key's distinct values per batch fit the candidate budget —
+    size the budget to the expected value cardinality for exact counts."""
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        g = (
+            t.select(keys + [col])
+            .group_by(keys + [col])
+            .aggregate([([], "count_all")])
+            .rename_columns(keys + [col, "n"])
+        ).combine_chunks()
+        if len(g) > 0:
+            import numpy as _np
+
+            from odibel_ray.cdc.lww import bucket_of_keys
+
+            kb = bucket_of_keys(g, keys, 1 << 62)
+            n = g["n"].to_numpy(zero_copy_only=False)
+            order = _np.lexsort((-n, kb))
+            kb_s = kb[order]
+            new = _np.ones(len(kb_s), bool)
+            new[1:] = kb_s[1:] != kb_s[:-1]
+            pos = _np.arange(len(kb_s))
+            seg_start = _np.maximum.accumulate(_np.where(new, pos, 0))
+            keep = (pos - seg_start) < candidates_per_key
+            g = g.take(pa.array(order[keep]))
+        return g
+
+    from odibel_ray.ops.relational import topk_per_group
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    folded = (
+        partials.groupby(keys)
+        .map_groups(
+            lambda t: t.combine_chunks()
+            .group_by(keys + [col])
+            .aggregate([("n", "sum")])
+            .rename_columns(keys + [col, "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return topk_per_group(folded, keys, "n", k, tie_break=[col])

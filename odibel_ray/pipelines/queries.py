@@ -2509,6 +2509,19 @@ def q_events_overlap_join(sf_dir: str):
     return j.map_batches(proj, batch_format="pyarrow")
 
 
+def q_user_top_events_hh(sf_dir: str):
+    """Per-user top-2 event types with counts
+    (`ops.sketches.approx_heavy_hitters_per_group` — per-batch truncated
+    combiner, one key groupby fold, per-key top-k with deterministic
+    ties). The candidate budget exceeds the per-batch value cardinality
+    here, so counts are exact and the SQL oracle pins them."""
+    from odibel_ray.ops.relational import load_table
+    from odibel_ray.ops.sketches import approx_heavy_hitters_per_group
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_type"])
+    return approx_heavy_hitters_per_group(ev, ["user_id"], "event_type", k=2)
+
+
 def q_events_window_funcs(sf_dir: str):
     """NTILE / PERCENT_RANK / FIRST_VALUE / LAST_VALUE over per-user
     windows (`ops.aggregates.window_ntile` / `window_percent_rank` /
@@ -4103,6 +4116,7 @@ QUERIES: dict[str, Callable] = {
     "events_range_join": q_events_range_join,
     "events_overlap_join": q_events_overlap_join,
     "events_window_funcs": q_events_window_funcs,
+    "user_top_events_hh": q_user_top_events_hh,
     "events_asof_profile": q_events_asof_profile,
     "distinct_users": q_distinct_users,
     "user_activity_distribution": q_user_activity_distribution,
@@ -5078,6 +5092,14 @@ SELECT event_type,
        count(*) AS n
 FROM events, (SELECT unnest(range(0, 4)) AS i)
 GROUP BY 1, 2
+""",
+        "user_top_events_hh": """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn <= 2
 """,
         "events_window_funcs": """
 SELECT user_id, event_id,

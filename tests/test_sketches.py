@@ -96,3 +96,36 @@ def test_approx_distinct_per_group(ray_session):
     for g in exact.index:
         rel = abs(got[g] - exact[g]) / exact[g]
         assert rel < 0.12, (g, got[g], exact[g], rel)
+
+
+def test_grouped_heavy_hitters_exact_within_budget(ray_session):
+    """Per-key top-k equals an exact Counter when the per-batch candidate
+    budget covers the value cardinality; deterministic tie order."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odibel_ray.ops.sketches import approx_heavy_hitters_per_group
+
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 5, 4000)
+    v = rng.zipf(1.6, 4000) % 20
+    t = pa.table(
+        {"u": pa.array(u.astype(np.int64)),
+         "v": pa.array([f"x{int(i)}" for i in v])}
+    )
+    rows = approx_heavy_hitters_per_group(
+        rd.from_arrow(t), ["u"], "v", k=3
+    ).take_all()
+    cnt = collections.Counter(zip(u.tolist(), (f"x{int(i)}" for i in v)))
+    exp: dict = {}
+    for (uu, vv), n in cnt.items():
+        exp.setdefault(uu, []).append((-n, vv))
+    for uu in exp:
+        want = [(vv, -negn) for negn, vv in sorted(exp[uu])[:3]]
+        got = [(r["v"], r["n"])
+               for r in sorted((r for r in rows if r["u"] == uu),
+                               key=lambda r: (-r["n"], r["v"]))]
+        assert got == want, uu
