@@ -2487,7 +2487,10 @@ def incremental_apply(
             "out_dir": out_dir,
         }
 
-    base = read_published(out_dir, system=True)
+    # a table bootstrapped by a schema-only/malformed-only publish has a
+    # TABLE manifest (carrying the timeline) but ZERO bucket manifests —
+    # there is no base to fold in, the apply runs on the new events alone
+    base = read_published(out_dir, system=True) if manifests else None
 
     def _base_as_events(t: pa.Table) -> pa.Table:
         keep = np.isin(t["_bucket"].to_numpy(zero_copy_only=False), touched)
@@ -2509,7 +2512,12 @@ def incremental_apply(
             cols["_base"] = pa.array(np.ones(len(t), dtype=bool))
         return pa.table(cols)
 
-    base_ev = base.map_batches(_base_as_events, batch_format="pyarrow", batch_size=batch_size)
+    base_ev = (
+        base.map_batches(_base_as_events, batch_format="pyarrow",
+                         batch_size=batch_size)
+        if base is not None
+        else None
+    )
     if feed_dir:
         def _mark_new(t: pa.Table) -> pa.Table:
             return t.append_column("_base", pa.array(np.zeros(len(t), dtype=bool)))
@@ -2517,7 +2525,7 @@ def incremental_apply(
         new_side = new_ev.map_batches(_mark_new, batch_format="pyarrow", batch_size=batch_size)
     else:
         new_side = new_ev
-    merged = new_side.union(base_ev)
+    merged = new_side.union(base_ev) if base_ev is not None else new_side
     if feed_dir:
         # side-aware combiner: keep the max-LSN row per (key, base-vs-new) so
         # the before-state survives compaction alongside the winning event

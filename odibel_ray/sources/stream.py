@@ -357,7 +357,14 @@ def tail_stream(
         if not pending_files:
             return
         consumed = list(pending_files)
-        if not load_manifests(out_dir):
+        from odibel_ray.cdc.sink import TABLE_MANIFEST
+
+        # bootstrap iff the TABLE manifest is absent — not "no bucket
+        # manifests": a first micro-batch of only schema/malformed events
+        # publishes zero buckets but DOES persist the schema timeline, and
+        # a second bootstrap would overwrite it with a timeline extracted
+        # from the new batch alone, silently un-evolving the table
+        if not os.path.exists(os.path.join(out_dir, TABLE_MANIFEST)):
             res = replay_publish(
                 spool_dir, out_dir, num_buckets=num_buckets,
                 run_id=f"{run_prefix}-bootstrap", metrics=metrics,

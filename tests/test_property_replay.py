@@ -202,15 +202,16 @@ def test_incremental_slicing_converges_under_fuzz(
     fracs = sorted(set(round(c, 3) for c in cuts)) + [1.0]
     slices_root = os.path.join(tmpdir, "slices")
     slice_log(log_dir, slices_root, fracs)
-    from odibel_ray.cdc.sink import load_manifests
+    from odibel_ray.cdc.sink import TABLE_MANIFEST
 
     table = os.path.join(tmpdir, "tbl")
     for i in range(len(fracs)):
         sl = os.path.join(slices_root, f"slice-{i:03d}", "change_log")
-        if not load_manifests(table):
-            # bootstrap-if-unpublished, exactly like tail_stream._apply —
-            # a prefix of only-malformed/only-schema events publishes
-            # nothing and the first real slice bootstraps
+        if not os.path.exists(os.path.join(table, TABLE_MANIFEST)):
+            # bootstrap iff the table manifest is absent, exactly like
+            # tail_stream._apply — a schema-only prefix publishes zero
+            # buckets but persists the timeline, which incremental applies
+            # must then merge, never overwrite
             replay_publish(sl, table, num_buckets=4, run_id=f"s{i}")
         else:
             incremental_apply(sl, table, run_id=f"s{i}", mode=mode)

@@ -300,3 +300,41 @@ def test_throughput_monitor_reports():
     with ThroughputMonitor(0.0, emit=m2.append) as mon:
         mon.add(5)
     assert mon.total == 5 and len(m2) == 1
+
+
+def test_tail_stream_schema_only_first_batch_keeps_timeline(ray_session, tmp_path):
+    """A stream whose FIRST micro-batches carry only a schema event must
+    not lose the evolution when the first data batch arrives: bootstrap
+    fires only while the TABLE manifest is absent, and the schema-only
+    publish persists the timeline for the next apply to merge."""
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from odibel_ray.cdc import read_published
+    from odibel_ray.datagen import LOG_SCHEMA
+    from odibel_ray.sources.stream import tail_stream
+
+    def jl(rows):
+        out = []
+        for r in rows:
+            out.append(_json.dumps({k: v for k, v in r.items() if v is not None}))
+        return ("\n".join(out) + "\n").encode()
+
+    base_ts = "2023-11-14T22:13:20.000000"
+    s_row = {"op": "S", "lsn": 0, "ts": base_ts,
+             "schema_change": _json.dumps(
+                 {"kind": "add_column", "name": "score", "type": "double"})}
+    d_row = {"op": "I", "lsn": 1, "conv_id": "c0", "turn_idx": 0,
+             "role": "user", "text": "hi", "score": 0.75, "ts": base_ts}
+    table = str(tmp_path / "tbl")
+    spool = str(tmp_path / "spool")
+    tail_stream(io.BytesIO(jl([s_row])), table, spool_dir=spool,
+                num_parts=2, batch_rows=10, rounds_per_apply=1, num_buckets=4)
+    tail_stream(io.BytesIO(jl([d_row])), table, spool_dir=spool,
+                num_parts=2, batch_rows=10, rounds_per_apply=1, num_buckets=4)
+    rows = read_published(table).take_all()
+    assert len(rows) == 1
+    assert rows[0]["score"] == 0.75  # the evolution survived the bootstrap
